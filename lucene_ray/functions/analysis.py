@@ -1,0 +1,172 @@
+"""Analysis chain — StandardAnalyzer-equivalent tokenization, vectorized.
+
+Reference chain (lucene/core/src/java/org/apache/lucene/analysis/standard/
+StandardAnalyzer.java:85-96): StandardTokenizer → LowerCaseFilter →
+StopFilter, with:
+
+* default stop set EMPTY (StandardAnalyzer.java:46-53);
+* ``maxTokenLength`` default 255 — longer tokens are SKIPPED but still bump
+  the next token's position increment (StandardTokenizer.java:145-168);
+* StopFilter removal also bumps the next token's position increment
+  (FilteringTokenFilter semantics, analysis/StopFilter.java:24-40);
+* query-side ``Analyzer.normalize`` applies LowerCaseFilter only
+  (StandardAnalyzer.java:98-101).
+
+Tokenizer scope: the reference's UAX#29 JFlex grammar
+(StandardTokenizerImpl.jflex) is approximated with a compiled regex that
+matches it on the corpora this engine targets (see ``_TOKEN_RE`` docstring).
+Divergences (full-width forms, complex-script segmentation) are documented,
+not silently different: golden-token tests in tests/test_analysis.py pin the
+behavior.
+
+Everything here is a pure kernel: no Ray imports. The invert stage calls
+``tokenize_batch`` once per Arrow batch — one megastring regex scan, no
+per-row Python loop.
+
+The ``simple`` analyzer (``[a-z0-9]+`` over lowercased text) is an exactly
+SQL-expressible variant used by the DuckDB oracle queries; on the target
+corpus (lowercase ASCII words) it produces identical output to ``standard``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+MAX_TOKEN_LENGTH_DEFAULT = 255  # StandardAnalyzer.java:37 DEFAULT_MAX_TOKEN_LENGTH
+
+# EnglishAnalyzer's 33-word stop list (analysis/common/.../en/EnglishAnalyzer.java:43-52)
+# — NOT applied by default (StandardAnalyzer default stop set is empty), exposed
+# for the opt-in "english" chain.
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+# UAX#29-approximating word pattern, mirroring the JFlex WORD rule structure
+# (StandardTokenizerImpl.jflex:240-255):
+#   letter-runs joined by MidLetter∪MidNumLet∪SingleQuote ≈ [.:'’·],
+#   digit-runs joined by MidNum∪MidNumLet∪SingleQuote ≈ [.,;'’],
+#   letter/digit segments concatenate (WB9/WB10), '_' (ExtendNumLet) joins
+#   segments (WB13a/b), katakana runs stay together (WB13), CJK ideographs
+#   and hiragana are single-codepoint tokens (IDEOGRAPHIC/HIRAGANA types).
+# Known divergences vs the full grammar (documented, golden-tested): emoji
+# sequences, Hebrew-quote rules, mixed katakana+latin adjacency.
+_IDEO_HIRA = "⺀-⻿぀-ゟ㐀-䶿一-鿿豈-﫿"
+_KATA = "ァ-ヺー-ヿㇰ-ㇿ"
+_L = rf"[^\W\d_{_IDEO_HIRA}{_KATA}]"  # unicode letter, CJK handled separately
+_LSEG = rf"{_L}+(?:[.:'’·]{_L}+)*"
+_DSEG = rf"\d+(?:[.,;'’]\d+)*"
+_TOKEN_RE = re.compile(
+    rf"[{_KATA}]+"
+    rf"|[{_IDEO_HIRA}]"
+    rf"|_*(?:{_LSEG}|{_DSEG})(?:_*(?:{_LSEG}|{_DSEG}))*_*",
+    re.UNICODE,
+)
+
+_SIMPLE_RE = re.compile(r"[a-z0-9]+")
+
+_SEP = "\x00"  # never inside a token
+
+
+@dataclass
+class Analyzer:
+    """A configured analysis chain. ``kind`` ∈ {standard, simple, english,
+    whitespace}."""
+
+    kind: str = "standard"
+    max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT
+    stop_words: frozenset = field(default_factory=frozenset)
+
+    def __post_init__(self):
+        if self.kind == "english":
+            self.stop_words = self.stop_words or ENGLISH_STOP_WORDS
+
+    def normalize(self, term: str) -> str:
+        """Query-side normalization = LowerCaseFilter only (StandardAnalyzer
+        .java:98-101); the simple chain also strips non-[a-z0-9]."""
+        return term.lower()
+
+    def tokenize_one(self, text: str) -> list[tuple[str, int]]:
+        """(term, position) list for one document — test/golden path."""
+        terms, _doc_idx, positions, _lens = self.tokenize_batch([text])
+        return list(zip(terms.tolist(), positions.tolist()))
+
+    def tokenize_batch(
+        self, texts: list[str]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Tokenize a batch of documents in one regex scan.
+
+        Returns ``(terms, doc_idx, positions, doc_lengths)`` where ``terms``
+        is an object ndarray of token strings, ``doc_idx[i]`` the document a
+        token belongs to, ``positions[i]`` its Lucene position (skipped
+        overlong tokens and stop words bump the increment), and
+        ``doc_lengths[j]`` the number of indexed tokens per document
+        (FieldInvertState.length − numOverlap, which feeds computeNorm).
+        """
+        n_docs = len(texts)
+        if n_docs == 0:
+            empty_i = np.empty(0, dtype=np.int32)
+            return np.empty(0, dtype=object), empty_i, empty_i, empty_i
+
+        # One megastring: docs joined by NUL. str.lower() first — the
+        # LowerCaseFilter is per-codepoint (analysis/LowerCaseFilter.java:37-45);
+        # Python str.lower matches Character.toLowerCase on the codepoints the
+        # golden tests cover (ASCII + Latin-1); divergences (e.g. U+0130)
+        # documented in tests.
+        mega = _SEP.join(texts).lower()
+        token_re = _SIMPLE_RE if self.kind == "simple" else _TOKEN_RE
+        if self.kind == "whitespace":
+            token_re = re.compile(r"\S+")
+
+        starts: list[int] = []
+        toks: list[str] = []
+        for m in token_re.finditer(mega):
+            starts.append(m.start())
+            toks.append(m.group())
+        if not toks:
+            empty_i = np.empty(0, dtype=np.int32)
+            return (
+                np.empty(0, dtype=object),
+                empty_i,
+                empty_i,
+                np.zeros(n_docs, dtype=np.int32),
+            )
+
+        terms = np.array(toks, dtype=object)
+        starts_a = np.array(starts, dtype=np.int64)
+
+        # Document boundaries: offset of each doc's first char in the megastring.
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        doc_starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=doc_starts[1:])
+        doc_idx = (np.searchsorted(doc_starts, starts_a, side="right") - 1).astype(np.int32)
+
+        # Position = token ordinal within its doc over ALL tokens the tokenizer
+        # produced (overlong/stop tokens are dropped AFTER ordinal assignment,
+        # which reproduces the posIncr-bump semantics).
+        first_of_doc = np.zeros(len(doc_idx), dtype=bool)
+        first_of_doc[0] = True
+        first_of_doc[1:] = doc_idx[1:] != doc_idx[:-1]
+        ordinal = np.arange(len(doc_idx), dtype=np.int32)
+        ordinal -= np.maximum.accumulate(np.where(first_of_doc, ordinal, 0))
+        positions = ordinal
+
+        keep = np.ones(len(terms), dtype=bool)
+        if self.max_token_length:
+            tok_lens = np.array([len(t) for t in toks], dtype=np.int32)
+            keep &= tok_lens <= self.max_token_length
+        if self.stop_words:
+            keep &= np.array([t not in self.stop_words for t in toks], dtype=bool)
+
+        terms = terms[keep]
+        doc_idx = doc_idx[keep]
+        positions = positions[keep]
+        doc_lengths = np.bincount(doc_idx, minlength=n_docs).astype(np.int32)
+        return terms, doc_idx, positions, doc_lengths
+
+
+def get_analyzer(kind: str = "standard", **kw) -> Analyzer:
+    return Analyzer(kind=kind, **kw)

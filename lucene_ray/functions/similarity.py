@@ -1,0 +1,179 @@
+"""BM25 scoring — float32-exact port of the reference formula.
+
+Reference: lucene/core/src/java/org/apache/lucene/search/similarities/
+BM25Similarity.java — idf at :105-107, avgdl at :115-117, the per-(query,
+field) 256-entry ``cache`` at :211-215, and the score expansion
+``weight - weight / (1 + freq * 1/norm)`` at :249-258. Defaults k1=1.2,
+b=0.75 (:100-102).
+
+Two modes:
+
+* ``BM25Similarity`` — the Lucene-parity scorer: every arithmetic op in
+  float32 with the reference's operation order, lengths seen through the
+  SmallFloat norm byte. Used by the flagship engine; rank-identical to the
+  reference.
+* ``BM25ExactSimilarity`` — float64, exact (un-bucketed) document lengths,
+  the textbook ``idf * freq*(k1+1) / (freq + k1*(1-b+b*dl/avgdl))`` form.
+  This variant is SQL-expressible, so it backs the DuckDB oracle queries in
+  ``__ray_entry__.oracle_sql`` (same ranking family; the (k1+1) factor is
+  rank-neutral).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from lucene_ray.functions.norms import LENGTH_TABLE
+
+F32 = np.float32
+
+
+@dataclass(frozen=True)
+class CollectionStatistics:
+    """Per-field global stats (reference: search/CollectionStatistics.java:29-40)."""
+
+    max_doc: int
+    doc_count: int
+    sum_doc_freq: int
+    sum_total_term_freq: int
+
+    def __post_init__(self):
+        assert 0 <= self.doc_count <= self.max_doc
+        assert self.doc_count <= self.sum_doc_freq <= self.sum_total_term_freq
+
+
+@dataclass(frozen=True)
+class TermStatistics:
+    """Per-term global stats (reference: search/TermStatistics.java:30-53)."""
+
+    term: str
+    doc_freq: int
+    total_term_freq: int
+
+
+class BM25Similarity:
+    """Lucene-parity BM25 (float32, SmallFloat norms)."""
+
+    def __init__(self, k1: float = 1.2, b: float = 0.75):
+        if not (np.isfinite(k1) and k1 >= 0):
+            raise ValueError(f"illegal k1 value: {k1}, must be a non-negative finite value")
+        if not (0 <= b <= 1):
+            raise ValueError(f"illegal b value: {b}, must be between 0 and 1")
+        self.k1 = F32(k1)
+        self.b = F32(b)
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        """``(float) Math.log(1 + (docCount - docFreq + 0.5)/(docFreq + 0.5))``
+        — computed in float64, cast to float32 (BM25Similarity.java:105-107)."""
+        return F32(np.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
+
+    def avg_field_length(self, stats: CollectionStatistics) -> np.float32:
+        """``(float)(sumTotalTermFreq / (double) docCount)`` (:115-117)."""
+        return F32(stats.sum_total_term_freq / float(stats.doc_count))
+
+    def norm_inverse_cache(self, stats: CollectionStatistics) -> np.ndarray:
+        """``cache[i] = 1f / (k1 * ((1 - b) + b * LENGTH_TABLE[i] / avgdl))``
+        (:211-215), float32 op-for-op."""
+        avgdl = self.avg_field_length(stats)
+        one = F32(1.0)
+        denom = self.k1 * ((one - self.b) + self.b * LENGTH_TABLE / avgdl)
+        return (one / denom).astype(np.float32)
+
+    def scorer(
+        self,
+        collection_stats: CollectionStatistics,
+        term_stats: TermStatistics | list[TermStatistics],
+        boost: float = 1.0,
+    ) -> "BM25Scorer":
+        if isinstance(term_stats, TermStatistics):
+            idf = self.idf(term_stats.doc_freq, collection_stats.doc_count)
+        else:
+            # multi-term idf = float32 sum of per-term float32 idfs (:190-200,
+            # accumulated in double then cast — Java `double idf += float`).
+            acc = 0.0
+            for ts in term_stats:
+                acc += float(self.idf(ts.doc_freq, collection_stats.doc_count))
+            idf = F32(acc)
+        weight = F32(boost) * idf
+        return BM25Scorer(weight=weight, cache=self.norm_inverse_cache(collection_stats))
+
+
+class BM25Scorer:
+    """score(freq, normByte) = weight - weight/(1 + freq * cache[normByte])
+    (BM25Similarity.java:249-258), vectorized in float32."""
+
+    __slots__ = ("weight", "cache")
+
+    def __init__(self, weight: np.float32, cache: np.ndarray):
+        self.weight = F32(weight)
+        self.cache = cache
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        freqs = np.asarray(freqs, dtype=np.float32)
+        norm_inverse = self.cache[np.asarray(norm_bytes, dtype=np.uint8)]
+        one = F32(1.0)
+        return self.weight - self.weight / (one + freqs * norm_inverse)
+
+    def max_score(self, max_freq: float, min_length_byte: int) -> np.float32:
+        """Upper bound for a posting block: monotone ↑ freq, ↓ length, so
+        score(max freq in block, smallest length byte in block) dominates.
+        (Conservative stand-in for the reference's competitive impact pairs,
+        codecs/CompetitiveImpactAccumulator.java — may visit ≥ as many blocks
+        as Lucene, never fewer results.)"""
+        return self.score(
+            np.array([max_freq], dtype=np.float32),
+            np.array([min_length_byte], dtype=np.uint8),
+        )[0]
+
+
+class BM25ExactSimilarity:
+    """Float64 textbook BM25 over exact document lengths (oracle-compatible).
+
+    score = idf * (freq * (k1+1)) / (freq + k1 * (1 - b + b * dl/avgdl))
+    idf   = ln(1 + (docCount - docFreq + 0.5) / (docFreq + 0.5))
+    avgdl = sumTotalTermFreq / docCount
+
+    Mirrored exactly by the SQL in ``__ray_entry__.oracle_sql`` so that
+    rank-identical top-k can be verified by DuckDB.
+    """
+
+    def __init__(self, k1: float = 1.2, b: float = 0.75):
+        self.k1 = float(k1)
+        self.b = float(b)
+
+    def idf(self, doc_freq: int, doc_count: int) -> float:
+        return float(np.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
+
+    def scorer(self, collection_stats, term_stats, boost: float = 1.0) -> "BM25ExactScorer":
+        if isinstance(term_stats, TermStatistics):
+            idf = self.idf(term_stats.doc_freq, collection_stats.doc_count)
+        else:
+            idf = sum(self.idf(ts.doc_freq, collection_stats.doc_count) for ts in term_stats)
+        avgdl = collection_stats.sum_total_term_freq / float(collection_stats.doc_count)
+        return BM25ExactScorer(float(boost) * idf, self.k1, self.b, avgdl)
+
+
+class BM25ExactScorer:
+    __slots__ = ("weight", "k1", "b", "avgdl")
+
+    def __init__(self, weight: float, k1: float, b: float, avgdl: float):
+        self.weight = weight
+        self.k1 = k1
+        self.b = b
+        self.avgdl = avgdl
+
+    def score(self, freqs: np.ndarray, doc_lengths: np.ndarray) -> np.ndarray:
+        freqs = np.asarray(freqs, dtype=np.float64)
+        dl = np.asarray(doc_lengths, dtype=np.float64)
+        return (
+            self.weight
+            * (freqs * (self.k1 + 1.0))
+            / (freqs + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+        )
+
+    def max_score(self, max_freq: float, min_dl: int) -> float:
+        return float(
+            self.score(np.array([max_freq], dtype=np.float64), np.array([min_dl], dtype=np.float64))[0]
+        )

@@ -1,0 +1,284 @@
+"""Query tree + a classic-syntax parser subset.
+
+Reference query types (lucene/core/src/java/org/apache/lucene/search/):
+TermQuery.java:36-118, BooleanQuery.java (occurs MUST/SHOULD/MUST_NOT/FILTER,
+BooleanClause.java), PhraseQuery.java:71-147, PrefixQuery/MultiTermQuery,
+TermInSetQuery, MatchAllDocsQuery, ConstantScoreQuery, BoostQuery,
+DisjunctionMaxQuery. Parser subset of
+queryparser/.../classic/QueryParserBase.java: terms, quoted phrases, AND/OR/
+NOT, +/- prefixes, parentheses, trailing-* prefix queries, ^boost.
+
+Queries are plain immutable Python values; the physical execution plan (which
+scorer runs) is chosen by the searcher, mirroring Boolean2ScorerSupplier
+(search/Boolean2ScorerSupplier.java:30-247).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Query:
+    """Marker base class."""
+
+    __slots__ = ()
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+
+    def __str__(self):
+        return self.term
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    terms: tuple
+    slop: int = 0
+
+    def __init__(self, terms, slop: int = 0):
+        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(self, "slop", int(slop))
+
+    def __str__(self):
+        return '"' + " ".join(self.terms) + '"'
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str
+
+    def __str__(self):
+        return self.prefix + "*"
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    terms: tuple
+
+    def __init__(self, terms):
+        object.__setattr__(self, "terms", tuple(sorted(set(terms))))
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Query
+    score: float = 1.0
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    query: Query
+    boost: float
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """max over sub-scores + tie_breaker * sum of the others
+    (search/DisjunctionMaxQuery.java)."""
+
+    disjuncts: tuple
+    tie_breaker: float = 0.0
+
+    def __init__(self, disjuncts, tie_breaker: float = 0.0):
+        object.__setattr__(self, "disjuncts", tuple(disjuncts))
+        object.__setattr__(self, "tie_breaker", float(tie_breaker))
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    """must scored-AND, should scored-OR, must_not exclusion, filter =
+    non-scoring must; minimum_should_match as in BooleanQuery.java."""
+
+    must: tuple = ()
+    should: tuple = ()
+    must_not: tuple = ()
+    filter: tuple = ()
+    minimum_should_match: int = 0
+
+    def __init__(self, must=(), should=(), must_not=(), filter=(), minimum_should_match=0):
+        object.__setattr__(self, "must", tuple(must))
+        object.__setattr__(self, "should", tuple(should))
+        object.__setattr__(self, "must_not", tuple(must_not))
+        object.__setattr__(self, "filter", tuple(filter))
+        object.__setattr__(self, "minimum_should_match", int(minimum_should_match))
+
+    MAX_CLAUSE_COUNT = 1024  # BooleanQuery.java maxClauseCount default
+
+    def __post_init__(self):
+        n = len(self.must) + len(self.should) + len(self.must_not) + len(self.filter)
+        if n > self.MAX_CLAUSE_COUNT:
+            raise ValueError(f"maxClauseCount is set to {self.MAX_CLAUSE_COUNT}")
+
+
+# --------------------------------------------------------------- parser
+
+
+class _Tok:
+    def __init__(self, kind, value=None):
+        self.kind = kind
+        self.value = value
+
+    def __repr__(self):
+        return f"{self.kind}:{self.value}"
+
+
+def _lex(s: str):
+    i, n = 0, len(s)
+    out = []
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+        elif c == "(":
+            out.append(_Tok("LP")); i += 1
+        elif c == ")":
+            out.append(_Tok("RP")); i += 1
+        elif c == "+":
+            out.append(_Tok("PLUS")); i += 1
+        elif c == "-":
+            out.append(_Tok("MINUS")); i += 1
+        elif c == '"':
+            j = s.index('"', i + 1)
+            out.append(_Tok("PHRASE", s[i + 1 : j]))
+            i = j + 1
+        else:
+            j = i
+            while j < n and not s[j].isspace() and s[j] not in '()"':
+                j += 1
+            word = s[i:j]
+            if word == "AND":
+                out.append(_Tok("AND"))
+            elif word == "OR":
+                out.append(_Tok("OR"))
+            elif word == "NOT":
+                out.append(_Tok("NOT"))
+            else:
+                out.append(_Tok("WORD", word))
+            i = j
+    return out
+
+
+class _Parser:
+    def __init__(self, toks, normalize):
+        self.toks = toks
+        self.i = 0
+        self.normalize = normalize
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self) -> Query:
+        return self.parse_or()
+
+    def parse_or(self) -> Query:
+        parts = [self.parse_and()]
+        while self.peek() and self.peek().kind == "OR":
+            self.next()
+            parts.append(self.parse_and())
+        if len(parts) == 1:
+            return parts[0]
+        return BooleanQuery(should=parts)
+
+    def parse_and(self) -> Query:
+        parts = [self.parse_clause()]
+        ops = []
+        while self.peek() and self.peek().kind in ("AND", "NOT"):
+            ops.append(self.next().kind)
+            parts.append(self.parse_clause())
+        if len(parts) == 1:
+            return parts[0]
+        must, must_not = [parts[0]], []
+        for op, p in zip(ops, parts[1:]):
+            (must_not if op == "NOT" else must).append(p)
+        return BooleanQuery(must=must, must_not=must_not)
+
+    def parse_clause(self) -> Query:
+        # a space-separated run of atoms (classic default-OR with +/- modifiers)
+        must, should, must_not = [], [], []
+        while True:
+            t = self.peek()
+            if t is None or t.kind in ("AND", "OR", "NOT", "RP"):
+                break
+            occur = "should"
+            if t.kind == "PLUS":
+                self.next(); occur = "must"
+            elif t.kind == "MINUS":
+                self.next(); occur = "must_not"
+            q = self.parse_atom()
+            {"must": must, "should": should, "must_not": must_not}[occur].append(q)
+        if len(should) == 1 and not must and not must_not:
+            return should[0]
+        if len(must) == 1 and not should and not must_not:
+            return must[0]
+        return BooleanQuery(must=must, should=should, must_not=must_not)
+
+    def parse_atom(self) -> Query:
+        t = self.next()
+        if t.kind == "LP":
+            q = self.parse_or()
+            if self.peek() and self.peek().kind == "RP":
+                self.next()
+            return self._maybe_boost(q)
+        if t.kind == "PHRASE":
+            terms = [self.normalize(w) for w in t.value.split()]
+            return self._maybe_boost(PhraseQuery(terms))
+        if t.kind == "WORD":
+            w = t.value
+            boost = None
+            if "^" in w:
+                w, bs = w.rsplit("^", 1)
+                boost = float(bs)
+            if w.endswith("*") and len(w) > 1:
+                q: Query = PrefixQuery(self.normalize(w[:-1]))
+            else:
+                q = TermQuery(self.normalize(w))
+            if boost is not None:
+                q = BoostQuery(q, boost)
+            return q
+        raise ValueError(f"unexpected token {t}")
+
+    def _maybe_boost(self, q: Query) -> Query:
+        return q
+
+
+def parse_query(s: str, normalize=None) -> Query:
+    """Parse the classic-syntax subset. ``normalize`` defaults to lowercase
+    (the reference applies the analyzer's normalize chain to query terms,
+    StandardAnalyzer.java:98-101)."""
+    normalize = normalize or (lambda w: w.lower())
+    toks = _lex(s)
+    if not toks:
+        return MatchAllDocsQuery()
+    return _Parser(toks, normalize).parse()
+
+
+def extract_terms(q: Query) -> set[str]:
+    """All positively-scored terms in a query tree (for stats gathering)."""
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, PhraseQuery):
+        return set(q.terms)
+    if isinstance(q, TermInSetQuery):
+        return set(q.terms)
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return extract_terms(q.query)
+    if isinstance(q, DisjunctionMaxQuery):
+        return set().union(*[extract_terms(d) for d in q.disjuncts]) if q.disjuncts else set()
+    if isinstance(q, BooleanQuery):
+        out: set[str] = set()
+        for sub in (*q.must, *q.should, *q.filter, *q.must_not):
+            out |= extract_terms(sub)
+        return out
+    return set()
