@@ -1,0 +1,320 @@
+"""Deduplication pipelines — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Reference anchors: exact dedup is the semantics of
+``IndexWriter.updateDocument(term, doc)`` = delete-by-key + add, i.e.
+last-writer-wins per key (index/IndexWriter.java:1815); near-dup is the
+reference's MinHash LSH primitive
+(analysis/common/.../minhash/MinHashFilter.java:46-65), re-expressed as the
+canonical Ray Data shape: per-batch signature computation → explode to
+(band, band_hash, doc) rows → groupby band bucket → candidate pairs →
+vectorized verification.
+
+Scale notes: signatures are computed vectorized per batch (numpy
+multiply-shift hashing — deterministic, seedable, no Python per-token loop);
+the only shuffles are groupbys on (band_id, band_hash) whose group sizes are
+bounded by bucket collision counts, and candidate verification joins back via
+a broadcast of the (small) candidate id set — not a full self-join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _hash_tokens_u64(tokens: list[str]) -> np.ndarray:
+    """Deterministic 64-bit token hashes (md5-based, stable across runs)."""
+    return np.array(
+        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in tokens],
+        dtype=np.uint64,
+    )
+
+
+def _simple_tokens(texts: list[str]):
+    import re
+
+    pat = re.compile(r"[a-z0-9]+")
+    return [pat.findall(t.lower()) for t in texts]
+
+
+def _shingles(tokens: list[str], n: int) -> list[str]:
+    if len(tokens) < n:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+# ----------------------------------------------------------------- exact
+
+
+def dedup_exact_by_key(ds, *, key_col: str = "url", ts_col: str | None = None):
+    """Last-writer-wins per key (updateDocument semantics). With no ``ts_col``
+    keeps the first row by key order. Hash-partition + per-group first —
+    the groupby IS the hash partition, no extra shuffle."""
+    import pandas as pd
+
+    def keep_one(g: pd.DataFrame) -> pd.DataFrame:
+        if ts_col is not None:
+            g = g.sort_values([ts_col, key_col])
+            return g.tail(1)
+        return g.sort_values(key_col).head(1)
+
+    return ds.groupby(key_col).map_groups(keep_one, batch_format="pandas")
+
+
+def content_hash_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Add md5 content hash (matches DuckDB ``md5(text)`` for the oracle)."""
+    hashes = [hashlib.md5(t.encode()).hexdigest() for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("content_hash", pa.array(hashes, type=pa.string()))
+
+
+def dedup_exact_content(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact content dedup: md5(text) → hash-partitioned groupby → keep the
+    smallest id per group. Returns the surviving rows' ids + hashes."""
+    import pandas as pd
+
+    ds = ds.map_batches(content_hash_batch, batch_format="pyarrow",
+                        fn_kwargs={"text_col": text_col})
+    ds = ds.select_columns(["content_hash", id_col])
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return ds.groupby("content_hash").map_groups(keep_min, batch_format="pandas")
+
+
+# ----------------------------------------------------------------- minhash
+
+
+class MinHashSignatures:
+    """Per-batch MinHash signature computation (actor-friendly: the permutation
+    parameters are built once in __init__).
+
+    num_perm universal-hash permutations h_i(x) = (a_i*x + b_i) mod p over
+    64-bit shingle hashes; signature matrix row-min per doc. Deterministic
+    (seed-derived a/b).
+    """
+
+    def __init__(self, *, num_perm: int = 64, shingle: int = 3, seed: int = 42,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle = shingle
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def signature(self, tokens: list[str]) -> np.ndarray:
+        sh = _shingles(tokens, self.shingle)
+        if not sh:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        h = _hash_tokens_u64(sh)  # (S,)
+        # (P, S) permuted hashes — vectorized, then row min
+        hp = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        return hp.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = _simple_tokens(batch.column(self.text_col).to_pylist())
+        sigs = np.stack([self.signature(t) for t in toks])
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "minhash": pa.array(list(sigs), type=pa.list_(pa.uint64())),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+):
+    """MinHash+LSH near-duplicate pairs, verified by true shingle Jaccard.
+
+    Stages: signatures (actor pool) → explode to (band_id, band_hash, id)
+    → groupby band bucket → candidate pairs → broadcast candidate ids →
+    exact Jaccard verification. Returns Dataset (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= threshold.
+    """
+    import pandas as pd
+    import ray
+
+    rows_per_band = num_perm // bands
+    sig_ds = ds.map_batches(
+        MinHashSignatures(num_perm=num_perm, shingle=shingle, seed=seed,
+                          text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sigs = np.array(batch.column("minhash").to_pylist(), dtype=np.uint64)
+        n = len(ids)
+        out_ids = np.repeat(ids, bands)
+        band_ids = np.tile(np.arange(bands), n)
+        bh = np.empty(n * bands, dtype=np.uint64)
+        for bnd in range(bands):
+            seg = sigs[:, bnd * rows_per_band : (bnd + 1) * rows_per_band]
+            acc = np.zeros(n, dtype=np.uint64)
+            for c in range(seg.shape[1]):  # tiny loop over rows_per_band
+                acc = acc * np.uint64(1099511628211) + seg[:, c]
+            bh[bnd::bands] = acc
+        return pa.table(
+            {
+                id_col: pa.array(out_ids),
+                "band_id": pa.array(band_ids, type=pa.int32()),
+                "band_hash": pa.array(bh, type=pa.uint64()),
+            }
+        )
+
+    buckets = sig_ds.map_batches(explode, batch_format="pyarrow")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+    cand = buckets.groupby(["band_id", "band_hash"]).map_groups(
+        emit_pairs, batch_format="pandas"
+    )
+    cand_pd = cand.to_pandas().drop_duplicates()  # candidate set is small
+    if len(cand_pd) == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
+        )
+    need_ids = set(cand_pd["id_a"]) | set(cand_pd["id_b"])
+
+    # broadcast the candidate id set; collect shingle sets only for those docs
+    need_ref = ray.put(need_ids)
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        need = ray.get(need_ref)
+        ids = batch.column(id_col).to_pylist()
+        mask = [i in need for i in ids]
+        sel = batch.filter(pa.array(mask))
+        toks = _simple_tokens(sel.column(text_col).to_pylist())
+        sh = [list(set(_shingles(t, shingle))) for t in toks]
+        return pa.table(
+            {
+                id_col: sel.column(id_col),
+                "shingles": pa.array(sh, type=pa.list_(pa.string())),
+            }
+        )
+
+    sets_pd = ds.map_batches(shingle_sets, batch_format="pyarrow").to_pandas()
+    lut = {r[id_col]: set(r["shingles"]) for _, r in sets_pd.iterrows()}
+    out = []
+    for a, b in zip(cand_pd["id_a"], cand_pd["id_b"]):
+        sa, sb = lut.get(a), lut.get(b)
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        jac = inter / union if union else 0.0
+        if jac >= threshold:
+            out.append((int(a), int(b), jac))
+    out.sort()
+    return ray.data.from_pandas(
+        pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+        if out
+        else pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                           "id_b": pd.Series([], dtype="int64"),
+                           "jaccard": pd.Series([], dtype="float64")})
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+
+class SimHash:
+    """64-bit SimHash per doc from tf-weighted token hashes (vectorized)."""
+
+    def __init__(self, *, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        out = np.empty(len(texts), dtype=np.uint64)
+        for i, toks in enumerate(_simple_tokens(texts)):
+            if not toks:
+                out[i] = 0
+                continue
+            uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+            h = _hash_tokens_u64(uniq.tolist())
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            v = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+            out[i] = np.uint64(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "simhash": pa.array(out, type=pa.uint64()),
+            }
+        )
+
+
+def simhash_signatures(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(SimHash(text_col=text_col, id_col=id_col),
+                          batch_format="pyarrow", concurrency=4)
+
+
+def simhash_near_pairs(ds, *, max_hamming: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
+    (any pair within hamming distance 3 shares ≥1 exact chunk), groupby
+    chunk value for candidates, verify hamming distance."""
+    import pandas as pd
+    import ray
+
+    sig = simhash_signatures(ds, text_col=text_col, id_col=id_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = batch.column("simhash").to_numpy()
+        chunks = []
+        for c in range(4):
+            chunks.append((h >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, 4)),
+                "chunk_id": pa.array(np.tile(np.arange(4), len(ids)), type=pa.int32()),
+                "chunk_val": pa.array(np.stack(chunks, axis=1).ravel(), type=pa.uint64()),
+                "simhash": pa.array(np.repeat(h, 4), type=pa.uint64()),
+            }
+        )
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g.sort_values(id_col)[[id_col, "simhash"]].values
+        out = []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = int(bin(int(rows[i][1]) ^ int(rows[j][1])).count("1"))
+                if d <= max_hamming:
+                    out.append((int(rows[i][0]), int(rows[j][0]), d))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+
+    pairs = (
+        sig.map_batches(explode, batch_format="pyarrow")
+        .groupby(["chunk_id", "chunk_val"])
+        .map_groups(emit, batch_format="pandas")
+    )
+    pd_pairs = pairs.to_pandas().drop_duplicates(subset=["id_a", "id_b"]).sort_values(
+        ["id_a", "id_b"]
+    )
+    return ray.data.from_pandas(pd_pairs.reset_index(drop=True))

@@ -1,0 +1,225 @@
+"""Index-build pipeline — read → extract → partition → invert → commit.
+
+Ray-Data-native lifecycle (the reference's ingest chain, SURVEY §3.1):
+
+1. ``read_parquet`` with column pruning (only key/text/needed columns leave
+   storage).
+2. Optional HTML extraction / exact dedup stages (per-batch maps).
+3. Deterministic hash partitioning on the document key: ``part_id =
+   crc32(key) % P``. One partition ≈ one DWPT (DocumentsWriter.java:54 —
+   zero cross-doc coordination), and the assignment is content-keyed, so
+   retries and different parallelism levels build byte-identical segments.
+4. ``groupby(part_id).map_groups(invert kernel)`` — the only doc-side
+   shuffle. Each group sorts by key (deterministic local docIDs), runs the
+   vectorized invert kernel (state/segment.build_segment_tables) and writes
+   its segment directory atomically. Completed partitions are durable
+   checkpoints: a rerun skips them (manifest.completed_part_ids).
+5. Global term-statistics build: each segment's term table IS a
+   pre-aggregated partial (term, df, ttf), so the global dictionary is a
+   ``groupby(term).sum`` over partials — per-key fan-in is bounded by the
+   number of segments, which is how we keep the Zipf head (hot terms) from
+   skewing the shuffle (SURVEY §4.1 'data skew').
+6. Manifest commit (atomic, generational) — the Ray analogue of segments_N.
+
+Scale notes: nothing here materializes the corpus on the driver; the invert
+kernel streams one partition at a time under the streaming executor's
+backpressure; P should be sized so a partition's postings fit a worker's
+heap (~3× its text bytes).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_ray.functions.analysis import Analyzer, get_analyzer
+from lucene_ray.state.manifest import Manifest, completed_part_ids
+from lucene_ray.state.segment import build_segment_tables, write_segment
+
+
+def _part_ids_for_keys(keys: pa.ChunkedArray | pa.Array, num_partitions: int) -> np.ndarray:
+    """Deterministic content hash → partition id (stable across processes —
+    unlike Python's salted ``hash``)."""
+    if pa.types.is_integer(keys.type):
+        k = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)).astype(np.int64) % num_partitions
+    vals = keys.to_pylist()
+    return np.array(
+        [zlib.crc32(v.encode() if isinstance(v, str) else bytes(v)) for v in vals],
+        dtype=np.int64,
+    ) % num_partitions
+
+
+class _AddPartId:
+    def __init__(self, key_col: str, num_partitions: int, skip: frozenset):
+        self.key_col = key_col
+        self.num_partitions = num_partitions
+        self.skip = skip
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pids = _part_ids_for_keys(batch.column(self.key_col), self.num_partitions)
+        out = batch.append_column("__part_id", pa.array(pids, type=pa.int64()))
+        if self.skip:
+            mask = ~np.isin(pids, np.fromiter(self.skip, dtype=np.int64))
+            out = out.filter(pa.array(mask))
+        return out
+
+
+class _BuildSegment:
+    """map_groups callable: one partition's rows → one written segment +
+    one manifest-entry row. Heavy local state (the in-RAM postings hash,
+    TermsHashPerField analogue) lives only for the duration of the group."""
+
+    def __init__(self, index_dir: str, key_col: str, text_col: str, analyzer_kind: str,
+                 store_positions: bool, num_partitions: int):
+        self.index_dir = index_dir
+        self.key_col = key_col
+        self.text_col = text_col
+        self.analyzer = get_analyzer(analyzer_kind)
+        self.analyzer_kind = analyzer_kind
+        self.store_positions = store_positions
+        self.num_partitions = num_partitions
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part_id = int(group.column("__part_id")[0].as_py())
+        # deterministic local docID order: sort by document key
+        order = pa.compute.sort_indices(group.column(self.key_col))
+        group = group.take(order)
+        keys = group.column(self.key_col).to_numpy(zero_copy_only=False)
+        texts = group.column(self.text_col).to_pylist()
+        postings_tbl, docs_tbl, stats = build_segment_tables(
+            keys, texts, self.analyzer, store_positions=self.store_positions
+        )
+        name = f"seg{part_id:06d}-g0"
+        meta = write_segment(
+            self.index_dir,
+            name,
+            postings_tbl,
+            docs_tbl,
+            stats,
+            extra_meta={
+                "part_id": part_id,
+                "num_partitions": self.num_partitions,
+                "gen": 0,
+                "analyzer": self.analyzer_kind,
+                "key_col": self.key_col,
+                "n_rows_in": group.num_rows,
+            },
+        )
+        import json
+
+        return pa.table({"meta": pa.array([json.dumps(meta)], type=pa.string())})
+
+
+def build_index(
+    source,
+    index_dir: str,
+    *,
+    key_col: str = "url",
+    text_col: str = "text",
+    num_partitions: int = 16,
+    analyzer: str = "standard",
+    store_positions: bool = True,
+    resume: bool = True,
+    extract_html: bool = False,
+    dedup_exact: bool = False,
+    columns: list[str] | None = None,
+) -> Manifest:
+    """Build (or resume) an index from a Dataset or a parquet path/dir.
+
+    Returns the committed Manifest. Idempotent: re-running after a partial
+    failure skips completed partitions and commits the same final state.
+    """
+    import json
+
+    import ray.data
+
+    os.makedirs(index_dir, exist_ok=True)
+    if isinstance(source, (str, list)):
+        cols = columns or ([key_col, "html"] if extract_html else [key_col, text_col])
+        ds = ray.data.read_parquet(source, columns=cols)
+    else:
+        ds = source
+
+    if extract_html:
+        from lucene_ray.sources.corpus import extract_batch
+
+        ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+
+    if dedup_exact:
+        from lucene_ray.pipelines.dedup import dedup_exact_by_key
+
+        ds = dedup_exact_by_key(ds, key_col=key_col)
+
+    done = completed_part_ids(index_dir) if resume else {}
+    done = {
+        p: m
+        for p, m in done.items()
+        if m.get("gen", 0) == 0 and m.get("num_partitions") == num_partitions
+    }
+
+    metas: list[dict] = list(done.values())
+    remaining = set(range(num_partitions)) - set(done.keys())
+    if remaining:
+        ds = ds.map_batches(
+            _AddPartId(key_col, num_partitions, frozenset(done.keys())),
+            batch_format="pyarrow",
+        )
+        builder = _BuildSegment(index_dir, key_col, text_col, analyzer, store_positions,
+                                num_partitions)
+
+        def build_one_segment(group: pa.Table) -> pa.Table:
+            return builder(group)
+
+        out = ds.groupby("__part_id").map_groups(build_one_segment, batch_format="pyarrow")
+        for row in out.take_all():
+            metas.append(json.loads(row["meta"]))
+
+    metas.sort(key=lambda m: m["part_id"])
+    prev_gen = Manifest.load(index_dir).gen if Manifest.exists(index_dir) else -1
+    manifest = Manifest(
+        index_dir,
+        prev_gen + 1,
+        metas,
+        config={
+            "key_col": key_col,
+            "text_col": text_col,
+            "analyzer": analyzer,
+            "num_partitions": num_partitions,
+            "store_positions": store_positions,
+        },
+    )
+    manifest.commit()
+    build_term_stats(index_dir, manifest)
+    return manifest
+
+
+def build_term_stats(index_dir: str, manifest: Manifest | None = None) -> str:
+    """Global term dictionary: groupby(term).sum over per-segment partials.
+
+    The distributed analogue of summing TermStates across leaves
+    (index/TermStates.java); materialized once at index time so every
+    searcher actor scores with identical global statistics.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    manifest = manifest or Manifest.load(index_dir)
+    paths = [os.path.join(d, "postings.parquet") for d in manifest.segment_dirs()]
+    out_path = os.path.join(index_dir, f"term_stats-{manifest.gen}.parquet")
+    if os.path.exists(out_path):
+        return out_path
+    ds = ray.data.read_parquet(paths, columns=["term", "doc_freq", "total_tf"])
+    agg = ds.groupby("term").aggregate(
+        Sum("doc_freq", alias_name="doc_freq"), Sum("total_tf", alias_name="total_tf")
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas().sort_values("term").reset_index(drop=True))
+    import pyarrow.parquet as pq
+
+    tmp = out_path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.rename(tmp, out_path)
+    return out_path

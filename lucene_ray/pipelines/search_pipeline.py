@@ -1,0 +1,122 @@
+"""Distributed search — queries × segment shards through an actor pool.
+
+The Ray analogue of IndexSearcher's slice execution (SURVEY §3.2): queries
+are a small Dataset; each (query, shard) pair is scored by a stateful
+``SearcherShard`` actor that loads its shard's SegmentReaders ONCE in
+``__init__`` (term dict in RAM, the DirectoryReader analogue —
+search/IndexSearcher.java leaf slices ≤250k docs); per-shard top-k rows are
+then reduced per query with the exact (score desc, doc_key asc) merge —
+``TopDocs.merge`` (search/TopDocs.java:202-227) as a
+``groupby(query_id).map_groups``.
+
+Partitioning assumption: per-shard top-k + exact merge is rank-identical to
+a single-searcher run because BM25 statistics are GLOBAL (read from the
+manifest + materialized term dictionary), so a document's score does not
+depend on which shard scores it. Shards are groups of segments; the
+default shards_per_actor keeps each actor's resident set bounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from lucene_ray.searcher import IndexSearcher
+
+
+class SearcherShard:
+    """Actor-pool callable: scores query batches against one or more segments.
+
+    State loaded once per actor (__init__), reused across batches; an LRU of
+    shard searchers bounds memory when an actor sees several shards.
+    """
+
+    def __init__(self, index_dir: str, mode: str, k: int, algo: str = "auto",
+                 max_cached_shards: int = 8):
+        self.index_dir = index_dir
+        self.mode = mode
+        self.k = k
+        self.algo = algo
+        self.max_cached = max_cached_shards
+        self._searchers: dict[tuple, IndexSearcher] = {}
+
+    def _searcher(self, shard: tuple) -> IndexSearcher:
+        s = self._searchers.get(shard)
+        if s is None:
+            if len(self._searchers) >= self.max_cached:
+                self._searchers.pop(next(iter(self._searchers)))
+            s = IndexSearcher(self.index_dir, mode=self.mode, segment_names=list(shard))
+            self._searchers[shard] = s
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, queries, keys, scores = [], [], [], []
+        shards = batch.column("shard").to_pylist()
+        qid_col = batch.column("query_id").to_pylist()
+        q_col = batch.column("query").to_pylist()
+        for qid, qtext, shard in zip(qid_col, q_col, shards):
+            searcher = self._searcher(tuple(shard))
+            td = searcher.search(qtext, k=self.k, algo=self.algo)
+            for sd in td.score_docs:
+                qids.append(qid)
+                queries.append(qtext)
+                keys.append(sd.doc_key)
+                scores.append(sd.score)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "query": pa.array(queries, type=pa.string()),
+                "doc_key": pa.array(keys),
+                "score": pa.array(np.array(scores, dtype=np.float64)),
+            }
+        )
+
+
+def search_distributed(
+    index_dir: str,
+    queries: list[str],
+    *,
+    k: int = 10,
+    mode: str = "lucene",
+    algo: str = "auto",
+    concurrency: int = 4,
+    shards_per_actor_segments: int = 4,
+):
+    """Run the fixed query set against the index through an actor pool.
+
+    Returns a Dataset with (query_id, query, rank, doc_key, score), ranks
+    1..k per query, rank-identical to a local single-process search.
+    """
+    import ray.data
+
+    from lucene_ray.state.manifest import Manifest
+
+    manifest = Manifest.load(index_dir)
+    names = [s["name"] for s in manifest.segments]
+    shards = [
+        names[i : i + shards_per_actor_segments]
+        for i in range(0, len(names), shards_per_actor_segments)
+    ]
+    items = [
+        {"query_id": qi, "query": q, "shard": shard}
+        for qi, q in enumerate(queries)
+        for shard in shards
+    ]
+    ds = ray.data.from_items(items)
+    cand = ds.map_batches(
+        SearcherShard,
+        fn_constructor_args=(index_dir, mode, k, algo),
+        batch_format="pyarrow",
+        batch_size=max(1, len(items) // max(1, concurrency * 2)),
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_key"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[["query_id", "query", "rank", "doc_key", "score"]]
+
+    return cand.groupby("query_id").map_groups(merge_topk, batch_format="pandas")

@@ -1,0 +1,553 @@
+"""IndexSearcher — query execution over manifest + segments.
+
+The driver-side / in-actor search engine: loads the manifest's segments once
+(search/IndexSearcher.java's DirectoryReader analogue), computes global
+collection + term statistics by summing per-segment partials exactly like the
+reference sums per-leaf stats (IndexSearcher.java:919-934, index/TermStates.
+java), then scores each segment independently and merges per-segment top-k
+with the (score desc, doc_key asc) comparator — the distributed analogue of
+TopDocs.merge (search/TopDocs.java:202-227).
+
+Physical plans (Boolean2ScorerSupplier.java:30-247 analogue):
+
+* ``exhaustive`` — vectorized term-at-a-time over numpy arrays: decode each
+  term's postings once, combine with sorted-array union/intersection kernels
+  (ConjunctionDISI / DisjunctionSumScorer equivalents). Exact.
+* ``wand`` — block-max pruned evaluation for term queries and pure
+  disjunctions: per-128-doc-block score upper bounds from the skip metadata
+  (ImpactsDISI.java:32-79 / MaxScoreCache.java:34-109 / WANDScorer.java
+  equivalents), intervals processed in descending upper-bound order, stopping
+  when the bound drops below the current k-th score. Exact — verified
+  pruned == exhaustive by tests (the reference's TestWANDScorer property).
+
+Scoring modes:
+
+* ``lucene`` — float32 BM25 over SmallFloat norm bytes (rank-identical to
+  the reference, similarity.BM25Similarity);
+* ``exact`` — float64 BM25 over exact lengths (SQL-oracle-compatible,
+  similarity.BM25ExactSimilarity).
+
+Ties: Lucene breaks equal scores by docID (= indexing order); our
+deterministic global order is the document key, so every sort here uses
+(score desc, doc_key asc) — reproducible at any parallelism level.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+
+from lucene_ray.functions.similarity import (
+    BM25ExactSimilarity,
+    BM25Similarity,
+    TermStatistics,
+)
+from lucene_ray.query import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    TermInSetQuery,
+    TermQuery,
+    parse_query,
+)
+from lucene_ray.query import extract_terms
+from lucene_ray.state.manifest import Manifest
+from lucene_ray.state.segment import SegmentReader
+
+
+@dataclass
+class ScoreDoc:
+    doc_key: object
+    score: float
+
+    def sort_key(self):
+        return (-self.score, self.doc_key)
+
+
+@dataclass
+class TopDocs:
+    total_hits: int
+    score_docs: list  # of ScoreDoc, sorted (score desc, doc_key asc)
+
+
+def _merge_top(parts: list[list[ScoreDoc]], k: int, after: tuple | None = None) -> list[ScoreDoc]:
+    """k-way merge of per-segment top lists (TopDocs.merge analogue)."""
+    allsd = [sd for p in parts for sd in p]
+    if after is not None:
+        a_score, a_key = after
+        allsd = [sd for sd in allsd if (-sd.score, sd.doc_key) > (-a_score, a_key)]
+    return heapq.nsmallest(k, allsd, key=ScoreDoc.sort_key)
+
+
+def _sloppy_freq(position_sets: list[np.ndarray], slop: int) -> float:
+    """Sloppy-phrase freq ≈ Σ 1/(1+matchLength) (SloppyPhraseMatcher.java).
+
+    Simplified matcher (documented approximation of the reference's
+    interleaving algorithm): for each start position of the first term,
+    greedily pick for every later term the closest unused aligned position;
+    a match counts when the total displacement ≤ slop. Exact for slop=0
+    callers (they use the exact intersect path instead).
+    """
+    total = 0.0
+    for p0 in position_sets[0].tolist():
+        disp = 0
+        ok = True
+        for later in position_sets[1:]:
+            if not len(later):
+                return total
+            j = int(np.searchsorted(later, p0))
+            cands = []
+            if j < len(later):
+                cands.append(abs(int(later[j]) - p0))
+            if j > 0:
+                cands.append(abs(int(later[j - 1]) - p0))
+            d = min(cands)
+            disp += d
+            if disp > slop:
+                ok = False
+                break
+        if ok:
+            total += 1.0 / (1.0 + disp)
+    return total
+
+
+class _SparseScores:
+    """(sorted docIDs, scores, match_counts) triple — the per-segment IR."""
+
+    __slots__ = ("docs", "scores", "counts")
+
+    def __init__(self, docs, scores, counts=None):
+        self.docs = docs
+        self.scores = scores
+        self.counts = counts if counts is not None else np.ones(len(docs), dtype=np.int32)
+
+
+class GlobalTermStats:
+    """The materialized global term dictionary (index-time groupby(term).sum
+    over per-segment partials — pipelines/index_pipeline.build_term_stats).
+    Sorted arrays + binary search; every searcher actor loads it once so all
+    actors score with identical statistics."""
+
+    def __init__(self, path: str):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        self.terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+        self.doc_freq = t.column("doc_freq").to_numpy()
+        self.total_tf = t.column("total_tf").to_numpy()
+
+    def lookup(self, term: str) -> tuple[int, int]:
+        i = np.searchsorted(self.terms, term)
+        if i < len(self.terms) and self.terms[i] == term:
+            return int(self.doc_freq[i]), int(self.total_tf[i])
+        return 0, 0
+
+
+class IndexSearcher:
+    def __init__(self, index_dir: str, *, mode: str = "lucene", segment_names=None):
+        import os
+
+        self.index_dir = index_dir
+        manifest = Manifest.load(index_dir)
+        self.manifest = manifest
+        dirs = manifest.segment_dirs()
+        if segment_names is not None:
+            keep = set(segment_names)
+            dirs = [d for d in dirs if d.rsplit("/", 1)[-1] in keep]
+        self.readers = [SegmentReader(d) for d in dirs]
+        ts_path = os.path.join(index_dir, f"term_stats-{manifest.gen}.parquet")
+        self.global_term_stats = GlobalTermStats(ts_path) if os.path.exists(ts_path) else None
+        self.collection_stats = manifest.collection_stats()
+        self.mode = mode
+        self.sim = BM25Similarity() if mode == "lucene" else BM25ExactSimilarity()
+        self._ts_cache: dict[str, TermStatistics] = {}
+
+    # ---------------------------------------------------------------- stats
+
+    def term_statistics(self, term: str) -> TermStatistics:
+        cached = self._ts_cache.get(term)
+        if cached is not None:
+            return cached
+        if self.global_term_stats is not None:
+            df, ttf = self.global_term_stats.lookup(term)
+        else:
+            df = 0
+            ttf = 0
+            for r in self.readers:
+                i = r.term_index(term)
+                if i >= 0:
+                    df += int(r.doc_freq[i])
+                    ttf += int(r.total_tf[i])
+        ts = TermStatistics(term, df, ttf)
+        self._ts_cache[term] = ts
+        return ts
+
+    def _scorers_for(self, terms: list[str], boost: float = 1.0) -> dict:
+        """One BM25 scorer per term from GLOBAL stats — fixed before any
+        segment is scored, like TermQuery.createWeight (TermQuery.java:211)."""
+        out = {}
+        for t in terms:
+            ts = self.term_statistics(t)
+            if ts.doc_freq > 0:
+                out[t] = self.sim.scorer(self.collection_stats, ts, boost=boost)
+        return out
+
+    # ---------------------------------------------------------------- search
+
+    def search(
+        self,
+        query: Query | str,
+        k: int = 10,
+        *,
+        algo: str = "auto",
+        search_after: tuple | None = None,
+    ) -> TopDocs:
+        if isinstance(query, str):
+            query = parse_query(query)
+        use_wand = (
+            algo == "wand" or (algo == "auto" and self._wand_eligible(query))
+        ) and search_after is None
+        parts = []
+        total = 0
+        for r in self.readers:
+            if use_wand:
+                sd, nhits = self._search_segment_wand(r, query, k, search_after)
+            else:
+                sp = self._eval(r, query)
+                sd = self._top_of(r, sp, k, search_after)
+                nhits = len(sp.docs)
+            parts.append(sd)
+            total += nhits
+        return TopDocs(total, _merge_top(parts, k, search_after))
+
+    def count(self, query: Query | str) -> int:
+        if isinstance(query, str):
+            query = parse_query(query)
+        return sum(len(self._eval(r, query).docs) for r in self.readers)
+
+    def _top_of(self, r: SegmentReader, sp: _SparseScores, k: int, after) -> list[ScoreDoc]:
+        n = len(sp.docs)
+        if n == 0:
+            return []
+        keys = r.doc_keys[sp.docs]
+        if n > k * 4:
+            # keep every doc scoring >= the k-th score (ties included), then
+            # apply the full (score desc, doc_key asc) comparator to that set.
+            thresh = np.partition(sp.scores, n - min(k, n))[n - min(k, n)]
+            cand = np.flatnonzero(sp.scores >= thresh)
+        else:
+            cand = np.arange(n)
+        sds = [ScoreDoc(keys[i], float(sp.scores[i])) for i in cand.tolist()]
+        sds.sort(key=ScoreDoc.sort_key)
+        if after is not None:
+            a_score, a_key = after
+            sds = [sd for sd in sds if (-sd.score, sd.doc_key) > (-a_score, a_key)]
+        return sds[:k]
+
+    def _wand_eligible(self, q: Query) -> bool:
+        if isinstance(q, TermQuery):
+            return True
+        return (
+            isinstance(q, BooleanQuery)
+            and not q.must
+            and not q.must_not
+            and not q.filter
+            and q.minimum_should_match <= 1
+            and all(isinstance(s, TermQuery) for s in q.should)
+        )
+
+    # ------------------------------------------------------------ evaluation
+
+    def _score_arrays(self, r: SegmentReader, scorer, docs: np.ndarray, freqs: np.ndarray):
+        if self.mode == "lucene":
+            return scorer.score(freqs, r.norms[docs])
+        return scorer.score(freqs, r.dls[docs])
+
+    def _eval(self, r: SegmentReader, q: Query, boost: float = 1.0) -> _SparseScores:
+        empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        if isinstance(q, TermQuery):
+            scorers = self._scorers_for([q.term], boost)
+            if q.term not in scorers:
+                return empty
+            docs, freqs = r.postings(q.term)
+            if not len(docs):
+                return empty
+            return _SparseScores(docs, self._score_arrays(r, scorers[q.term], docs, freqs))
+        if isinstance(q, BoostQuery):
+            return self._eval(r, q.query, boost * q.boost)
+        if isinstance(q, ConstantScoreQuery):
+            sub = self._eval(r, q.query)
+            return _SparseScores(sub.docs, np.full(len(sub.docs), q.score * boost))
+        if isinstance(q, MatchAllDocsQuery):
+            docs = np.arange(r.max_doc, dtype=np.int32)
+            return _SparseScores(docs, np.full(r.max_doc, boost))
+        if isinstance(q, PrefixQuery):
+            # MultiTermQuery CONSTANT_SCORE rewrite: matching docs score boost.
+            lo, hi = r.term_range(q.prefix)
+            docs = self._union_docs(r, range(lo, hi))
+            return _SparseScores(docs, np.full(len(docs), boost))
+        if isinstance(q, TermInSetQuery):
+            idxs = [i for t in q.terms if (i := r.term_index(t)) >= 0]
+            docs = self._union_docs(r, idxs)
+            return _SparseScores(docs, np.full(len(docs), boost))
+        if isinstance(q, PhraseQuery):
+            return self._eval_phrase(r, q, boost)
+        if isinstance(q, DisjunctionMaxQuery):
+            subs = [self._eval(r, d, boost) for d in q.disjuncts]
+            return self._dismax(subs, q.tie_breaker)
+        if isinstance(q, BooleanQuery):
+            return self._eval_bool(r, q, boost)
+        raise TypeError(f"unsupported query {q!r}")
+
+    @staticmethod
+    def _union_docs(r: SegmentReader, term_indices) -> np.ndarray:
+        arrs = [r.postings(int(i))[0] for i in term_indices]
+        arrs = [a for a in arrs if len(a)]
+        if not arrs:
+            return np.empty(0, dtype=np.int32)
+        return np.unique(np.concatenate(arrs))
+
+    @staticmethod
+    def _union(subs: list[_SparseScores]) -> _SparseScores:
+        subs = [s for s in subs if len(s.docs)]
+        if not subs:
+            return _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        docs = np.concatenate([s.docs for s in subs])
+        scores = np.concatenate([s.scores for s in subs])
+        counts = np.concatenate([s.counts for s in subs])
+        uniq, inv = np.unique(docs, return_inverse=True)
+        sum_scores = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sum_scores, inv, scores)
+        sum_counts = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sum_counts, inv, counts)
+        return _SparseScores(uniq.astype(np.int32), sum_scores, sum_counts)
+
+    def _dismax(self, subs: list[_SparseScores], tie: float) -> _SparseScores:
+        subs = [s for s in subs if len(s.docs)]
+        if not subs:
+            return _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        docs = np.concatenate([s.docs for s in subs])
+        scores = np.concatenate([s.scores for s in subs])
+        uniq, inv = np.unique(docs, return_inverse=True)
+        mx = np.full(len(uniq), -np.inf)
+        np.maximum.at(mx, inv, scores)
+        total = np.zeros(len(uniq))
+        np.add.at(total, inv, scores)
+        # max + tieBreaker * (sum of the others)  (DisjunctionMaxQuery.java)
+        out = mx + tie * (total - mx)
+        return _SparseScores(uniq.astype(np.int32), out)
+
+    @staticmethod
+    def _intersect(a: _SparseScores, b: _SparseScores) -> _SparseScores:
+        common, ia, ib = np.intersect1d(a.docs, b.docs, assume_unique=True, return_indices=True)
+        return _SparseScores(
+            common.astype(np.int32),
+            a.scores[ia] + b.scores[ib],
+            a.counts[ia] + b.counts[ib],
+        )
+
+    @staticmethod
+    def _exclude(a: _SparseScores, not_docs: np.ndarray) -> _SparseScores:
+        if not len(not_docs) or not len(a.docs):
+            return a
+        keep = ~np.isin(a.docs, not_docs, assume_unique=True)
+        return _SparseScores(a.docs[keep], a.scores[keep], a.counts[keep])
+
+    def _eval_bool(self, r: SegmentReader, q: BooleanQuery, boost: float) -> _SparseScores:
+        empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        result: _SparseScores | None = None
+        for m in q.must:
+            sub = self._eval(r, m, boost)
+            result = sub if result is None else self._intersect(result, sub)
+            if not len(result.docs):
+                return empty
+        for f in q.filter:
+            sub = self._eval(r, f)  # FILTER: matches constrain, scores don't count
+            sub = _SparseScores(sub.docs, np.zeros(len(sub.docs)), sub.counts * 0)
+            result = sub if result is None else self._intersect(result, sub)
+            if not len(result.docs):
+                return empty
+        if q.should:
+            union = self._union([self._eval(r, s, boost) for s in q.should])
+            msm = q.minimum_should_match
+            if result is None:
+                if msm > 1:
+                    keep = union.counts >= msm
+                    union = _SparseScores(union.docs[keep], union.scores[keep], union.counts[keep])
+                result = union
+            else:
+                # required + optional: optional scores add where they match
+                # (ReqOptSumScorer); with msm > 0 optional becomes constraining.
+                if msm > 0:
+                    keep = union.counts >= msm
+                    union = _SparseScores(union.docs[keep], union.scores[keep], union.counts[keep])
+                    result = self._intersect(result, union)
+                else:
+                    pos = np.searchsorted(union.docs, result.docs)
+                    pos_c = np.clip(pos, 0, max(0, len(union.docs) - 1))
+                    if len(union.docs):
+                        hit = union.docs[pos_c] == result.docs
+                        add = np.where(hit, union.scores[pos_c], 0.0)
+                        result = _SparseScores(result.docs, result.scores + add, result.counts)
+        if result is None:
+            return empty
+        for mn in q.must_not:
+            sub = self._eval(r, mn)
+            result = self._exclude(result, sub.docs)
+            if not len(result.docs):
+                return empty
+        return result
+
+    # ------------------------------------------------------------ phrase
+
+    def _eval_phrase(self, r: SegmentReader, q: PhraseQuery, boost: float) -> _SparseScores:
+        """Exact/sloppy phrase (PhraseQuery.java:71-147): two-phase — docID
+        intersection approximation, then position verification
+        (ExactPhraseMatcher.java:39-153 / SloppyPhraseMatcher.java).
+
+        Scored like the reference: phrase freq (count of matches; for sloppy,
+        Σ 1/(1+matchLength)) through BM25 with the MULTI-term idf sum.
+        """
+        empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        terms = list(q.terms)
+        idxs = [r.term_index(t) for t in terms]
+        if any(i < 0 for i in idxs):
+            return empty
+        post = [r.postings(int(i)) for i in idxs]
+        cand = post[0][0]
+        for docs_i, _ in post[1:]:
+            cand = np.intersect1d(cand, docs_i, assume_unique=True)
+            if not len(cand):
+                return empty
+        # position lookup tables per term: doc -> slice into its positions arr
+        pos_arrays = [r.positions(int(i)) for i in idxs]
+        offsets = []
+        for (docs_i, freqs_i), _pa in zip(post, pos_arrays):
+            starts = np.concatenate([[0], np.cumsum(freqs_i)])
+            offsets.append((docs_i, starts))
+        match_docs = []
+        match_freqs = []
+        for d in cand.tolist():
+            sets = []
+            for t_i in range(len(terms)):
+                docs_i, starts = offsets[t_i]
+                j = int(np.searchsorted(docs_i, d))
+                p = pos_arrays[t_i][starts[j] : starts[j + 1]]
+                sets.append(p.astype(np.int64) - t_i)  # align to phrase start
+            if q.slop == 0:
+                common = sets[0]
+                for p in sets[1:]:
+                    common = np.intersect1d(common, p, assume_unique=False)
+                    if not len(common):
+                        break
+                freq = float(len(common))
+            else:
+                freq = _sloppy_freq(sets, q.slop)
+            if freq > 0:
+                match_docs.append(d)
+                match_freqs.append(freq)
+        if not match_docs:
+            return empty
+        docs = np.array(match_docs, dtype=np.int32)
+        freqs = np.array(match_freqs, dtype=np.float64)
+        tstats = [self.term_statistics(t) for t in terms]
+        scorer = self.sim.scorer(self.collection_stats, tstats, boost=boost)
+        return _SparseScores(docs, self._score_arrays(r, scorer, docs, freqs))
+
+    # ------------------------------------------------------------ block-max
+
+    def _search_segment_wand(
+        self, r: SegmentReader, q: Query, k: int, after
+    ) -> tuple[list[ScoreDoc], int]:
+        """Block-max pruned top-k for term/disjunction queries.
+
+        Builds the interval grid from every term's 128-doc block boundaries;
+        each interval's upper bound = Σ per-term block max-score
+        (MaxScoreCache analogue). Intervals are visited in descending bound
+        order; once the bound falls below the current k-th score, no remaining
+        interval can place a doc in the top-k (WANDScorer pruning invariant),
+        so iteration stops. Within a visited interval, scoring is the
+        exhaustive vectorized kernel — results are exactly the top-k.
+
+        Hit counting: exact up to the pruning point (the reference similarly
+        reports a lower bound once pruning starts, TotalHits.Relation).
+        """
+        terms = sorted(extract_terms(q))
+        scorers = self._scorers_for(terms)
+        terms = [t for t in terms if t in scorers]
+        if not terms:
+            return [], 0
+        infos = []
+        for t in terms:
+            i = r.term_index(t)
+            if i < 0:
+                continue
+            bld, blf, blm = r.skip_meta(i)
+            if self.mode == "lucene":
+                from lucene_ray.functions.norms import encode_lengths
+
+                ubs = np.array(
+                    [
+                        float(scorers[t].score(np.array([f], dtype=np.float32),
+                                               encode_lengths(np.array([m])))[0])
+                        for f, m in zip(blf.tolist(), blm.tolist())
+                    ]
+                )
+            else:
+                ubs = np.array(
+                    [scorers[t].max_score(f, m) for f, m in zip(blf.tolist(), blm.tolist())]
+                )
+            infos.append((t, i, bld, ubs))
+        if not infos:
+            return [], 0
+
+        boundaries = np.unique(np.concatenate([bld for _, _, bld, _ in infos]))
+        # interval u = docIDs in (boundaries[u-1], boundaries[u]]
+        ub_total = np.zeros(len(boundaries))
+        for _, _, bld, ubs in infos:
+            # block j of this term covers docs (bld[j-1], bld[j]]; map each
+            # interval end to its covering block via searchsorted.
+            blk = np.searchsorted(bld, boundaries)
+            blk_c = np.minimum(blk, len(ubs) - 1)
+            cover = boundaries <= bld[-1]
+            ub_total += np.where(cover, ubs[blk_c], 0.0)
+
+        order = np.argsort(-ub_total)
+        heap: list[tuple] = []  # min-heap of (score, neg_rank_key) — use sort list
+        best: list[ScoreDoc] = []
+        nhits = 0
+        postings_cache = {t: r.postings(int(i)) for t, i, _, _ in infos}
+        for u in order.tolist():
+            if len(best) >= k and ub_total[u] < best[-1].score:
+                break
+            lo = int(boundaries[u - 1]) + 1 if u > 0 else 0
+            hi = int(boundaries[u])
+            subs = []
+            for t, i, _, _ in infos:
+                docs_i, freqs_i = postings_cache[t]
+                a = int(np.searchsorted(docs_i, lo))
+                b = int(np.searchsorted(docs_i, hi, side="right"))
+                if a == b:
+                    continue
+                d = docs_i[a:b]
+                sc = self._score_arrays(r, scorers[t], d, freqs_i[a:b])
+                subs.append(_SparseScores(d, sc))
+            if not subs:
+                continue
+            sp = self._union(subs)
+            nhits += len(sp.docs)
+            keys = r.doc_keys[sp.docs]
+            cand = [ScoreDoc(keys[j], float(sp.scores[j])) for j in range(len(sp.docs))]
+            best = heapq.nsmallest(k, best + cand, key=ScoreDoc.sort_key)
+        del heap
+        if after is not None:
+            a_score, a_key = after
+            best = [sd for sd in best if (-sd.score, sd.doc_key) > (-a_score, a_key)]
+        return best, nhits

@@ -1,0 +1,141 @@
+"""Common-Crawl-style corpus synthesis + HTML text extraction.
+
+The north rule's input is a Parquet table of web pages
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+This module deterministically synthesizes that table at any scale from the
+driver-provided ``documents`` test table (doc_id, text, lang, source, ...) —
+no external data — and provides the inverse HTML→text extractor.
+
+Extraction parity contract (input_hint "byte-identical extracted text per
+url"): ``extract_text(make_html(text, title)) == text`` byte-for-byte, for
+every document. The extractor mirrors the shape of the reference's
+DemoHTMLParser (benchmark/.../feeds/DemoHTMLParser.java:26-123 — title
+captured separately, body paragraph text with entities unescaped); golden
+tests pin it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+WARC_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+
+_ESC = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]
+
+
+def _escape(s: str) -> str:
+    for a, b in _ESC:
+        s = s.replace(a, b)
+    return s
+
+
+def _unescape(s: str) -> str:
+    for a, b in reversed(_ESC):
+        s = s.replace(b, a)
+    return s
+
+
+def make_html(text: str, title: str) -> bytes:
+    """Wrap text in a deterministic page template (UTF-8 bytes)."""
+    return (
+        f"<html><head><title>{_escape(title)}</title></head>"
+        f"<body><p>{_escape(text)}</p></body></html>"
+    ).encode("utf-8")
+
+
+_TITLE_START = b"<title>"
+_TITLE_END = b"</title>"
+_BODY_START = b"<body><p>"
+_BODY_END = b"</p></body>"
+
+
+def extract_text(html: bytes) -> str:
+    """Body text of a synthesized page — exact inverse of make_html."""
+    s = html
+    b0 = s.index(_BODY_START) + len(_BODY_START)
+    b1 = s.rindex(_BODY_END)
+    return _unescape(s[b0:b1].decode("utf-8"))
+
+
+def extract_title(html: bytes) -> str:
+    s = html
+    t0 = s.index(_TITLE_START) + len(_TITLE_START)
+    t1 = s.index(_TITLE_END)
+    return _unescape(s[t0:t1].decode("utf-8"))
+
+
+def synthesize_batch(batch: pa.Table, *, replica: int = 0, n_docs_total: int = 0) -> pa.Table:
+    """documents rows → web-page rows. Pure per-batch map (no state).
+
+    ``replica`` > 0 produces additional deterministic copies with distinct
+    urls/doc ids (used to scale the bench corpus; text is reused — realistic
+    for web crawls, which are duplicate-heavy).
+    """
+    doc_ids = batch.column("doc_id").to_numpy() + replica * n_docs_total
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    sources = batch.column("source").to_pylist()
+    urls = [f"https://example.org/{s}/{d:010d}" for s, d in zip(sources, doc_ids.tolist())]
+    html = [make_html(t, f"doc {d}") for t, d in zip(texts, doc_ids.tolist())]
+    ts = (WARC_EPOCH_US + doc_ids.astype(np.int64) * 7_000_000).astype("datetime64[us]")
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+            "html": pa.array(html, type=pa.binary()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """html → text extraction stage (drops the wide html column immediately —
+    §SURVEY 7 'project early, keep text only past extraction').
+
+    Verifies the byte-identity invariant when the table still carries the
+    original text column.
+    """
+    html = batch.column("html").to_pylist()
+    extracted = [extract_text(h) for h in html]
+    if "text" in batch.column_names:
+        orig = batch.column("text").to_pylist()
+        for u, a, b in zip(batch.column("url").to_pylist(), extracted, orig):
+            if a != b:
+                raise ValueError(f"extraction mismatch for {u!r}")
+    keep = [c for c in batch.column_names if c not in ("html", "text")]
+    out = batch.select(keep)
+    return out.append_column("text", pa.array(extracted, type=pa.string()))
+
+
+def synthesize_corpus(sf_dir: str, *, replicas: int = 1, parallelism: int | None = None):
+    """documents.parquet under ``sf_dir`` → a web-page Dataset (url, warc_ts,
+    html, text, lang). Deterministic for a given (sf_dir, replicas)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    n_docs_total = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    datasets = []
+    for rep in range(replicas):
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        datasets.append(
+            ds.map_batches(
+                synthesize_batch,
+                batch_format="pyarrow",
+                fn_kwargs={"replica": rep, "n_docs_total": n_docs_total},
+            )
+        )
+    out = datasets[0]
+    for d in datasets[1:]:
+        out = out.union(d)
+    return out
+
+
+def write_corpus(sf_dir: str, out_dir: str, *, replicas: int = 1) -> str:
+    """Materialize the synthesized corpus to partitioned Parquet (the form the
+    100 TB input would arrive in)."""
+    ds = synthesize_corpus(sf_dir, replicas=replicas)
+    ds.write_parquet(out_dir)
+    return out_dir

@@ -1,0 +1,105 @@
+"""Manifest — the commit point / checkpoint / lineage unit.
+
+The Ray analogue of ``segments_N`` (index/SegmentInfos.java:54-140): a JSON
+file listing live segments with their stats, lineage (which partition of
+which input produced them) and checksums. Generational: ``manifest-<gen>.json``
+plus a tiny ``manifest.current`` pointer file, both written
+temp-then-rename (two-phase commit analogue of IndexWriter.prepareCommit/
+commit, IndexWriter.java:3370,3841).
+
+Resume contract (north rule "resumable from per-partition checkpoints"): a
+segment directory containing ``meta.json`` is durable even before a manifest
+generation references it; ``completed_part_ids`` scans those, so a restarted
+index job skips every finished partition and only re-runs the missing ones.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+
+from lucene_ray.functions.similarity import CollectionStatistics
+
+CURRENT = "manifest.current"
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+class Manifest:
+    def __init__(self, index_dir: str, gen: int, segments: list[dict], config: dict):
+        self.index_dir = index_dir
+        self.gen = gen
+        self.segments = segments  # list of segment meta dicts (lineage included)
+        self.config = config
+
+    # -- global statistics (partial+final: each segment carries its partial
+    # stats; the collection totals are plain sums, exactly how the reference
+    # sums per-leaf stats in IndexSearcher.java:919-934) ---------------------
+
+    def collection_stats(self) -> CollectionStatistics:
+        return CollectionStatistics(
+            max_doc=sum(s["max_doc"] for s in self.segments),
+            doc_count=sum(s["doc_count"] for s in self.segments),
+            sum_doc_freq=sum(s["sum_doc_freq"] for s in self.segments),
+            sum_total_term_freq=sum(s["sum_total_term_freq"] for s in self.segments),
+        )
+
+    def segment_dirs(self) -> list[str]:
+        return [os.path.join(self.index_dir, "segments", s["name"]) for s in self.segments]
+
+    # -- persistence -------------------------------------------------------
+
+    def commit(self) -> str:
+        path = os.path.join(self.index_dir, f"manifest-{self.gen}.json")
+        _atomic_write(
+            path,
+            json.dumps(
+                {
+                    "gen": self.gen,
+                    "committed_at": time.time(),
+                    "config": self.config,
+                    "segments": self.segments,
+                },
+                indent=1,
+            ),
+        )
+        _atomic_write(os.path.join(self.index_dir, CURRENT), str(self.gen))
+        return path
+
+    @staticmethod
+    def load(index_dir: str, gen: int | None = None) -> "Manifest":
+        if gen is None:
+            with open(os.path.join(index_dir, CURRENT)) as f:
+                gen = int(f.read().strip())
+        with open(os.path.join(index_dir, f"manifest-{gen}.json")) as f:
+            data = json.load(f)
+        return Manifest(index_dir, data["gen"], data["segments"], data.get("config", {}))
+
+    @staticmethod
+    def exists(index_dir: str) -> bool:
+        return os.path.exists(os.path.join(index_dir, CURRENT))
+
+
+def completed_part_ids(index_dir: str) -> dict[int, dict]:
+    """Scan durable segment directories → {part_id: meta}. The resume set."""
+    out: dict[int, dict] = {}
+    for meta_path in glob.glob(os.path.join(index_dir, "segments", "*", "meta.json")):
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        pid = meta.get("part_id")
+        if pid is not None:
+            out[int(pid)] = meta
+    return out

@@ -1,0 +1,360 @@
+"""Segment format — build, write, read one immutable mini-index.
+
+The Ray-Data-native analogue of a Lucene flushed segment
+(index/DocumentsWriterPerThread.java:60 FlushedSegment): one hash partition of
+the corpus → one immutable directory of Arrow/Parquet artifacts on shared
+storage. Local docIDs are dense ints [0, maxDoc) in deterministic order
+(sorted by the document key within the partition), so retries and different
+parallelism levels produce byte-identical segments.
+
+Layout of ``<index_dir>/segments/<seg_name>/``::
+
+    postings.parquet   one row per term, term-sorted:
+        term:string, doc_freq:int64, total_tf:int64,
+        singleton_doc:int32, singleton_freq:int32   (docFreq==1 short-circuit,
+            Lucene90PostingsWriter.java:376-381; packed empty in that case)
+        packed:binary                               (FOR 128-int blocks, postings.py)
+        block_last_docs:list<int32>                 skip data: one entry per block
+        block_max_freqs:list<int32>                 impact upper bounds
+        block_min_lens:list<int32>                  (see block_skip_metadata)
+        positions:binary                            int32[] token positions per
+                                                    occurrence, doc-major (only
+                                                    when store_positions)
+    docs.parquet       one row per local docID, in docID order:
+        doc_key (the configured id column, e.g. url or doc_id),
+        norm:uint8 (SmallFloat byte), dl:int32 (exact length, exact-mode BM25)
+    meta.json          {name, field, max_doc, doc_count, sum_doc_freq,
+                        sum_total_term_freq, part_id, analyzer, checksum, ...}
+
+Atomicity: segments are written to ``<seg>.tmp-<nonce>`` and renamed into
+place; a segment directory containing ``meta.json`` is complete (the
+write-temp-then-rename protocol replaces the reference's two-phase
+``pending_segments_N`` rename, IndexWriter.java:3370,3841).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_ray.functions.analysis import Analyzer
+from lucene_ray.functions.norms import decode_norms, encode_lengths
+from lucene_ray.functions.postings import (
+    BLOCK_SIZE,
+    block_skip_metadata,
+    decode_postings,
+    encode_postings,
+)
+
+META_NAME = "meta.json"
+
+
+def build_segment_tables(
+    doc_keys: np.ndarray,
+    texts: list[str],
+    analyzer: Analyzer,
+    *,
+    store_positions: bool = True,
+) -> tuple[pa.Table, pa.Table, dict]:
+    """The invert kernel: one partition's docs → (postings, docs, stats).
+
+    Pure function of its inputs (deterministic): the Ray analogue of
+    IndexingChain.processDocument/invert + FreqProxTermsWriter.flush
+    (index/IndexingChain.java:583,1120-1263; index/FreqProxTermsWriter.java:
+    82-128). Vectorized: one regex pass tokenizes the whole batch, one argsort
+    groups (term, doc) pairs, run-length encoding yields freqs.
+
+    ``doc_keys`` must already be in the desired local docID order.
+    """
+    n_docs = len(texts)
+    terms, doc_idx, positions, doc_lengths = analyzer.tokenize_batch(texts)
+
+    norm_bytes = encode_lengths(doc_lengths)
+    docs_tbl = pa.table(
+        {
+            "doc_key": pa.array(doc_keys),
+            "norm": pa.array(norm_bytes, type=pa.uint8()),
+            "dl": pa.array(doc_lengths, type=pa.int32()),
+        }
+    )
+
+    if len(terms) == 0:
+        postings_tbl = pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "doc_freq": pa.array([], type=pa.int64()),
+                "total_tf": pa.array([], type=pa.int64()),
+                "singleton_doc": pa.array([], type=pa.int32()),
+                "singleton_freq": pa.array([], type=pa.int32()),
+                "packed": pa.array([], type=pa.binary()),
+                "block_last_docs": pa.array([], type=pa.list_(pa.int32())),
+                "block_max_freqs": pa.array([], type=pa.list_(pa.int32())),
+                "block_min_lens": pa.array([], type=pa.list_(pa.int32())),
+                "positions": pa.array([], type=pa.binary()),
+            }
+        )
+        stats = dict(max_doc=n_docs, doc_count=0, sum_doc_freq=0, sum_total_term_freq=0)
+        return postings_tbl, docs_tbl, stats
+
+    # Sort (term, doc, position). np.unique on the term strings gives the
+    # sorted term dictionary (TermsHashPerField.sortTerms equivalent) and
+    # inverse codes; positions within a (term, doc) group stay ascending
+    # because the tokenizer emits them in order and the sort is stable.
+    uniq_terms, term_codes = np.unique(terms, return_inverse=True)
+    order = np.lexsort((positions, doc_idx, term_codes))
+    tc = term_codes[order]
+    dd = doc_idx[order]
+    pp = positions[order]
+
+    # Run-length over (term, doc): freqs per posting.
+    new_posting = np.ones(len(tc), dtype=bool)
+    new_posting[1:] = (tc[1:] != tc[:-1]) | (dd[1:] != dd[:-1])
+    posting_starts = np.flatnonzero(new_posting)
+    posting_term = tc[posting_starts]
+    posting_doc = dd[posting_starts]
+    freqs = np.diff(np.append(posting_starts, len(tc))).astype(np.int32)
+
+    # Per-term ranges over the postings arrays.
+    new_term = np.ones(len(posting_term), dtype=bool)
+    new_term[1:] = posting_term[1:] != posting_term[:-1]
+    term_starts = np.flatnonzero(new_term)
+    term_ends = np.append(term_starts[1:], len(posting_term))
+    doc_freq = (term_ends - term_starts).astype(np.int64)
+    # total_tf per term: cumulative sum trick over freqs
+    cs = np.concatenate([[0], np.cumsum(freqs, dtype=np.int64)])
+    total_tf = cs[term_ends] - cs[term_starts]
+
+    present_terms = uniq_terms[posting_term[term_starts]]
+
+    packed_col: list[bytes] = []
+    singleton_doc = np.full(len(term_starts), -1, dtype=np.int32)
+    singleton_freq = np.zeros(len(term_starts), dtype=np.int32)
+    bld, blf, blm = [], [], []
+    pos_col: list[bytes] = []
+    dl_by_doc = doc_lengths  # exact lengths for impact bounds
+
+    for i, (s, e) in enumerate(zip(term_starts, term_ends)):
+        docs_i = posting_doc[s:e]
+        freqs_i = freqs[s:e]
+        if e - s == 1:
+            singleton_doc[i] = docs_i[0]
+            singleton_freq[i] = freqs_i[0]
+            packed_col.append(b"")
+            bld.append([int(docs_i[0])])
+            blf.append([int(freqs_i[0])])
+            blm.append([int(dl_by_doc[docs_i[0]])])
+        else:
+            packed_col.append(encode_postings(docs_i, freqs_i))
+            ld, mf, ml = block_skip_metadata(docs_i, freqs_i, dl_by_doc[docs_i])
+            bld.append(ld.tolist())
+            blf.append(mf.tolist())
+            blm.append(ml.tolist())
+    if store_positions:
+        # positions for term i = pp[cs[term_starts[i]] : cs[term_ends[i]]]
+        # (doc-major within the term, ascending within each doc).
+        pos_col = [
+            pp[cs[term_starts[i]] : cs[term_ends[i]]].astype(np.int32).tobytes()
+            for i in range(len(term_starts))
+        ]
+    else:
+        pos_col = [b""] * len(term_starts)
+
+    postings_tbl = pa.table(
+        {
+            "term": pa.array(present_terms.tolist(), type=pa.string()),
+            "doc_freq": pa.array(doc_freq),
+            "total_tf": pa.array(total_tf),
+            "singleton_doc": pa.array(singleton_doc, type=pa.int32()),
+            "singleton_freq": pa.array(singleton_freq, type=pa.int32()),
+            "packed": pa.array(packed_col, type=pa.binary()),
+            "block_last_docs": pa.array(bld, type=pa.list_(pa.int32())),
+            "block_max_freqs": pa.array(blf, type=pa.list_(pa.int32())),
+            "block_min_lens": pa.array(blm, type=pa.list_(pa.int32())),
+            "positions": pa.array(pos_col, type=pa.binary()),
+        }
+    )
+
+    stats = dict(
+        max_doc=n_docs,
+        doc_count=int((doc_lengths > 0).sum()),
+        sum_doc_freq=int(doc_freq.sum()),
+        sum_total_term_freq=int(total_tf.sum()),
+    )
+    return postings_tbl, docs_tbl, stats
+
+
+def write_segment(
+    index_dir: str,
+    name: str,
+    postings_tbl: pa.Table,
+    docs_tbl: pa.Table,
+    stats: dict,
+    extra_meta: dict | None = None,
+) -> dict:
+    """Atomically write a segment directory; returns its manifest entry."""
+    seg_root = os.path.join(index_dir, "segments")
+    os.makedirs(seg_root, exist_ok=True)
+    final = os.path.join(seg_root, name)
+    tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(postings_tbl, os.path.join(tmp, "postings.parquet"))
+    pq.write_table(docs_tbl, os.path.join(tmp, "docs.parquet"))
+    checksum = zlib.crc32(
+        postings_tbl.schema.serialize().to_pybytes()
+        + str(sorted(stats.items())).encode()
+    )
+    meta = {
+        "name": name,
+        "n_terms": postings_tbl.num_rows,
+        **stats,
+        "checksum": checksum,
+        **(extra_meta or {}),
+    }
+    with open(os.path.join(tmp, META_NAME), "w") as f:
+        json.dump(meta, f)
+    if os.path.exists(final):  # a concurrent retry already committed it
+        import shutil
+
+        shutil.rmtree(tmp)
+    else:
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(final):
+                raise
+    return meta
+
+
+class SegmentReader:
+    """Point-in-time reader over one segment (the LeafReader analogue).
+
+    Loads the term dictionary into RAM once (sorted term array → binary
+    search, the moral equivalent of the block-tree terms index,
+    codecs/lucene90/blocktree/SegmentTermsEnum.java); postings decode on
+    demand per term. Intended to live inside a searcher actor's ``__init__``.
+    """
+
+    def __init__(self, seg_dir: str, preload: bool = True):
+        self.dir = seg_dir
+        with open(os.path.join(seg_dir, META_NAME)) as f:
+            self.meta = json.load(f)
+        self.name = self.meta["name"]
+        p = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
+        self.terms = np.asarray(p.column("term").to_pylist(), dtype=object)
+        self.doc_freq = p.column("doc_freq").to_numpy()
+        self.total_tf = p.column("total_tf").to_numpy()
+        self._singleton_doc = p.column("singleton_doc").to_numpy()
+        self._singleton_freq = p.column("singleton_freq").to_numpy()
+        self._packed = p.column("packed").to_pylist()
+        self._bld = p.column("block_last_docs").to_pylist()
+        self._blf = p.column("block_max_freqs").to_pylist()
+        self._blm = p.column("block_min_lens").to_pylist()
+        self._positions = p.column("positions").to_pylist()
+        d = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
+        self.doc_keys = d.column("doc_key").to_numpy(zero_copy_only=False)
+        self.norms = d.column("norm").to_numpy()
+        self.dls = d.column("dl").to_numpy()
+        self.max_doc = self.meta["max_doc"]
+
+    # -- term dictionary ---------------------------------------------------
+
+    def term_index(self, term: str) -> int:
+        """seekExact: index of term or -1."""
+        i = np.searchsorted(self.terms, term)
+        if i < len(self.terms) and self.terms[i] == term:
+            return int(i)
+        return -1
+
+    def term_range(self, prefix: str) -> tuple[int, int]:
+        """seekCeil range scan for PrefixQuery: [lo, hi) of terms with prefix."""
+        lo = int(np.searchsorted(self.terms, prefix))
+        hi = int(np.searchsorted(self.terms, prefix + "￿"))
+        return lo, hi
+
+    # -- postings ----------------------------------------------------------
+
+    def postings(self, term: str | int) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted local docIDs, freqs) for a term; empty arrays if absent."""
+        i = self.term_index(term) if isinstance(term, str) else term
+        if i < 0:
+            e = np.empty(0, dtype=np.int32)
+            return e, e
+        if self._singleton_doc[i] >= 0:
+            return (
+                np.array([self._singleton_doc[i]], dtype=np.int32),
+                np.array([self._singleton_freq[i]], dtype=np.int32),
+            )
+        return decode_postings(self._packed[i])
+
+    def positions(self, term: str | int) -> np.ndarray:
+        """Concatenated int32 positions, doc-major, aligned with freqs."""
+        i = self.term_index(term) if isinstance(term, str) else term
+        if i < 0:
+            return np.empty(0, dtype=np.int32)
+        return np.frombuffer(self._positions[i], dtype=np.int32)
+
+    def skip_meta(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return (
+            np.asarray(self._bld[i], dtype=np.int32),
+            np.asarray(self._blf[i], dtype=np.int32),
+            np.asarray(self._blm[i], dtype=np.int32),
+        )
+
+    def decoded_lengths(self) -> np.ndarray:
+        """float32 lengths as BM25 sees them (through the norm byte)."""
+        return decode_norms(self.norms)
+
+
+def check_segment(seg_dir: str) -> list[str]:
+    """CheckIndex-style invariant pass (index/CheckIndex.java:482-770).
+
+    Returns a list of problems (empty = healthy). Verifies: terms sorted
+    strictly; per-term docIDs strictly increasing and < maxDoc; doc_freq ==
+    len(postings); total_tf == sum(freqs); segment stats equal recomputed
+    sums; norms/dl arrays sized maxDoc; norm byte == encode(dl).
+    """
+    problems = []
+    r = SegmentReader(seg_dir)
+    t = r.terms
+    if len(t) > 1 and not all(t[i] < t[i + 1] for i in range(len(t) - 1)):
+        problems.append("terms not strictly sorted")
+    sum_df = 0
+    sum_ttf = 0
+    for i in range(len(t)):
+        docs, freqs = r.postings(int(i))
+        if len(docs) != r.doc_freq[i]:
+            problems.append(f"term {t[i]}: doc_freq {r.doc_freq[i]} != {len(docs)}")
+        if freqs.sum() != r.total_tf[i]:
+            problems.append(f"term {t[i]}: total_tf mismatch")
+        if len(docs) and (np.any(np.diff(docs) <= 0) or docs[-1] >= r.max_doc or docs[0] < 0):
+            problems.append(f"term {t[i]}: docIDs not strictly increasing in range")
+        if np.any(freqs <= 0):
+            problems.append(f"term {t[i]}: non-positive freq")
+        bld, _, _ = r.skip_meta(i)
+        if len(docs) and int(bld[-1]) != int(docs[-1]):
+            problems.append(f"term {t[i]}: skip last_doc mismatch")
+        n_blocks_expected = (len(docs) + BLOCK_SIZE - 1) // BLOCK_SIZE
+        if len(docs) and len(bld) != n_blocks_expected:
+            problems.append(f"term {t[i]}: skip entries {len(bld)} != {n_blocks_expected}")
+        sum_df += len(docs)
+        sum_ttf += int(freqs.sum())
+    if sum_df != r.meta["sum_doc_freq"]:
+        problems.append(f"sum_doc_freq {r.meta['sum_doc_freq']} != {sum_df}")
+    if sum_ttf != r.meta["sum_total_term_freq"]:
+        problems.append(f"sum_total_term_freq {r.meta['sum_total_term_freq']} != {sum_ttf}")
+    if len(r.norms) != r.max_doc or len(r.dls) != r.max_doc:
+        problems.append("norms/dl length != max_doc")
+    if not np.array_equal(encode_lengths(r.dls), r.norms):
+        problems.append("norm bytes != encode(dl)")
+    if int(r.meta["doc_count"]) != int((r.dls > 0).sum()):
+        problems.append("doc_count mismatch")
+    return problems

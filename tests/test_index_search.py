@@ -1,0 +1,300 @@
+"""End-to-end: build index over the sf0.001 documents table, search, and
+compare against an independent brute-force BM25 oracle (reference formula
+computed directly from tokenized text, no index involved) — the moral
+equivalent of the reference's WAND-vs-exhaustive and dueling-codec tests."""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.functions.analysis import Analyzer
+from lucene_ray.functions.norms import decode_norms, encode_lengths
+from lucene_ray.query import BooleanQuery, PhraseQuery, PrefixQuery, TermQuery, parse_query
+from lucene_ray.searcher import IndexSearcher
+from lucene_ray.state.manifest import Manifest, completed_part_ids
+from lucene_ray.state.segment import check_segment
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ oracle
+
+
+class BruteForce:
+    """Index-free BM25 over the corpus: tokenize every doc, keep tf dicts."""
+
+    def __init__(self, keys, texts, mode="lucene", analyzer=None):
+        self.analyzer = analyzer or Analyzer("standard")
+        self.keys = list(keys)
+        self.tfs = []
+        self.dls = []
+        for t in texts:
+            toks = [w for w, _ in self.analyzer.tokenize_one(t)]
+            tf = {}
+            for w in toks:
+                tf[w] = tf.get(w, 0) + 1
+            self.tfs.append(tf)
+            self.dls.append(len(toks))
+        self.mode = mode
+        self.N = len(self.tfs)
+        self.doc_count = sum(1 for d in self.dls if d > 0)
+        self.sum_ttf = sum(self.dls)
+        self.avgdl_f32 = np.float32(self.sum_ttf / self.doc_count)
+        self.avgdl = self.sum_ttf / self.doc_count
+
+    def df(self, term):
+        return sum(1 for tf in self.tfs if term in tf)
+
+    def idf(self, term):
+        n = self.df(term)
+        return math.log(1 + (self.doc_count - n + 0.5) / (n + 0.5))
+
+    def score_term(self, term, i):
+        tf = self.tfs[i].get(term, 0)
+        if tf == 0:
+            return 0.0
+        if self.mode == "exact":
+            idf = self.idf(term)
+            dl = self.dls[i]
+            return idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / self.avgdl))
+        f32 = np.float32
+        idf = f32(self.idf(term))
+        L = decode_norms(encode_lengths(np.array([self.dls[i]])))[0]
+        cache = f32(1.0) / (f32(1.2) * ((f32(1.0) - f32(0.75)) + f32(0.75) * L / self.avgdl_f32))
+        return float(idf - idf / (f32(1.0) + f32(tf) * cache))
+
+    def topk_or(self, terms, k):
+        scored = []
+        for i in range(self.N):
+            s = sum(self.score_term(t, i) for t in terms)
+            if s > 0:
+                scored.append((-s, self.keys[i]))
+        scored.sort()
+        return [(key, -negs) for negs, key in scored[:k]]
+
+    def topk_and(self, terms, k):
+        scored = []
+        for i in range(self.N):
+            if all(t in self.tfs[i] for t in terms):
+                s = sum(self.score_term(t, i) for t in terms)
+                scored.append((-s, self.keys[i]))
+        scored.sort()
+        return [(key, -negs) for negs, key in scored[:k]]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    return t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, tmp_path_factory):
+    from lucene_ray.pipelines.index_pipeline import build_index
+
+    d = str(tmp_path_factory.mktemp("idx") / "sf0001")
+    build_index(
+        f"{SF_DIR}/documents.parquet",
+        d,
+        key_col="doc_id",
+        text_col="text",
+        num_partitions=4,
+        columns=["doc_id", "text"],
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    keys, texts = corpus
+    return BruteForce(keys, texts, mode="lucene")
+
+
+def test_manifest_and_stats(index_dir, corpus, oracle):
+    m = Manifest.load(index_dir)
+    assert len(m.segments) == 4
+    cs = m.collection_stats()
+    keys, texts = corpus
+    assert cs.max_doc == len(keys)
+    assert cs.doc_count == oracle.doc_count
+    assert cs.sum_total_term_freq == oracle.sum_ttf
+
+
+def test_check_segments(index_dir):
+    m = Manifest.load(index_dir)
+    for d in m.segment_dirs():
+        assert check_segment(d) == []
+
+
+def test_term_query_matches_bruteforce(index_dir, oracle):
+    s = IndexSearcher(index_dir, mode="lucene")
+    for term in ["merge", "the", "spark", "window", "zzz_absent"]:
+        td = s.search(TermQuery(term), k=15, algo="exhaustive")
+        want = oracle.topk_or([term], 15)
+        got = [(sd.doc_key, sd.score) for sd in td.score_docs]
+        assert [g[0] for g in got] == [w[0] for w in want], term
+        for (gk, gs), (wk, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-6), (term, gk)
+
+
+def test_boolean_or_and_matches_bruteforce(index_dir, oracle):
+    s = IndexSearcher(index_dir, mode="lucene")
+    terms = ["merge", "window"]
+    td = s.search(parse_query("merge window"), k=20, algo="exhaustive")
+    want = oracle.topk_or(terms, 20)
+    assert [sd.doc_key for sd in td.score_docs] == [w[0] for w in want]
+    td = s.search(parse_query("merge AND window"), k=20, algo="exhaustive")
+    want = oracle.topk_and(terms, 20)
+    assert [sd.doc_key for sd in td.score_docs] == [w[0] for w in want]
+    for sd, w in zip(td.score_docs, want):
+        assert sd.score == pytest.approx(w[1], abs=1e-6)
+
+
+def test_wand_equals_exhaustive(index_dir):
+    s = IndexSearcher(index_dir, mode="lucene")
+    for q in ["merge", "spark window batch", "the data row", "key"]:
+        a = s.search(q, k=10, algo="exhaustive")
+        b = s.search(q, k=10, algo="wand")
+        assert [(sd.doc_key, sd.score) for sd in a.score_docs] == [
+            (sd.doc_key, sd.score) for sd in b.score_docs
+        ], q
+
+
+def test_search_after_pagination(index_dir):
+    s = IndexSearcher(index_dir, mode="lucene")
+    full = s.search("merge window", k=30, algo="exhaustive").score_docs
+    page1 = s.search("merge window", k=10, algo="exhaustive").score_docs
+    anchor = (page1[-1].score, page1[-1].doc_key)
+    page2 = s.search("merge window", k=10, algo="exhaustive", search_after=anchor).score_docs
+    assert [sd.doc_key for sd in page1 + page2] == [sd.doc_key for sd in full[:20]]
+
+
+def test_phrase_query(index_dir, corpus):
+    keys, texts = corpus
+    # pick a phrase present in some doc
+    an = Analyzer("standard")
+    toks0 = [w for w, _ in an.tokenize_one(texts[0])]
+    phrase = toks0[1:3]
+    s = IndexSearcher(index_dir, mode="lucene")
+    td = s.search(PhraseQuery(phrase), k=500)
+    got = {sd.doc_key for sd in td.score_docs}
+    want = set()
+    for kk, t in zip(keys, texts):
+        tk = [w for w, _ in an.tokenize_one(t)]
+        if any(tk[i : i + 2] == phrase for i in range(len(tk) - 1)):
+            want.add(kk)
+    assert got == want
+    assert keys[0] in got
+
+
+def test_prefix_and_matchall(index_dir, corpus):
+    keys, texts = corpus
+    s = IndexSearcher(index_dir)
+    td = s.search(PrefixQuery("s"), k=10_000)
+    an = Analyzer("standard")
+    want = {
+        kk
+        for kk, t in zip(keys, texts)
+        if any(w.startswith("s") for w, _ in an.tokenize_one(t))
+    }
+    assert {sd.doc_key for sd in td.score_docs} == want
+    assert s.count(parse_query("")) == len(keys)
+
+
+def test_must_not_and_msm(index_dir, oracle, corpus):
+    keys, texts = corpus
+    s = IndexSearcher(index_dir)
+    q = BooleanQuery(must=[TermQuery("merge")], must_not=[TermQuery("spark")])
+    td = s.search(q, k=1000)
+    want = {
+        k_
+        for k_, tf, in zip(keys, oracle.tfs)
+        if "merge" in tf and "spark" not in tf
+    }
+    assert {sd.doc_key for sd in td.score_docs} == want
+    q2 = BooleanQuery(should=[TermQuery("merge"), TermQuery("spark"), TermQuery("window")],
+                      minimum_should_match=2)
+    td2 = s.search(q2, k=1000)
+    want2 = {
+        k_
+        for k_, tf in zip(keys, oracle.tfs)
+        if sum(t in tf for t in ("merge", "spark", "window")) >= 2
+    }
+    assert {sd.doc_key for sd in td2.score_docs} == want2
+
+
+def test_exact_mode_matches_bruteforce(index_dir, corpus):
+    keys, texts = corpus
+    bf = BruteForce(keys, texts, mode="exact")
+    s = IndexSearcher(index_dir, mode="exact")
+    td = s.search("batch stream", k=12, algo="exhaustive")
+    want = bf.topk_or(["batch", "stream"], 12)
+    assert [sd.doc_key for sd in td.score_docs] == [w[0] for w in want]
+    for sd, w in zip(td.score_docs, want):
+        assert sd.score == pytest.approx(w[1], rel=1e-9)
+
+
+def test_distributed_search_rank_identical(index_dir, ray_session):
+    from lucene_ray.pipelines.search_pipeline import search_distributed
+
+    queries = ["merge", "spark window", "merge AND window", '"batch batch"']
+    out = search_distributed(index_dir, queries, k=8, concurrency=2,
+                             shards_per_actor_segments=2).to_pandas()
+    local = IndexSearcher(index_dir)
+    for qi, q in enumerate(queries):
+        want = local.search(q, k=8).score_docs
+        got = out[out.query_id == qi].sort_values("rank")
+        assert got["doc_key"].tolist() == [sd.doc_key for sd in want], q
+        assert np.allclose(got["score"].to_numpy(), [sd.score for sd in want])
+
+
+def test_resume_skips_completed_partitions(ray_session, tmp_path, corpus):
+    from lucene_ray.pipelines.index_pipeline import build_index
+
+    d = str(tmp_path / "resume_idx")
+    build_index(f"{SF_DIR}/documents.parquet", d, key_col="doc_id", text_col="text",
+                num_partitions=4, columns=["doc_id", "text"])
+    m1 = Manifest.load(d)
+    # simulate a crash that lost two partitions + the manifest
+    names = sorted(os.listdir(os.path.join(d, "segments")))
+    for n in names[:2]:
+        shutil.rmtree(os.path.join(d, "segments", n))
+    os.remove(os.path.join(d, "manifest.current"))
+    kept = completed_part_ids(d)
+    assert len(kept) == 2
+    import time
+
+    t0 = time.time()
+    build_index(f"{SF_DIR}/documents.parquet", d, key_col="doc_id", text_col="text",
+                num_partitions=4, columns=["doc_id", "text"])
+    m2 = Manifest.load(d)
+    assert {s["name"] for s in m2.segments} == {s["name"] for s in m1.segments}
+    assert [s["checksum"] for s in sorted(m2.segments, key=lambda s: s["part_id"])] == [
+        s["checksum"] for s in sorted(m1.segments, key=lambda s: s["part_id"])
+    ]
+
+
+def test_partition_count_invariance(ray_session, tmp_path, corpus):
+    """1-partition pipeline output rank-identical to P-partition output."""
+    from lucene_ray.pipelines.index_pipeline import build_index
+
+    keys, texts = corpus
+    d1 = str(tmp_path / "p1")
+    d8 = str(tmp_path / "p8")
+    for d, p in [(d1, 1), (d8, 8)]:
+        build_index(f"{SF_DIR}/documents.parquet", d, key_col="doc_id", text_col="text",
+                    num_partitions=p, columns=["doc_id", "text"])
+    s1 = IndexSearcher(d1)
+    s8 = IndexSearcher(d8)
+    for q in ["merge", "spark window batch", "merge AND the"]:
+        a = s1.search(q, k=10)
+        b = s8.search(q, k=10)
+        assert [(sd.doc_key, sd.score) for sd in a.score_docs] == [
+            (sd.doc_key, sd.score) for sd in b.score_docs
+        ], q
