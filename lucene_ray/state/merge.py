@@ -1,0 +1,202 @@
+"""Segment merging — tiered policy on the manifest, merge work as Ray tasks.
+
+The reference's merge machinery (index/TieredMergePolicy.java:85-92,321 —
+pick ≤ merge_factor segments minimizing a skew score; SegmentMerger.java:
+103-155 — stream per-structure merges; ConcurrentMergeScheduler.java:55-126
+— bounded concurrent background merges) maps to: pure-metadata candidate
+selection on the driver (manifest rows only — cheap), one Ray task per merge
+(bounded in flight by Ray's scheduler + num_cpus per task), and a new
+manifest generation committed atomically when all merges land. Source
+segments are deleted only AFTER the new generation commits (the
+IndexFileDeleter ref-count analogue).
+
+Merged docIDs: segments are concatenated in part_id/name order, docIDs
+rebased by each segment's doc base — exactly the reference's mapped-docID
+merge (index/DocIDMerger.java) without deletes. Merging never changes
+global statistics, so scores are identical before and after (tested).
+
+Scale note: a merge task's memory is the sum of its inputs' postings — the
+policy bounds fan-in (merge_factor) and the max merged size, so no task is
+ever O(total index).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_ray.functions.postings import block_skip_metadata, decode_postings, encode_postings
+from lucene_ray.state.manifest import Manifest
+from lucene_ray.state.segment import SegmentReader, write_segment
+
+
+def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
+                        store_positions: bool = True) -> dict:
+    """K-way merge of segments into one (SegmentMerger analogue). Pure
+    function of its inputs; safe to retry."""
+    readers = [SegmentReader(os.path.join(index_dir, "segments", n)) for n in seg_names]
+    bases = np.cumsum([0] + [r.max_doc for r in readers[:-1]]).astype(np.int64)
+
+    # term-sorted k-way union of the per-segment dictionaries
+    all_terms = np.unique(np.concatenate([r.terms for r in readers]))
+    dls = np.concatenate([r.dls for r in readers])
+
+    packed_col, bld_col, blf_col, blm_col, pos_col = [], [], [], [], []
+    sdoc = np.full(len(all_terms), -1, dtype=np.int32)
+    sfreq = np.zeros(len(all_terms), dtype=np.int32)
+    doc_freq = np.zeros(len(all_terms), dtype=np.int64)
+    total_tf = np.zeros(len(all_terms), dtype=np.int64)
+
+    # per-reader cursor over its sorted term array (streaming k-way merge)
+    term_pos = {id(r): 0 for r in readers}
+    for ti, term in enumerate(all_terms.tolist()):
+        docs_parts, freqs_parts, pos_parts = [], [], []
+        for r, base in zip(readers, bases):
+            i = term_pos[id(r)]
+            if i < len(r.terms) and r.terms[i] == term:
+                term_pos[id(r)] = i + 1
+            else:
+                continue
+            d, f = r.postings(int(i))
+            docs_parts.append(d.astype(np.int64) + base)
+            freqs_parts.append(f)
+            if store_positions:
+                pos_parts.append(r.positions(int(i)))
+        docs = np.concatenate(docs_parts)
+        freqs = np.concatenate(freqs_parts)
+        doc_freq[ti] = len(docs)
+        total_tf[ti] = int(freqs.sum())
+        if len(docs) == 1:
+            sdoc[ti] = docs[0]
+            sfreq[ti] = freqs[0]
+            packed_col.append(b"")
+            bld_col.append([int(docs[0])])
+            blf_col.append([int(freqs[0])])
+            blm_col.append([int(dls[docs[0]])])
+        else:
+            packed_col.append(encode_postings(docs, freqs))
+            ld, mf, ml = block_skip_metadata(docs, freqs, dls[docs])
+            bld_col.append(ld.tolist())
+            blf_col.append(mf.tolist())
+            blm_col.append(ml.tolist())
+        pos_col.append(
+            np.concatenate(pos_parts).astype(np.int32).tobytes() if pos_parts else b""
+        )
+
+    postings_tbl = pa.table(
+        {
+            "term": pa.array(all_terms.tolist(), type=pa.string()),
+            "doc_freq": pa.array(doc_freq),
+            "total_tf": pa.array(total_tf),
+            "singleton_doc": pa.array(sdoc, type=pa.int32()),
+            "singleton_freq": pa.array(sfreq, type=pa.int32()),
+            "packed": pa.array(packed_col, type=pa.binary()),
+            "block_last_docs": pa.array(bld_col, type=pa.list_(pa.int32())),
+            "block_max_freqs": pa.array(blf_col, type=pa.list_(pa.int32())),
+            "block_min_lens": pa.array(blm_col, type=pa.list_(pa.int32())),
+            "positions": pa.array(pos_col, type=pa.binary()),
+        }
+    )
+    docs_tbl = pa.table(
+        {
+            "doc_key": pa.concat_arrays(
+                [pa.array(r.doc_keys.tolist()) for r in readers]
+            ),
+            "norm": pa.array(np.concatenate([r.norms for r in readers]), type=pa.uint8()),
+            "dl": pa.array(dls, type=pa.int32()),
+        }
+    )
+    stats = dict(
+        max_doc=int(sum(r.max_doc for r in readers)),
+        doc_count=int(sum(r.meta["doc_count"] for r in readers)),
+        sum_doc_freq=int(doc_freq.sum()),
+        sum_total_term_freq=int(total_tf.sum()),
+    )
+    return write_segment(
+        index_dir,
+        out_name,
+        postings_tbl,
+        docs_tbl,
+        stats,
+        extra_meta={
+            "gen": max(r.meta.get("gen", 0) for r in readers) + 1,
+            "part_id": min(r.meta.get("part_id") or 0 for r in readers),
+            "merged_from": seg_names,
+            "analyzer": readers[0].meta.get("analyzer"),
+            "key_col": readers[0].meta.get("key_col"),
+        },
+    )
+
+
+def select_merges(segments: list[dict], *, merge_factor: int = 10,
+                  max_merged_docs: int = 5_000_000) -> list[list[str]]:
+    """Tiered candidate selection (pure metadata math, TieredMergePolicy
+    analogue simplified): repeatedly take the ``merge_factor`` smallest
+    segments of the same generation whose combined size fits the cap."""
+    out = []
+    pool = sorted(segments, key=lambda s: (s["max_doc"], s["name"]))
+    while len(pool) >= 2:
+        group = []
+        total = 0
+        rest = []
+        for s in pool:
+            if len(group) < merge_factor and total + s["max_doc"] <= max_merged_docs:
+                group.append(s)
+                total += s["max_doc"]
+            else:
+                rest.append(s)
+        if len(group) < 2:
+            break
+        out.append([s["name"] for s in sorted(group, key=lambda s: s["name"])])
+        pool = rest
+    return out
+
+
+def merge_index(index_dir: str, *, merge_factor: int = 10,
+                max_merged_docs: int = 5_000_000, delete_sources: bool = True,
+                use_ray: bool = True) -> Manifest:
+    """One merge round: select groups, run merge tasks, commit gen+1.
+
+    Returns the new Manifest (or the current one when nothing qualifies).
+    """
+    manifest = Manifest.load(index_dir)
+    groups = select_merges(manifest.segments, merge_factor=merge_factor,
+                           max_merged_docs=max_merged_docs)
+    if not groups:
+        return manifest
+    new_gen = manifest.gen + 1
+    merged_names = {}
+    jobs = []
+    for gi, names in enumerate(groups):
+        out_name = f"merged-g{new_gen}-{gi:04d}"
+        merged_names[out_name] = names
+        jobs.append((names, out_name))
+
+    if use_ray:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def _task(names, out_name):
+            return merge_segment_group(index_dir, names, out_name)
+
+        metas = ray.get([_task.remote(n, o) for n, o in jobs])
+    else:
+        metas = [merge_segment_group(index_dir, n, o) for n, o in jobs]
+
+    consumed = {n for g in groups for n in g}
+    survivors = [s for s in manifest.segments if s["name"] not in consumed]
+    new_segments = sorted(survivors + metas, key=lambda s: (s.get("part_id") or 0, s["name"]))
+    new_manifest = Manifest(index_dir, new_gen, new_segments, manifest.config)
+    new_manifest.commit()
+    # copy the global term dictionary forward (stats are unchanged by merges)
+    old_ts = os.path.join(index_dir, f"term_stats-{manifest.gen}.parquet")
+    new_ts = os.path.join(index_dir, f"term_stats-{new_gen}.parquet")
+    if os.path.exists(old_ts) and not os.path.exists(new_ts):
+        shutil.copyfile(old_ts, new_ts)
+    if delete_sources:
+        for n in consumed:
+            shutil.rmtree(os.path.join(index_dir, "segments", n), ignore_errors=True)
+    return new_manifest
