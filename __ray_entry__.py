@@ -1,44 +1,650 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship web pipeline (synthesize Common-Crawl-style
+pages → extract → index → distributed BM25 top-k) on sf0.001.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (+ the data-prep extensions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one. BM25 gate queries run
+the engine in ``exact`` mode (float64 textbook BM25 over exact lengths —
+similarity.BM25ExactSimilarity) because that variant is exactly mirrorable
+in SQL; both sides rank by (round(score, 6) DESC, doc_id ASC) so 1-ulp
+double differences between libm implementations cannot flip ranks. The
+Lucene-parity float32 path is exercised by the pytest suite against a
+brute-force reference-formula oracle instead (tests/test_index_search.py).
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+K = 10
+TERM_QUERIES = ["merge", "spark", "window", "the", "vector", "dup"]
+AND_QUERIES = [("merge", "window"), ("spark", "slow"), ("table", "scan", "join")]
+OR_QUERIES = [("stream", "batch"), ("key", "value", "hash"), ("customer", "order", "line")]
+PHRASE_QUERIES = [("batch", "batch"), ("window", "window"), ("merge", "sort")]
+MSM_QUERY = ("merge", "spark", "window")  # minimum_should_match=2
+PREFIXES = ["s", "b", "w", "qu"]
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+JACCARD_MAX_ID = 150
+
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_STOPS = (
+    "'a','an','and','are','as','at','be','but','by','for','if','in','into','is','it',"
+    "'no','not','of','on','or','such','that','the','their','then','there','these',"
+    "'they','this','to','was','will','with'"
+)
+
+# shared SQL CTE prefix: tokenization, tf, dl, df, collection stats — all in
+# DOUBLE where scoring needs it. Mirrors Analyzer('simple') exactly.
+_BASE = f"""
+base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS doc_count,
+                 (SELECT sum(dl) FROM dl)::DOUBLE AS sum_ttf)
+"""
+
+# BM25 (exact variant): idf * (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl)),
+# k1=1.2 b=0.75 — identical to lucene_ray.functions.similarity.BM25ExactScorer.
+_SCORE = (
+    "ln(1 + (stats.doc_count - df.df + 0.5)/(df.df + 0.5))"
+    " * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.sum_ttf / stats.doc_count)))"
+)
+
+
+# --------------------------------------------------------------------- engine
+
+
+def _cache_dir(sf_dir: str, tag: str) -> str:
+    key = hashlib.md5(f"{sf_dir}|{tag}|v1".encode()).hexdigest()[:12]
+    return os.path.join("/tmp/lucene_ray_cache", f"{tag}-{key}")
+
+
+def _gate_index(sf_dir: str) -> str:
+    """Documents-table index for the oracle gate (simple analyzer == the SQL
+    regex tokenizer; built once per sf_dir, reused by every gate query)."""
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.state.manifest import Manifest
+
+    d = _cache_dir(sf_dir, "gate")
+    if not Manifest.exists(d):
+        build_index(
+            f"{sf_dir}/documents.parquet",
+            d,
+            key_col="doc_id",
+            text_col="text",
+            num_partitions=4,
+            analyzer="simple",
+            columns=["doc_id", "text"],
+        )
+    return d
+
+
+def _searcher(sf_dir: str):
+    from lucene_ray.searcher import IndexSearcher
+
+    return IndexSearcher(_gate_index(sf_dir), mode="exact")
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _ranked_topk(searcher, named_queries, k: int = K, rank_lo: int = 1) -> pa.Table:
+    """Run queries, rank by (round(score,6) desc, doc_id asc) — the exact
+    ordering the oracle SQL uses."""
+    rows_q, rows_r, rows_d = [], [], []
+    for name, q in named_queries:
+        td = searcher.search(q, k=k + 32, algo="exhaustive")
+        scored = sorted(
+            ((-np.round(sd.score, 6), sd.doc_key) for sd in td.score_docs)
+        )
+        for rank, (_, doc) in enumerate(scored, start=1):
+            if rank_lo <= rank <= k + rank_lo - 1:
+                rows_q.append(name)
+                rows_r.append(rank)
+                rows_d.append(int(doc))
+    return pa.table(
+        {
+            "query": pa.array(rows_q, type=pa.string()),
+            "rank": pa.array(rows_r, type=pa.int64()),
+            "doc_id": pa.array(rows_d, type=pa.int64()),
+        }
+    )
+
+
+def _q_term_topk(sf_dir: str) -> pa.Table:
+    from lucene_ray.query import TermQuery
+
+    s = _searcher(sf_dir)
+    return _ranked_topk(s, [(t, TermQuery(t)) for t in TERM_QUERIES])
+
+
+def _q_bool_and_topk(sf_dir: str) -> pa.Table:
+    from lucene_ray.query import BooleanQuery, TermQuery
+
+    s = _searcher(sf_dir)
+    qs = [
+        (" ".join(ts), BooleanQuery(must=[TermQuery(t) for t in ts]))
+        for ts in AND_QUERIES
+    ]
+    return _ranked_topk(s, qs)
+
+
+def _q_bool_or_topk(sf_dir: str) -> pa.Table:
+    from lucene_ray.query import BooleanQuery, TermQuery
+
+    s = _searcher(sf_dir)
+    qs = [
+        (" ".join(ts), BooleanQuery(should=[TermQuery(t) for t in ts]))
+        for ts in OR_QUERIES
+    ]
+    return _ranked_topk(s, qs)
+
+
+def _q_phrase_topk(sf_dir: str) -> pa.Table:
+    from lucene_ray.query import PhraseQuery
+
+    s = _searcher(sf_dir)
+    qs = [(" ".join(ts), PhraseQuery(list(ts))) for ts in PHRASE_QUERIES]
+    return _ranked_topk(s, qs)
+
+
+def _q_msm_topk(sf_dir: str) -> pa.Table:
+    from lucene_ray.query import BooleanQuery, TermQuery
+
+    s = _searcher(sf_dir)
+    q = BooleanQuery(should=[TermQuery(t) for t in MSM_QUERY], minimum_should_match=2)
+    return _ranked_topk(s, [(" ".join(MSM_QUERY), q)], k=20)
+
+
+def _q_search_after(sf_dir: str) -> pa.Table:
+    s = _searcher(sf_dir)
+    from lucene_ray.query import TermQuery
+
+    return _ranked_topk(s, [("merge", TermQuery("merge"))], k=10, rank_lo=11)
+
+
+def _q_prefix_count(sf_dir: str) -> pa.Table:
+    from lucene_ray.query import PrefixQuery
+
+    s = _searcher(sf_dir)
+    return pa.table(
+        {
+            "prefix": pa.array(PREFIXES, type=pa.string()),
+            "n_docs": pa.array(
+                [s.count(PrefixQuery(p)) for p in PREFIXES], type=pa.int64()
+            ),
+        }
+    )
+
+
+def _q_collection_stats(sf_dir: str) -> pa.Table:
+    from lucene_ray.state.manifest import Manifest
+
+    cs = Manifest.load(_gate_index(sf_dir)).collection_stats()
+    return pa.table(
+        {
+            "max_doc": pa.array([cs.max_doc], type=pa.int64()),
+            "doc_count": pa.array([cs.doc_count], type=pa.int64()),
+            "sum_doc_freq": pa.array([cs.sum_doc_freq], type=pa.int64()),
+            "sum_total_term_freq": pa.array([cs.sum_total_term_freq], type=pa.int64()),
+        }
+    )
+
+
+def _q_term_stats(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    from lucene_ray.state.manifest import Manifest
+
+    d = _gate_index(sf_dir)
+    gen = Manifest.load(d).gen
+    t = pq.read_table(os.path.join(d, f"term_stats-{gen}.parquet"))
+    return t.select(["term", "doc_freq", "total_tf"])
+
+
+def _q_token_stats(sf_dir: str):
+    from lucene_ray.pipelines.textstats import token_stats
+
+    return token_stats(_docs_ds(sf_dir)).select_columns(
+        ["doc_id", "n_tokens", "n_chars", "n_stopwords", "token_chars"]
+    )
+
+
+def _q_quality(sf_dir: str):
+    from lucene_ray.pipelines.textstats import quality_scores
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": batch.column("n_tokens"),
+                "n_stopwords": batch.column("n_stopwords"),
+                "token_chars": batch.column("token_chars"),
+                "passes_quality": pc.cast(batch.column("passes_quality"), pa.int64()),
+            }
+        )
+
+    return quality_scores(_docs_ds(sf_dir)).map_batches(to_int, batch_format="pyarrow")
+
+
+def _q_dedup_exact(sf_dir: str):
+    from lucene_ray.pipelines.dedup import dedup_exact_content
+
+    return dedup_exact_content(_docs_ds(sf_dir))
+
+
+def _q_fingerprint(sf_dir: str):
+    from lucene_ray.pipelines.textstats import fingerprints
+
+    return fingerprints(_docs_ds(sf_dir)).select_columns(["doc_id", "fingerprint"])
+
+
+def _q_knn_topk(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from lucene_ray.pipelines.knn import knn_brute_force
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pdf = emb.to_pandas()
+    qvecs = np.array(
+        pdf[pdf.vec_id.isin(KNN_QUERY_IDS)].sort_values("vec_id").embedding.tolist(),
+        dtype=np.float64,
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_brute_force(ds, KNN_QUERY_IDS, qvecs, k=K + 16).to_pandas()
+    # re-rank under the oracle's rounded ordering
+    rows = []
+    for qid in KNN_QUERY_IDS:
+        g = out[out.query_id == qid].copy()
+        g["r6"] = np.round(g.cosine.to_numpy(), 6)
+        g = g.sort_values(["r6", "neighbor_id"], ascending=[False, True]).head(K)
+        for rank, nid in enumerate(g.neighbor_id.tolist(), start=1):
+            rows.append((qid, rank, int(nid)))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+            "neighbor_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def _q_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """Exact unigram-Jaccard ≥ 0.5 pairs among doc_id < JACCARD_MAX_ID, in
+    integer form (2·|∩| ≥ |∪|) so both engines compare integers."""
+    import pyarrow.compute as pc
+
+    ds = _docs_ds(sf_dir)
+
+    def token_sets(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("doc_id"), JACCARD_MAX_ID)
+        sel = batch.filter(keep)
+        import re
+
+        pat = re.compile(r"[a-z0-9]+")
+        toks = [sorted(set(pat.findall(t.lower()))) for t in sel.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": sel.column("doc_id"),
+                "toks": pa.array(toks, type=pa.list_(pa.string())),
+            }
+        )
+
+    small = ds.map_batches(token_sets, batch_format="pyarrow").to_pandas()
+    small = small.sort_values("doc_id").reset_index(drop=True)
+    vocab = sorted({w for ts in small.toks for w in ts})
+    vidx = {w: i for i, w in enumerate(vocab)}
+    M = np.zeros((len(small), len(vocab)), dtype=np.int64)
+    for i, ts in enumerate(small.toks):
+        M[i, [vidx[w] for w in ts]] = 1
+    inter = M @ M.T
+    sizes = M.sum(axis=1)
+    union = sizes[:, None] + sizes[None, :] - inter
+    ids = small.doc_id.to_numpy()
+    ia, ib = np.where((2 * inter >= union) & (ids[:, None] < ids[None, :]))
+    order = np.lexsort((ids[ib], ids[ia]))
+    return pa.table(
+        {
+            "id_a": pa.array(ids[ia][order], type=pa.int64()),
+            "id_b": pa.array(ids[ib][order], type=pa.int64()),
+            "inter_n": pa.array(inter[ia, ib][order], type=pa.int64()),
+            "union_n": pa.array(union[ia, ib][order], type=pa.int64()),
+        }
+    )
+
+
+# rows-only (non-SQL-expressible) pipelines
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from lucene_ray.pipelines.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.5)
+
+
+def _q_simhash(sf_dir: str):
+    from lucene_ray.pipelines.dedup import simhash_signatures
+
+    def widen(batch: pa.Table) -> pa.Table:
+        h = batch.column("simhash").to_numpy().astype(np.int64, casting="unsafe")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "simhash": pa.array(h, type=pa.int64())})
+
+    return simhash_signatures(_docs_ds(sf_dir)).map_batches(widen, batch_format="pyarrow")
+
+
+def _q_langid_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from lucene_ray.pipelines.textstats import lang_id
+
+    return lang_id(_docs_ds(sf_dir)).groupby("pred_lang").aggregate(Count(alias_name="n"))
+
+
+def _q_knn_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from lucene_ray.pipelines.knn import knn_ivf
+
+    pdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    qvecs = np.array(
+        pdf[pdf.vec_id.isin(KNN_QUERY_IDS)].sort_values("vec_id").embedding.tolist(),
+        dtype=np.float64,
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_ivf(ds, KNN_QUERY_IDS, qvecs, k=K, n_centroids=8, nprobe=4)
+
+
+def _q_lucene_topk(sf_dir: str):
+    """Lucene-parity float32 WAND top-k over the web index (rows-only gate;
+    float32 parity is pytest-verified against the brute-force oracle)."""
+    from lucene_ray.pipelines.web_pipeline import DEFAULT_QUERY_SET, run_query_set
+
+    d = _web_index(sf_dir)
+    return run_query_set(d, DEFAULT_QUERY_SET, k=K, concurrency=2)
+
+
+def _web_index(sf_dir: str) -> str:
+    from lucene_ray.pipelines.web_pipeline import build_web_index
+    from lucene_ray.state.manifest import Manifest
+
+    d = _cache_dir(sf_dir, "web")
+    if not Manifest.exists(d):
+        build_web_index(sf_dir, d, num_partitions=8)
+    return d
+
+
+# ---------------------------------------------------------------------- SQL
+
+
+def _sql_single_term_topk(terms, k=K, rank_lo=1, rank_hi=None) -> str:
+    vals = ", ".join(f"('{t}')" for t in terms)
+    rank_hi = rank_hi or (rank_lo + k - 1)
+    return f"""
+WITH {_BASE},
+q(query) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query, tf.doc_id, {_SCORE} AS score
+  FROM q
+  JOIN tf ON tf.term = q.query
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked
+WHERE rank BETWEEN {rank_lo} AND {rank_hi}
+"""
+
+
+def _sql_multi_term_topk(queries, combine: str, k=K, msm: int | None = None) -> str:
+    """combine ∈ {'and','or'}; msm applies to 'or'."""
+    vals = ", ".join(
+        f"('{' '.join(ts)}', '{t}')" for ts in queries for t in ts
+    )
+    if combine == "and":
+        having = "HAVING count(*) = max(qn.n_terms)"
+    elif msm:
+        having = f"HAVING count(*) >= {msm}"
+    else:
+        having = ""
+    return f"""
+WITH {_BASE},
+qt(query, term) AS (VALUES {vals}),
+qn AS (SELECT query, count(*) AS n_terms FROM qt GROUP BY query),
+per AS (
+  SELECT qt.query, tf.doc_id, sum({_SCORE}) AS score
+  FROM qt
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = tf.term
+  JOIN qn ON qn.query = qt.query
+  CROSS JOIN stats
+  GROUP BY qt.query, tf.doc_id
+  {having}
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM per
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {k}
+"""
+
+
+def _sql_phrase_topk(phrases, k=K) -> str:
+    parts = []
+    for ts in phrases:
+        name = " ".join(ts)
+        conds = " AND ".join(f"toks[i+{j}] = '{t}'" for j, t in enumerate(ts))
+        pterms = ", ".join(f"('{t}')" for t in ts)
+        n = len(ts)
+        parts.append(f"""
+  SELECT '{name}' AS query, pm.doc_id,
+         (SELECT sum(ln(1 + (s.doc_count - df.df + 0.5)/(df.df + 0.5)))
+          FROM (VALUES {pterms}) pt(term) JOIN df ON df.term = pt.term CROSS JOIN stats s)
+         * (pm.freq * 2.2) / (pm.freq + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s2.sum_ttf / s2.doc_count))) AS score
+  FROM (
+    SELECT doc_id, count(*)::DOUBLE AS freq
+    FROM base, unnest(range(1, len(toks) - {n - 2})) AS t(i)
+    WHERE {conds}
+    GROUP BY doc_id
+  ) pm
+  JOIN dl ON dl.doc_id = pm.doc_id
+  CROSS JOIN stats s2""")
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH {_BASE},
+scored AS (
+{union}
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {k}
+"""
+
+
+_SQL_TOKEN_STATS = f"""
+WITH base AS (SELECT doc_id, text, {_TOK} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM base)
+SELECT b.doc_id,
+       len(b.toks)::BIGINT AS n_tokens,
+       length(b.text)::BIGINT AS n_chars,
+       coalesce(sum(CASE WHEN t.term IN ({_STOPS}) THEN 1 ELSE 0 END), 0)::BIGINT AS n_stopwords,
+       coalesce(sum(length(t.term)), 0)::BIGINT AS token_chars
+FROM base b LEFT JOIN toks t ON t.doc_id = b.doc_id
+GROUP BY b.doc_id, b.toks, b.text
+"""
+
+_SQL_QUALITY = f"""
+WITH s AS ({_SQL_TOKEN_STATS})
+SELECT doc_id, n_tokens, n_stopwords, token_chars,
+       CASE WHEN n_tokens >= 5
+                 AND token_chars >= 2 * n_tokens
+                 AND token_chars <= 12 * n_tokens
+                 AND 2 * token_chars >= n_chars
+            THEN 1 ELSE 0 END::BIGINT AS passes_quality
+FROM s
+"""
+
+_SQL_COLLECTION_STATS = f"""
+WITH {_BASE}
+SELECT (SELECT count(*) FROM documents)::BIGINT AS max_doc,
+       (SELECT count(*) FROM dl)::BIGINT AS doc_count,
+       (SELECT count(*) FROM tf)::BIGINT AS sum_doc_freq,
+       (SELECT sum(tf) FROM tf)::BIGINT AS sum_total_term_freq
+"""
+
+_SQL_TERM_STATS = f"""
+WITH {_BASE}
+SELECT term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_tf
+FROM tf GROUP BY term
+"""
+
+_SQL_PREFIX_COUNT = f"""
+WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+p(prefix) AS (VALUES {", ".join(f"('{p}')" for p in PREFIXES)})
+SELECT p.prefix, count(DISTINCT t.doc_id)::BIGINT AS n_docs
+FROM p LEFT JOIN toks t ON t.term LIKE p.prefix || '%'
+GROUP BY p.prefix
+"""
+
+_SQL_DEDUP = """
+SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+_SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_TOK})), ' ')) AS fingerprint
+FROM documents
+"""
+
+_SQL_KNN = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {K}
+"""
+
+_SQL_JACCARD = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_TOK})) AS term
+  FROM documents WHERE doc_id < {JACCARD_MAX_ID}
+),
+c AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n
+  FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, inter_n::BIGINT AS inter_n,
+       (ca.n + cb.n - inter_n)::BIGINT AS union_n
+FROM pairs
+JOIN c ca ON ca.doc_id = id_a
+JOIN c cb ON cb.doc_id = id_b
+WHERE 2 * inter_n >= (ca.n + cb.n - inter_n)
+"""
+
+
+# ------------------------------------------------------------------ contract
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: synthesize web pages →
+    extract (byte-identity verified) → index → distributed BM25 query set."""
+    sf_dir = "/root/testdata/sf0.001"
+    from lucene_ray.pipelines.web_pipeline import DEFAULT_QUERY_SET, run_query_set
+
+    d = _web_index(sf_dir)
+    return run_query_set(d, DEFAULT_QUERY_SET, k=K, concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # index + BM25 search (SURVEY §2.6-2.8)
+        "collection_stats": _q_collection_stats,
+        "term_stats": _q_term_stats,
+        "term_topk": _q_term_topk,
+        "bool_and_topk": _q_bool_and_topk,
+        "bool_or_topk": _q_bool_or_topk,
+        "phrase_topk": _q_phrase_topk,
+        "min_should_match_topk": _q_msm_topk,
+        "search_after": _q_search_after,
+        "prefix_count": _q_prefix_count,
+        # analysis chain / text stats (SURVEY §2.2 + data-prep extensions)
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality,
+        "fingerprint": _q_fingerprint,
+        # dedup family (§2.9 + extensions)
+        "dedup_exact": _q_dedup_exact,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_pairs": _q_minhash_pairs,  # rows-only
+        "simhash": _q_simhash,  # rows-only
+        # similarity search
+        "knn_topk": _q_knn_topk,
+        "knn_ivf": _q_knn_ivf,  # rows-only (approximate by design)
+        # language id (rows-only: heuristic model)
+        "langid_counts": _q_langid_counts,
+        # Lucene-parity float32 WAND over the web index (rows-only)
+        "lucene_wand_topk": _q_lucene_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "collection_stats": _SQL_COLLECTION_STATS,
+        "term_stats": _SQL_TERM_STATS,
+        "term_topk": _sql_single_term_topk(TERM_QUERIES),
+        "bool_and_topk": _sql_multi_term_topk(AND_QUERIES, "and"),
+        "bool_or_topk": _sql_multi_term_topk(OR_QUERIES, "or"),
+        "phrase_topk": _sql_phrase_topk(PHRASE_QUERIES),
+        "min_should_match_topk": _sql_multi_term_topk([MSM_QUERY], "or", k=20, msm=2),
+        "search_after": _sql_single_term_topk(["merge"], rank_lo=11, rank_hi=20),
+        "prefix_count": _SQL_PREFIX_COUNT,
+        "token_stats": _SQL_TOKEN_STATS,
+        "quality_scores": _SQL_QUALITY,
+        "fingerprint": _SQL_FINGERPRINT,
+        "dedup_exact": _SQL_DEDUP,
+        "jaccard_pairs": _SQL_JACCARD,
+        "knn_topk": _SQL_KNN,
+    }

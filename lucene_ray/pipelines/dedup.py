@@ -152,10 +152,11 @@ def minhash_lsh_pairs(
 
     rows_per_band = num_perm // bands
     sig_ds = ds.map_batches(
-        MinHashSignatures(num_perm=num_perm, shingle=shingle, seed=seed,
-                          text_col=text_col, id_col=id_col),
+        MinHashSignatures,
+        fn_constructor_kwargs=dict(num_perm=num_perm, shingle=shingle, seed=seed,
+                                   text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=(1, 4),  # autoscaling pool: min 1 avoids starving the read stage
     )
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -270,8 +271,8 @@ class SimHash:
 
 
 def simhash_signatures(ds, *, text_col: str = "text", id_col: str = "doc_id"):
-    return ds.map_batches(SimHash(text_col=text_col, id_col=id_col),
-                          batch_format="pyarrow", concurrency=4)
+    fn = SimHash(text_col=text_col, id_col=id_col)
+    return ds.map_batches(lambda b: fn(b), batch_format="pyarrow")
 
 
 def simhash_near_pairs(ds, *, max_hamming: int = 3, text_col: str = "text",

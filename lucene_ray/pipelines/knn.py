@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns — brute-force cosine top-k and an
+IVF (inverted-file) bucketed variant for the scale path.
+
+Brute force: the query matrix is broadcast ONCE via ``ray.put``; each batch
+computes a (batch × dim) @ (dim × q) float64 matmul and emits its local
+top-k per query; a final small groupby merges — no all-to-all shuffle, the
+reduction is per-query over per-batch candidates (exactly the per-segment
+top-k + merge pattern the text searcher uses).
+
+IVF: deterministic k-means-lite centroids (seeded sample, few Lloyd
+iterations via per-batch partial sums), assign each vector to its nearest
+centroid in a map_batches pass, search only the ``nprobe`` closest centroid
+buckets per query. Recall measured against brute force in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _batch_vectors(batch: pa.Table, vec_col: str) -> np.ndarray:
+    return np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+
+
+class BruteForceTopK:
+    """map_batches callable: per-batch cosine top-k against broadcast queries."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str,
+                 exclude_self: bool = True):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.query_ids, qm = q
+        qm = np.asarray(qm, dtype=np.float64)
+        self.qnorm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        v = _batch_vectors(batch, self.vec_col)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        sims = v @ self.qnorm.T  # (n, q)
+        out_q, out_id, out_sim = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            col = sims[:, qi]
+            mask = ids != qid if self.exclude_self else np.ones(len(ids), bool)
+            idx = np.flatnonzero(mask)
+            if not len(idx):
+                continue
+            take = idx[np.argsort(-col[idx], kind="stable")[: self.k]]
+            out_q.extend([qid] * len(take))
+            out_id.extend(ids[take].tolist())
+            out_sim.extend(col[take].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(np.array(out_sim, dtype=np.float64)),
+            }
+        )
+
+
+def knn_brute_force(ds, query_ids, query_vecs, *, k: int = 10, vec_col: str = "embedding",
+                    id_col: str = "vec_id", concurrency: int = 4, exclude_self: bool = True):
+    """Exact cosine top-k for each query vector. Returns Dataset
+    (query_id, rank, neighbor_id, cosine)."""
+    import ray
+
+    ref = ray.put((list(query_ids), np.asarray(query_vecs, dtype=np.float64)))
+    cand = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(ref, k, vec_col, id_col, exclude_self),
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[["query_id", "rank", "neighbor_id", "cosine"]]
+
+    return cand.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------- IVF
+
+
+def train_centroids(ds, *, n_centroids: int = 16, vec_col: str = "embedding",
+                    iters: int = 5, seed: int = 42, sample_rows: int = 2048) -> np.ndarray:
+    """Deterministic k-means-lite: seeded sample for init, Lloyd iterations
+    with per-batch partial sums (map_batches combiner → driver reduce)."""
+    sample = ds.limit(sample_rows).take_all()
+    X0 = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = X0[rng.choice(len(X0), size=min(n_centroids, len(X0)), replace=False)]
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+
+    for _ in range(iters):
+        import ray
+
+        cref = ray.put(cent)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            v = _batch_vectors(batch, vec_col)
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+            assign = np.argmax(vn @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, vn)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "centroid": pa.array(np.arange(len(c), dtype=np.int64)),
+                    "sum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                    "count": pa.array(counts),
+                }
+            )
+
+        agg = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for _, row in agg.iterrows():
+            sums[row["centroid"]] += np.array(row["sum"])
+            counts[row["centroid"]] += row["count"]
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
+        cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+    return cent
+
+
+def knn_ivf(ds, query_ids, query_vecs, *, k: int = 10, n_centroids: int = 16,
+            nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
+            concurrency: int = 4, seed: int = 42):
+    """IVF-bucketed approximate top-k: probe only the nprobe nearest centroid
+    buckets per query. Returns (query_id, rank, neighbor_id, cosine)."""
+    import ray
+
+    cent = train_centroids(ds, n_centroids=n_centroids, vec_col=vec_col, seed=seed)
+    cref = ray.put(cent)
+    qv = np.asarray(query_vecs, dtype=np.float64)
+    qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    probe_sets = [set(p.tolist()) for p in probe]
+    qref = ray.put((list(query_ids), qn, probe_sets))
+
+    class ProbedTopK:
+        def __init__(self):
+            self.cent = ray.get(cref)
+            self.query_ids, self.qn, self.probe_sets = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            v = _batch_vectors(batch, vec_col)
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+            assign = np.argmax(vn @ self.cent.T, axis=1)
+            sims = vn @ self.qn.T
+            out_q, out_id, out_sim = [], [], []
+            for qi, qid in enumerate(self.query_ids):
+                in_bucket = np.isin(assign, list(self.probe_sets[qi])) & (ids != qid)
+                idx = np.flatnonzero(in_bucket)
+                if not len(idx):
+                    continue
+                take = idx[np.argsort(-sims[idx, qi], kind="stable")[:k]]
+                out_q.extend([qid] * len(take))
+                out_id.extend(ids[take].tolist())
+                out_sim.extend(sims[take, qi].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "neighbor_id": pa.array(out_id, type=pa.int64()),
+                    "cosine": pa.array(np.array(out_sim, dtype=np.float64)),
+                }
+            )
+
+    cand = ds.map_batches(ProbedTopK, batch_format="pyarrow",
+                          concurrency=(1, concurrency))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[["query_id", "rank", "neighbor_id", "cosine"]]
+
+    return cand.groupby("query_id").map_groups(merge, batch_format="pandas")

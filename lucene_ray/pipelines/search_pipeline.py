@@ -109,7 +109,7 @@ def search_distributed(
         fn_constructor_args=(index_dir, mode, k, algo),
         batch_format="pyarrow",
         batch_size=max(1, len(items) // max(1, concurrency * 2)),
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         num_cpus=1,
     )
 

@@ -1,0 +1,209 @@
+"""Text analysis stages — token counting, quality scoring, language ID,
+document fingerprinting. The large-scale-training-data companions to the
+index pipeline; every stage is a vectorized ``map_batches`` transform (actor
+pool where there is state to compile/load).
+
+Oracle notes: token/char/stopword counts and the sorted-distinct-token
+fingerprint are integer/string outputs mirrored exactly by DuckDB SQL in
+``__ray_entry__``; language ID and the winnowing fingerprint are
+deterministic but not SQL-expressible (rows-only checks + pytest goldens).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_ray.functions.analysis import ENGLISH_STOP_WORDS
+
+_SIMPLE = re.compile(r"[a-z0-9]+")
+# BPE-ish word/number/punct splitter (GPT-2-style regex family, simplified to
+# RE2/Python-compatible form): contractions, letter runs, digit runs, other
+# non-space runs.
+_BPEISH = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+")
+
+
+class TokenStats:
+    """Per-doc integer stats: simple tokens, bpe-ish tokens, chars, stopwords,
+    total token chars. Compiled patterns live in the actor (__init__)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.simple = _SIMPLE
+        self.bpeish = _BPEISH
+        self.stops = ENGLISH_STOP_WORDS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        n_tokens = np.empty(n, dtype=np.int64)
+        n_bpeish = np.empty(n, dtype=np.int64)
+        n_chars = np.empty(n, dtype=np.int64)
+        n_stop = np.empty(n, dtype=np.int64)
+        tok_chars = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            low = t.lower()
+            toks = self.simple.findall(low)
+            n_tokens[i] = len(toks)
+            n_bpeish[i] = len(self.bpeish.findall(t))
+            n_chars[i] = len(t)
+            n_stop[i] = sum(1 for w in toks if w in self.stops)
+            tok_chars[i] = sum(len(w) for w in toks)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "n_tokens": pa.array(n_tokens),
+                "n_bpeish_tokens": pa.array(n_bpeish),
+                "n_chars": pa.array(n_chars),
+                "n_stopwords": pa.array(n_stop),
+                "token_chars": pa.array(tok_chars),
+            }
+        )
+
+
+def token_stats(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    fn = TokenStats(text_col, id_col)
+    return ds.map_batches(lambda b: fn(b), batch_format="pyarrow")
+
+
+class QualityScore:
+    """Heuristic quality signals (length / punctuation / stopword ratios /
+    mean word length) — the usual web-text filtering features. Float ratios
+    derived from the integer stats; filter thresholds follow C4-style rules."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.inner = TokenStats(text_col, id_col)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = self.inner(batch)
+        nt = s.column("n_tokens").to_numpy().astype(np.float64)
+        nc = s.column("n_chars").to_numpy().astype(np.float64)
+        ns = s.column("n_stopwords").to_numpy().astype(np.float64)
+        tc = s.column("token_chars").to_numpy().astype(np.float64)
+        safe_nt = np.maximum(nt, 1)
+        stop_ratio = ns / safe_nt
+        mean_word_len = tc / safe_nt
+        alpha_ratio = tc / np.maximum(nc, 1)
+        quality = (
+            (nt >= 5)
+            & (mean_word_len >= 2)
+            & (mean_word_len <= 12)
+            & (alpha_ratio >= 0.5)
+        )
+        return s.append_column("stop_ratio", pa.array(stop_ratio)) \
+                .append_column("mean_word_len", pa.array(mean_word_len)) \
+                .append_column("alpha_ratio", pa.array(alpha_ratio)) \
+                .append_column("passes_quality", pa.array(quality))
+
+
+def quality_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    fn = QualityScore(text_col, id_col)
+    return ds.map_batches(lambda b: fn(b), batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ lang id
+
+# Tiny per-language character/stopword profiles (public-knowledge heuristic:
+# rank correlation of frequent-token profiles, Cavnar-Trenkle style n-gram
+# rank distance on the token level). Deterministic; not a trained model.
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "se", "no"},
+    "de": {"der", "die", "und", "das", "in", "von", "zu", "mit", "den", "ist"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "en", "que", "dans"},
+}
+
+
+class LangId:
+    """N-gram/stopword-profile language guesser. CJK scripts short-circuit on
+    codepoint ranges; Latin text votes by profile overlap (ties → 'en')."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.simple = _SIMPLE
+        self.profiles = _LANG_PROFILES
+
+    def guess(self, text: str) -> str:
+        for ch in text[:200]:
+            o = ord(ch)
+            if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
+                return "zh"
+            if 0x3040 <= o <= 0x30FF:
+                return "ja"
+            if 0xAC00 <= o <= 0xD7AF:
+                return "ko"
+        toks = set(self.simple.findall(text.lower())[:500])
+        best, best_n = "en", -1
+        for lang in sorted(self.profiles):
+            n = len(toks & self.profiles[lang])
+            if n > best_n:
+                best, best_n = lang, n
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "pred_lang": pa.array([self.guess(t) for t in texts], type=pa.string()),
+            }
+        )
+
+
+def lang_id(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    fn = LangId(text_col, id_col)
+    return ds.map_batches(lambda b: fn(b), batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- fingerprints
+
+
+class Fingerprints:
+    """Two document fingerprints:
+
+    * ``fingerprint`` — md5 of the space-joined SORTED DISTINCT simple tokens
+      (bag-of-words identity; SQL-expressible, the oracle checks it);
+    * ``winnow`` — min rolling-hash over 5-gram token windows (winnowing-style
+      content fingerprint; deterministic, rows-only check).
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id", k: int = 5):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.simple = _SIMPLE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        fps, winnows = [], []
+        for t in texts:
+            toks = self.simple.findall(t.lower())
+            fps.append(hashlib.md5(" ".join(sorted(set(toks))).encode()).hexdigest())
+            if len(toks) < self.k:
+                grams = [" ".join(toks)] if toks else []
+            else:
+                grams = [" ".join(toks[i : i + self.k]) for i in range(len(toks) - self.k + 1)]
+            if grams:
+                hs = [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+                      for g in grams]
+                winnows.append(min(hs))
+            else:
+                winnows.append(0)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "fingerprint": pa.array(fps, type=pa.string()),
+                "winnow": pa.array(np.array(winnows, dtype=np.uint64), type=pa.uint64()),
+            }
+        )
+
+
+def fingerprints(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    fn = Fingerprints(text_col, id_col)
+    return ds.map_batches(lambda b: fn(b), batch_format="pyarrow")

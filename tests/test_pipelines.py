@@ -1,0 +1,204 @@
+"""Tests for the data-prep pipelines: dedup (exact/minhash/simhash), text
+stats, langid, fingerprints, knn (brute force + IVF recall), multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pd():
+    return pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+
+
+def test_dedup_exact_content(docs_ds, docs_pd):
+    from lucene_ray.pipelines.dedup import dedup_exact_content
+
+    out = dedup_exact_content(docs_ds).to_pandas()
+    want = (
+        docs_pd.assign(h=[hashlib.md5(t.encode()).hexdigest() for t in docs_pd.text])
+        .sort_values("doc_id")
+        .groupby("h", as_index=False)
+        .first()
+    )
+    assert sorted(out["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_dedup_by_key_last_writer_wins(ray_session):
+    import ray.data
+
+    rows = [
+        {"url": "a", "ts": 1, "v": "old"},
+        {"url": "a", "ts": 5, "v": "new"},
+        {"url": "b", "ts": 2, "v": "only"},
+    ]
+    from lucene_ray.pipelines.dedup import dedup_exact_by_key
+
+    out = dedup_exact_by_key(ray.data.from_items(rows), key_col="url", ts_col="ts").to_pandas()
+    got = dict(zip(out.url, out.v))
+    assert got == {"a": "new", "b": "only"}
+
+
+def test_minhash_lsh_finds_near_dups(ray_session, docs_pd):
+    import ray.data
+
+    from lucene_ray.pipelines.dedup import minhash_lsh_pairs
+
+    # plant two near-dup pairs on top of the real corpus
+    base = docs_pd[["doc_id", "text"]].copy()
+    extra = pd.DataFrame(
+        {
+            "doc_id": [100001, 100002],
+            "text": [
+                base.text.iloc[0] + " extra tail token",
+                base.text.iloc[1],
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(pd.concat([base, extra], ignore_index=True))
+    pairs = minhash_lsh_pairs(ds, threshold=0.6).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 100001) in got
+    assert (1, 100002) in got
+    assert (pairs.jaccard >= 0.6).all()
+
+
+def test_simhash_exact_dup_distance_zero(ray_session, docs_pd):
+    import ray.data
+
+    from lucene_ray.pipelines.dedup import simhash_near_pairs
+
+    base = docs_pd[["doc_id", "text"]].head(50).copy()
+    extra = pd.DataFrame({"doc_id": [200001], "text": [base.text.iloc[3]]})
+    ds = ray.data.from_pandas(pd.concat([base, extra], ignore_index=True))
+    pairs = simhash_near_pairs(ds, max_hamming=2).to_pandas()
+    got = {(int(a), int(b)): int(h) for a, b, h in zip(pairs.id_a, pairs.id_b, pairs.hamming)}
+    assert got.get((3, 200001)) == 0
+
+
+def test_token_stats_and_quality(docs_ds, docs_pd):
+    from lucene_ray.pipelines.textstats import quality_scores, token_stats
+
+    out = token_stats(docs_ds).to_pandas().set_index("doc_id").sort_index()
+    row0 = docs_pd.set_index("doc_id").loc[0]
+    toks = row0.text.split()
+    assert out.loc[0, "n_tokens"] == len(toks)
+    assert out.loc[0, "n_chars"] == len(row0.text)
+    assert out.loc[0, "token_chars"] == sum(len(w) for w in toks)
+    q = quality_scores(docs_ds).to_pandas()
+    assert q["passes_quality"].dtype == bool
+    assert 0 <= q["stop_ratio"].max() <= 1
+
+
+def test_lang_id_deterministic(docs_ds):
+    from lucene_ray.pipelines.textstats import lang_id
+
+    a = lang_id(docs_ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = lang_id(docs_ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a.pred_lang == b.pred_lang).all()
+    assert set(a.pred_lang) <= {"en", "es", "de", "fr", "zh", "ja", "ko"}
+
+
+def test_lang_id_scripts():
+    from lucene_ray.pipelines.textstats import LangId
+
+    li = LangId()
+    assert li.guess("这是中文文本") == "zh"
+    assert li.guess("ひらがなのテキスト") == "ja"
+    assert li.guess("한국어 텍스트") == "ko"
+    assert li.guess("le chat est dans la maison et les chiens") == "fr"
+
+
+def test_fingerprints_match_definition(docs_ds, docs_pd):
+    from lucene_ray.pipelines.textstats import fingerprints
+
+    out = fingerprints(docs_ds).to_pandas().set_index("doc_id")
+    t = docs_pd.set_index("doc_id").loc[7, "text"]
+    want = hashlib.md5(" ".join(sorted(set(t.split()))).encode()).hexdigest()
+    assert out.loc[7, "fingerprint"] == want
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    pdf = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    return ds, pdf
+
+
+def _np_brute(pdf, qids, k):
+    X = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = pdf.vec_id.to_numpy()
+    out = {}
+    for qid in qids:
+        q = Xn[ids == qid][0]
+        sims = Xn @ q
+        mask = ids != qid
+        order = sorted(zip(-sims[mask], ids[mask]))
+        out[qid] = [int(i) for _, i in order[:k]]
+    return out
+
+
+def test_knn_brute_force_matches_numpy(emb):
+    from lucene_ray.pipelines.knn import knn_brute_force
+
+    ds, pdf = emb
+    qids = [0, 1, 2]
+    qvecs = np.array(pdf[pdf.vec_id.isin(qids)].sort_values("vec_id").embedding.tolist())
+    out = knn_brute_force(ds, qids, qvecs, k=5).to_pandas()
+    want = _np_brute(pdf, qids, 5)
+    for qid in qids:
+        got = out[out.query_id == qid].sort_values("rank").neighbor_id.tolist()
+        assert got == want[qid], qid
+
+
+def test_knn_ivf_recall(emb):
+    from lucene_ray.pipelines.knn import knn_ivf
+
+    ds, pdf = emb
+    qids = [0, 5, 10, 15]
+    qvecs = np.array(pdf[pdf.vec_id.isin(qids)].sort_values("vec_id").embedding.tolist())
+    out = knn_ivf(ds, qids, qvecs, k=10, n_centroids=8, nprobe=4).to_pandas()
+    want = _np_brute(pdf, qids, 10)
+    recalls = []
+    for qid in qids:
+        got = set(out[out.query_id == qid].neighbor_id.tolist())
+        recalls.append(len(got & set(want[qid])) / 10)
+    assert np.mean(recalls) >= 0.5  # nprobe=4/8 buckets — decent recall
+
+
+def test_multimodal_plumbing(docs_ds):
+    from lucene_ray.pipelines.multimodal import (
+        audio_features,
+        image_features,
+        synthesize_media_batch,
+    )
+
+    media = docs_ds.map_batches(synthesize_media_batch, batch_format="pyarrow")
+    imgs = image_features(media, concurrency=2).to_pandas()
+    assert len(imgs) == 500
+    assert all(len(f) == 64 for f in imgs.feature.head(5))
+    # determinism of the stubbed decoder
+    imgs2 = image_features(media, concurrency=2).to_pandas()
+    m1 = imgs.sort_values("media_id").feature.iloc[0]
+    m2 = imgs2.sort_values("media_id").feature.iloc[0]
+    assert np.allclose(m1, m2)
+    aud = audio_features(media.limit(50), concurrency=2).to_pandas()
+    assert all(len(f) == 16 for f in aud.frame_rms)
