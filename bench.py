@@ -1,0 +1,209 @@
+"""Benchmark driver — headline pipelines over $GRAFT_SF_DIR at $RAY_GRAFT_CPUS.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {stage: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the same job twice in fresh processes at num_cpus=8 and
+num_cpus=32 and reports both throughputs + scaling efficiency (the sandbox
+substitute for the north rule's N vs 4N cluster sizes).
+
+Workload (mirrors the reference's wikipedia.alg shape — 200k docs indexed,
+~20 fixed queries, BASELINE.md):
+  1. synthesize a Common-Crawl-style corpus (replicated deterministically to
+     ~40× the sf documents table) and build the inverted index end-to-end
+     (extract → hash-partition → invert → segments → term stats → manifest).
+  2. tiered merge round.
+  3. warm actor-pool query latency: fixed query set, p50/p99 per query.
+  4. batch query throughput via the Dataset search pipeline.
+  5. data-prep stages: exact dedup, minhash-LSH signatures, token stats,
+     brute-force knn.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "40"))
+QUERY_REPEATS = int(os.environ.get("BENCH_QUERY_REPEATS", "5"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import ray.data
+
+    from lucene_ray.pipelines.dedup import MinHashSignatures, dedup_exact_content
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.pipelines.knn import knn_brute_force
+    from lucene_ray.pipelines.search_pipeline import search_distributed
+    from lucene_ray.pipelines.textstats import token_stats
+    from lucene_ray.pipelines.web_pipeline import DEFAULT_QUERY_SET
+    from lucene_ray.searcher import IndexSearcher
+    from lucene_ray.sources.corpus import extract_batch, synthesize_corpus
+    from lucene_ray.state.merge import merge_index
+
+    timings: dict[str, float] = {}
+    index_dir = f"/tmp/lucene_ray_bench/idx-{NUM_CPUS}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    ray.data.read_parquet(f"{SF_DIR}/documents.parquet").count()
+
+    n_docs_total = 0
+
+    # 1. index build (the headline)
+    t0 = time.time()
+    ds = synthesize_corpus(SF_DIR, replicas=REPLICAS)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+    manifest = build_index(
+        ds,
+        index_dir,
+        key_col="url",
+        text_col="text",
+        num_partitions=max(NUM_CPUS * 2, 16),
+        analyzer="standard",
+        store_positions=True,
+        resume=False,
+    )
+    timings["index_build"] = time.time() - t0
+    n_docs_total = manifest.collection_stats().max_doc
+
+    # 2. merge round
+    t0 = time.time()
+    merge_index(index_dir, merge_factor=8)
+    timings["merge"] = time.time() - t0
+
+    # 3. warm actor-pool latency: dedicated searcher actors, per-query timing
+    @ray.remote(num_cpus=1)
+    class SearchActor:
+        def __init__(self, index_dir):
+            self.searcher = IndexSearcher(index_dir, mode="lucene")
+
+        def search(self, q, k=10):
+            t = time.time()
+            td = self.searcher.search(q, k=k)
+            return time.time() - t, len(td.score_docs)
+
+    n_actors = min(8, NUM_CPUS)
+    actors = [SearchActor.remote(index_dir) for _ in range(n_actors)]
+    ray.get([a.search.remote("merge") for a in actors])  # warm: load segments
+    lat = []
+    t0 = time.time()
+    futs = []
+    for rep in range(QUERY_REPEATS):
+        for qi, q in enumerate(DEFAULT_QUERY_SET):
+            futs.append(actors[(rep * len(DEFAULT_QUERY_SET) + qi) % n_actors].search.remote(q))
+    for dt, _ in ray.get(futs):
+        lat.append(dt)
+    timings["query_wall"] = time.time() - t0
+    lat = np.array(lat)
+    timings["query_p50"] = float(np.percentile(lat, 50))
+    timings["query_p99"] = float(np.percentile(lat, 99))
+    for a in actors:
+        ray.kill(a)
+
+    # 4. batch (Dataset) search pipeline
+    t0 = time.time()
+    search_distributed(index_dir, DEFAULT_QUERY_SET, k=10,
+                       concurrency=min(8, NUM_CPUS)).count()
+    timings["search_pipeline"] = time.time() - t0
+
+    # 5. data-prep stages on the raw documents table
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.time()
+    dedup_exact_content(docs).count()
+    timings["dedup_exact"] = time.time() - t0
+
+    t0 = time.time()
+    docs.map_batches(
+        MinHashSignatures, fn_constructor_kwargs=dict(num_perm=64, shingle=3),
+        batch_format="pyarrow", concurrency=(1, min(8, NUM_CPUS)),
+    ).count()
+    timings["minhash_signatures"] = time.time() - t0
+
+    t0 = time.time()
+    token_stats(docs).count()
+    timings["token_stats"] = time.time() - t0
+
+    import pyarrow.parquet as pq
+
+    emb_pdf = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    qids = emb_pdf.vec_id.head(8).tolist()
+    qvecs = np.array(emb_pdf.head(8).embedding.tolist(), dtype=np.float64)
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    t0 = time.time()
+    knn_brute_force(emb, qids, qvecs, k=10, concurrency=min(8, NUM_CPUS)).count()
+    timings["knn_brute_force"] = time.time() - t0
+
+    total = sum(timings[k] for k in
+                ["index_build", "merge", "query_wall", "search_pipeline",
+                 "dedup_exact", "minhash_signatures", "token_stats", "knn_brute_force"])
+    result = {
+        "metric": "index-build + BM25 query + data-prep wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+        "n_docs_indexed": int(n_docs_total),
+        "index_docs_per_sec": round(n_docs_total / timings["index_build"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    # scaling on the distributed headline (index build throughput)
+    tp_lo = r_lo["index_docs_per_sec"]
+    tp_hi = r_hi["index_docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "index throughput scaling efficiency (8 -> 32 cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "docs_per_sec_8": tp_lo,
+        "docs_per_sec_32": tp_hi,
+        "index_sec_8": r_lo["queries"]["index_build"],
+        "index_sec_32": r_hi["queries"]["index_build"],
+        "total_sec_8": r_lo["value"],
+        "total_sec_32": r_hi["value"],
+        "query_p50_32": r_hi["queries"]["query_p50"],
+        "query_p99_32": r_hi["queries"]["query_p99"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -211,9 +211,7 @@ class IndexSearcher:
     ) -> TopDocs:
         if isinstance(query, str):
             query = parse_query(query)
-        use_wand = (
-            algo == "wand" or (algo == "auto" and self._wand_eligible(query))
-        ) and search_after is None
+        use_wand = algo == "wand" and self._wand_eligible(query) and search_after is None
         parts = []
         total = 0
         for r in self.readers:
@@ -252,6 +250,13 @@ class IndexSearcher:
         return sds[:k]
 
     def _wand_eligible(self, q: Query) -> bool:
+        """Shape check: WAND applies to term queries and pure disjunctions
+        (Boolean2ScorerSupplier.java:242-247 picks WANDScorer for TOP_SCORES
+        disjunctions). ``algo='auto'`` still prefers the vectorized exhaustive
+        kernel: with this corpus's tiny vocabulary every query term is dense,
+        so decoding whole (short, hot) posting lists beats Python-driven
+        block skipping; WAND is the verified scale path for selective terms
+        over huge indexes (forced with algo='wand', equality tested)."""
         if isinstance(q, TermQuery):
             return True
         return (
@@ -421,38 +426,53 @@ class IndexSearcher:
         if any(i < 0 for i in idxs):
             return empty
         post = [r.postings(int(i)) for i in idxs]
-        cand = post[0][0]
-        for docs_i, _ in post[1:]:
-            cand = np.intersect1d(cand, docs_i, assume_unique=True)
-            if not len(cand):
-                return empty
-        # position lookup tables per term: doc -> slice into its positions arr
         pos_arrays = [r.positions(int(i)) for i in idxs]
-        offsets = []
-        for (docs_i, freqs_i), _pa in zip(post, pos_arrays):
-            starts = np.concatenate([[0], np.cumsum(freqs_i)])
-            offsets.append((docs_i, starts))
-        match_docs = []
-        match_freqs = []
-        for d in cand.tolist():
-            sets = []
-            for t_i in range(len(terms)):
-                docs_i, starts = offsets[t_i]
-                j = int(np.searchsorted(docs_i, d))
-                p = pos_arrays[t_i][starts[j] : starts[j + 1]]
-                sets.append(p.astype(np.int64) - t_i)  # align to phrase start
-            if q.slop == 0:
-                common = sets[0]
-                for p in sets[1:]:
-                    common = np.intersect1d(common, p, assume_unique=False)
-                    if not len(common):
-                        break
-                freq = float(len(common))
-            else:
+
+        if q.slop == 0:
+            # Vectorized exact matcher across ALL docs at once: encode each
+            # occurrence as key = doc * 2^21 + position (positions < MAX_POSITION
+            # = 2^21-ish, IndexingChain.java MAX_POSITION cap); a phrase start
+            # (d, p) matches iff for every i, (d, p+i) is an occurrence of
+            # term_i, i.e. keys_0 ∩ (keys_1 − 1) ∩ … — sorted int64 intersects,
+            # no per-doc Python loop (ExactPhraseMatcher semantics).
+            SHIFT = np.int64(1) << np.int64(21)
+            keys = []
+            for (docs_i, freqs_i), pos_i in zip(post, pos_arrays):
+                doc_rep = np.repeat(docs_i.astype(np.int64), freqs_i)
+                keys.append(doc_rep * SHIFT + pos_i.astype(np.int64))
+            cand = keys[0]
+            for t_i in range(1, len(keys)):
+                cand = np.intersect1d(cand, keys[t_i] - t_i, assume_unique=True)
+                if not len(cand):
+                    return empty
+            docs64, counts = np.unique(cand >> np.int64(21), return_counts=True)
+            match_docs = docs64.astype(np.int32).tolist()
+            match_freqs = counts.astype(np.float64).tolist()
+        else:
+            # sloppy path: per-candidate-doc loop (candidates are the docID
+            # intersection; rare queries, approximate matcher — see _sloppy_freq)
+            cand = post[0][0]
+            for docs_i, _ in post[1:]:
+                cand = np.intersect1d(cand, docs_i, assume_unique=True)
+                if not len(cand):
+                    return empty
+            offsets = []
+            for (docs_i, freqs_i), _pa in zip(post, pos_arrays):
+                starts = np.concatenate([[0], np.cumsum(freqs_i)])
+                offsets.append((docs_i, starts))
+            match_docs = []
+            match_freqs = []
+            for d in cand.tolist():
+                sets = []
+                for t_i in range(len(terms)):
+                    docs_i, starts = offsets[t_i]
+                    j = int(np.searchsorted(docs_i, d))
+                    p = pos_arrays[t_i][starts[j] : starts[j + 1]]
+                    sets.append(p.astype(np.int64) - t_i)
                 freq = _sloppy_freq(sets, q.slop)
-            if freq > 0:
-                match_docs.append(d)
-                match_freqs.append(freq)
+                if freq > 0:
+                    match_docs.append(d)
+                    match_freqs.append(freq)
         if not match_docs:
             return empty
         docs = np.array(match_docs, dtype=np.int32)
@@ -543,8 +563,18 @@ class IndexSearcher:
                 continue
             sp = self._union(subs)
             nhits += len(sp.docs)
-            keys = r.doc_keys[sp.docs]
-            cand = [ScoreDoc(keys[j], float(sp.scores[j])) for j in range(len(sp.docs))]
+            # only docs that can enter the top-k become Python objects
+            # (>= threshold: equal scores can still displace on doc_key ties)
+            if len(best) >= k:
+                thr = best[-1].score
+                m = sp.scores >= thr
+                docs_f, scores_f = sp.docs[m], sp.scores[m]
+            else:
+                docs_f, scores_f = sp.docs, sp.scores
+            if not len(docs_f):
+                continue
+            keys = r.doc_keys[docs_f]
+            cand = [ScoreDoc(keys[j], float(scores_f[j])) for j in range(len(docs_f))]
             best = heapq.nsmallest(k, best + cand, key=ScoreDoc.sort_key)
         del heap
         if after is not None:

@@ -112,25 +112,28 @@ def extract_batch(batch: pa.Table) -> pa.Table:
 
 def synthesize_corpus(sf_dir: str, *, replicas: int = 1, parallelism: int | None = None):
     """documents.parquet under ``sf_dir`` → a web-page Dataset (url, warc_ts,
-    html, text, lang). Deterministic for a given (sf_dir, replicas)."""
+    html, text, lang). Deterministic for a given (sf_dir, replicas).
+
+    Replication happens INSIDE one map_batches (each input batch emits all of
+    its replicas) — one linear read of the source, no n-way ``union`` (a
+    40-way chained union builds a quadratically nested plan)."""
     import pyarrow.parquet as pq
     import ray.data
 
     n_docs_total = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    datasets = []
-    for rep in range(replicas):
-        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-        datasets.append(
-            ds.map_batches(
-                synthesize_batch,
-                batch_format="pyarrow",
-                fn_kwargs={"replica": rep, "n_docs_total": n_docs_total},
-            )
+
+    def synth_all(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                synthesize_batch(batch, replica=rep, n_docs_total=n_docs_total)
+                for rep in range(replicas)
+            ]
         )
-    out = datasets[0]
-    for d in datasets[1:]:
-        out = out.union(d)
-    return out
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    # keep output batches bounded when replicas is large (html is wide)
+    in_batch = max(64, 4096 // max(1, replicas))
+    return ds.map_batches(synth_all, batch_format="pyarrow", batch_size=in_batch)
 
 
 def write_corpus(sf_dir: str, out_dir: str, *, replicas: int = 1) -> str:
