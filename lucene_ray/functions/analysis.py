@@ -111,22 +111,19 @@ class Analyzer:
             empty_i = np.empty(0, dtype=np.int32)
             return np.empty(0, dtype=object), empty_i, empty_i, empty_i
 
-        # One megastring: docs joined by NUL. str.lower() first — the
-        # LowerCaseFilter is per-codepoint (analysis/LowerCaseFilter.java:37-45);
-        # Python str.lower matches Character.toLowerCase on the codepoints the
-        # golden tests cover (ASCII + Latin-1); divergences (e.g. U+0130)
-        # documented in tests.
-        mega = _SEP.join(texts).lower()
+        # Per-doc C-level findall (no per-token Python loop). str.lower()
+        # first — the LowerCaseFilter is per-codepoint
+        # (analysis/LowerCaseFilter.java:37-45); Python str.lower matches
+        # Character.toLowerCase on the codepoints the golden tests cover
+        # (ASCII + Latin-1); divergences (e.g. U+0130) documented in tests.
         token_re = _SIMPLE_RE if self.kind == "simple" else _TOKEN_RE
         if self.kind == "whitespace":
             token_re = re.compile(r"\S+")
-
-        starts: list[int] = []
-        toks: list[str] = []
-        for m in token_re.finditer(mega):
-            starts.append(m.start())
-            toks.append(m.group())
-        if not toks:
+        findall = token_re.findall
+        per_doc = [findall(t.lower()) for t in texts]
+        counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64, count=n_docs)
+        total = int(counts.sum())
+        if total == 0:
             empty_i = np.empty(0, dtype=np.int32)
             return (
                 np.empty(0, dtype=object),
@@ -135,31 +132,27 @@ class Analyzer:
                 np.zeros(n_docs, dtype=np.int32),
             )
 
-        terms = np.array(toks, dtype=object)
-        starts_a = np.array(starts, dtype=np.int64)
-
-        # Document boundaries: offset of each doc's first char in the megastring.
-        lens = np.array([len(t) for t in texts], dtype=np.int64)
-        doc_starts = np.zeros(n_docs, dtype=np.int64)
-        np.cumsum(lens[:-1] + 1, out=doc_starts[1:])
-        doc_idx = (np.searchsorted(doc_starts, starts_a, side="right") - 1).astype(np.int32)
-
-        # Position = token ordinal within its doc over ALL tokens the tokenizer
+        terms = np.empty(total, dtype=object)
+        pos = 0
+        for p in per_doc:
+            terms[pos : pos + len(p)] = p
+            pos += len(p)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int32), counts)
+        # position = token ordinal within its doc over ALL tokens the tokenizer
         # produced (overlong/stop tokens are dropped AFTER ordinal assignment,
         # which reproduces the posIncr-bump semantics).
-        first_of_doc = np.zeros(len(doc_idx), dtype=bool)
-        first_of_doc[0] = True
-        first_of_doc[1:] = doc_idx[1:] != doc_idx[:-1]
-        ordinal = np.arange(len(doc_idx), dtype=np.int32)
-        ordinal -= np.maximum.accumulate(np.where(first_of_doc, ordinal, 0))
-        positions = ordinal
+        doc_tok_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        positions = (np.arange(total, dtype=np.int64) - np.repeat(doc_tok_starts, counts)).astype(
+            np.int32
+        )
 
-        keep = np.ones(len(terms), dtype=bool)
+        keep = np.ones(total, dtype=bool)
         if self.max_token_length:
-            tok_lens = np.array([len(t) for t in toks], dtype=np.int32)
+            tok_lens = np.fromiter(map(len, terms), dtype=np.int32, count=total)
             keep &= tok_lens <= self.max_token_length
         if self.stop_words:
-            keep &= np.array([t not in self.stop_words for t in toks], dtype=bool)
+            sw = self.stop_words
+            keep &= np.fromiter((t not in sw for t in terms), dtype=bool, count=total)
 
         terms = terms[keep]
         doc_idx = doc_idx[keep]

@@ -231,22 +231,36 @@ class IndexSearcher:
         return sum(len(self._eval(r, query).docs) for r in self.readers)
 
     def _top_of(self, r: SegmentReader, sp: _SparseScores, k: int, after) -> list[ScoreDoc]:
-        n = len(sp.docs)
+        scores = sp.scores
+        keys = r.doc_keys[sp.docs]
+        if after is not None:
+            # keyset pagination: keep entries strictly after the (score, key)
+            # anchor BEFORE top-k selection (PagingTopScoreDocCollector,
+            # TopScoreDocCollector.java:104-114)
+            a_score, a_key = after
+            m = (scores < a_score) | ((scores == a_score) & (keys > a_key))
+            scores, keys = scores[m], keys[m]
+        n = len(scores)
         if n == 0:
             return []
-        keys = r.doc_keys[sp.docs]
         if n > k * 4:
-            # keep every doc scoring >= the k-th score (ties included), then
-            # apply the full (score desc, doc_key asc) comparator to that set.
-            thresh = np.partition(sp.scores, n - min(k, n))[n - min(k, n)]
-            cand = np.flatnonzero(sp.scores >= thresh)
+            # docs strictly above the k-th score all qualify; among the (often
+            # large) tie group AT the k-th score only the smallest doc_keys can
+            # qualify — heap-select those instead of sorting the whole tie set.
+            kk = min(k, n)
+            thresh = np.partition(scores, n - kk)[n - kk]
+            gt = np.flatnonzero(scores > thresh)
+            eq = np.flatnonzero(scores == thresh)
+            need = k - len(gt)
+            if need > 0 and len(eq) > need:
+                eq_keys = keys[eq]
+                sel = heapq.nsmallest(need, range(len(eq)), key=lambda j: eq_keys[j])
+                eq = eq[sel]
+            cand = np.concatenate([gt, eq]) if need > 0 else gt
         else:
             cand = np.arange(n)
-        sds = [ScoreDoc(keys[i], float(sp.scores[i])) for i in cand.tolist()]
+        sds = [ScoreDoc(keys[i], float(scores[i])) for i in cand.tolist()]
         sds.sort(key=ScoreDoc.sort_key)
-        if after is not None:
-            a_score, a_key = after
-            sds = [sd for sd in sds if (-sd.score, sd.doc_key) > (-a_score, a_key)]
         return sds[:k]
 
     def _wand_eligible(self, q: Query) -> bool:

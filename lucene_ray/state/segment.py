@@ -264,6 +264,10 @@ class SegmentReader:
         self.norms = d.column("norm").to_numpy()
         self.dls = d.column("dl").to_numpy()
         self.max_doc = self.meta["max_doc"]
+        # decoded-postings LRU (term cache for hot query terms; bounded —
+        # the analogue of reusing a TermsEnum/postings reader across queries)
+        self._decode_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._decode_cache_max = 256
 
     # -- term dictionary ---------------------------------------------------
 
@@ -293,7 +297,14 @@ class SegmentReader:
                 np.array([self._singleton_doc[i]], dtype=np.int32),
                 np.array([self._singleton_freq[i]], dtype=np.int32),
             )
-        return decode_postings(self._packed[i])
+        hit = self._decode_cache.get(i)
+        if hit is not None:
+            return hit
+        out = decode_postings(self._packed[i])
+        if len(self._decode_cache) >= self._decode_cache_max:
+            self._decode_cache.pop(next(iter(self._decode_cache)))
+        self._decode_cache[i] = out
+        return out
 
     def positions(self, term: str | int) -> np.ndarray:
         """Concatenated int32 positions, doc-major, aligned with freqs."""
