@@ -33,7 +33,8 @@ import numpy as np
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICAS = int(os.environ.get("BENCH_REPLICAS", "40"))
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "200"))
+NUM_PARTITIONS = int(os.environ.get("BENCH_PARTITIONS", "64"))
 QUERY_REPEATS = int(os.environ.get("BENCH_QUERY_REPEATS", "5"))
 
 
@@ -74,14 +75,16 @@ def run_bench() -> dict:
 
     # 1. index build (the headline)
     t0 = time.time()
-    ds = synthesize_corpus(SF_DIR, replicas=REPLICAS)
+    ds = synthesize_corpus(SF_DIR, replicas=REPLICAS, parallelism=NUM_PARTITIONS)
     ds = ds.map_batches(extract_batch, batch_format="pyarrow")
     manifest = build_index(
         ds,
         index_dir,
         key_col="url",
         text_col="text",
-        num_partitions=max(NUM_CPUS * 2, 16),
+        # FIXED across CPU levels: the scaling comparison must run the
+        # identical job (same partitioning) at both parallelism levels.
+        num_partitions=NUM_PARTITIONS,
         analyzer="standard",
         store_positions=True,
         resume=False,

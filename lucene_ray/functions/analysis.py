@@ -94,28 +94,27 @@ class Analyzer:
         terms, _doc_idx, positions, _lens = self.tokenize_batch([text])
         return list(zip(terms.tolist(), positions.tolist()))
 
-    def tokenize_batch(
+    def tokenize_batch_encoded(
         self, texts: list[str]
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-        """Tokenize a batch of documents in one regex scan.
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Tokenize a batch into DICTIONARY-ENCODED form (the hot path).
 
-        Returns ``(terms, doc_idx, positions, doc_lengths)`` where ``terms``
-        is an object ndarray of token strings, ``doc_idx[i]`` the document a
-        token belongs to, ``positions[i]`` its Lucene position (skipped
-        overlong tokens and stop words bump the increment), and
-        ``doc_lengths[j]`` the number of indexed tokens per document
-        (FieldInvertState.length − numOverlap, which feeds computeNorm).
+        Returns ``(codes, vocab, doc_idx, positions, doc_lengths)``: token i
+        is ``vocab[codes[i]]``; ``vocab`` is an object ndarray of the batch's
+        distinct terms (unsorted). Term-level filters (max length, stop
+        words) run at VOCAB size, not token count; the interning itself is
+        Arrow's C++ ``dictionary_encode`` — no per-token Python loop.
         """
         n_docs = len(texts)
+        empty_i = np.empty(0, dtype=np.int32)
         if n_docs == 0:
-            empty_i = np.empty(0, dtype=np.int32)
-            return np.empty(0, dtype=object), empty_i, empty_i, empty_i
+            return empty_i, np.empty(0, dtype=object), empty_i, empty_i, empty_i
 
-        # Per-doc C-level findall (no per-token Python loop). str.lower()
-        # first — the LowerCaseFilter is per-codepoint
-        # (analysis/LowerCaseFilter.java:37-45); Python str.lower matches
-        # Character.toLowerCase on the codepoints the golden tests cover
-        # (ASCII + Latin-1); divergences (e.g. U+0130) documented in tests.
+        # Per-doc C-level findall. str.lower() first — the LowerCaseFilter is
+        # per-codepoint (analysis/LowerCaseFilter.java:37-45); Python
+        # str.lower matches Character.toLowerCase on the codepoints the
+        # golden tests cover (ASCII + Latin-1); divergences (e.g. U+0130)
+        # documented in tests.
         token_re = _SIMPLE_RE if self.kind == "simple" else _TOKEN_RE
         if self.kind == "whitespace":
             token_re = re.compile(r"\S+")
@@ -124,19 +123,24 @@ class Analyzer:
         counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64, count=n_docs)
         total = int(counts.sum())
         if total == 0:
-            empty_i = np.empty(0, dtype=np.int32)
             return (
+                empty_i,
                 np.empty(0, dtype=object),
                 empty_i,
                 empty_i,
                 np.zeros(n_docs, dtype=np.int32),
             )
 
-        terms = np.empty(total, dtype=object)
-        pos = 0
-        for p in per_doc:
-            terms[pos : pos + len(p)] = p
-            pos += len(p)
+        import itertools
+
+        import pyarrow as pa
+
+        flat = list(itertools.chain.from_iterable(per_doc))
+        dic = pa.chunked_array([pa.array(flat, type=pa.string())]).combine_chunks()
+        enc = dic.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int32)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+
         doc_idx = np.repeat(np.arange(n_docs, dtype=np.int32), counts)
         # position = token ordinal within its doc over ALL tokens the tokenizer
         # produced (overlong/stop tokens are dropped AFTER ordinal assignment,
@@ -146,18 +150,31 @@ class Analyzer:
             np.int32
         )
 
-        keep = np.ones(total, dtype=bool)
+        vocab_keep = np.ones(len(vocab), dtype=bool)
         if self.max_token_length:
-            tok_lens = np.fromiter(map(len, terms), dtype=np.int32, count=total)
-            keep &= tok_lens <= self.max_token_length
+            vlens = np.fromiter(map(len, vocab), dtype=np.int32, count=len(vocab))
+            vocab_keep &= vlens <= self.max_token_length
         if self.stop_words:
             sw = self.stop_words
-            keep &= np.fromiter((t not in sw for t in terms), dtype=bool, count=total)
-
-        terms = terms[keep]
-        doc_idx = doc_idx[keep]
-        positions = positions[keep]
+            vocab_keep &= np.fromiter(
+                (t not in sw for t in vocab), dtype=bool, count=len(vocab)
+            )
+        if not vocab_keep.all():
+            keep = vocab_keep[codes]
+            codes = codes[keep]
+            doc_idx = doc_idx[keep]
+            positions = positions[keep]
         doc_lengths = np.bincount(doc_idx, minlength=n_docs).astype(np.int32)
+        return codes, vocab, doc_idx, positions, doc_lengths
+
+    def tokenize_batch(
+        self, texts: list[str]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Materialized-token variant of :meth:`tokenize_batch_encoded` —
+        ``(terms, doc_idx, positions, doc_lengths)`` with ``terms`` an object
+        ndarray of token strings (golden tests / small batches)."""
+        codes, vocab, doc_idx, positions, doc_lengths = self.tokenize_batch_encoded(texts)
+        terms = vocab[codes] if len(codes) else np.empty(0, dtype=object)
         return terms, doc_idx, positions, doc_lengths
 
 

@@ -131,6 +131,11 @@ def synthesize_corpus(sf_dir: str, *, replicas: int = 1, parallelism: int | None
         )
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    # A single small source file arrives as ONE block; split it so the
+    # (replicas ×) synthesis work fans out across the cluster instead of
+    # running in one task. Repartition moves only the tiny source rows.
+    if parallelism:
+        ds = ds.repartition(parallelism)
     # keep output batches bounded when replicas is large (html is wide)
     in_batch = max(64, 4096 // max(1, replicas))
     return ds.map_batches(synth_all, batch_format="pyarrow", batch_size=in_batch)

@@ -73,7 +73,7 @@ def build_segment_tables(
     ``doc_keys`` must already be in the desired local docID order.
     """
     n_docs = len(texts)
-    terms, doc_idx, positions, doc_lengths = analyzer.tokenize_batch(texts)
+    codes, vocab, doc_idx, positions, doc_lengths = analyzer.tokenize_batch_encoded(texts)
 
     norm_bytes = encode_lengths(doc_lengths)
     docs_tbl = pa.table(
@@ -84,7 +84,7 @@ def build_segment_tables(
         }
     )
 
-    if len(terms) == 0:
+    if len(codes) == 0:
         postings_tbl = pa.table(
             {
                 "term": pa.array([], type=pa.string()),
@@ -102,11 +102,17 @@ def build_segment_tables(
         stats = dict(max_doc=n_docs, doc_count=0, sum_doc_freq=0, sum_total_term_freq=0)
         return postings_tbl, docs_tbl, stats
 
-    # Sort (term, doc, position). np.unique on the term strings gives the
-    # sorted term dictionary (TermsHashPerField.sortTerms equivalent) and
-    # inverse codes; positions within a (term, doc) group stay ascending
-    # because the tokenizer emits them in order and the sort is stable.
-    uniq_terms, term_codes = np.unique(terms, return_inverse=True)
+    # Sort (term, doc, position). The tokenizer already dictionary-encoded
+    # the batch (Arrow C++ hashing — no object-array np.unique); here we only
+    # rank the SMALL vocab into byte order (TermsHashPerField.sortTerms
+    # equivalent) and remap the codes. Positions within a (term, doc) group
+    # stay ascending because the tokenizer emits them in order and the sort
+    # is stable.
+    vocab_order = np.argsort(vocab)  # vocab-sized string sort
+    rank = np.empty(len(vocab), dtype=np.int32)
+    rank[vocab_order] = np.arange(len(vocab), dtype=np.int32)
+    uniq_terms = vocab[vocab_order]
+    term_codes = rank[codes]
     order = np.lexsort((positions, doc_idx, term_codes))
     tc = term_codes[order]
     dd = doc_idx[order]
