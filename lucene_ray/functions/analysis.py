@@ -94,8 +94,50 @@ class Analyzer:
         terms, _doc_idx, positions, _lens = self.tokenize_batch([text])
         return list(zip(terms.tolist(), positions.tolist()))
 
+    def _tokenize_arrow(self, arr) -> tuple:
+        """Zero-Python-object tokenization: utf8_lower + regex split +
+        dictionary_encode entirely in Arrow C++ (single large buffers — the
+        hot path's memory-bandwidth saver).
+
+        EXACT for 'simple'/'whitespace'; for 'standard' it is only taken when
+        the batch passes the ASCII-simple precondition (see
+        tokenize_batch_encoded) under which UAX#29 output equals the simple
+        split — checked in C++ per batch, Python fallback otherwise.
+        """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n_docs = len(arr)
+        if self.kind == "whitespace":
+            lists = pc.split_pattern_regex(arr, pattern=r"\s+")
+        else:
+            lists = pc.split_pattern_regex(pc.utf8_lower(arr), pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        parents = parents.filter(nonempty)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        enc = flat.dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int32, copy=False)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        doc_idx = np.asarray(parents).astype(np.int32, copy=False)
+        total = len(codes)
+        counts = np.bincount(doc_idx, minlength=n_docs)
+        doc_tok_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        positions = (
+            np.arange(total, dtype=np.int64) - np.repeat(doc_tok_starts, counts)
+        ).astype(np.int32)
+        return codes, vocab, doc_idx, positions, counts
+
+    # the batch is safe for the arrow fast path under 'standard' iff it has no
+    # codepoint whose UAX#29 treatment differs from the [a-z0-9]+ split —
+    # i.e. only ASCII alnum + space-ish separators, no medial ['.,:_] joiners.
+    _ARROW_SAFE_RE = r"^[A-Za-z0-9 \t\n\r!\"#$%&()*+\-/;<=>?@\[\]^`{|}~\\]*$"
+
     def tokenize_batch_encoded(
-        self, texts: list[str]
+        self, texts
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Tokenize a batch into DICTIONARY-ENCODED form (the hot path).
 
@@ -109,6 +151,31 @@ class Analyzer:
         empty_i = np.empty(0, dtype=np.int32)
         if n_docs == 0:
             return empty_i, np.empty(0, dtype=object), empty_i, empty_i, empty_i
+
+        # Arrow fast path: input already an Arrow array (or promotable) and
+        # either the chain is exactly expressible (simple/whitespace) or the
+        # batch provably contains no codepoints where UAX#29 differs.
+        try:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            arr = None
+            if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+                arr = texts if not isinstance(texts, pa.ChunkedArray) else texts.combine_chunks()
+            if arr is not None:
+                safe = self.kind in ("simple", "whitespace")
+                if not safe and self.kind == "standard":
+                    m = pc.match_substring_regex(arr, self._ARROW_SAFE_RE)
+                    safe = bool(pc.all(pc.fill_null(m, False)).as_py()) and arr.null_count == 0
+                if safe:
+                    codes, vocab, doc_idx, positions, counts = self._tokenize_arrow(arr)
+                    return self._apply_term_filters(
+                        codes, vocab, doc_idx, positions, n_docs
+                    )
+            if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+                texts = texts.to_pylist()
+        except ImportError:  # pragma: no cover
+            pass
 
         # Per-doc C-level findall. str.lower() first — the LowerCaseFilter is
         # per-codepoint (analysis/LowerCaseFilter.java:37-45); Python
@@ -150,6 +217,11 @@ class Analyzer:
             np.int32
         )
 
+        return self._apply_term_filters(codes, vocab, doc_idx, positions, n_docs)
+
+    def _apply_term_filters(self, codes, vocab, doc_idx, positions, n_docs):
+        """Vocab-level max-length / stop-word filters + per-doc lengths.
+        Runs at vocabulary size, not token count."""
         vocab_keep = np.ones(len(vocab), dtype=bool)
         if self.max_token_length:
             vlens = np.fromiter(map(len, vocab), dtype=np.int32, count=len(vocab))

@@ -40,6 +40,21 @@ from lucene_ray.state.manifest import Manifest, completed_part_ids
 from lucene_ray.state.segment import build_segment_tables, write_segment
 
 
+_threads_limited = False
+
+
+def _limit_worker_threads() -> None:
+    """One Ray worker == one CPU slot: pin Arrow's internal pools so N
+    concurrent invert/merge tasks don't each spin up a machine-wide thread
+    pool (heavy per-task slowdown from oversubscription otherwise).
+    Runs inside the worker process, once."""
+    global _threads_limited
+    if not _threads_limited:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        _threads_limited = True
+
+
 def _part_ids_for_keys(keys: pa.ChunkedArray | pa.Array, num_partitions: int) -> np.ndarray:
     """Deterministic content hash → partition id (stable across processes —
     unlike Python's salted ``hash``)."""
@@ -84,12 +99,13 @@ class _BuildSegment:
         self.num_partitions = num_partitions
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        _limit_worker_threads()
         part_id = int(group.column("__part_id")[0].as_py())
         # deterministic local docID order: sort by document key
         order = pa.compute.sort_indices(group.column(self.key_col))
         group = group.take(order)
         keys = group.column(self.key_col).to_numpy(zero_copy_only=False)
-        texts = group.column(self.text_col).to_pylist()
+        texts = group.column(self.text_col)  # Arrow column → tokenizer fast path
         postings_tbl, docs_tbl, stats = build_segment_tables(
             keys, texts, self.analyzer, store_positions=self.store_positions
         )

@@ -66,27 +66,48 @@ def extract_title(html: bytes) -> str:
     return _unescape(s[t0:t1].decode("utf-8"))
 
 
+def _escape_arr(arr):
+    for a, b in _ESC:
+        arr = pc.replace_substring(arr, pattern=a, replacement=b)
+    return arr
+
+
+def _unescape_arr(arr):
+    for a, b in reversed(_ESC):
+        arr = pc.replace_substring(arr, pattern=b, replacement=a)
+    return arr
+
+
 def synthesize_batch(batch: pa.Table, *, replica: int = 0, n_docs_total: int = 0) -> pa.Table:
-    """documents rows → web-page rows. Pure per-batch map (no state).
+    """documents rows → web-page rows. Pure per-batch map (no state),
+    vectorized end-to-end with Arrow string kernels (no per-row Python).
 
     ``replica`` > 0 produces additional deterministic copies with distinct
     urls/doc ids (used to scale the bench corpus; text is reused — realistic
     for web crawls, which are duplicate-heavy).
     """
     doc_ids = batch.column("doc_id").to_numpy() + replica * n_docs_total
-    texts = batch.column("text").to_pylist()
-    langs = batch.column("lang").to_pylist()
-    sources = batch.column("source").to_pylist()
-    urls = [f"https://example.org/{s}/{d:010d}" for s, d in zip(sources, doc_ids.tolist())]
-    html = [make_html(t, f"doc {d}") for t, d in zip(texts, doc_ids.tolist())]
+    id_strs = pa.array(np.char.zfill(doc_ids.astype("U10"), 10))
+    texts = batch.column("text")
+    urls = pc.binary_join_element_wise(
+        "https://example.org/", batch.column("source").cast(pa.string()), "/",
+        id_strs, ""
+    )
+    esc_text = _escape_arr(texts.cast(pa.string()))
+    titles = pc.binary_join_element_wise("doc ", pa.array(doc_ids.astype("U20")), "")
+    # NB: binary_join_element_wise's LAST argument is the join separator
+    html = pc.binary_join_element_wise(
+        "<html><head><title>", _escape_arr(titles), "</title></head><body><p>",
+        esc_text, "</p></body></html>", ""
+    )
     ts = (WARC_EPOCH_US + doc_ids.astype(np.int64) * 7_000_000).astype("datetime64[us]")
     return pa.table(
         {
-            "url": pa.array(urls, type=pa.string()),
+            "url": urls,
             "warc_ts": pa.array(ts, type=pa.timestamp("us")),
-            "html": pa.array(html, type=pa.binary()),
-            "text": pa.array(texts, type=pa.string()),
-            "lang": pa.array(langs, type=pa.string()),
+            "html": html.cast(pa.binary()),
+            "text": texts,
+            "lang": batch.column("lang"),
         }
     )
 
@@ -98,16 +119,23 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     Verifies the byte-identity invariant when the table still carries the
     original text column.
     """
-    html = batch.column("html").to_pylist()
-    extracted = [extract_text(h) for h in html]
+    html_str = batch.column("html").cast(pa.string())
+    ex = pc.extract_regex(html_str, pattern=r"(?s)<body><p>(?P<body>.*)</p></body>")
+    body = pc.struct_field(ex, "body")
+    if body.null_count > 0:
+        bad = batch.column("url").filter(pc.is_null(body)).to_pylist()[:3]
+        raise ValueError(f"extraction failed for {bad}")
+    extracted = _unescape_arr(body)
     if "text" in batch.column_names:
-        orig = batch.column("text").to_pylist()
-        for u, a, b in zip(batch.column("url").to_pylist(), extracted, orig):
-            if a != b:
-                raise ValueError(f"extraction mismatch for {u!r}")
+        same = pc.all(pc.equal(extracted, batch.column("text").cast(pa.string())))
+        if not same.as_py():
+            mism = batch.column("url").filter(
+                pc.not_equal(extracted, batch.column("text").cast(pa.string()))
+            ).to_pylist()[:3]
+            raise ValueError(f"extraction mismatch for {mism}")
     keep = [c for c in batch.column_names if c not in ("html", "text")]
     out = batch.select(keep)
-    return out.append_column("text", pa.array(extracted, type=pa.string()))
+    return out.append_column("text", extracted)
 
 
 def synthesize_corpus(sf_dir: str, *, replicas: int = 1, parallelism: int | None = None):

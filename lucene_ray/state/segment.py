@@ -57,7 +57,7 @@ META_NAME = "meta.json"
 
 def build_segment_tables(
     doc_keys: np.ndarray,
-    texts: list[str],
+    texts,
     analyzer: Analyzer,
     *,
     store_positions: bool = True,
@@ -70,7 +70,9 @@ def build_segment_tables(
     82-128). Vectorized: one regex pass tokenizes the whole batch, one argsort
     groups (term, doc) pairs, run-length encoding yields freqs.
 
-    ``doc_keys`` must already be in the desired local docID order.
+    ``doc_keys`` must already be in the desired local docID order. ``texts``
+    may be a list[str] or an Arrow (Chunked)Array — pass the Arrow column
+    straight through for the zero-copy tokenizer fast path.
     """
     n_docs = len(texts)
     codes, vocab, doc_idx, positions, doc_lengths = analyzer.tokenize_batch_encoded(texts)
