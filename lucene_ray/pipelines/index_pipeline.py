@@ -228,11 +228,27 @@ def build_term_stats(index_dir: str, manifest: Manifest | None = None) -> str:
     out_path = os.path.join(index_dir, f"term_stats-{manifest.gen}.parquet")
     if os.path.exists(out_path):
         return out_path
-    ds = ray.data.read_parquet(paths, columns=["term", "doc_freq", "total_tf"])
-    agg = ds.groupby("term").aggregate(
-        Sum("doc_freq", alias_name="doc_freq"), Sum("total_tf", alias_name="total_tf")
-    )
-    tbl = pa.Table.from_pandas(agg.to_pandas().sort_values("term").reset_index(drop=True))
+    total_terms = sum(s.get("n_terms", 0) for s in manifest.segments)
+    if total_terms and total_terms <= 2_000_000:
+        # small-dictionary fast path: the partials fit the driver easily —
+        # read columns directly and aggregate with one Arrow groupby instead
+        # of paying a full Ray Data all-to-all for kilobytes of data.
+        import pyarrow.parquet as _pq
+
+        parts = [
+            _pq.read_table(p, columns=["term", "doc_freq", "total_tf"]) for p in paths
+        ]
+        cat = pa.concat_tables(parts)
+        agg_t = cat.group_by("term").aggregate(
+            [("doc_freq", "sum"), ("total_tf", "sum")]
+        )
+        tbl = agg_t.rename_columns(["term", "doc_freq", "total_tf"]).sort_by("term")
+    else:
+        ds = ray.data.read_parquet(paths, columns=["term", "doc_freq", "total_tf"])
+        agg = ds.groupby("term").aggregate(
+            Sum("doc_freq", alias_name="doc_freq"), Sum("total_tf", alias_name="total_tf")
+        )
+        tbl = pa.Table.from_pandas(agg.to_pandas().sort_values("term").reset_index(drop=True))
     import pyarrow.parquet as pq
 
     tmp = out_path + ".tmp"
