@@ -35,6 +35,10 @@ OR_QUERIES = [("stream", "batch"), ("key", "value", "hash"), ("customer", "order
 PHRASE_QUERIES = [("batch", "batch"), ("window", "window"), ("merge", "sort")]
 MSM_QUERY = ("merge", "spark", "window")  # minimum_should_match=2
 PREFIXES = ["s", "b", "w", "qu"]
+WILDCARDS = ["s?an", "b*h", "*ue*"]
+RANGE = ("batch", "data")
+FUZZY_TERMS = ["scam", "merge", "window"]
+SYNONYMS = ("merge", "join")
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_MAX_ID = 150
 
@@ -69,7 +73,7 @@ _SCORE = (
 
 
 def _cache_dir(sf_dir: str, tag: str) -> str:
-    key = hashlib.md5(f"{sf_dir}|{tag}|v1".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|{tag}|v2".encode()).hexdigest()[:12]
     return os.path.join("/tmp/lucene_ray_cache", f"{tag}-{key}")
 
 
@@ -88,7 +92,8 @@ def _gate_index(sf_dir: str) -> str:
             text_col="text",
             num_partitions=4,
             analyzer="simple",
-            columns=["doc_id", "text"],
+            columns=["doc_id", "text", "lang", "n_chars"],
+            docvalue_cols=("lang", "n_chars"),
         )
     return d
 
@@ -395,6 +400,90 @@ def _web_index(sf_dir: str) -> str:
     return d
 
 
+def _q_wildcard_count(sf_dir: str) -> pa.Table:
+    from lucene_ray.query import WildcardQuery
+
+    s = _searcher(sf_dir)
+    pats = WILDCARDS
+    return pa.table(
+        {
+            "pattern": pa.array(pats, type=pa.string()),
+            "n_docs": pa.array([s.count(WildcardQuery(p)) for p in pats], type=pa.int64()),
+        }
+    )
+
+
+def _q_term_range_count(sf_dir: str) -> pa.Table:
+    from lucene_ray.query import TermRangeQuery
+
+    s = _searcher(sf_dir)
+    n = s.count(TermRangeQuery(*RANGE))
+    return pa.table({"n_docs": pa.array([n], type=pa.int64())})
+
+
+def _q_fuzzy_count(sf_dir: str) -> pa.Table:
+    from lucene_ray.query import FuzzyQuery
+
+    s = _searcher(sf_dir)
+    return pa.table(
+        {
+            "term": pa.array(FUZZY_TERMS, type=pa.string()),
+            "n_docs": pa.array(
+                [s.count(FuzzyQuery(t, max_edits=1)) for t in FUZZY_TERMS], type=pa.int64()
+            ),
+        }
+    )
+
+
+def _q_synonym_topk(sf_dir: str) -> pa.Table:
+    from lucene_ray.query import SynonymQuery
+
+    s = _searcher(sf_dir)
+    return _ranked_topk(s, [(" ".join(SYNONYMS), SynonymQuery(SYNONYMS))])
+
+
+def _q_sort_by_field(sf_dir: str) -> pa.Table:
+    from lucene_ray.query import TermQuery
+
+    s = _searcher(sf_dir)
+    rows = s.search_by_field(TermQuery("merge"), "n_chars", k=K, descending=True)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+            "doc_id": pa.array([int(k) for k, _ in rows], type=pa.int64()),
+            "n_chars": pa.array([int(v) for _, v in rows], type=pa.int64()),
+        }
+    )
+
+
+def _q_facet_lang(sf_dir: str) -> pa.Table:
+    from lucene_ray.query import TermQuery
+
+    s = _searcher(sf_dir)
+    fc = s.facet_counts(TermQuery("merge"), "lang")
+    langs = sorted(fc)
+    return pa.table(
+        {
+            "lang": pa.array(langs, type=pa.string()),
+            "n": pa.array([fc[l] for l in langs], type=pa.int64()),
+        }
+    )
+
+
+def _q_grouped_topk(sf_dir: str) -> pa.Table:
+    from lucene_ray.query import TermQuery
+
+    s = _searcher(sf_dir)
+    rows = s.grouped_topk(TermQuery("merge"), "lang", k_per_group=2)
+    return pa.table(
+        {
+            "lang": pa.array([g for g, *_ in rows], type=pa.string()),
+            "rank": pa.array([r for _, r, *_ in rows], type=pa.int64()),
+            "doc_id": pa.array([int(k) for _, _, k, _ in rows], type=pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------- SQL
 
 
@@ -586,6 +675,96 @@ WHERE 2 * inter_n >= (ca.n + cb.n - inter_n)
 """
 
 
+
+_WILD_VALUES = ", ".join(
+    f"('{p}', '{p.replace('?', '_').replace('*', '%')}')" for p in WILDCARDS
+)
+
+_SQL_WILDCARD = f"""
+WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+p(pattern, like_pat) AS (VALUES {_WILD_VALUES})
+SELECT p.pattern, count(DISTINCT t.doc_id)::BIGINT AS n_docs
+FROM p LEFT JOIN toks t ON t.term LIKE p.like_pat
+GROUP BY p.pattern
+"""
+
+_SQL_TERM_RANGE = f"""
+WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM base)
+SELECT count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM toks WHERE term BETWEEN '{RANGE[0]}' AND '{RANGE[1]}'
+"""
+
+_SQL_FUZZY = f"""
+WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in FUZZY_TERMS)})
+SELECT q.term, count(DISTINCT t.doc_id)::BIGINT AS n_docs
+FROM q LEFT JOIN toks t ON levenshtein(t.term, q.term) <= 1
+GROUP BY q.term
+"""
+
+_SYN_IN = ", ".join(f"'{t}'" for t in SYNONYMS)
+_SQL_SYNONYM = f"""
+WITH {_BASE},
+syn AS (SELECT doc_id, sum(tf) AS tf FROM tf WHERE term IN ({_SYN_IN}) GROUP BY doc_id),
+sdf AS (SELECT max(df) AS df FROM df WHERE term IN ({_SYN_IN})),
+scored AS (
+  SELECT '{" ".join(SYNONYMS)}' AS query, syn.doc_id,
+         ln(1 + (stats.doc_count - sdf.df + 0.5)/(sdf.df + 0.5))
+         * (syn.tf * 2.2) / (syn.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.sum_ttf / stats.doc_count))) AS score
+  FROM syn JOIN dl ON dl.doc_id = syn.doc_id CROSS JOIN sdf CROSS JOIN stats
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
+"""
+
+_SQL_SORT_BY_FIELD = f"""
+WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),
+ranked AS (
+  SELECT d.doc_id, d.n_chars,
+         row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS rank
+  FROM documents d JOIN m ON m.doc_id = d.doc_id
+)
+SELECT rank, doc_id, n_chars FROM ranked WHERE rank <= {K}
+"""
+
+_SQL_FACET_LANG = f"""
+WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')
+SELECT d.lang, count(*)::BIGINT AS n
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+GROUP BY d.lang
+"""
+
+_SQL_GROUPED_TOPK = f"""
+WITH {_BASE},
+scored AS (
+  SELECT d.lang, tf.doc_id, {_SCORE} AS score
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = tf.term
+  JOIN documents d ON d.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.term = 'merge'
+),
+ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT lang, rank, doc_id FROM ranked WHERE rank <= 2
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -611,6 +790,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_should_match_topk": _q_msm_topk,
         "search_after": _q_search_after,
         "prefix_count": _q_prefix_count,
+        "wildcard_count": _q_wildcard_count,
+        "term_range_count": _q_term_range_count,
+        "fuzzy_count": _q_fuzzy_count,
+        "synonym_topk": _q_synonym_topk,
+        "sort_by_field": _q_sort_by_field,
+        "facet_lang": _q_facet_lang,
+        "grouped_topk": _q_grouped_topk,
         # analysis chain / text stats (SURVEY §2.2 + data-prep extensions)
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
@@ -641,6 +827,13 @@ def oracle_sql() -> dict[str, str]:
         "min_should_match_topk": _sql_multi_term_topk([MSM_QUERY], "or", k=20, msm=2),
         "search_after": _sql_single_term_topk(["merge"], rank_lo=11, rank_hi=20),
         "prefix_count": _SQL_PREFIX_COUNT,
+        "wildcard_count": _SQL_WILDCARD,
+        "term_range_count": _SQL_TERM_RANGE,
+        "fuzzy_count": _SQL_FUZZY,
+        "synonym_topk": _SQL_SYNONYM,
+        "sort_by_field": _SQL_SORT_BY_FIELD,
+        "facet_lang": _SQL_FACET_LANG,
+        "grouped_topk": _SQL_GROUPED_TOPK,
         "token_stats": _SQL_TOKEN_STATS,
         "quality_scores": _SQL_QUALITY,
         "fingerprint": _SQL_FINGERPRINT,

@@ -89,7 +89,8 @@ class _BuildSegment:
     TermsHashPerField analogue) lives only for the duration of the group."""
 
     def __init__(self, index_dir: str, key_col: str, text_col: str, analyzer_kind: str,
-                 store_positions: bool, num_partitions: int):
+                 store_positions: bool, num_partitions: int,
+                 docvalue_cols: tuple = ()):
         self.index_dir = index_dir
         self.key_col = key_col
         self.text_col = text_col
@@ -97,6 +98,7 @@ class _BuildSegment:
         self.analyzer_kind = analyzer_kind
         self.store_positions = store_positions
         self.num_partitions = num_partitions
+        self.docvalue_cols = tuple(docvalue_cols)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         _limit_worker_threads()
@@ -109,6 +111,8 @@ class _BuildSegment:
         postings_tbl, docs_tbl, stats = build_segment_tables(
             keys, texts, self.analyzer, store_positions=self.store_positions
         )
+        for c in self.docvalue_cols:  # doc-values columns ride the docs table
+            docs_tbl = docs_tbl.append_column(c, group.column(c))
         name = f"seg{part_id:06d}-g0"
         meta = write_segment(
             self.index_dir,
@@ -143,6 +147,7 @@ def build_index(
     extract_html: bool = False,
     dedup_exact: bool = False,
     columns: list[str] | None = None,
+    docvalue_cols: tuple = (),
 ) -> Manifest:
     """Build (or resume) an index from a Dataset or a parquet path/dir.
 
@@ -156,6 +161,7 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     if isinstance(source, (str, list)):
         cols = columns or ([key_col, "html"] if extract_html else [key_col, text_col])
+        cols = list(dict.fromkeys(list(cols) + list(docvalue_cols)))
         ds = ray.data.read_parquet(source, columns=cols)
     else:
         ds = source
@@ -185,7 +191,7 @@ def build_index(
             batch_format="pyarrow",
         )
         builder = _BuildSegment(index_dir, key_col, text_col, analyzer, store_positions,
-                                num_partitions)
+                                num_partitions, docvalue_cols)
 
         def build_one_segment(group: pa.Table) -> pa.Table:
             return builder(group)
@@ -206,6 +212,7 @@ def build_index(
             "analyzer": analyzer,
             "num_partitions": num_partitions,
             "store_positions": store_positions,
+            "docvalue_cols": list(docvalue_cols),
         },
     )
     manifest.commit()

@@ -54,6 +54,56 @@ class PrefixQuery(Query):
 
 
 @dataclass(frozen=True)
+class WildcardQuery(Query):
+    """``?`` = one char, ``*`` = any run (search/WildcardQuery.java) —
+    executed as a compiled-regex scan over the sorted term dictionary, the
+    moral equivalent of the automaton∩term-dict intersection."""
+
+    pattern: str
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    """RE2-style regexp over the term dictionary (search/RegexpQuery.java);
+    anchored at both ends like the reference."""
+
+    pattern: str
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    """Terms within Levenshtein distance ``max_edits`` (≤2, like
+    search/FuzzyQuery.java); ``prefix_length`` chars must match exactly.
+    Rewrites to a blended constant-score-ish OR: the reference scores each
+    expanded term with a boost of (1 - edits/len); we reproduce that."""
+
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    """lower ≤ term ≤ upper lexicographic range scan (TermRangeQuery.java)."""
+
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    """Multi-term scored as ONE pseudo-term: summed tf per doc, idf from the
+    blended (max) docFreq (search/SynonymQuery.java:52-214)."""
+
+    terms: tuple
+
+    def __init__(self, terms):
+        object.__setattr__(self, "terms", tuple(terms))
+
+
+@dataclass(frozen=True)
 class TermInSetQuery(Query):
     terms: tuple
 
@@ -270,7 +320,7 @@ def extract_terms(q: Query) -> set[str]:
         return {q.term}
     if isinstance(q, PhraseQuery):
         return set(q.terms)
-    if isinstance(q, TermInSetQuery):
+    if isinstance(q, (TermInSetQuery, SynonymQuery)):
         return set(q.terms)
     if isinstance(q, (BoostQuery, ConstantScoreQuery)):
         return extract_terms(q.query)

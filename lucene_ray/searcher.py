@@ -49,12 +49,17 @@ from lucene_ray.query import (
     BoostQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FuzzyQuery,
     MatchAllDocsQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
+    RegexpQuery,
+    SynonymQuery,
     TermInSetQuery,
     TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
     parse_query,
 )
 from lucene_ray.query import extract_terms
@@ -84,6 +89,28 @@ def _merge_top(parts: list[list[ScoreDoc]], k: int, after: tuple | None = None) 
         a_score, a_key = after
         allsd = [sd for sd in allsd if (-sd.score, sd.doc_key) > (-a_score, a_key)]
     return heapq.nsmallest(k, allsd, key=ScoreDoc.sort_key)
+
+
+def _bounded_edit_distance(a: str, b: str, max_edits: int) -> int:
+    """Levenshtein distance if ≤ max_edits else -1 (banded DP, early exit)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > max_edits:
+        return -1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        row_min = i
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            row_min = min(row_min, cur[j])
+        if row_min > max_edits:
+            return -1
+        prev = cur
+    return prev[lb] if prev[lb] <= max_edits else -1
 
 
 def _sloppy_freq(position_sets: list[np.ndarray], slop: int) -> float:
@@ -316,6 +343,38 @@ class IndexSearcher:
             idxs = [i for t in q.terms if (i := r.term_index(t)) >= 0]
             docs = self._union_docs(r, idxs)
             return _SparseScores(docs, np.full(len(docs), boost))
+        if isinstance(q, WildcardQuery):
+            import re as _re
+
+            pat = _re.compile(
+                "".join(
+                    ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                    for c in q.pattern
+                )
+            )
+            idxs = [i for i in range(len(r.terms)) if pat.fullmatch(r.terms[i])]
+            docs = self._union_docs(r, idxs)
+            return _SparseScores(docs, np.full(len(docs), boost))
+        if isinstance(q, RegexpQuery):
+            import re as _re
+
+            pat = _re.compile(q.pattern)
+            idxs = [i for i in range(len(r.terms)) if pat.fullmatch(r.terms[i])]
+            docs = self._union_docs(r, idxs)
+            return _SparseScores(docs, np.full(len(docs), boost))
+        if isinstance(q, TermRangeQuery):
+            lo = 0 if q.lower is None else int(
+                np.searchsorted(r.terms, q.lower, side="left" if q.include_lower else "right")
+            )
+            hi = len(r.terms) if q.upper is None else int(
+                np.searchsorted(r.terms, q.upper, side="right" if q.include_upper else "left")
+            )
+            docs = self._union_docs(r, range(lo, hi))
+            return _SparseScores(docs, np.full(len(docs), boost))
+        if isinstance(q, FuzzyQuery):
+            return self._eval_fuzzy(r, q, boost)
+        if isinstance(q, SynonymQuery):
+            return self._eval_synonym(r, q, boost)
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(r, q, boost)
         if isinstance(q, DisjunctionMaxQuery):
@@ -423,6 +482,138 @@ class IndexSearcher:
             if not len(result.docs):
                 return empty
         return result
+
+    # ----------------------------------- field sort / facets / grouping
+
+    def search_by_field(
+        self, query: Query | str, field: str, k: int = 10, *, descending: bool = True
+    ) -> list[tuple]:
+        """TopFieldCollector analogue (search/TopFieldCollector.java:39-151):
+        top-k matching docs ordered by a doc-values column, ties by doc_key.
+        Returns [(doc_key, field_value), ...]."""
+        if isinstance(query, str):
+            query = parse_query(query)
+        rows = []
+        for r in self.readers:
+            sp = self._eval(r, query)
+            if not len(sp.docs):
+                continue
+            vals = r.doc_values[field][sp.docs]
+            keys = r.doc_keys[sp.docs]
+            idx = np.arange(len(vals))
+            if len(idx) > k * 4 and np.issubdtype(vals.dtype, np.number):
+                kk = min(k, len(idx))
+                thr = np.partition(vals, len(vals) - kk)[len(vals) - kk] if descending else \
+                    np.partition(vals, kk - 1)[kk - 1]
+                idx = np.flatnonzero(vals >= thr) if descending else np.flatnonzero(vals <= thr)
+            rows.extend((vals[i], keys[i]) for i in idx.tolist())
+        rows.sort(key=(lambda t: (-t[0], t[1])) if descending else (lambda t: (t[0], t[1])))
+        return [(kkey, val) for val, kkey in rows[:k]]
+
+    def facet_counts(self, query: Query | str, field: str) -> dict:
+        """Facet counting over a doc-values column for matching docs
+        (facet/FacetsCollector + LongValueFacetCounts analogue): per-segment
+        partial bincounts merged on the way out."""
+        if isinstance(query, str):
+            query = parse_query(query)
+        out: dict = {}
+        for r in self.readers:
+            sp = self._eval(r, query)
+            if not len(sp.docs):
+                continue
+            vals, counts = np.unique(r.doc_values[field][sp.docs], return_counts=True)
+            for v, c in zip(vals.tolist(), counts.tolist()):
+                out[v] = out.get(v, 0) + c
+        return out
+
+    def grouped_topk(
+        self, query: Query | str, group_field: str, k_per_group: int = 2
+    ) -> list[tuple]:
+        """Two-pass grouping analogue (grouping/FirstPassGroupingCollector →
+        SecondPassGroupingCollector): top-k docs per group value by
+        (round(score,6) desc, doc_key asc). Returns
+        [(group, rank, doc_key, score), ...] sorted by (group, rank)."""
+        if isinstance(query, str):
+            query = parse_query(query)
+        acc: dict = {}
+        for r in self.readers:
+            sp = self._eval(r, query)
+            if not len(sp.docs):
+                continue
+            groups = r.doc_values[group_field][sp.docs]
+            keys = r.doc_keys[sp.docs]
+            for g, kkey, s in zip(groups.tolist(), keys.tolist(), sp.scores.tolist()):
+                acc.setdefault(g, []).append((-np.round(s, 6), kkey, s))
+        out = []
+        for g in sorted(acc):
+            best = heapq.nsmallest(k_per_group, acc[g])
+            for rank, (_, kkey, s) in enumerate(best, start=1):
+                out.append((g, rank, kkey, s))
+        return out
+
+    # -------------------------------------------------- fuzzy / synonym
+
+    def _eval_fuzzy(self, r: SegmentReader, q: FuzzyQuery, boost: float) -> _SparseScores:
+        """Expand to dictionary terms within edit distance ≤ max_edits
+        (FuzzyQuery.java; FuzzyTermsEnum boost = 1 − edits/min-length after
+        the required exact prefix), then score as a boosted disjunction of
+        TermQueries. Scan scope: the prefix range of the sorted dictionary
+        when prefix_length > 0, else the whole (per-segment) dictionary —
+        the automaton-intersection equivalent; fine for bounded vocabularies,
+        range-prunable at scale."""
+        if q.prefix_length > 0:
+            prefix = q.term[: q.prefix_length]
+            lo, hi = r.term_range(prefix)
+        else:
+            lo, hi = 0, len(r.terms)
+        subs = []
+        base = q.term
+        for i in range(lo, hi):
+            cand = r.terms[i]
+            ed = _bounded_edit_distance(base, cand, q.max_edits)
+            if ed < 0:
+                continue
+            if ed == 0:
+                tb = 1.0
+            else:
+                m = min(len(base), len(cand)) - q.prefix_length
+                tb = 1.0 - ed / max(m, 1)
+            sub = self._eval(r, TermQuery(cand), boost * tb)
+            if len(sub.docs):
+                subs.append(sub)
+        return self._dismax(subs, 0.0) if subs else _SparseScores(
+            np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64)
+        )
+
+    def _eval_synonym(self, r: SegmentReader, q: SynonymQuery, boost: float) -> _SparseScores:
+        """One pseudo-term (SynonymQuery.java:52-214): per-doc tf = Σ tf over
+        synonyms, statistics blended as df = max docFreq, ttf = Σ (documented
+        blend), scored through BM25 once."""
+        empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        stats = [self.term_statistics(t) for t in q.terms]
+        stats = [s for s in stats if s.doc_freq > 0]
+        if not stats:
+            return empty
+        blended = TermStatistics(
+            "|".join(q.terms),
+            max(s.doc_freq for s in stats),
+            sum(s.total_term_freq for s in stats),
+        )
+        docs_all, freqs_all = [], []
+        for t in q.terms:
+            d, f = r.postings(t)
+            if len(d):
+                docs_all.append(d)
+                freqs_all.append(f)
+        if not docs_all:
+            return empty
+        docs = np.concatenate(docs_all)
+        freqs = np.concatenate(freqs_all).astype(np.float64)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        tf = np.zeros(len(uniq))
+        np.add.at(tf, inv, freqs)
+        scorer = self.sim.scorer(self.collection_stats, blended, boost=boost)
+        return _SparseScores(uniq.astype(np.int32), self._score_arrays(r, scorer, uniq.astype(np.int32), tf))
 
     # ------------------------------------------------------------ phrase
 

@@ -100,14 +100,12 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             "positions": pa.array(pos_col, type=pa.binary()),
         }
     )
-    docs_tbl = pa.table(
-        {
-            "doc_key": pa.concat_arrays(
-                [pa.array(r.doc_keys.tolist()) for r in readers]
-            ),
-            "norm": pa.array(np.concatenate([r.norms for r in readers]), type=pa.uint8()),
-            "dl": pa.array(dls, type=pa.int32()),
-        }
+    # concat the full docs tables so doc-values columns survive merges
+    import pyarrow.parquet as pq
+
+    docs_tbl = pa.concat_tables(
+        [pq.read_table(os.path.join(index_dir, "segments", n, "docs.parquet"))
+         for n in seg_names]
     )
     stats = dict(
         max_doc=int(sum(r.max_doc for r in readers)),

@@ -271,6 +271,13 @@ class SegmentReader:
         self.doc_keys = d.column("doc_key").to_numpy(zero_copy_only=False)
         self.norms = d.column("norm").to_numpy()
         self.dls = d.column("dl").to_numpy()
+        # doc-values columns (NumericDocValues / SortedDocValues analogue):
+        # any extra column stored alongside the per-doc norm row
+        self.doc_values = {
+            c: d.column(c).to_numpy(zero_copy_only=False)
+            for c in d.column_names
+            if c not in ("doc_key", "norm", "dl")
+        }
         self.max_doc = self.meta["max_doc"]
         # decoded-postings LRU (term cache for hot query terms; bounded —
         # the analogue of reusing a TermsEnum/postings reader across queries)

@@ -1,0 +1,141 @@
+"""Extended query surface: wildcard/regexp/fuzzy/range/synonym, doc-values
+field sort, facet counts, grouped top-k."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.functions.analysis import Analyzer
+from lucene_ray.query import (
+    FuzzyQuery,
+    RegexpQuery,
+    SynonymQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+from lucene_ray.searcher import IndexSearcher, _bounded_edit_distance
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    from lucene_ray.pipelines.index_pipeline import build_index
+
+    d = str(tmp_path_factory.mktemp("ext") / "idx")
+    build_index(
+        f"{SF_DIR}/documents.parquet",
+        d,
+        key_col="doc_id",
+        text_col="text",
+        num_partitions=3,
+        columns=["doc_id", "text", "lang", "n_chars"],
+        docvalue_cols=("lang", "n_chars"),
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    return t.to_pandas()
+
+
+def _docs_with(corpus, pred):
+    an = Analyzer("standard")
+    out = set()
+    for _, row in corpus.iterrows():
+        toks = {w for w, _ in an.tokenize_one(row.text)}
+        if pred(toks):
+            out.add(row.doc_id)
+    return out
+
+
+def test_wildcard(idx, corpus):
+    s = IndexSearcher(idx)
+    got = {sd.doc_key for sd in s.search(WildcardQuery("s?an"), k=10_000).score_docs}
+    want = _docs_with(corpus, lambda t: any(len(w) == 4 and w[0] == "s" and w[2:] == "an" for w in t))
+    assert got == want and got
+
+
+def test_regexp(idx, corpus):
+    s = IndexSearcher(idx)
+    got = {sd.doc_key for sd in s.search(RegexpQuery("b.*h"), k=10_000).score_docs}
+    import re
+
+    pat = re.compile("b.*h")
+    want = _docs_with(corpus, lambda t: any(pat.fullmatch(w) for w in t))
+    assert got == want and got
+
+
+def test_term_range(idx, corpus):
+    s = IndexSearcher(idx)
+    got = {sd.doc_key for sd in s.search(TermRangeQuery("batch", "data"), k=10_000).score_docs}
+    want = _docs_with(corpus, lambda t: any("batch" <= w <= "data" for w in t))
+    assert got == want
+
+
+def test_fuzzy_expansion():
+    assert _bounded_edit_distance("merge", "merge", 2) == 0
+    assert _bounded_edit_distance("merge", "marge", 2) == 1
+    assert _bounded_edit_distance("merge", "xxxxx", 2) == -1
+
+
+def test_fuzzy_query(idx, corpus):
+    s = IndexSearcher(idx)
+    got = {sd.doc_key for sd in s.search(FuzzyQuery("scam", max_edits=1), k=10_000).score_docs}
+    # terms within 1 edit of 'scam' in this vocab: 'scan'
+    want = _docs_with(corpus, lambda t: "scan" in t or "scam" in t)
+    assert got == want and got
+
+
+def test_synonym_query(idx, corpus):
+    s = IndexSearcher(idx)
+    td = s.search(SynonymQuery(["merge", "join"]), k=10_000)
+    got = {sd.doc_key for sd in td.score_docs}
+    want = _docs_with(corpus, lambda t: "merge" in t or "join" in t)
+    assert got == want
+    # synonym tf = sum: doc with both terms scores higher than same-length
+    # doc with only one occurrence — sanity monotonicity
+    assert all(sd.score > 0 for sd in td.score_docs)
+
+
+def test_search_by_field(idx, corpus):
+    s = IndexSearcher(idx)
+    rows = s.search_by_field(TermQuery("merge"), "n_chars", k=5, descending=True)
+    an = Analyzer("standard")
+    match = corpus[[("merge" in set(w for w, _ in an.tokenize_one(t))) for t in corpus.text]]
+    want = match.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(5)
+    assert [k for k, _ in rows] == want.doc_id.tolist()
+    assert [v for _, v in rows] == want.n_chars.tolist()
+
+
+def test_facet_counts(idx, corpus):
+    s = IndexSearcher(idx)
+    fc = s.facet_counts(TermQuery("merge"), "lang")
+    an = Analyzer("standard")
+    match = corpus[[("merge" in {w for w, _ in an.tokenize_one(t)}) for t in corpus.text]]
+    want = match.groupby("lang").size().to_dict()
+    assert fc == want
+
+
+def test_grouped_topk(idx):
+    s = IndexSearcher(idx)
+    rows = s.grouped_topk(TermQuery("merge"), "lang", k_per_group=2)
+    langs = [g for g, *_ in rows]
+    assert langs == sorted(langs)
+    for g, rank, key, score in rows:
+        assert rank in (1, 2)
+
+
+def test_merge_preserves_doc_values(idx):
+    from lucene_ray.state.merge import merge_index
+
+    s_pre = IndexSearcher(idx)
+    fc_pre = s_pre.facet_counts(TermQuery("merge"), "lang")
+    merge_index(idx, merge_factor=3)
+    s_post = IndexSearcher(idx)
+    assert s_post.facet_counts(TermQuery("merge"), "lang") == fc_pre
