@@ -189,6 +189,16 @@ class IndexSearcher:
             keep = set(segment_names)
             dirs = [d for d in dirs if d.rsplit("/", 1)[-1] in keep]
         self.readers = [SegmentReader(d) for d in dirs]
+        # attach generational live-docs bitsets (deletes are search-time
+        # filters; statistics keep counting deleted docs until merge — the
+        # reference's semantics, see state/deletes.py)
+        by_name = {s["name"]: s for s in manifest.segments}
+        for r in self.readers:
+            del_gen = by_name.get(r.name, {}).get("del_gen", 0)
+            if del_gen:
+                from lucene_ray.state.deletes import load_livedocs
+
+                r.live = load_livedocs(r.dir, del_gen)
         ts_path = os.path.join(index_dir, f"term_stats-{manifest.gen}.parquet")
         self.global_term_stats = GlobalTermStats(ts_path) if os.path.exists(ts_path) else None
         self.collection_stats = manifest.collection_stats()
@@ -226,6 +236,16 @@ class IndexSearcher:
                 out[t] = self.sim.scorer(self.collection_stats, ts, boost=boost)
         return out
 
+    @staticmethod
+    def _apply_live(r: SegmentReader, sp: _SparseScores) -> _SparseScores:
+        """Filter deleted docs (live-docs bitset) — the acceptDocs analogue."""
+        if r.live is None or not len(sp.docs):
+            return sp
+        keep = r.live[sp.docs]
+        if keep.all():
+            return sp
+        return _SparseScores(sp.docs[keep], sp.scores[keep], sp.counts[keep])
+
     # ---------------------------------------------------------------- search
 
     def search(
@@ -245,7 +265,7 @@ class IndexSearcher:
             if use_wand:
                 sd, nhits = self._search_segment_wand(r, query, k, search_after)
             else:
-                sp = self._eval(r, query)
+                sp = self._apply_live(r, self._eval(r, query))
                 sd = self._top_of(r, sp, k, search_after)
                 nhits = len(sp.docs)
             parts.append(sd)
@@ -255,7 +275,9 @@ class IndexSearcher:
     def count(self, query: Query | str) -> int:
         if isinstance(query, str):
             query = parse_query(query)
-        return sum(len(self._eval(r, query).docs) for r in self.readers)
+        return sum(
+            len(self._apply_live(r, self._eval(r, query)).docs) for r in self.readers
+        )
 
     def _top_of(self, r: SegmentReader, sp: _SparseScores, k: int, after) -> list[ScoreDoc]:
         scores = sp.scores
@@ -495,7 +517,7 @@ class IndexSearcher:
             query = parse_query(query)
         rows = []
         for r in self.readers:
-            sp = self._eval(r, query)
+            sp = self._apply_live(r, self._eval(r, query))
             if not len(sp.docs):
                 continue
             vals = r.doc_values[field][sp.docs]
@@ -518,7 +540,7 @@ class IndexSearcher:
             query = parse_query(query)
         out: dict = {}
         for r in self.readers:
-            sp = self._eval(r, query)
+            sp = self._apply_live(r, self._eval(r, query))
             if not len(sp.docs):
                 continue
             vals, counts = np.unique(r.doc_values[field][sp.docs], return_counts=True)
@@ -537,7 +559,7 @@ class IndexSearcher:
             query = parse_query(query)
         acc: dict = {}
         for r in self.readers:
-            sp = self._eval(r, query)
+            sp = self._apply_live(r, self._eval(r, query))
             if not len(sp.docs):
                 continue
             groups = r.doc_values[group_field][sp.docs]
@@ -766,7 +788,9 @@ class IndexSearcher:
                 subs.append(_SparseScores(d, sc))
             if not subs:
                 continue
-            sp = self._union(subs)
+            sp = self._apply_live(r, self._union(subs))
+            if not len(sp.docs):
+                continue
             nhits += len(sp.docs)
             # only docs that can enter the top-k become Python objects
             # (>= threshold: equal scores can still displace on doc_key ties)

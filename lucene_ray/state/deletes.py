@@ -1,0 +1,161 @@
+"""Deletes & updates — generational live-docs side bitsets + delete-and-add.
+
+Reference semantics being reproduced:
+
+* deletes never mutate a segment: they are a generational side bitset
+  (``.liv``, codecs/lucene90/Lucene90LiveDocsFormat.java:38-52; tracked by
+  ``delGen`` in index/SegmentCommitInfo.java:35-65);
+* ``IndexWriter.deleteDocuments(term/query)`` marks matching docs dead in
+  every segment (index/IndexWriter.java);
+* ``IndexWriter.updateDocument(term, doc)`` = delete-by-term + add
+  (IndexWriter.java:1815) — here: delete-by-key + a new additive segment;
+* collection/term statistics still count deleted docs until a merge
+  reclaims them (Lucene scores with deleted docs in the stats too — the
+  searcher only FILTERS them, search-time, via the bitset);
+* merges drop dead docs and renumber (SegmentMerger + DocIDMerger) —
+  ``lucene_ray.state.merge.merge_segment_group`` compacts live docs when a
+  bitset is present.
+
+Storage: ``<seg_dir>/livedocs-<delgen>.parquet`` (one boolean column
+``live``, one row per local docID), written temp-then-rename; the manifest
+entry's ``del_gen``/``del_count`` point at the current generation, so a
+commit is still a single atomic manifest write.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_ray.state.manifest import Manifest
+
+
+def livedocs_path(seg_dir: str, del_gen: int) -> str:
+    return os.path.join(seg_dir, f"livedocs-{del_gen}.parquet")
+
+
+def load_livedocs(seg_dir: str, del_gen: int) -> np.ndarray | None:
+    if not del_gen:
+        return None
+    t = pq.read_table(livedocs_path(seg_dir, del_gen))
+    return t.column("live").to_numpy(zero_copy_only=False)
+
+
+def _write_livedocs(seg_dir: str, del_gen: int, live: np.ndarray) -> None:
+    path = livedocs_path(seg_dir, del_gen)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({"live": pa.array(live, type=pa.bool_())}), tmp)
+    os.rename(tmp, path)
+
+
+def delete_by_query(index_dir: str, query) -> int:
+    """Mark every doc matching ``query`` dead; commits a new manifest
+    generation. Returns the number of newly deleted docs."""
+    from lucene_ray.query import Query, parse_query
+    from lucene_ray.searcher import IndexSearcher
+
+    if isinstance(query, str):
+        query = parse_query(query)
+    assert isinstance(query, Query)
+    manifest = Manifest.load(index_dir)
+    searcher = IndexSearcher(index_dir)
+    n_deleted = 0
+    new_segments = []
+    for seg, reader in zip(manifest.segments, searcher.readers):
+        assert seg["name"] == reader.name
+        sp = searcher._eval(reader, query)
+        seg = dict(seg)
+        if len(sp.docs):
+            old_gen = seg.get("del_gen", 0)
+            live = (
+                load_livedocs(reader.dir, old_gen)
+                if old_gen
+                else np.ones(reader.max_doc, dtype=bool)
+            ).copy()
+            newly = live[sp.docs].sum()
+            if newly:
+                live[sp.docs] = False
+                new_gen = old_gen + 1
+                _write_livedocs(reader.dir, new_gen, live)
+                seg["del_gen"] = new_gen
+                seg["del_count"] = int((~live).sum())
+                n_deleted += int(newly)
+        new_segments.append(seg)
+    if n_deleted:
+        Manifest(index_dir, manifest.gen + 1, new_segments, manifest.config).commit()
+    return n_deleted
+
+
+def delete_by_keys(index_dir: str, keys) -> int:
+    """deleteDocuments(term) on the document key."""
+    from lucene_ray.query import TermInSetQuery
+
+    # keys live in doc_keys, not the inverted index — do it directly
+    manifest = Manifest.load(index_dir)
+    from lucene_ray.state.segment import SegmentReader
+
+    keyset = set(keys)
+    n_deleted = 0
+    new_segments = []
+    for seg in manifest.segments:
+        seg = dict(seg)
+        seg_dir = os.path.join(index_dir, "segments", seg["name"])
+        reader = SegmentReader(seg_dir)
+        mask = np.array([k in keyset for k in reader.doc_keys], dtype=bool)
+        if mask.any():
+            old_gen = seg.get("del_gen", 0)
+            live = (
+                load_livedocs(seg_dir, old_gen)
+                if old_gen
+                else np.ones(reader.max_doc, dtype=bool)
+            ).copy()
+            newly = int(live[mask].sum())
+            if newly:
+                live[mask] = False
+                new_gen = old_gen + 1
+                _write_livedocs(seg_dir, new_gen, live)
+                seg["del_gen"] = new_gen
+                seg["del_count"] = int((~live).sum())
+                n_deleted += newly
+        new_segments.append(seg)
+    if n_deleted:
+        Manifest(index_dir, manifest.gen + 1, new_segments, manifest.config).commit()
+    return n_deleted
+
+
+def update_documents(index_dir: str, rows: pa.Table, *, analyzer_kind: str | None = None) -> int:
+    """updateDocument(term, doc) semantics: delete-by-key then add the new
+    rows as ONE additive segment (last-writer-wins per key). ``rows`` must
+    carry the index's key and text columns (+ any doc-values columns)."""
+    from lucene_ray.functions.analysis import get_analyzer
+    from lucene_ray.state.segment import build_segment_tables, write_segment
+
+    manifest = Manifest.load(index_dir)
+    cfg = manifest.config
+    key_col, text_col = cfg["key_col"], cfg["text_col"]
+    analyzer = get_analyzer(analyzer_kind or cfg.get("analyzer", "standard"))
+
+    keys_py = rows.column(key_col).to_pylist()
+    delete_by_keys(index_dir, keys_py)
+    manifest = Manifest.load(index_dir)  # reload post-delete generation
+
+    order = pa.compute.sort_indices(rows.column(key_col))
+    rows = rows.take(order)
+    keys = rows.column(key_col).to_numpy(zero_copy_only=False)
+    postings_tbl, docs_tbl, stats = build_segment_tables(
+        keys, rows.column(text_col), analyzer,
+        store_positions=cfg.get("store_positions", True),
+    )
+    for c in cfg.get("docvalue_cols", []):
+        docs_tbl = docs_tbl.append_column(c, rows.column(c))
+    import uuid
+
+    name = f"upd-g{manifest.gen + 1}-{uuid.uuid4().hex[:8]}"
+    meta = write_segment(index_dir, name, postings_tbl, docs_tbl, stats,
+                         extra_meta={"gen": manifest.gen + 1, "part_id": None,
+                                     "analyzer": analyzer.kind, "key_col": key_col})
+    Manifest(index_dir, manifest.gen + 1, manifest.segments + [meta], cfg).commit()
+    return rows.num_rows

@@ -34,15 +34,33 @@ from lucene_ray.state.segment import SegmentReader, write_segment
 
 
 def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
-                        store_positions: bool = True) -> dict:
+                        store_positions: bool = True,
+                        del_gens: dict | None = None) -> dict:
     """K-way merge of segments into one (SegmentMerger analogue). Pure
-    function of its inputs; safe to retry."""
+    function of its inputs; safe to retry. When a segment carries a
+    live-docs generation (deletes.py), its dead docs are dropped and docIDs
+    compacted — the DocIDMerger behavior that reclaims deletes."""
+    from lucene_ray.state.deletes import load_livedocs
+
     readers = [SegmentReader(os.path.join(index_dir, "segments", n)) for n in seg_names]
-    bases = np.cumsum([0] + [r.max_doc for r in readers[:-1]]).astype(np.int64)
+    del_gens = del_gens or {}
+    lives = []
+    remaps = []
+    live_counts = []
+    for n, r in zip(seg_names, readers):
+        live = load_livedocs(r.dir, del_gens.get(n, 0))
+        if live is None:
+            live = np.ones(r.max_doc, dtype=bool)
+        lives.append(live)
+        remap = np.full(r.max_doc, -1, dtype=np.int64)
+        remap[live] = np.arange(int(live.sum()))
+        remaps.append(remap)
+        live_counts.append(int(live.sum()))
+    bases = np.cumsum([0] + live_counts[:-1]).astype(np.int64)
 
     # term-sorted k-way union of the per-segment dictionaries
     all_terms = np.unique(np.concatenate([r.terms for r in readers]))
-    dls = np.concatenate([r.dls for r in readers])
+    dls = np.concatenate([r.dls[lv] for r, lv in zip(readers, lives)])
 
     packed_col, bld_col, blf_col, blm_col, pos_col = [], [], [], [], []
     sdoc = np.full(len(all_terms), -1, dtype=np.int32)
@@ -52,19 +70,39 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
 
     # per-reader cursor over its sorted term array (streaming k-way merge)
     term_pos = {id(r): 0 for r in readers}
+    empty_terms = []
     for ti, term in enumerate(all_terms.tolist()):
         docs_parts, freqs_parts, pos_parts = [], [], []
-        for r, base in zip(readers, bases):
+        for r, base, live, remap in zip(readers, bases, lives, remaps):
             i = term_pos[id(r)]
             if i < len(r.terms) and r.terms[i] == term:
                 term_pos[id(r)] = i + 1
             else:
                 continue
             d, f = r.postings(int(i))
-            docs_parts.append(d.astype(np.int64) + base)
-            freqs_parts.append(f)
+            keep = live[d]
             if store_positions:
-                pos_parts.append(r.positions(int(i)))
+                p = r.positions(int(i))
+                if not keep.all():
+                    p = p[np.repeat(keep, f)]
+                pos_parts.append(p)
+            if not keep.all():
+                d, f = d[keep], f[keep]
+            if not len(d):
+                continue
+            docs_parts.append(remap[d] + base)
+            freqs_parts.append(f)
+        if not docs_parts:
+            empty_terms.append(ti)
+            docs = np.empty(0, dtype=np.int64)
+            freqs = np.empty(0, dtype=np.int64)
+            doc_freq[ti] = 0
+            packed_col.append(b"")
+            bld_col.append([])
+            blf_col.append([])
+            blm_col.append([])
+            pos_col.append(b"")
+            continue
         docs = np.concatenate(docs_parts)
         freqs = np.concatenate(freqs_parts)
         doc_freq[ti] = len(docs)
@@ -100,16 +138,25 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             "positions": pa.array(pos_col, type=pa.binary()),
         }
     )
-    # concat the full docs tables so doc-values columns survive merges
+    # concat the full docs tables (doc-values columns survive merges),
+    # dropping dead rows
     import pyarrow.parquet as pq
 
     docs_tbl = pa.concat_tables(
-        [pq.read_table(os.path.join(index_dir, "segments", n, "docs.parquet"))
-         for n in seg_names]
+        [
+            pq.read_table(os.path.join(index_dir, "segments", n, "docs.parquet"))
+            .filter(pa.array(lv))
+            for n, lv in zip(seg_names, lives)
+        ]
     )
+    if empty_terms:
+        keep_rows = np.ones(len(all_terms), dtype=bool)
+        keep_rows[empty_terms] = False
+    if empty_terms:
+        postings_tbl = postings_tbl.filter(pa.array(keep_rows))
     stats = dict(
-        max_doc=int(sum(r.max_doc for r in readers)),
-        doc_count=int(sum(r.meta["doc_count"] for r in readers)),
+        max_doc=int(sum(live_counts)),
+        doc_count=int((dls > 0).sum()),
         sum_doc_freq=int(doc_freq.sum()),
         sum_total_term_freq=int(total_tf.sum()),
     )
@@ -173,26 +220,34 @@ def merge_index(index_dir: str, *, merge_factor: int = 10,
         merged_names[out_name] = names
         jobs.append((names, out_name))
 
+    del_gens = {s["name"]: s.get("del_gen", 0) for s in manifest.segments}
     if use_ray:
         import ray
 
         @ray.remote(num_cpus=1)
         def _task(names, out_name):
-            return merge_segment_group(index_dir, names, out_name)
+            return merge_segment_group(index_dir, names, out_name, del_gens=del_gens)
 
         metas = ray.get([_task.remote(n, o) for n, o in jobs])
     else:
-        metas = [merge_segment_group(index_dir, n, o) for n, o in jobs]
+        metas = [merge_segment_group(index_dir, n, o, del_gens=del_gens) for n, o in jobs]
 
     consumed = {n for g in groups for n in g}
     survivors = [s for s in manifest.segments if s["name"] not in consumed]
     new_segments = sorted(survivors + metas, key=lambda s: (s.get("part_id") or 0, s["name"]))
     new_manifest = Manifest(index_dir, new_gen, new_segments, manifest.config)
     new_manifest.commit()
-    # copy the global term dictionary forward (stats are unchanged by merges)
+    # global term dictionary: unchanged by a pure merge (copy forward); a
+    # merge that reclaimed deletes changes df/ttf → rebuild from the new
+    # segment partials
+    reclaimed = any(del_gens.get(n, 0) for g in groups for n in g)
     old_ts = os.path.join(index_dir, f"term_stats-{manifest.gen}.parquet")
     new_ts = os.path.join(index_dir, f"term_stats-{new_gen}.parquet")
-    if os.path.exists(old_ts) and not os.path.exists(new_ts):
+    if reclaimed:
+        from lucene_ray.pipelines.index_pipeline import build_term_stats
+
+        build_term_stats(index_dir, new_manifest)
+    elif os.path.exists(old_ts) and not os.path.exists(new_ts):
         shutil.copyfile(old_ts, new_ts)
     if delete_sources:
         for n in consumed:

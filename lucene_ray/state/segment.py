@@ -279,6 +279,9 @@ class SegmentReader:
             if c not in ("doc_key", "norm", "dl")
         }
         self.max_doc = self.meta["max_doc"]
+        # live-docs side bitset (None = all live); attached by the searcher
+        # from the manifest's del_gen (deletes.py)
+        self.live: np.ndarray | None = None
         # decoded-postings LRU (term cache for hot query terms; bounded —
         # the analogue of reusing a TermsEnum/postings reader across queries)
         self._decode_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
