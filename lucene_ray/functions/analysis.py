@@ -74,20 +74,48 @@ _SEP = "\x00"  # never inside a token
 @dataclass
 class Analyzer:
     """A configured analysis chain. ``kind`` ∈ {standard, simple, english,
-    whitespace}."""
+    whitespace}.
+
+    ``english`` reproduces the reference EnglishAnalyzer chain
+    (analysis/common/.../en/EnglishAnalyzer.java:97-108): StandardTokenizer →
+    EnglishPossessiveFilter → LowerCaseFilter → StopFilter(33 words) →
+    PorterStemFilter. Possessive strip / stemming run at VOCAB level (terms
+    are dictionary-encoded first), then codes are re-interned.
+
+    ``ascii_folding`` adds an ASCIIFoldingFilter-style accent fold (NFKD)
+    before stopword filtering on any chain."""
 
     kind: str = "standard"
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT
     stop_words: frozenset = field(default_factory=frozenset)
+    stem: bool = False
+    possessive: bool = False
+    ascii_folding: bool = False
 
     def __post_init__(self):
         if self.kind == "english":
             self.stop_words = self.stop_words or ENGLISH_STOP_WORDS
+            self.stem = True
+            self.possessive = True
 
     def normalize(self, term: str) -> str:
         """Query-side normalization = LowerCaseFilter only (StandardAnalyzer
-        .java:98-101); the simple chain also strips non-[a-z0-9]."""
-        return term.lower()
+        .java:98-101); chains with more normalizing filters (fold/stem) apply
+        them so query terms meet index terms."""
+        t = term.lower()
+        if self.ascii_folding:
+            from lucene_ray.functions.stemming import ascii_fold
+
+            t = ascii_fold(t)
+        if self.possessive:
+            from lucene_ray.functions.stemming import strip_possessive
+
+            t = strip_possessive(t)
+        if self.stem:
+            from lucene_ray.functions.stemming import porter_stem
+
+            t = porter_stem(t)
+        return t
 
     def tokenize_one(self, text: str) -> list[tuple[str, int]]:
         """(term, position) list for one document — test/golden path."""
@@ -220,8 +248,17 @@ class Analyzer:
         return self._apply_term_filters(codes, vocab, doc_idx, positions, n_docs)
 
     def _apply_term_filters(self, codes, vocab, doc_idx, positions, n_docs):
-        """Vocab-level max-length / stop-word filters + per-doc lengths.
-        Runs at vocabulary size, not token count."""
+        """Vocab-level transforms (possessive strip, ascii fold, stemming) +
+        max-length / stop-word filters + per-doc lengths. Runs at vocabulary
+        size, not token count."""
+        if self.possessive and len(vocab):
+            from lucene_ray.functions.stemming import strip_possessive
+
+            vocab = np.array([strip_possessive(t) for t in vocab], dtype=object)
+        if self.ascii_folding and len(vocab):
+            from lucene_ray.functions.stemming import ascii_fold
+
+            vocab = np.array([ascii_fold(t) for t in vocab], dtype=object)
         vocab_keep = np.ones(len(vocab), dtype=bool)
         if self.max_token_length:
             vlens = np.fromiter(map(len, vocab), dtype=np.int32, count=len(vocab))
@@ -236,6 +273,14 @@ class Analyzer:
             codes = codes[keep]
             doc_idx = doc_idx[keep]
             positions = positions[keep]
+        if self.stem and len(vocab):
+            from lucene_ray.functions.stemming import porter_stem
+
+            vocab = np.array([porter_stem(t) for t in vocab], dtype=object)
+        if (self.stem or self.possessive or self.ascii_folding) and len(vocab):
+            # transforms can merge vocab entries — re-intern
+            vocab, inv = np.unique(vocab, return_inverse=True)
+            codes = inv[codes].astype(np.int32) if len(codes) else codes
         doc_lengths = np.bincount(doc_idx, minlength=n_docs).astype(np.int32)
         return codes, vocab, doc_idx, positions, doc_lengths
 

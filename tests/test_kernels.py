@@ -268,3 +268,48 @@ def test_postings_block_range_decode():
     assert f.tolist() == freqs[lo:hi].tolist()
     assert last_docs[-1] == docs[-1]
     assert max_freqs[0] == freqs[:BLOCK_SIZE].max()
+
+
+# ---------------------------------------------------------------- stemming
+
+
+def test_porter_canonical_examples():
+    from lucene_ray.functions.stemming import porter_stem
+
+    cases = {
+        "caresses": "caress", "ponies": "poni", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "motoring": "motor",
+        "hopping": "hop", "sized": "size", "happy": "happi", "sky": "sky",
+        "relational": "relat", "conditional": "condit", "rational": "ration",
+        "digitizer": "digit", "vietnamization": "vietnam", "operator": "oper",
+        "decisiveness": "decis", "triplicate": "triplic", "formative": "form",
+        "electrical": "electr", "hopeful": "hope", "goodness": "good",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "adjustable": "adjust", "replacement": "replac", "adoption": "adopt",
+        "communism": "commun", "activate": "activ", "effective": "effect",
+        "probate": "probat", "rate": "rate", "controll": "control", "roll": "roll",
+    }
+    for w, want in cases.items():
+        assert porter_stem(w) == want, w
+
+
+def test_english_chain_full():
+    a = Analyzer("english")
+    out = a.tokenize_one("The dogs' owners were running quickly to John's houses")
+    assert out == [
+        ("dog", 1), ("owner", 2), ("were", 3), ("run", 4), ("quickli", 5),
+        ("john", 7), ("hous", 8),
+    ]
+    # query-side normalize applies the same chain
+    assert a.normalize("Running") == "run"
+    assert a.normalize("John's") == "john"
+
+
+def test_ascii_folding():
+    from lucene_ray.functions.stemming import ascii_fold
+
+    assert ascii_fold("café") == "cafe"
+    assert ascii_fold("über") == "uber"
+    assert ascii_fold("naïve") == "naive"
+    a = Analyzer("standard", ascii_folding=True)
+    assert [t for t, _ in a.tokenize_one("Café über naïve")] == ["cafe", "uber", "naive"]
