@@ -297,3 +297,33 @@ class Analyzer:
 
 def get_analyzer(kind: str = "standard", **kw) -> Analyzer:
     return Analyzer(kind=kind, **kw)
+
+
+# --------------------------------------------------------- n-gram / shingle
+
+def shingle_tokens(tokens: list[str], min_size: int = 2, max_size: int = 2,
+                   sep: str = " ") -> list[str]:
+    """Word n-grams (ShingleFilter, analysis/common/.../shingle/ShingleFilter
+    .java semantics, unigrams not included): all contiguous runs of
+    min_size..max_size tokens joined by ``sep``."""
+    out = []
+    n = len(tokens)
+    for size in range(min_size, max_size + 1):
+        for i in range(n - size + 1):
+            out.append(sep.join(tokens[i : i + size]))
+    return out
+
+
+def char_ngrams(term: str, min_gram: int = 2, max_gram: int = 3) -> list[str]:
+    """Character n-grams of a term (NGramTokenFilter semantics: all grams of
+    each size, in order)."""
+    out = []
+    for size in range(min_gram, max_gram + 1):
+        for i in range(len(term) - size + 1):
+            out.append(term[i : i + size])
+    return out
+
+
+def edge_ngrams(term: str, min_gram: int = 1, max_gram: int = 5) -> list[str]:
+    """Front edge n-grams (EdgeNGramTokenFilter) — the autocomplete primitive."""
+    return [term[:size] for size in range(min_gram, min(max_gram, len(term)) + 1)]

@@ -1,0 +1,103 @@
+"""Highlighter — best-fragment snippet extraction for search results.
+
+Functional analogue of the reference's UnifiedHighlighter
+(highlighter/.../uhighlight/UnifiedHighlighter.java): re-analyze the stored
+text, score token windows by the number of query-term matches (earliest
+best window wins ties), emit the fragment with matches wrapped in
+``<b>...</b>``. Runs as a vectorized-enough per-batch map over (doc, text)
+rows joined to the hit list — the text never moves through the driver.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from lucene_ray.functions.analysis import Analyzer
+from lucene_ray.query import parse_query
+from lucene_ray.query import extract_terms as _extract_terms
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def best_fragment(text: str, terms: set[str], *, window: int = 20,
+                  pre: str = "<b>", post: str = "</b>") -> str:
+    """Best ``window``-token fragment of ``text`` with query terms wrapped."""
+    matches = [(m.start(), m.end(), m.group().lower() in terms)
+               for m in _WORD_RE.finditer(text)]
+    if not matches:
+        return text[: window * 8]
+    hits = [i for i, (_, _, h) in enumerate(matches) if h]
+    if not hits:
+        return text[: matches[min(window, len(matches)) - 1][1]]
+    # slide a token window; count hits inside (two-pointer)
+    best_start, best_count = 0, -1
+    j = 0
+    for i in range(len(matches)):
+        while j < len(hits) and hits[j] < i:
+            j += 1
+        count = 0
+        k = j
+        while k < len(hits) and hits[k] < i + window:
+            count += 1
+            k += 1
+        if count > best_count:
+            best_start, best_count = i, count
+        if i + window >= len(matches):
+            break
+    frag_tokens = matches[best_start : best_start + window]
+    lo = frag_tokens[0][0]
+    hi = frag_tokens[-1][1]
+    out = []
+    cursor = lo
+    for s, e, hit in frag_tokens:
+        out.append(text[cursor:s])
+        out.append(f"{pre}{text[s:e]}{post}" if hit else text[s:e])
+        cursor = e
+    return "".join(out)
+
+
+class Highlighter:
+    """map_batches callable: rows with (text + query) → snippet column."""
+
+    def __init__(self, query_or_terms, *, text_col: str = "text", window: int = 20,
+                 analyzer: Analyzer | None = None):
+        analyzer = analyzer or Analyzer("standard")
+        if isinstance(query_or_terms, str):
+            terms = _extract_terms(parse_query(query_or_terms, analyzer.normalize))
+        elif isinstance(query_or_terms, (set, list, tuple)):
+            terms = {analyzer.normalize(t) for t in query_or_terms}
+        else:
+            terms = _extract_terms(query_or_terms)
+        self.terms = set(terms)
+        self.text_col = text_col
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        snippets = [
+            best_fragment(t, self.terms, window=self.window)
+            for t in batch.column(self.text_col).to_pylist()
+        ]
+        return batch.append_column("snippet", pa.array(snippets, type=pa.string()))
+
+
+def highlight_hits(source_ds, hits_ds, query, *, key_col: str = "doc_id",
+                   text_col: str = "text", window: int = 20):
+    """Join top-k hits back to their stored text and add snippets.
+
+    Broadcast-semi-join: the hit key set is small (top-k × queries), so it is
+    shipped once and the source is filtered per batch — no shuffle."""
+    import pyarrow.compute as pc
+    import ray
+
+    hit_keys = set(hits_ds.to_pandas()["doc_key"])
+    ref = ray.put(hit_keys)
+
+    def filter_and_highlight(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = pa.array([k in keys for k in batch.column(key_col).to_pylist()])
+        sel = batch.filter(mask)
+        return Highlighter(query, text_col=text_col, window=window)(sel)
+
+    return source_ds.map_batches(filter_and_highlight, batch_format="pyarrow")

@@ -286,6 +286,8 @@ class _Parser:
             return self._maybe_boost(PhraseQuery(terms))
         if t.kind == "WORD":
             w = t.value
+            if ":" in w:  # classic field:term syntax — single-field engine,
+                w = w.split(":", 1)[1]  # the field name is accepted and dropped
             boost = None
             if "^" in w:
                 w, bs = w.rsplit("^", 1)
