@@ -220,6 +220,40 @@ def build_index(
     return manifest
 
 
+def add_indexes(dest_dir: str, source_dirs: list[str]) -> Manifest:
+    """IndexWriter.addIndexes(Directory...) analogue (IndexWriter.java:2945):
+    bulk-import every live segment of the source indexes into ``dest_dir`` by
+    copying segment directories (renamed to avoid collisions) and committing
+    one new manifest generation. Source stats are per-segment partials, so
+    the merged collection stats are just the extended sum."""
+    import shutil
+
+    dest = Manifest.load(dest_dir)
+    existing = {s["name"] for s in dest.segments}
+    new_segments = list(dest.segments)
+    for si, src in enumerate(source_dirs):
+        sm = Manifest.load(src)
+        for seg in sm.segments:
+            new_name = seg["name"]
+            if new_name in existing:
+                new_name = f"imp{si}-{seg['name']}"
+            shutil.copytree(
+                os.path.join(src, "segments", seg["name"]),
+                os.path.join(dest_dir, "segments", new_name),
+                dirs_exist_ok=True,
+            )
+            seg = dict(seg)
+            seg["name"] = new_name
+            seg["imported_from"] = src
+            existing.add(new_name)
+            new_segments.append(seg)
+    out = Manifest(dest_dir, dest.gen + 1, new_segments, dest.config)
+    out.commit()
+    # global dictionary changes → rebuild
+    build_term_stats(dest_dir, out)
+    return out
+
+
 def build_term_stats(index_dir: str, manifest: Manifest | None = None) -> str:
     """Global term dictionary: groupby(term).sum over per-segment partials.
 

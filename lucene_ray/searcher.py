@@ -505,6 +505,78 @@ class IndexSearcher:
                 return empty
         return result
 
+    # ------------------------------- suggest / spell / more-like-this
+
+    def suggest_terms(self, prefix: str, k: int = 5) -> list[tuple[str, int]]:
+        """Prefix autocomplete (suggest/.../AnalyzingSuggester analogue with
+        weight = total term frequency): top-k dictionary terms with the
+        prefix, ordered by (ttf desc, term asc)."""
+        if self.global_term_stats is not None:
+            g = self.global_term_stats
+            lo = int(np.searchsorted(g.terms, prefix))
+            hi = int(np.searchsorted(g.terms, prefix + "￿"))
+            cand = [(int(g.total_tf[i]), str(g.terms[i])) for i in range(lo, hi)]
+        else:
+            agg: dict[str, int] = {}
+            for r in self.readers:
+                lo, hi = r.term_range(prefix)
+                for i in range(lo, hi):
+                    agg[r.terms[i]] = agg.get(r.terms[i], 0) + int(r.total_tf[i])
+            cand = [(c, t) for t, c in agg.items()]
+        cand.sort(key=lambda x: (-x[0], x[1]))
+        return [(t, c) for c, t in cand[:k]]
+
+    def spell_suggest(self, term: str, k: int = 3, max_edits: int = 2) -> list[str]:
+        """Did-you-mean (suggest/spell/DirectSpellChecker analogue): dictionary
+        terms within ``max_edits``, ranked by (edits asc, docFreq desc, term)."""
+        seen: dict[str, int] = {}
+        for r in self.readers:
+            for i in range(len(r.terms)):
+                t = r.terms[i]
+                if t == term or t in seen:
+                    continue
+                ed = _bounded_edit_distance(term, t, max_edits)
+                if ed > 0:
+                    seen[t] = ed
+        ranked = sorted(
+            seen.items(),
+            key=lambda kv: (kv[1], -self.term_statistics(kv[0]).doc_freq, kv[0]),
+        )
+        return [t for t, _ in ranked[:k]]
+
+    def more_like_this(self, doc_key, *, max_query_terms: int = 10,
+                       min_tf: int = 1, k: int = 10) -> TopDocs:
+        """MoreLikeThis (queries/.../mlt/MoreLikeThis.java semantics): pick
+        the doc's top terms by tf·idf, search them as a SHOULD query with the
+        source doc excluded."""
+        tf: dict[str, int] = {}
+        for r in self.readers:
+            pos = np.flatnonzero(r.doc_keys == doc_key)
+            if not len(pos):
+                continue
+            local = int(pos[0])
+            for i in range(len(r.terms)):
+                docs, freqs = r.postings(int(i))
+                j = np.searchsorted(docs, local)
+                if j < len(docs) and docs[j] == local:
+                    tf[r.terms[i]] = tf.get(r.terms[i], 0) + int(freqs[j])
+        scored = []
+        for t, f in tf.items():
+            if f < min_tf:
+                continue
+            ts = self.term_statistics(t)
+            idf = float(np.log(1 + (self.collection_stats.doc_count - ts.doc_freq + 0.5)
+                               / (ts.doc_freq + 0.5)))
+            scored.append((-(f * idf), t))
+        scored.sort()
+        terms = [t for _, t in scored[:max_query_terms]]
+        if not terms:
+            return TopDocs(0, [])
+        q = BooleanQuery(should=[TermQuery(t) for t in terms])
+        td = self.search(q, k=k + 1)
+        td.score_docs = [sd for sd in td.score_docs if sd.doc_key != doc_key][:k]
+        return td
+
     # ----------------------------------- field sort / facets / grouping
 
     def search_by_field(
