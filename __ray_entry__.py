@@ -400,6 +400,19 @@ def _web_index(sf_dir: str) -> str:
     return d
 
 
+def _q_numeric_range_topk(sf_dir: str) -> pa.Table:
+    """PointRangeQuery analogue as a FILTER clause: BM25-ranked 'merge' hits
+    restricted to 200 <= n_chars <= 400."""
+    from lucene_ray.query import BooleanQuery, NumericRangeQuery, TermQuery
+
+    s = _searcher(sf_dir)
+    q = BooleanQuery(
+        must=[TermQuery("merge")],
+        filter=[NumericRangeQuery("n_chars", 200, 400)],
+    )
+    return _ranked_topk(s, [("merge_nchars_200_400", q)])
+
+
 def _q_wildcard_count(sf_dir: str) -> pa.Table:
     from lucene_ray.query import WildcardQuery
 
@@ -676,6 +689,25 @@ WHERE 2 * inter_n >= (ca.n + cb.n - inter_n)
 
 
 
+_SQL_NUMERIC_RANGE = f"""
+WITH {_BASE},
+scored AS (
+  SELECT 'merge_nchars_200_400' AS query, tf.doc_id, {_SCORE} AS score
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = tf.term
+  JOIN documents d ON d.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.term = 'merge' AND d.n_chars BETWEEN 200 AND 400
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
+"""
+
 _WILD_VALUES = ", ".join(
     f"('{p}', '{p.replace('?', '_').replace('*', '%')}')" for p in WILDCARDS
 )
@@ -790,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_should_match_topk": _q_msm_topk,
         "search_after": _q_search_after,
         "prefix_count": _q_prefix_count,
+        "numeric_range_topk": _q_numeric_range_topk,
         "wildcard_count": _q_wildcard_count,
         "term_range_count": _q_term_range_count,
         "fuzzy_count": _q_fuzzy_count,
@@ -827,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
         "min_should_match_topk": _sql_multi_term_topk([MSM_QUERY], "or", k=20, msm=2),
         "search_after": _sql_single_term_topk(["merge"], rank_lo=11, rank_hi=20),
         "prefix_count": _SQL_PREFIX_COUNT,
+        "numeric_range_topk": _SQL_NUMERIC_RANGE,
         "wildcard_count": _SQL_WILDCARD,
         "term_range_count": _SQL_TERM_RANGE,
         "fuzzy_count": _SQL_FUZZY,

@@ -93,6 +93,22 @@ class TermRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class NumericRangeQuery(Query):
+    """lo ≤ value(field) ≤ hi over a numeric doc-values column — the
+    PointRangeQuery / IndexOrDocValuesQuery analogue (document/LongPoint
+    range factory; search/IndexOrDocValuesQuery.java picks the doc-values
+    execution for selective outer queries, which is exactly this engine's
+    physical plan). Non-scoring (constant score 1·boost), composes as a
+    FILTER/MUST clause."""
+
+    field: str
+    lower: float | int | None = None
+    upper: float | int | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     """Multi-term scored as ONE pseudo-term: summed tf per doc, idf from the
     blended (max) docFreq (search/SynonymQuery.java:52-214)."""

@@ -51,6 +51,7 @@ from lucene_ray.query import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    NumericRangeQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
@@ -392,6 +393,15 @@ class IndexSearcher:
                 np.searchsorted(r.terms, q.upper, side="right" if q.include_upper else "left")
             )
             docs = self._union_docs(r, range(lo, hi))
+            return _SparseScores(docs, np.full(len(docs), boost))
+        if isinstance(q, NumericRangeQuery):
+            vals = r.doc_values[q.field]
+            mask = np.ones(r.max_doc, dtype=bool)
+            if q.lower is not None:
+                mask &= (vals >= q.lower) if q.include_lower else (vals > q.lower)
+            if q.upper is not None:
+                mask &= (vals <= q.upper) if q.include_upper else (vals < q.upper)
+            docs = np.flatnonzero(mask).astype(np.int32)
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, FuzzyQuery):
             return self._eval_fuzzy(r, q, boost)
