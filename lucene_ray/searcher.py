@@ -422,13 +422,33 @@ class IndexSearcher:
         arrs = [a for a in arrs if len(a)]
         if not arrs:
             return np.empty(0, dtype=np.int32)
+        total = sum(len(a) for a in arrs)
+        if total * 4 > r.max_doc:
+            # dense path: O(max_doc) bitmap beats O(n log n) sort-unique for
+            # fat unions (prefix/wildcard expansions over dense terms)
+            mask = np.zeros(r.max_doc, dtype=bool)
+            for a in arrs:
+                mask[a] = True
+            return np.flatnonzero(mask).astype(np.int32)
         return np.unique(np.concatenate(arrs))
 
     @staticmethod
-    def _union(subs: list[_SparseScores]) -> _SparseScores:
+    def _union(subs: list[_SparseScores], max_doc: int | None = None) -> _SparseScores:
         subs = [s for s in subs if len(s.docs)]
         if not subs:
             return _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        total = sum(len(s.docs) for s in subs)
+        if max_doc is not None and total * 4 > max_doc:
+            # dense accumulators: per-sub docIDs are unique, so fancy-index
+            # += is collision-free — one O(max_doc) pass per clause instead
+            # of a big sort-unique (DisjunctionSumScorer for dense terms)
+            dense_s = np.zeros(max_doc, dtype=np.float64)
+            dense_c = np.zeros(max_doc, dtype=np.int64)
+            for s in subs:
+                dense_s[s.docs] += s.scores
+                dense_c[s.docs] += s.counts
+            docs = np.flatnonzero(dense_c).astype(np.int32)
+            return _SparseScores(docs, dense_s[docs], dense_c[docs])
         docs = np.concatenate([s.docs for s in subs])
         scores = np.concatenate([s.scores for s in subs])
         counts = np.concatenate([s.counts for s in subs])
@@ -485,7 +505,7 @@ class IndexSearcher:
             if not len(result.docs):
                 return empty
         if q.should:
-            union = self._union([self._eval(r, s, boost) for s in q.should])
+            union = self._union([self._eval(r, s, boost) for s in q.should], r.max_doc)
             msm = q.minimum_should_match
             if result is None:
                 if msm > 1:
@@ -745,10 +765,19 @@ class IndexSearcher:
             # term_i, i.e. keys_0 ∩ (keys_1 − 1) ∩ … — sorted int64 intersects,
             # no per-doc Python loop (ExactPhraseMatcher semantics).
             SHIFT = np.int64(1) << np.int64(21)
+            cache = getattr(r, "_poskey_cache", None)
+            if cache is None:
+                cache = r._poskey_cache = {}
             keys = []
-            for (docs_i, freqs_i), pos_i in zip(post, pos_arrays):
-                doc_rep = np.repeat(docs_i.astype(np.int64), freqs_i)
-                keys.append(doc_rep * SHIFT + pos_i.astype(np.int64))
+            for ti, ((docs_i, freqs_i), pos_i) in enumerate(zip(post, pos_arrays)):
+                kk = cache.get(idxs[ti])
+                if kk is None:
+                    doc_rep = np.repeat(docs_i.astype(np.int64), freqs_i)
+                    kk = doc_rep * SHIFT + pos_i.astype(np.int64)
+                    if len(cache) > 64:
+                        cache.pop(next(iter(cache)))
+                    cache[idxs[ti]] = kk
+                keys.append(kk)
             cand = keys[0]
             for t_i in range(1, len(keys)):
                 cand = np.intersect1d(cand, keys[t_i] - t_i, assume_unique=True)
