@@ -90,7 +90,7 @@ class _BuildSegment:
 
     def __init__(self, index_dir: str, key_col: str, text_col: str, analyzer_kind: str,
                  store_positions: bool, num_partitions: int,
-                 docvalue_cols: tuple = ()):
+                 docvalue_cols: tuple = (), text_cols: tuple = ()):
         self.index_dir = index_dir
         self.key_col = key_col
         self.text_col = text_col
@@ -99,6 +99,7 @@ class _BuildSegment:
         self.store_positions = store_positions
         self.num_partitions = num_partitions
         self.docvalue_cols = tuple(docvalue_cols)
+        self.text_cols = tuple(text_cols)  # >1 → multi-field segments
 
     def __call__(self, group: pa.Table) -> pa.Table:
         _limit_worker_threads()
@@ -107,10 +108,27 @@ class _BuildSegment:
         order = pa.compute.sort_indices(group.column(self.key_col))
         group = group.take(order)
         keys = group.column(self.key_col).to_numpy(zero_copy_only=False)
-        texts = group.column(self.text_col)  # Arrow column → tokenizer fast path
-        postings_tbl, docs_tbl, stats = build_segment_tables(
-            keys, texts, self.analyzer, store_positions=self.store_positions
-        )
+        extra_meta_fields = {}
+        if len(self.text_cols) > 1:
+            from lucene_ray.state.segment import build_multifield_segment_tables
+
+            postings_tbl, docs_tbl, stats, field_stats = build_multifield_segment_tables(
+                keys,
+                {f: group.column(f) for f in self.text_cols},
+                self.analyzer,
+                default_field=self.text_col,
+                store_positions=self.store_positions,
+            )
+            extra_meta_fields = {
+                "field_stats": field_stats,
+                "fields": sorted(self.text_cols),
+                "default_field": self.text_col,
+            }
+        else:
+            texts = group.column(self.text_col)  # Arrow column → tokenizer fast path
+            postings_tbl, docs_tbl, stats = build_segment_tables(
+                keys, texts, self.analyzer, store_positions=self.store_positions
+            )
         for c in self.docvalue_cols:  # doc-values columns ride the docs table
             docs_tbl = docs_tbl.append_column(c, group.column(c))
         name = f"seg{part_id:06d}-g0"
@@ -127,6 +145,7 @@ class _BuildSegment:
                 "analyzer": self.analyzer_kind,
                 "key_col": self.key_col,
                 "n_rows_in": group.num_rows,
+                **extra_meta_fields,
             },
         )
         import json
@@ -148,6 +167,7 @@ def build_index(
     dedup_exact: bool = False,
     columns: list[str] | None = None,
     docvalue_cols: tuple = (),
+    text_cols: tuple = (),
 ) -> Manifest:
     """Build (or resume) an index from a Dataset or a parquet path/dir.
 
@@ -161,7 +181,7 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     if isinstance(source, (str, list)):
         cols = columns or ([key_col, "html"] if extract_html else [key_col, text_col])
-        cols = list(dict.fromkeys(list(cols) + list(docvalue_cols)))
+        cols = list(dict.fromkeys(list(cols) + list(docvalue_cols) + list(text_cols)))
         ds = ray.data.read_parquet(source, columns=cols)
     else:
         ds = source
@@ -191,7 +211,7 @@ def build_index(
             batch_format="pyarrow",
         )
         builder = _BuildSegment(index_dir, key_col, text_col, analyzer, store_positions,
-                                num_partitions, docvalue_cols)
+                                num_partitions, docvalue_cols, text_cols)
 
         def build_one_segment(group: pa.Table) -> pa.Table:
             return builder(group)
@@ -213,6 +233,7 @@ def build_index(
             "num_partitions": num_partitions,
             "store_positions": store_positions,
             "docvalue_cols": list(docvalue_cols),
+            "text_cols": list(text_cols),
         },
     )
     manifest.commit()

@@ -27,19 +27,22 @@ class Query:
 @dataclass(frozen=True)
 class TermQuery(Query):
     term: str
+    field: str | None = None  # None = the index's default field
 
     def __str__(self):
-        return self.term
+        return f"{self.field}:{self.term}" if self.field else self.term
 
 
 @dataclass(frozen=True)
 class PhraseQuery(Query):
     terms: tuple
     slop: int = 0
+    field: str | None = None
 
-    def __init__(self, terms, slop: int = 0):
+    def __init__(self, terms, slop: int = 0, field: str | None = None):
         object.__setattr__(self, "terms", tuple(terms))
         object.__setattr__(self, "slop", int(slop))
+        object.__setattr__(self, "field", field)
 
     def __str__(self):
         return '"' + " ".join(self.terms) + '"'
@@ -48,6 +51,7 @@ class PhraseQuery(Query):
 @dataclass(frozen=True)
 class PrefixQuery(Query):
     prefix: str
+    field: str | None = None
 
     def __str__(self):
         return self.prefix + "*"
@@ -302,16 +306,17 @@ class _Parser:
             return self._maybe_boost(PhraseQuery(terms))
         if t.kind == "WORD":
             w = t.value
-            if ":" in w:  # classic field:term syntax — single-field engine,
-                w = w.split(":", 1)[1]  # the field name is accepted and dropped
+            fieldname = None
+            if ":" in w:  # classic field:term syntax
+                fieldname, w = w.split(":", 1)
             boost = None
             if "^" in w:
                 w, bs = w.rsplit("^", 1)
                 boost = float(bs)
             if w.endswith("*") and len(w) > 1:
-                q: Query = PrefixQuery(self.normalize(w[:-1]))
+                q: Query = PrefixQuery(self.normalize(w[:-1]), field=fieldname)
             else:
-                q = TermQuery(self.normalize(w))
+                q = TermQuery(self.normalize(w), field=fieldname)
             if boost is not None:
                 q = BoostQuery(q, boost)
             return q

@@ -203,9 +203,54 @@ class IndexSearcher:
         ts_path = os.path.join(index_dir, f"term_stats-{manifest.gen}.parquet")
         self.global_term_stats = GlobalTermStats(ts_path) if os.path.exists(ts_path) else None
         self.collection_stats = manifest.collection_stats()
+        # multi-field config (per-field postings keyed field\x1fterm)
+        cfg = manifest.config or {}
+        self.fields = tuple(cfg.get("text_cols") or ())
+        self.default_field = cfg.get("text_col", "text")
+        self._multi = len(self.fields) > 1
+        self._cstats_cache: dict = {}
         self.mode = mode
         self.sim = BM25Similarity() if mode == "lucene" else BM25ExactSimilarity()
         self._ts_cache: dict[str, TermStatistics] = {}
+
+    # ---------------------------------------------------------------- fields
+
+    def _fp(self, field: str | None) -> str:
+        """Dictionary key prefix for a field ('' on single-field indexes)."""
+        if not self._multi:
+            return ""
+        from lucene_ray.state.segment import FIELD_SEP
+
+        return (field or self.default_field) + FIELD_SEP
+
+    def _field_cstats(self, field: str | None):
+        """Per-field CollectionStatistics (each field has its own avgdl —
+        FieldInvertState is per field in the reference)."""
+        if not self._multi:
+            return self.collection_stats
+        f = field or self.default_field
+        hit = self._cstats_cache.get(f)
+        if hit is None:
+            from lucene_ray.functions.similarity import CollectionStatistics
+
+            md = dc = sdf = sttf = 0
+            for seg in self.manifest.segments:
+                fs = seg.get("field_stats", {}).get(f)
+                if fs is None:
+                    continue
+                md += fs["max_doc"]
+                dc += fs["doc_count"]
+                sdf += fs["sum_doc_freq"]
+                sttf += fs["sum_total_term_freq"]
+            hit = CollectionStatistics(md, dc, sdf, sttf)
+            self._cstats_cache[f] = hit
+        return hit
+
+    def _field_norms(self, r: SegmentReader, field: str | None):
+        if self._multi:
+            f = field or self.default_field
+            return r.norms_by_field[f], r.dls_by_field[f]
+        return r.norms, r.dls
 
     # ---------------------------------------------------------------- stats
 
@@ -227,14 +272,17 @@ class IndexSearcher:
         self._ts_cache[term] = ts
         return ts
 
-    def _scorers_for(self, terms: list[str], boost: float = 1.0) -> dict:
+    def _scorers_for(self, terms: list[str], boost: float = 1.0,
+                     field: str | None = None) -> dict:
         """One BM25 scorer per term from GLOBAL stats — fixed before any
-        segment is scored, like TermQuery.createWeight (TermQuery.java:211)."""
+        segment is scored, like TermQuery.createWeight (TermQuery.java:211).
+        ``terms`` are FULL dictionary keys (field-prefixed when multi)."""
         out = {}
+        cstats = self._field_cstats(field)
         for t in terms:
             ts = self.term_statistics(t)
             if ts.doc_freq > 0:
-                out[t] = self.sim.scorer(self.collection_stats, ts, boost=boost)
+                out[t] = self.sim.scorer(cstats, ts, boost=boost)
         return out
 
     @staticmethod
@@ -321,8 +369,10 @@ class IndexSearcher:
         so decoding whole (short, hot) posting lists beats Python-driven
         block skipping; WAND is the verified scale path for selective terms
         over huge indexes (forced with algo='wand', equality tested)."""
+        if self._multi:
+            return False
         if isinstance(q, TermQuery):
-            return True
+            return q.field is None
         return (
             isinstance(q, BooleanQuery)
             and not q.must
@@ -334,21 +384,28 @@ class IndexSearcher:
 
     # ------------------------------------------------------------ evaluation
 
-    def _score_arrays(self, r: SegmentReader, scorer, docs: np.ndarray, freqs: np.ndarray):
+    def _score_arrays(self, r: SegmentReader, scorer, docs: np.ndarray,
+                      freqs: np.ndarray, field: str | None = None):
+        norms, dls = self._field_norms(r, field)
         if self.mode == "lucene":
-            return scorer.score(freqs, r.norms[docs])
-        return scorer.score(freqs, r.dls[docs])
+            return scorer.score(freqs, norms[docs])
+        return scorer.score(freqs, dls[docs])
 
     def _eval(self, r: SegmentReader, q: Query, boost: float = 1.0) -> _SparseScores:
         empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
         if isinstance(q, TermQuery):
-            scorers = self._scorers_for([q.term], boost)
-            if q.term not in scorers:
+            if self._multi and q.field and q.field not in self.fields:
                 return empty
-            docs, freqs = r.postings(q.term)
+            full = self._fp(q.field) + q.term
+            scorers = self._scorers_for([full], boost, field=q.field)
+            if full not in scorers:
+                return empty
+            docs, freqs = r.postings(full)
             if not len(docs):
                 return empty
-            return _SparseScores(docs, self._score_arrays(r, scorers[q.term], docs, freqs))
+            return _SparseScores(
+                docs, self._score_arrays(r, scorers[full], docs, freqs, q.field)
+            )
         if isinstance(q, BoostQuery):
             return self._eval(r, q.query, boost * q.boost)
         if isinstance(q, ConstantScoreQuery):
@@ -359,39 +416,51 @@ class IndexSearcher:
             return _SparseScores(docs, np.full(r.max_doc, boost))
         if isinstance(q, PrefixQuery):
             # MultiTermQuery CONSTANT_SCORE rewrite: matching docs score boost.
-            lo, hi = r.term_range(q.prefix)
+            lo, hi = r.term_range(self._fp(q.field) + q.prefix)
             docs = self._union_docs(r, range(lo, hi))
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, TermInSetQuery):
-            idxs = [i for t in q.terms if (i := r.term_index(t)) >= 0]
+            fp = self._fp(None)
+            idxs = [i for t in q.terms if (i := r.term_index(fp + t)) >= 0]
             docs = self._union_docs(r, idxs)
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, WildcardQuery):
             import re as _re
 
+            fp = self._fp(None)
+            rlo, rhi = r.term_range(fp) if fp else (0, len(r.terms))
             pat = _re.compile(
                 "".join(
                     ".*" if c == "*" else "." if c == "?" else _re.escape(c)
                     for c in q.pattern
                 )
             )
-            idxs = [i for i in range(len(r.terms)) if pat.fullmatch(r.terms[i])]
+            idxs = [i for i in range(rlo, rhi) if pat.fullmatch(r.terms[i][len(fp):])]
             docs = self._union_docs(r, idxs)
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, RegexpQuery):
             import re as _re
 
+            fp = self._fp(None)
+            rlo, rhi = r.term_range(fp) if fp else (0, len(r.terms))
             pat = _re.compile(q.pattern)
-            idxs = [i for i in range(len(r.terms)) if pat.fullmatch(r.terms[i])]
+            idxs = [i for i in range(rlo, rhi) if pat.fullmatch(r.terms[i][len(fp):])]
             docs = self._union_docs(r, idxs)
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, TermRangeQuery):
+            fp = self._fp(None)
             lo = 0 if q.lower is None else int(
-                np.searchsorted(r.terms, q.lower, side="left" if q.include_lower else "right")
+                np.searchsorted(r.terms, fp + q.lower,
+                                side="left" if q.include_lower else "right")
             )
             hi = len(r.terms) if q.upper is None else int(
-                np.searchsorted(r.terms, q.upper, side="right" if q.include_upper else "left")
+                np.searchsorted(r.terms, fp + q.upper,
+                                side="right" if q.include_upper else "left")
             )
+            if fp and q.upper is None:
+                hi = r.term_range(fp)[1]
+            if fp and q.lower is None:
+                lo = r.term_range(fp)[0]
             docs = self._union_docs(r, range(lo, hi))
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, NumericRangeQuery):
@@ -554,15 +623,18 @@ class IndexSearcher:
                     agg[r.terms[i]] = agg.get(r.terms[i], 0) + int(r.total_tf[i])
             cand = [(c, t) for t, c in agg.items()]
         cand.sort(key=lambda x: (-x[0], x[1]))
-        return [(t, c) for c, t in cand[:k]]
+        out = [(t, c) for c, t in cand[:k]]
+        return out
 
     def spell_suggest(self, term: str, k: int = 3, max_edits: int = 2) -> list[str]:
         """Did-you-mean (suggest/spell/DirectSpellChecker analogue): dictionary
         terms within ``max_edits``, ranked by (edits asc, docFreq desc, term)."""
+        fp = self._fp(None)
         seen: dict[str, int] = {}
         for r in self.readers:
-            for i in range(len(r.terms)):
-                t = r.terms[i]
+            lo, hi = r.term_range(fp) if fp else (0, len(r.terms))
+            for i in range(lo, hi):
+                t = r.terms[i][len(fp):]
                 if t == term or t in seen:
                     continue
                 ed = _bounded_edit_distance(term, t, max_edits)
@@ -570,7 +642,7 @@ class IndexSearcher:
                     seen[t] = ed
         ranked = sorted(
             seen.items(),
-            key=lambda kv: (kv[1], -self.term_statistics(kv[0]).doc_freq, kv[0]),
+            key=lambda kv: (kv[1], -self.term_statistics(fp + kv[0]).doc_freq, kv[0]),
         )
         return [t for t, _ in ranked[:k]]
 
@@ -579,23 +651,27 @@ class IndexSearcher:
         """MoreLikeThis (queries/.../mlt/MoreLikeThis.java semantics): pick
         the doc's top terms by tf·idf, search them as a SHOULD query with the
         source doc excluded."""
+        fp = self._fp(None)
         tf: dict[str, int] = {}
         for r in self.readers:
             pos = np.flatnonzero(r.doc_keys == doc_key)
             if not len(pos):
                 continue
             local = int(pos[0])
-            for i in range(len(r.terms)):
+            lo, hi = r.term_range(fp) if fp else (0, len(r.terms))
+            for i in range(lo, hi):
                 docs, freqs = r.postings(int(i))
                 j = np.searchsorted(docs, local)
                 if j < len(docs) and docs[j] == local:
-                    tf[r.terms[i]] = tf.get(r.terms[i], 0) + int(freqs[j])
+                    t = r.terms[i][len(fp):]
+                    tf[t] = tf.get(t, 0) + int(freqs[j])
         scored = []
+        cstats = self._field_cstats(None)
         for t, f in tf.items():
             if f < min_tf:
                 continue
-            ts = self.term_statistics(t)
-            idf = float(np.log(1 + (self.collection_stats.doc_count - ts.doc_freq + 0.5)
+            ts = self.term_statistics(fp + t)
+            idf = float(np.log(1 + (cstats.doc_count - ts.doc_freq + 0.5)
                                / (ts.doc_freq + 0.5)))
             scored.append((-(f * idf), t))
         scored.sort()
@@ -685,15 +761,18 @@ class IndexSearcher:
         when prefix_length > 0, else the whole (per-segment) dictionary —
         the automaton-intersection equivalent; fine for bounded vocabularies,
         range-prunable at scale."""
+        fp = self._fp(None)
         if q.prefix_length > 0:
             prefix = q.term[: q.prefix_length]
-            lo, hi = r.term_range(prefix)
+            lo, hi = r.term_range(fp + prefix)
+        elif fp:
+            lo, hi = r.term_range(fp)
         else:
             lo, hi = 0, len(r.terms)
         subs = []
         base = q.term
         for i in range(lo, hi):
-            cand = r.terms[i]
+            cand = r.terms[i][len(fp):]
             ed = _bounded_edit_distance(base, cand, q.max_edits)
             if ed < 0:
                 continue
@@ -714,7 +793,8 @@ class IndexSearcher:
         synonyms, statistics blended as df = max docFreq, ttf = Σ (documented
         blend), scored through BM25 once."""
         empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
-        stats = [self.term_statistics(t) for t in q.terms]
+        fp = self._fp(None)
+        stats = [self.term_statistics(fp + t) for t in q.terms]
         stats = [s for s in stats if s.doc_freq > 0]
         if not stats:
             return empty
@@ -725,7 +805,7 @@ class IndexSearcher:
         )
         docs_all, freqs_all = [], []
         for t in q.terms:
-            d, f = r.postings(t)
+            d, f = r.postings(fp + t)
             if len(d):
                 docs_all.append(d)
                 freqs_all.append(f)
@@ -736,8 +816,11 @@ class IndexSearcher:
         uniq, inv = np.unique(docs, return_inverse=True)
         tf = np.zeros(len(uniq))
         np.add.at(tf, inv, freqs)
-        scorer = self.sim.scorer(self.collection_stats, blended, boost=boost)
-        return _SparseScores(uniq.astype(np.int32), self._score_arrays(r, scorer, uniq.astype(np.int32), tf))
+        scorer = self.sim.scorer(self._field_cstats(None), blended, boost=boost)
+        return _SparseScores(
+            uniq.astype(np.int32),
+            self._score_arrays(r, scorer, uniq.astype(np.int32), tf),
+        )
 
     # ------------------------------------------------------------ phrase
 
@@ -750,8 +833,11 @@ class IndexSearcher:
         Σ 1/(1+matchLength)) through BM25 with the MULTI-term idf sum.
         """
         empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        if self._multi and q.field and q.field not in self.fields:
+            return empty
+        fp = self._fp(q.field)
         terms = list(q.terms)
-        idxs = [r.term_index(t) for t in terms]
+        idxs = [r.term_index(fp + t) for t in terms]
         if any(i < 0 for i in idxs):
             return empty
         post = [r.postings(int(i)) for i in idxs]
@@ -815,9 +901,9 @@ class IndexSearcher:
             return empty
         docs = np.array(match_docs, dtype=np.int32)
         freqs = np.array(match_freqs, dtype=np.float64)
-        tstats = [self.term_statistics(t) for t in terms]
-        scorer = self.sim.scorer(self.collection_stats, tstats, boost=boost)
-        return _SparseScores(docs, self._score_arrays(r, scorer, docs, freqs))
+        tstats = [self.term_statistics(fp + t) for t in terms]
+        scorer = self.sim.scorer(self._field_cstats(q.field), tstats, boost=boost)
+        return _SparseScores(docs, self._score_arrays(r, scorer, docs, freqs, q.field))
 
     # ------------------------------------------------------------ block-max
 

@@ -160,6 +160,37 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
         sum_doc_freq=int(doc_freq.sum()),
         sum_total_term_freq=int(total_tf.sum()),
     )
+    extra: dict = {}
+    if any(r.meta.get("field_stats") for r in readers):
+        # multi-field: recompute exact per-field stats from the merged tables
+        # (exact under deletes too — derived from surviving postings/rows)
+        from lucene_ray.state.segment import FIELD_SEP
+
+        fields = sorted(readers[0].meta.get("fields", []))
+        terms_np = np.asarray(postings_tbl.column("term").to_pylist(), dtype=object)
+        df_np = postings_tbl.column("doc_freq").to_numpy()
+        ttf_np = postings_tbl.column("total_tf").to_numpy()
+        field_stats = {}
+        for f in fields:
+            pref = f + FIELD_SEP
+            m = np.fromiter((t.startswith(pref) for t in terms_np), dtype=bool,
+                            count=len(terms_np))
+            dl_f = docs_tbl.column(f"dl__{f}").to_numpy()
+            field_stats[f] = dict(
+                max_doc=int(sum(live_counts)),
+                doc_count=int((dl_f > 0).sum()),
+                sum_doc_freq=int(df_np[m].sum()),
+                sum_total_term_freq=int(ttf_np[m].sum()),
+            )
+        default_f = readers[0].meta.get("default_field", fields[0] if fields else None)
+        if default_f in field_stats:
+            stats = dict(field_stats[default_f])
+            stats["max_doc"] = int(sum(live_counts))
+        extra = {
+            "field_stats": field_stats,
+            "fields": fields,
+            "default_field": default_f,
+        }
     return write_segment(
         index_dir,
         out_name,
@@ -172,6 +203,7 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             "merged_from": seg_names,
             "analyzer": readers[0].meta.get("analyzer"),
             "key_col": readers[0].meta.get("key_col"),
+            **extra,
         },
     )
 

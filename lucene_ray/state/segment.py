@@ -197,6 +197,59 @@ def build_segment_tables(
     return postings_tbl, docs_tbl, stats
 
 
+FIELD_SEP = "\x1f"  # joins (field, term) into one dictionary key; sorts low
+
+
+def build_multifield_segment_tables(
+    doc_keys: np.ndarray,
+    field_texts: dict,
+    analyzers,
+    *,
+    default_field: str,
+    store_positions: bool = True,
+) -> tuple[pa.Table, pa.Table, dict, dict]:
+    """Multi-field invert: one postings dictionary keyed by
+    ``field\\x1fterm`` (fields processed in sorted order so the combined
+    dictionary stays term-sorted), per-field norm/dl columns
+    (``norm__<f>``/``dl__<f>``), per-field statistics.
+
+    This is the reference's per-field FieldInfo/FieldInvertState model
+    (index/FieldInfo.java, FieldInvertState.java:34-43): every field gets its
+    own postings, norms and CollectionStatistics; BM25 scores each field
+    against its own avgdl. The default field also populates the legacy
+    ``norm``/``dl`` columns and top-level stats so single-field readers and
+    CheckIndex keep working.
+    """
+    from lucene_ray.functions.analysis import Analyzer
+
+    fields = sorted(field_texts)
+    assert default_field in fields
+    postings_parts = []
+    docs_cols: dict[str, object] = {"doc_key": pa.array(doc_keys)}
+    field_stats: dict[str, dict] = {}
+    default_stats: dict = {}
+    for f in fields:
+        an = analyzers[f] if isinstance(analyzers, dict) else analyzers
+        assert isinstance(an, Analyzer)
+        p_tbl, d_tbl, stats = build_segment_tables(
+            doc_keys, field_texts[f], an, store_positions=store_positions
+        )
+        terms = pa.compute.binary_join_element_wise(
+            f + FIELD_SEP, p_tbl.column("term"), ""
+        )
+        postings_parts.append(p_tbl.set_column(0, "term", terms))
+        docs_cols[f"norm__{f}"] = d_tbl.column("norm")
+        docs_cols[f"dl__{f}"] = d_tbl.column("dl")
+        field_stats[f] = stats
+        if f == default_field:
+            docs_cols["norm"] = d_tbl.column("norm")
+            docs_cols["dl"] = d_tbl.column("dl")
+            default_stats = stats
+    postings_tbl = pa.concat_tables(postings_parts)
+    docs_tbl = pa.table(docs_cols)
+    return postings_tbl, docs_tbl, default_stats, field_stats
+
+
 def write_segment(
     index_dir: str,
     name: str,
@@ -277,7 +330,16 @@ class SegmentReader:
             c: d.column(c).to_numpy(zero_copy_only=False)
             for c in d.column_names
             if c not in ("doc_key", "norm", "dl")
+            and not c.startswith(("norm__", "dl__"))
         }
+        # per-field norms/lengths for multi-field segments (field_stats meta)
+        self.norms_by_field = {}
+        self.dls_by_field = {}
+        for c in d.column_names:
+            if c.startswith("norm__"):
+                self.norms_by_field[c[6:]] = d.column(c).to_numpy()
+            elif c.startswith("dl__"):
+                self.dls_by_field[c[4:]] = d.column(c).to_numpy()
         self.max_doc = self.meta["max_doc"]
         # live-docs side bitset (None = all live); attached by the searcher
         # from the manifest's del_gen (deletes.py)
@@ -376,10 +438,15 @@ def check_segment(seg_dir: str) -> list[str]:
             problems.append(f"term {t[i]}: skip entries {len(bld)} != {n_blocks_expected}")
         sum_df += len(docs)
         sum_ttf += int(freqs.sum())
-    if sum_df != r.meta["sum_doc_freq"]:
-        problems.append(f"sum_doc_freq {r.meta['sum_doc_freq']} != {sum_df}")
-    if sum_ttf != r.meta["sum_total_term_freq"]:
-        problems.append(f"sum_total_term_freq {r.meta['sum_total_term_freq']} != {sum_ttf}")
+    fs = r.meta.get("field_stats")
+    want_df = sum(v["sum_doc_freq"] for v in fs.values()) if fs else r.meta["sum_doc_freq"]
+    want_ttf = (
+        sum(v["sum_total_term_freq"] for v in fs.values()) if fs else r.meta["sum_total_term_freq"]
+    )
+    if sum_df != want_df:
+        problems.append(f"sum_doc_freq {want_df} != {sum_df}")
+    if sum_ttf != want_ttf:
+        problems.append(f"sum_total_term_freq {want_ttf} != {sum_ttf}")
     if len(r.norms) != r.max_doc or len(r.dls) != r.max_doc:
         problems.append("norms/dl length != max_doc")
     if not np.array_equal(encode_lengths(r.dls), r.norms):

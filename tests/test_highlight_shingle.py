@@ -66,7 +66,7 @@ def test_shingles_and_ngrams():
 
 def test_parser_field_prefix():
     q = parse_query("contents:Merge")
-    assert q == TermQuery("merge")
+    assert q == TermQuery("merge", field="contents")
+    assert parse_query("Merge") == TermQuery("merge")
     q2 = parse_query('title:"batch batch"')
-    # field prefix on phrases is not split (documented single-field engine)
     assert q2 is not None
