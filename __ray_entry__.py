@@ -73,7 +73,7 @@ _SCORE = (
 
 
 def _cache_dir(sf_dir: str, tag: str) -> str:
-    key = hashlib.md5(f"{sf_dir}|{tag}|v2".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|{tag}|v3".encode()).hexdigest()[:12]
     return os.path.join("/tmp/lucene_ray_cache", f"{tag}-{key}")
 
 

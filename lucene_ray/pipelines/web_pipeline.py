@@ -39,6 +39,8 @@ DEFAULT_QUERY_SET = [
     '"merge sort"',
     '"window window"',
     "+filter -spark",
+    "title:doc",
+    "merge OR title:doc",
     "quer*",
     "s*",
     "row column vector",
@@ -60,12 +62,14 @@ def build_web_index(
     """Synthesize the web-page corpus from sf_dir's documents table and index
     its extracted text (key = url)."""
     ds = synthesize_corpus(sf_dir, replicas=replicas)
-    ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                        fn_kwargs={"include_title": True})
     manifest = build_index(
         ds,
         index_dir,
         key_col="url",
         text_col="text",
+        text_cols=("title", "text"),  # multi-field: title + body
         num_partitions=num_partitions,
         analyzer=analyzer,
         dedup_exact=False,  # urls are unique post-synthesis; see dedup pipeline

@@ -112,12 +112,14 @@ def synthesize_batch(batch: pa.Table, *, replica: int = 0, n_docs_total: int = 0
     )
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
+def extract_batch(batch: pa.Table, *, include_title: bool = False) -> pa.Table:
     """html → text extraction stage (drops the wide html column immediately —
     §SURVEY 7 'project early, keep text only past extraction').
 
     Verifies the byte-identity invariant when the table still carries the
-    original text column.
+    original text column. ``include_title`` also extracts the <title> as its
+    own field column (DemoHTMLParser keeps title separate from body,
+    benchmark/.../feeds/DemoHTMLParser.java:26-123).
     """
     html_str = batch.column("html").cast(pa.string())
     ex = pc.extract_regex(html_str, pattern=r"(?s)<body><p>(?P<body>.*)</p></body>")
@@ -135,7 +137,11 @@ def extract_batch(batch: pa.Table) -> pa.Table:
             raise ValueError(f"extraction mismatch for {mism}")
     keep = [c for c in batch.column_names if c not in ("html", "text")]
     out = batch.select(keep)
-    return out.append_column("text", extracted)
+    out = out.append_column("text", extracted)
+    if include_title:
+        tex = pc.extract_regex(html_str, pattern=r"(?s)<title>(?P<t>.*?)</title>")
+        out = out.append_column("title", _unescape_arr(pc.struct_field(tex, "t")))
+    return out
 
 
 def synthesize_corpus(sf_dir: str, *, replicas: int = 1, parallelism: int | None = None):
