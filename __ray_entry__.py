@@ -341,6 +341,30 @@ def _q_jaccard_pairs(sf_dir: str) -> pa.Table:
 # rows-only (non-SQL-expressible) pipelines
 
 
+def _q_events_window(sf_dir: str):
+    import ray.data
+
+    from lucene_ray.pipelines.windows import tumbling_window_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    out = tumbling_window_agg(ds, window="1h")
+
+    def rnd(batch):
+        import pyarrow.compute as pc
+        import pyarrow as _pa
+
+        return batch.set_column(
+            batch.column_names.index("sum_value"), "sum_value",
+            pc.round(batch.column("sum_value"), ndigits=6),
+        ).set_column(
+            batch.column_names.index("mean_value"), "mean_value",
+            pc.round(batch.column("mean_value"), ndigits=6),
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
 def _q_minhash_pairs(sf_dir: str):
     from lucene_ray.pipelines.dedup import minhash_lsh_pairs
 
@@ -668,6 +692,16 @@ ranked AS (
 SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {K}
 """
 
+_SQL_EVENTS_WINDOW = """
+SELECT event_type,
+       (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS mean_value
+FROM events
+GROUP BY event_type, window_start
+"""
+
 _SQL_JACCARD = f"""
 WITH t AS (
   SELECT doc_id, unnest(list_distinct({_TOK})) AS term
@@ -842,6 +876,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_topk": _q_knn_topk,
         "knn_ivf": _q_knn_ivf,  # rows-only (approximate by design)
+        # stream-shaped windowed aggregate (custom operator; SURVEY §2.9 note)
+        "events_window": _q_events_window,
         # language id (rows-only: heuristic model)
         "langid_counts": _q_langid_counts,
         # Lucene-parity float32 WAND over the web index (rows-only)
@@ -874,4 +910,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP,
         "jaccard_pairs": _SQL_JACCARD,
         "knn_topk": _SQL_KNN,
+        "events_window": _SQL_EVENTS_WINDOW,
     }

@@ -46,7 +46,8 @@ class SearcherShard:
         if s is None:
             if len(self._searchers) >= self.max_cached:
                 self._searchers.pop(next(iter(self._searchers)))
-            s = IndexSearcher(self.index_dir, mode=self.mode, segment_names=list(shard))
+            seg_names = [x for x in shard if not x.startswith("g")]  # drop gen tag
+            s = IndexSearcher(self.index_dir, mode=self.mode, segment_names=seg_names)
             self._searchers[shard] = s
         return s
 
@@ -98,8 +99,12 @@ def search_distributed(
         names[i : i + shards_per_actor_segments]
         for i in range(0, len(names), shards_per_actor_segments)
     ]
+    # the manifest generation rides along in the shard key: when a commit
+    # advances the index (NRT refresh / merge / deletes), warm actors miss
+    # their cache and reload the new point-in-time view — the replica
+    # warm-then-swap behavior of the reference's nrt replicator
     items = [
-        {"query_id": qi, "query": q, "shard": shard}
+        {"query_id": qi, "query": q, "shard": [f"g{manifest.gen}"] + shard}
         for qi, q in enumerate(queries)
         for shard in shards
     ]

@@ -202,3 +202,48 @@ def test_multimodal_plumbing(docs_ds):
     assert np.allclose(m1, m2)
     aud = audio_features(media.limit(50), concurrency=2).to_pandas()
     assert all(len(f) == 16 for f in aud.frame_rms)
+
+
+def test_session_windows(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from lucene_ray.pipelines.windows import session_window_agg
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 02:00",
+                 "2024-01-01 00:00", "2024-01-01 00:45"]
+            ),
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    out = session_window_agg(ray.data.from_pandas(rows), gap="30min").to_pandas()
+    u1 = out[out.user_id == 1].sort_values("session_start")
+    assert u1.n.tolist() == [2, 1]          # 00:00+00:10 together, 02:00 alone
+    assert u1.sum_value.tolist() == [3.0, 3.0]
+    u2 = out[out.user_id == 2].sort_values("session_start")
+    assert u2.n.tolist() == [1, 1]          # 45min gap > 30min
+
+
+def test_tumbling_window_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from lucene_ray.pipelines.windows import tumbling_window_agg
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = tumbling_window_agg(ds, window="1h").to_pandas()
+    pdf = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    pdf["window_start"] = (pdf.ts.astype("int64") // 10**9 // 3600) * 3600
+    want = (
+        pdf.groupby(["event_type", "window_start"])
+        .agg(n=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+    )
+    merged = out.merge(want, on=["event_type", "window_start"], suffixes=("", "_w"))
+    assert len(merged) == len(want) == len(out)
+    assert (merged.n == merged.n_w).all()
+    assert abs(merged.sum_value - merged.sum_value_w).max() < 1e-9
