@@ -237,7 +237,8 @@ def test_tumbling_window_matches_pandas(ray_session):
     ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
     out = tumbling_window_agg(ds, window="1h").to_pandas()
     pdf = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
-    pdf["window_start"] = (pdf.ts.astype("int64") // 10**9 // 3600) * 3600
+    epoch_us = pdf.ts.astype("datetime64[us]").astype("int64")
+    pdf["window_start"] = (epoch_us // 10**6 // 3600) * 3600
     want = (
         pdf.groupby(["event_type", "window_start"])
         .agg(n=("value", "size"), sum_value=("value", "sum"))
