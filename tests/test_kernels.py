@@ -313,3 +313,27 @@ def test_ascii_folding():
     assert ascii_fold("naïve") == "naive"
     a = Analyzer("standard", ascii_folding=True)
     assert [t for t, _ in a.tokenize_one("Café über naïve")] == ["cafe", "uber", "naive"]
+
+
+@given(
+    st.floats(min_value=0, max_value=8, allow_nan=False),
+    st.floats(min_value=0, max_value=1, allow_nan=False),
+    st.integers(min_value=1, max_value=1000),
+    st.integers(min_value=1, max_value=255),
+)
+@settings(max_examples=150, deadline=None)
+def test_bm25_random_scoring_properties(k1, b, df, norm_byte):
+    # BaseSimilarityTestCase.testRandomScoring transliteration: for random
+    # (k1, b) and random term stats, scores are finite, non-negative,
+    # non-decreasing in freq and non-increasing in doc length.
+    sim = BM25Similarity(k1=k1, b=b)
+    stats = CollectionStatistics(2000, 1500, 30_000, 90_000)
+    scorer = sim.scorer(stats, TermStatistics("t", df, df * 3))
+    freqs = np.array([1, 2, 3, 5, 10, 100], dtype=np.float32)
+    nb = np.full(len(freqs), norm_byte, dtype=np.uint8)
+    s = scorer.score(freqs, nb)
+    assert np.all(np.isfinite(s)) and np.all(s >= 0)
+    assert np.all(np.diff(s) >= 0)
+    lens = norms.encode_lengths(np.array([1, 5, 20, 100, 1000]))
+    s2 = scorer.score(np.full(5, 4, dtype=np.float32), lens)
+    assert np.all(np.diff(s2) <= -0.0) or np.all(np.diff(s2) <= 1e-7)
