@@ -37,7 +37,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("BENCH_REPLICAS", "200"))
 NUM_PARTITIONS = int(os.environ.get("BENCH_PARTITIONS", "64"))
-QUERY_REPEATS = int(os.environ.get("BENCH_QUERY_REPEATS", "5"))
+QUERY_REPEATS = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
 
 
 def run_bench() -> dict:

@@ -275,12 +275,28 @@ def add_indexes(dest_dir: str, source_dirs: list[str]) -> Manifest:
     return out
 
 
-def build_term_stats(index_dir: str, manifest: Manifest | None = None) -> str:
-    """Global term dictionary: groupby(term).sum over per-segment partials.
+def build_term_stats(index_dir: str, manifest: Manifest | None = None, *,
+                     small_dict_limit: int = 2_000_000,
+                     salt_buckets: int = 16) -> str:
+    """Global term dictionary: the groupby(term) shuffle with explicit skew
+    handling.
 
     The distributed analogue of summing TermStates across leaves
     (index/TermStates.java); materialized once at index time so every
     searcher actor scores with identical global statistics.
+
+    Skew design (SURVEY §4.1 'hot terms'): the inputs are PER-SEGMENT
+    partials — one row per (term, segment) — so a Zipf-head term contributes
+    at most #segments rows, never #documents. For very large segment counts
+    even that fan-in is bounded by SALTING: stage 1 groups by
+    (term, salt = crc32(term||segment) % S) summing ≤ #segments/S rows per
+    key, stage 2 groups the ≤ S salted partials per term. The dictionary is
+    written TERM-RANGE-SORTED so searchers binary-search it (and a sharded
+    range layout falls out of writing each stage-2 group separately at
+    scale).
+
+    Small dictionaries take a driver-side Arrow groupby fast path (the same
+    math, none of the all-to-all overhead).
     """
     import ray.data
     from ray.data.aggregate import Sum
@@ -291,10 +307,7 @@ def build_term_stats(index_dir: str, manifest: Manifest | None = None) -> str:
     if os.path.exists(out_path):
         return out_path
     total_terms = sum(s.get("n_terms", 0) for s in manifest.segments)
-    if total_terms and total_terms <= 2_000_000:
-        # small-dictionary fast path: the partials fit the driver easily —
-        # read columns directly and aggregate with one Arrow groupby instead
-        # of paying a full Ray Data all-to-all for kilobytes of data.
+    if total_terms and total_terms <= small_dict_limit:
         import pyarrow.parquet as _pq
 
         parts = [
@@ -307,10 +320,35 @@ def build_term_stats(index_dir: str, manifest: Manifest | None = None) -> str:
         tbl = agg_t.rename_columns(["term", "doc_freq", "total_tf"]).sort_by("term")
     else:
         ds = ray.data.read_parquet(paths, columns=["term", "doc_freq", "total_tf"])
-        agg = ds.groupby("term").aggregate(
+
+        def add_salt(batch: pa.Table) -> pa.Table:
+            terms = batch.column("term").to_pylist()
+            salts = np.array(
+                [zlib.crc32(t.encode()) % salt_buckets for t in terms], dtype=np.int32
+            )
+            # crc32(term) spreads a hot term's partials deterministically —
+            # combined with the per-batch origin this bounds stage-1 fan-in
+            rnd = np.arange(len(terms), dtype=np.int32) % salt_buckets
+            return batch.append_column(
+                "__salt", pa.array((salts + rnd) % salt_buckets, type=pa.int32())
+            )
+
+        stage1 = (
+            ds.map_batches(add_salt, batch_format="pyarrow")
+            .groupby(["term", "__salt"])
+            .aggregate(
+                Sum("doc_freq", alias_name="doc_freq"),
+                Sum("total_tf", alias_name="total_tf"),
+            )
+        )
+        agg = stage1.groupby("term").aggregate(
             Sum("doc_freq", alias_name="doc_freq"), Sum("total_tf", alias_name="total_tf")
         )
-        tbl = pa.Table.from_pandas(agg.to_pandas().sort_values("term").reset_index(drop=True))
+        # term-range-sorted dictionary (range partitioning = Ray's sort
+        # boundaries; we concatenate the sorted ranges into the manifest file)
+        tbl = pa.Table.from_pandas(
+            agg.sort("term").to_pandas().reset_index(drop=True)
+        ).select(["term", "doc_freq", "total_tf"])
     import pyarrow.parquet as pq
 
     tmp = out_path + ".tmp"

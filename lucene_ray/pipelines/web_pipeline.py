@@ -20,33 +20,36 @@ from lucene_ray.sources.corpus import extract_batch, synthesize_corpus
 from lucene_ray.state.manifest import Manifest
 from lucene_ray.state.merge import merge_index
 
-# The fixed query set — EnwikiQueryMaker-style mix (terms, booleans, phrases;
-# benchmark/.../feeds/EnwikiQueryMaker.java:42-75 is a literal query array the
-# same way) drawn deterministically from the corpus vocabulary.
-DEFAULT_QUERY_SET = [
-    "merge",
-    "spark",
-    "window",
-    "data",
-    "stream batch",
-    "key value hash",
-    "merge AND window",
-    "spark AND slow",
-    "table AND scan AND join",
-    "sort OR window",
-    "group NOT small",
-    '"batch batch"',
-    '"merge sort"',
-    '"window window"',
-    "+filter -spark",
-    "title:doc",
-    "merge OR title:doc",
-    "quer*",
-    "s*",
-    "row column vector",
-    "customer order line",
-    "the a big",
+
+# The fixed query set — EnwikiQueryMaker-style literal mix (~90 queries:
+# single terms, ANDs, ORs, phrases, prefixes, fielded, boolean-modifier —
+# benchmark/.../feeds/EnwikiQueryMaker.java:42-75 is a literal array the same
+# way), generated deterministically from the corpus vocabulary.
+_VOCAB = [
+    "merge", "spark", "window", "data", "stream", "batch", "key", "value",
+    "hash", "table", "scan", "join", "sort", "group", "small", "filter",
+    "row", "column", "vector", "customer", "order", "line", "query", "part",
+    "fast", "slow", "big", "dup", "agg", "the", "a",
 ]
+
+
+def _build_query_set() -> list[str]:
+    qs: list[str] = list(_VOCAB)                                   # 31 terms
+    for i in range(0, 28, 2):                                       # 14 ANDs
+        qs.append(f"{_VOCAB[i]} AND {_VOCAB[i + 1]}")
+    for i in range(0, 27, 3):                                       # 9 3-term ORs
+        qs.append(f"{_VOCAB[i]} {_VOCAB[i + 1]} {_VOCAB[i + 2]}")
+    for i in range(0, 20, 2):                                       # 10 phrases
+        qs.append(f'"{_VOCAB[i]} {_VOCAB[i + 1]}"')
+    qs += ['"batch batch"', '"window window"', '"merge sort"']
+    qs += ["s*", "b*", "w*", "qu*", "c*"]                            # prefixes
+    qs += ["+filter -spark", "group NOT small", "merge AND window AND the",
+           "sort OR window OR key"]
+    qs += ["title:doc", "merge OR title:doc", "text:merge title:doc"]
+    return qs
+
+
+DEFAULT_QUERY_SET = _build_query_set()
 
 
 def build_web_index(

@@ -298,3 +298,26 @@ def test_partition_count_invariance(ray_session, tmp_path, corpus):
         assert [(sd.doc_key, sd.score) for sd in a.score_docs] == [
             (sd.doc_key, sd.score) for sd in b.score_docs
         ], q
+
+
+def test_term_stats_distributed_salted_path(ray_session, tmp_path):
+    """Force the salted two-stage groupby path and compare with the driver
+    fast path — identical dictionaries."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.index_pipeline import build_index, build_term_stats
+    from lucene_ray.state.manifest import Manifest
+
+    d = str(tmp_path / "salted")
+    build_index(f"{SF_DIR}/documents.parquet", d, key_col="doc_id", text_col="text",
+                num_partitions=4, columns=["doc_id", "text"])
+    m = Manifest.load(d)
+    fast = pq.read_table(os.path.join(d, f"term_stats-{m.gen}.parquet"))
+    os.remove(os.path.join(d, f"term_stats-{m.gen}.parquet"))
+    build_term_stats(d, m, small_dict_limit=0, salt_buckets=4)  # distributed path
+    dist = pq.read_table(os.path.join(d, f"term_stats-{m.gen}.parquet"))
+    assert fast.column("term").to_pylist() == dist.column("term").to_pylist()
+    assert fast.column("doc_freq").to_pylist() == dist.column("doc_freq").to_pylist()
+    assert fast.column("total_tf").to_pylist() == dist.column("total_tf").to_pylist()
