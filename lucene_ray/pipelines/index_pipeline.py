@@ -102,6 +102,9 @@ class _BuildSegment:
         self.text_cols = tuple(text_cols)  # >1 → multi-field segments
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        import time as _time
+
+        t0 = _time.time()
         _limit_worker_threads()
         part_id = int(group.column("__part_id")[0].as_py())
         # deterministic local docID order: sort by document key
@@ -145,6 +148,12 @@ class _BuildSegment:
                 "analyzer": self.analyzer_kind,
                 "key_col": self.key_col,
                 "n_rows_in": group.num_rows,
+                # lineage + metrics: which slice produced this segment, how
+                # long the invert+write took, rows/s — aggregated into the
+                # manifest's metrics block at commit
+                "key_min": str(keys[0]) if len(keys) else None,
+                "key_max": str(keys[-1]) if len(keys) else None,
+                "build_sec": round(_time.time() - t0, 4),
                 **extra_meta_fields,
             },
         )
@@ -222,11 +231,26 @@ def build_index(
 
     metas.sort(key=lambda m: m["part_id"])
     prev_gen = Manifest.load(index_dir).gen if Manifest.exists(index_dir) else -1
+    import time as _time
+
+    build_secs = [m.get("build_sec", 0.0) for m in metas]
+    n_docs = sum(m["max_doc"] for m in metas)
+    metrics = {
+        "committed_unix": round(_time.time(), 3),
+        "n_partitions": len(metas),
+        "n_partitions_resumed": len(done),
+        "n_docs": n_docs,
+        "sum_partition_build_sec": round(sum(build_secs), 3),
+        "max_partition_build_sec": round(max(build_secs), 4) if build_secs else 0,
+        "docs_per_partition_sec": round(
+            n_docs / sum(build_secs), 1) if sum(build_secs) else None,
+    }
     manifest = Manifest(
         index_dir,
         prev_gen + 1,
         metas,
         config={
+            "metrics": metrics,
             "key_col": key_col,
             "text_col": text_col,
             "analyzer": analyzer,
