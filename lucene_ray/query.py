@@ -162,6 +162,24 @@ class DisjunctionMaxQuery(Query):
 
 
 @dataclass(frozen=True)
+class FunctionScoreQuery(Query):
+    """Rescore a sub-query with a user expression over (scores, doc-values)
+    — the FunctionScoreQuery / expressions-module surface
+    (queries/.../function/FunctionScoreQuery.java; expressions compile
+    JS-like formulas against scores and doc values). Here the expression is
+    a plain vectorized callable ``fn(scores: np.ndarray, doc_values:
+    dict[str, np.ndarray]) -> np.ndarray`` — the Python-native user
+    extension point."""
+
+    query: Query
+    fn: object = None
+
+    def __init__(self, query, fn):
+        object.__setattr__(self, "query", query)
+        object.__setattr__(self, "fn", fn)
+
+
+@dataclass(frozen=True)
 class BooleanQuery(Query):
     """must scored-AND, should scored-OR, must_not exclusion, filter =
     non-scoring must; minimum_should_match as in BooleanQuery.java."""

@@ -49,6 +49,7 @@ from lucene_ray.query import (
     BoostQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FunctionScoreQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     NumericRangeQuery,
@@ -463,6 +464,13 @@ class IndexSearcher:
                 lo = r.term_range(fp)[0]
             docs = self._union_docs(r, range(lo, hi))
             return _SparseScores(docs, np.full(len(docs), boost))
+        if isinstance(q, FunctionScoreQuery):
+            sub = self._eval(r, q.query, boost)
+            if not len(sub.docs):
+                return sub
+            dv = {name: arr[sub.docs] for name, arr in r.doc_values.items()}
+            new_scores = np.asarray(q.fn(sub.scores, dv), dtype=np.float64)
+            return _SparseScores(sub.docs, new_scores, sub.counts)
         if isinstance(q, NumericRangeQuery):
             vals = r.doc_values[q.field]
             mask = np.ones(r.max_doc, dtype=bool)

@@ -90,6 +90,15 @@ class Manifest:
         return os.path.exists(os.path.join(index_dir, CURRENT))
 
 
+def rollback(index_dir: str, gen: int) -> "Manifest":
+    """IndexWriter.rollback analogue: point ``manifest.current`` back at an
+    older committed generation (segments are immutable and generations are
+    append-only, so this is a single atomic pointer write)."""
+    m = Manifest.load(index_dir, gen)  # validates the generation exists
+    _atomic_write(os.path.join(index_dir, CURRENT), str(gen))
+    return m
+
+
 def completed_part_ids(index_dir: str) -> dict[int, dict]:
     """Scan durable segment directories → {part_id: meta}. The resume set."""
     out: dict[int, dict] = {}

