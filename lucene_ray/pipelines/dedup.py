@@ -22,7 +22,6 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 

@@ -88,7 +88,6 @@ def highlight_hits(source_ds, hits_ds, query, *, key_col: str = "doc_id",
 
     Broadcast-semi-join: the hit key set is small (top-k × queries), so it is
     shipped once and the source is filtered per batch — no shuffle."""
-    import pyarrow.compute as pc
     import ray
 
     hit_keys = set(hits_ds.to_pandas()["doc_key"])

@@ -35,7 +35,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from lucene_ray.functions.analysis import Analyzer, get_analyzer
+from lucene_ray.functions.analysis import get_analyzer
 from lucene_ray.state.manifest import Manifest, completed_part_ids
 from lucene_ray.state.segment import build_segment_tables, write_segment
 

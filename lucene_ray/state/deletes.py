@@ -91,8 +91,6 @@ def delete_by_query(index_dir: str, query) -> int:
 
 def delete_by_keys(index_dir: str, keys) -> int:
     """deleteDocuments(term) on the document key."""
-    from lucene_ray.query import TermInSetQuery
-
     # keys live in doc_keys, not the inverted index — do it directly
     manifest = Manifest.load(index_dir)
     from lucene_ray.state.segment import SegmentReader

@@ -28,7 +28,7 @@ import shutil
 import numpy as np
 import pyarrow as pa
 
-from lucene_ray.functions.postings import block_skip_metadata, decode_postings, encode_postings
+from lucene_ray.functions.postings import block_skip_metadata, encode_postings
 from lucene_ray.state.manifest import Manifest
 from lucene_ray.state.segment import SegmentReader, write_segment
 
