@@ -366,6 +366,25 @@ def _q_events_window(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def _q_embedding_neardup(sf_dir: str):
+    import ray.data
+
+    from lucene_ray.pipelines.dedup import embedding_near_dup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_dup_pairs(ds, threshold=0.9)
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.column_names.index("cosine"), "cosine",
+            pc.round(batch.column("cosine"), ndigits=6),
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
 def _q_minhash_pairs(sf_dir: str):
     from lucene_ray.pipelines.dedup import minhash_lsh_pairs
 
@@ -872,6 +891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_pairs": _q_minhash_pairs,  # rows-only
+        "embedding_neardup": _q_embedding_neardup,  # rows-only (LSH recall)
         "simhash": _q_simhash,  # rows-only
         # similarity search
         "knn_topk": _q_knn_topk,

@@ -318,3 +318,106 @@ def simhash_near_pairs(ds, *, max_hamming: int = 3, text_col: str = "text",
         ["id_a", "id_b"]
     )
     return ray.data.from_pandas(pd_pairs.reset_index(drop=True))
+
+
+# ------------------------------------------------------- embedding near-dup
+
+
+def embedding_near_dup_pairs(
+    ds,
+    *,
+    threshold: float = 0.95,
+    n_bits: int = 32,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+):
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
+
+    Per-batch: project embeddings onto ``n_bits`` seeded random hyperplanes →
+    sign bits (a SimHash over the embedding space; two vectors agree on a bit
+    with probability 1 − θ/π) → band the bits → groupby band buckets →
+    candidate pairs → exact cosine verification against the broadcast
+    candidate set. Returns (id_a, id_b, cosine) with cosine ≥ threshold,
+    id_a < id_b.
+    """
+    import pandas as pd
+    import ray
+
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits))
+    pref = ray.put(planes)
+    bits_per_band = n_bits // bands
+
+    def signature(batch: pa.Table) -> pa.Table:
+        P = ray.get(pref)
+        v = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        bits = (v @ P) > 0  # (n, n_bits)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        out_ids = np.repeat(ids, bands)
+        band_ids = np.tile(np.arange(bands), n)
+        weights = 1 << np.arange(bits_per_band, dtype=np.uint64)
+        bh = np.empty(n * bands, dtype=np.uint64)
+        for bnd in range(bands):
+            seg = bits[:, bnd * bits_per_band : (bnd + 1) * bits_per_band]
+            bh[bnd::bands] = seg.astype(np.uint64) @ weights
+        return pa.table(
+            {
+                id_col: pa.array(out_ids),
+                "band_id": pa.array(band_ids, type=pa.int32()),
+                "band_hash": pa.array(bh, type=pa.uint64()),
+            }
+        )
+
+    buckets = ds.map_batches(signature, batch_format="pyarrow")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+    cand_pd = (
+        buckets.groupby(["band_id", "band_hash"])
+        .map_groups(emit_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "cosine": pd.Series([], dtype="float64")})
+    if len(cand_pd) == 0:
+        return ray.data.from_pandas(empty)
+    need = set(cand_pd.id_a) | set(cand_pd.id_b)
+    nref = ray.put(need)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        ns = ray.get(nref)
+        ids = batch.column(id_col).to_pylist()
+        mask = [i in ns for i in ids]
+        sel = batch.filter(pa.array(mask))
+        return pa.table({id_col: sel.column(id_col), vec_col: sel.column(vec_col)})
+
+    vec_pd = ds.map_batches(gather, batch_format="pyarrow").to_pandas()
+    lut = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64)
+           for _, r in vec_pd.iterrows()}
+    out = []
+    for a, b in zip(cand_pd.id_a, cand_pd.id_b):
+        va, vb = lut.get(a), lut.get(b)
+        if va is None or vb is None:
+            continue
+        cos = float(va @ vb / max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-30))
+        if cos >= threshold:
+            out.append((int(a), int(b), cos))
+    out.sort()
+    import ray.data
+
+    return ray.data.from_pandas(
+        pd.DataFrame(out, columns=["id_a", "id_b", "cosine"]) if out else empty
+    )

@@ -248,3 +248,25 @@ def test_tumbling_window_matches_pandas(ray_session):
     assert len(merged) == len(want) == len(out)
     assert (merged.n == merged.n_w).all()
     assert abs(merged.sum_value - merged.sum_value_w).max() < 1e-9
+
+
+def test_embedding_near_dup_pairs(emb):
+    import ray.data
+
+    from lucene_ray.pipelines.dedup import embedding_near_dup_pairs
+
+    ds, pdf = emb
+    # plant a near-duplicate of vec 3 (tiny perturbation) and an exact dup of 7
+    import pandas as pd
+
+    v3 = np.asarray(pdf.embedding.iloc[3], dtype=np.float64)
+    near = (v3 + 0.001 * np.ones_like(v3)).tolist()
+    extra = pd.DataFrame({"vec_id": [900001, 900002],
+                          "embedding": [near, pdf.embedding.iloc[7]],
+                          "label": [0, 0]})
+    full = ray.data.from_pandas(pd.concat([pdf, extra], ignore_index=True))
+    pairs = embedding_near_dup_pairs(full, threshold=0.98).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (3, 900001) in got
+    assert (7, 900002) in got
+    assert (pairs.cosine >= 0.98).all()
