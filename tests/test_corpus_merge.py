@@ -92,3 +92,30 @@ def test_web_pipeline_end_to_end(ray_session, tmp_path_factory):
         assert got["doc_key"].tolist() == [sd.doc_key for sd in want]
         assert np.allclose(got["score"].to_numpy(), [sd.score for sd in want])
     assert out["doc_key"].str.startswith("https://example.org/").all()
+
+
+def test_write_segment_retry_idempotent(tmp_path):
+    """A Ray task retry re-writing an already-committed segment must not
+    corrupt or duplicate it (idempotent segment naming + first-writer-wins)."""
+    import numpy as np
+
+    from lucene_ray.functions.analysis import Analyzer
+    from lucene_ray.state.segment import (
+        SegmentReader,
+        build_segment_tables,
+        write_segment,
+    )
+
+    d = str(tmp_path / "idx")
+    an = Analyzer("standard")
+    keys = np.array([1, 2, 3])
+    texts = ["alpha beta", "beta gamma", "alpha alpha"]
+    p, t, s = build_segment_tables(keys, texts, an)
+    m1 = write_segment(d, "seg-x", p, t, s, extra_meta={"part_id": 0})
+    m2 = write_segment(d, "seg-x", p, t, s, extra_meta={"part_id": 0})  # retry
+    assert m1["checksum"] == m2["checksum"]
+    r = SegmentReader(f"{d}/segments/seg-x")
+    assert r.max_doc == 3
+    import os
+
+    assert sorted(os.listdir(f"{d}/segments")) == ["seg-x"]
