@@ -102,11 +102,17 @@ class _BuildSegment:
         self.text_cols = tuple(text_cols)  # >1 → multi-field segments
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        part_id = int(group.column("__part_id")[0].as_py())
+        meta = self.build(group, part_id)
+        import json
+
+        return pa.table({"meta": pa.array([json.dumps(meta)], type=pa.string())})
+
+    def build(self, group: pa.Table, part_id: int, lineage: dict | None = None) -> dict:
         import time as _time
 
         t0 = _time.time()
         _limit_worker_threads()
-        part_id = int(group.column("__part_id")[0].as_py())
         # deterministic local docID order: sort by document key
         order = pa.compute.sort_indices(group.column(self.key_col))
         group = group.take(order)
@@ -154,12 +160,11 @@ class _BuildSegment:
                 "key_min": str(keys[0]) if len(keys) else None,
                 "key_max": str(keys[-1]) if len(keys) else None,
                 "build_sec": round(_time.time() - t0, 4),
+                **(lineage or {}),
                 **extra_meta_fields,
             },
         )
-        import json
-
-        return pa.table({"meta": pa.array([json.dumps(meta)], type=pa.string())})
+        return meta
 
 
 def build_index(
@@ -265,6 +270,118 @@ def build_index(
     return manifest
 
 
+def build_index_by_file(
+    source,
+    index_dir: str,
+    *,
+    key_col: str = "url",
+    text_col: str = "text",
+    analyzer: str = "standard",
+    store_positions: bool = True,
+    resume: bool = True,
+    extract_html: bool = False,
+    columns: list[str] | None = None,
+    docvalue_cols: tuple = (),
+    text_cols: tuple = (),
+    max_in_flight: int | None = None,
+) -> Manifest:
+    """Shuffle-free index build: ONE INPUT FILE → ONE SEGMENT.
+
+    The natural layout at 100 TB: input shards are already the partition
+    (exactly a Lucene DWPT — DocumentsWriter.java:54 needs no cross-doc
+    coordination either), so no doc-side all-to-all at all; part_id = the
+    file's position in the sorted file list, which is deterministic,
+    retry-safe, and the per-segment lineage (source_file in the manifest).
+    Docs are still key-sorted inside each segment, and the ONLY shuffle left
+    in the whole build is the metadata-sized term-statistics groupby.
+
+    Implemented with raw Ray tasks (the Dataset API cannot pin a stable
+    file↔task mapping across parallelism levels, which the determinism
+    contract needs); backpressure via a bounded in-flight window.
+    """
+    import glob as _glob
+    import json
+
+    import ray
+
+    os.makedirs(index_dir, exist_ok=True)
+    if isinstance(source, str):
+        files = sorted(_glob.glob(os.path.join(source, "*.parquet"))) if os.path.isdir(
+            source
+        ) else [source]
+    else:
+        files = sorted(source)
+    assert files, f"no parquet files under {source!r}"
+    n = len(files)
+    cols = columns or ([key_col, "html"] if extract_html else
+                       [key_col, text_col])
+    cols = list(dict.fromkeys(list(cols) + list(docvalue_cols) + list(text_cols)))
+
+    done = completed_part_ids(index_dir) if resume else {}
+    done = {p: m for p, m in done.items()
+            if m.get("gen", 0) == 0 and m.get("num_partitions") == n}
+
+    builder = _BuildSegment(index_dir, key_col, text_col, analyzer,
+                            store_positions, n, docvalue_cols, text_cols)
+
+    @ray.remote(num_cpus=1)
+    def _file_task(path: str, part_id: int) -> str:
+        import pyarrow.parquet as _pq
+
+        tbl = _pq.read_table(path, columns=cols)
+        if extract_html:
+            from lucene_ray.sources.corpus import extract_batch
+
+            tbl = extract_batch(tbl, include_title="title" in (text_cols or ()))
+        meta = builder.build(tbl, part_id, lineage={"source_file": path})
+        return json.dumps(meta)
+
+    metas: list[dict] = list(done.values())
+    pending = [(f, i) for i, f in enumerate(files) if i not in done]
+    window = max_in_flight or int(ray.cluster_resources().get("CPU", 8)) * 2
+    in_flight: list = []
+    idx = 0
+    while idx < len(pending) or in_flight:
+        while idx < len(pending) and len(in_flight) < window:
+            f, i = pending[idx]
+            in_flight.append(_file_task.remote(f, i))
+            idx += 1
+        ready, in_flight = ray.wait(in_flight, num_returns=1)
+        for ref in ready:
+            metas.append(json.loads(ray.get(ref)))
+
+    metas.sort(key=lambda m: m["part_id"])
+    prev_gen = Manifest.load(index_dir).gen if Manifest.exists(index_dir) else -1
+    import time as _time
+
+    build_secs = [m.get("build_sec", 0.0) for m in metas]
+    manifest = Manifest(
+        index_dir,
+        prev_gen + 1,
+        metas,
+        config={
+            "metrics": {
+                "committed_unix": round(_time.time(), 3),
+                "n_partitions": n,
+                "n_partitions_resumed": len(done),
+                "n_docs": sum(m["max_doc"] for m in metas),
+                "sum_partition_build_sec": round(sum(build_secs), 3),
+            },
+            "key_col": key_col,
+            "text_col": text_col,
+            "analyzer": analyzer,
+            "num_partitions": n,
+            "store_positions": store_positions,
+            "docvalue_cols": list(docvalue_cols),
+            "text_cols": list(text_cols),
+            "partition_by": "input_file",
+        },
+    )
+    manifest.commit()
+    build_term_stats(index_dir, manifest)
+    return manifest
+
+
 def add_indexes(dest_dir: str, source_dirs: list[str]) -> Manifest:
     """IndexWriter.addIndexes(Directory...) analogue (IndexWriter.java:2945):
     bulk-import every live segment of the source indexes into ``dest_dir`` by
@@ -332,11 +449,17 @@ def build_term_stats(index_dir: str, manifest: Manifest | None = None, *,
         return out_path
     total_terms = sum(s.get("n_terms", 0) for s in manifest.segments)
     if total_terms and total_terms <= small_dict_limit:
+        import concurrent.futures
+
         import pyarrow.parquet as _pq
 
-        parts = [
-            _pq.read_table(p, columns=["term", "doc_freq", "total_tf"]) for p in paths
-        ]
+        with concurrent.futures.ThreadPoolExecutor(max_workers=16) as ex:
+            parts = list(
+                ex.map(
+                    lambda p: _pq.read_table(p, columns=["term", "doc_freq", "total_tf"]),
+                    paths,
+                )
+            )
         cat = pa.concat_tables(parts)
         agg_t = cat.group_by("term").aggregate(
             [("doc_freq", "sum"), ("total_tf", "sum")]

@@ -321,3 +321,46 @@ def test_term_stats_distributed_salted_path(ray_session, tmp_path):
     assert fast.column("term").to_pylist() == dist.column("term").to_pylist()
     assert fast.column("doc_freq").to_pylist() == dist.column("doc_freq").to_pylist()
     assert fast.column("total_tf").to_pylist() == dist.column("total_tf").to_pylist()
+
+
+def test_build_by_file_matches_groupby_build(ray_session, tmp_path):
+    """Shuffle-free file-per-segment build produces rank-identical results to
+    the hash-partitioned groupby build (different segmentations, same global
+    scores) and resumes per file."""
+    import duckdb
+    import os
+
+    from lucene_ray.pipelines.index_pipeline import build_index, build_index_by_file
+
+    # split corpus into 4 parquet files (the 'input shards')
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    con = duckdb.connect()
+    for i in range(4):
+        con.execute(
+            f"COPY (SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet') "
+            f"WHERE doc_id % 4 = {i}) TO '{shard_dir}/part-{i}.parquet' (FORMAT PARQUET)"
+        )
+    d_file = str(tmp_path / "byfile")
+    m = build_index_by_file(shard_dir, d_file, key_col="doc_id", text_col="text",
+                            columns=["doc_id", "text"])
+    assert len(m.segments) == 4
+    assert all("source_file" in s for s in m.segments)
+    d_grp = str(tmp_path / "bygroup")
+    build_index(f"{SF_DIR}/documents.parquet", d_grp, key_col="doc_id",
+                text_col="text", num_partitions=4, columns=["doc_id", "text"])
+    sa, sb = IndexSearcher(d_file), IndexSearcher(d_grp)
+    for q in ["merge", "spark window", "merge AND the", '"batch batch"']:
+        a = [(sd.doc_key, sd.score) for sd in sa.search(q, k=10).score_docs]
+        b = [(sd.doc_key, sd.score) for sd in sb.search(q, k=10).score_docs]
+        assert a == b, q
+    # resume: drop one segment + manifest pointer, rebuild only that file
+    name = m.segments[2]["name"]
+    shutil.rmtree(os.path.join(d_file, "segments", name))
+    os.remove(os.path.join(d_file, "manifest.current"))
+    m2 = build_index_by_file(shard_dir, d_file, key_col="doc_id", text_col="text",
+                             columns=["doc_id", "text"])
+    assert {s["name"] for s in m2.segments} == {s["name"] for s in m.segments}
+    assert sorted(s["checksum"] for s in m2.segments) == sorted(
+        s["checksum"] for s in m.segments
+    )
