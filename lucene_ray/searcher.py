@@ -147,6 +147,28 @@ def _sloppy_freq(position_sets: list[np.ndarray], slop: int) -> float:
     return total
 
 
+def _intersect_sorted(a: np.ndarray, b: np.ndarray):
+    """Intersection of two SORTED unique arrays without the O((m+n)log(m+n))
+    concat-sort that np.intersect1d pays: binary-search the smaller side into
+    the larger. Returns (common, idx_a, idx_b)."""
+    if not len(a) or not len(b):
+        e = np.empty(0, dtype=a.dtype)
+        ei = np.empty(0, dtype=np.int64)
+        return e, ei, ei
+    swapped = len(a) > len(b)
+    if swapped:
+        a, b = b, a
+    pos = np.searchsorted(b, a)
+    pos_c = np.minimum(pos, len(b) - 1)
+    mask = b[pos_c] == a
+    ia = np.flatnonzero(mask)
+    ib = pos_c[mask]
+    common = a[ia]
+    if swapped:
+        return common, ib, ia
+    return common, ia, ib
+
+
 class _SparseScores:
     """(sorted docIDs, scores, match_counts) triple — the per-segment IR."""
 
@@ -331,36 +353,37 @@ class IndexSearcher:
 
     def _top_of(self, r: SegmentReader, sp: _SparseScores, k: int, after) -> list[ScoreDoc]:
         scores = sp.scores
-        keys = r.doc_keys[sp.docs]
+        docs = sp.docs
+        ranks = r.key_rank[docs]  # integer tie-break proxy for doc_key order
         if after is not None:
             # keyset pagination: keep entries strictly after the (score, key)
             # anchor BEFORE top-k selection (PagingTopScoreDocCollector,
             # TopScoreDocCollector.java:104-114)
+            keys_all = r.doc_keys[docs]
             a_score, a_key = after
-            m = (scores < a_score) | ((scores == a_score) & (keys > a_key))
-            scores, keys = scores[m], keys[m]
+            m = (scores < a_score) | ((scores == a_score) & (keys_all > a_key))
+            scores, docs, ranks = scores[m], docs[m], ranks[m]
         n = len(scores)
         if n == 0:
             return []
         if n > k * 4:
             # docs strictly above the k-th score all qualify; among the (often
-            # large) tie group AT the k-th score only the smallest doc_keys can
-            # qualify — heap-select those instead of sorting the whole tie set.
+            # large) tie group AT the k-th score only the smallest keys (==
+            # smallest key ranks, integer argpartition) can qualify.
             kk = min(k, n)
             thresh = np.partition(scores, n - kk)[n - kk]
             gt = np.flatnonzero(scores > thresh)
             eq = np.flatnonzero(scores == thresh)
             need = k - len(gt)
             if need > 0 and len(eq) > need:
-                eq_keys = keys[eq]
-                sel = heapq.nsmallest(need, range(len(eq)), key=lambda j: eq_keys[j])
-                eq = eq[sel]
+                eq = eq[np.argpartition(ranks[eq], need - 1)[:need]]
             cand = np.concatenate([gt, eq]) if need > 0 else gt
         else:
             cand = np.arange(n)
-        sds = [ScoreDoc(keys[i], float(scores[i])) for i in cand.tolist()]
-        sds.sort(key=ScoreDoc.sort_key)
-        return sds[:k]
+        order = np.lexsort((ranks[cand], -scores[cand]))[:k]
+        sel = cand[order]
+        keys = r.doc_keys[docs[sel]]
+        return [ScoreDoc(keys[i], float(scores[sel[i]])) for i in range(len(sel))]
 
     def _wand_eligible(self, q: Query) -> bool:
         """Shape check: WAND applies to term queries and pure disjunctions
@@ -398,15 +421,30 @@ class IndexSearcher:
             if self._multi and q.field and q.field not in self.fields:
                 return empty
             full = self._fp(q.field) + q.term
+            ti = r.term_index(full)
+            if ti < 0:
+                return empty
+            # per-(segment, term, boost) score cache: BM25 term scores are a
+            # pure function of the (fixed) global stats + per-doc norms, so a
+            # warm searcher serves repeated terms without re-scoring
+            ckey = (ti, float(boost), self.mode, id(self))
+            cache = getattr(r, "_term_score_cache", None)
+            if cache is None:
+                cache = r._term_score_cache = {}
+            hit = cache.get(ckey)
+            if hit is not None:
+                return _SparseScores(hit[0], hit[1])
             scorers = self._scorers_for([full], boost, field=q.field)
             if full not in scorers:
                 return empty
             docs, freqs = r.postings(full)
             if not len(docs):
                 return empty
-            return _SparseScores(
-                docs, self._score_arrays(r, scorers[full], docs, freqs, q.field)
-            )
+            scores = self._score_arrays(r, scorers[full], docs, freqs, q.field)
+            if len(cache) > 128:
+                cache.pop(next(iter(cache)))
+            cache[ckey] = (docs, scores)
+            return _SparseScores(docs, scores)
         if isinstance(q, BoostQuery):
             return self._eval(r, q.query, boost * q.boost)
         if isinstance(q, ConstantScoreQuery):
@@ -553,7 +591,7 @@ class IndexSearcher:
 
     @staticmethod
     def _intersect(a: _SparseScores, b: _SparseScores) -> _SparseScores:
-        common, ia, ib = np.intersect1d(a.docs, b.docs, assume_unique=True, return_indices=True)
+        common, ia, ib = _intersect_sorted(a.docs, b.docs)
         return _SparseScores(
             common.astype(np.int32),
             a.scores[ia] + b.scores[ib],
@@ -874,7 +912,7 @@ class IndexSearcher:
                 keys.append(kk)
             cand = keys[0]
             for t_i in range(1, len(keys)):
-                cand = np.intersect1d(cand, keys[t_i] - t_i, assume_unique=True)
+                cand, _, _ = _intersect_sorted(cand, keys[t_i] - t_i)
                 if not len(cand):
                     return empty
             docs64, counts = np.unique(cand >> np.int64(21), return_counts=True)
@@ -885,7 +923,7 @@ class IndexSearcher:
             # intersection; rare queries, approximate matcher — see _sloppy_freq)
             cand = post[0][0]
             for docs_i, _ in post[1:]:
-                cand = np.intersect1d(cand, docs_i, assume_unique=True)
+                cand, _, _ = _intersect_sorted(cand, docs_i)
                 if not len(cand):
                     return empty
             offsets = []

@@ -348,6 +348,20 @@ class SegmentReader:
         # the analogue of reusing a TermsEnum/postings reader across queries)
         self._decode_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._decode_cache_max = 256
+        self._key_rank: np.ndarray | None = None
+
+    @property
+    def key_rank(self) -> np.ndarray:
+        """rank of each local doc's key within the segment (int32) — lets
+        every (score, doc_key) tie-break run as integer numpy ops; computed
+        once per reader. Fresh segments are key-sorted so rank == docID;
+        merged segments are concatenated sorted runs, so compute it."""
+        if self._key_rank is None:
+            order = np.argsort(self.doc_keys, kind="stable")
+            r = np.empty(len(order), dtype=np.int32)
+            r[order] = np.arange(len(order), dtype=np.int32)
+            self._key_rank = r
+        return self._key_rank
 
     # -- term dictionary ---------------------------------------------------
 
