@@ -180,3 +180,30 @@ def test_multifield_merge_preserves_scores(ray_session, tmp_path, two_field_parq
     for q, w in zip(queries, want):
         got = [(sd.doc_key, sd.score) for sd in post.search(q, k=10).score_docs]
         assert got == w, q
+
+
+def test_multifield_deletes_and_merge(ray_session, tmp_path, two_field_parquet):
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.state.deletes import delete_by_keys
+    from lucene_ray.state.merge import merge_index
+    from lucene_ray.state.segment import check_segment
+    from lucene_ray.state.manifest import Manifest
+
+    d = str(tmp_path / "mfd")
+    build_index(two_field_parquet, d, key_col="doc_id", text_col="body",
+                text_cols=("title", "body"), num_partitions=4,
+                columns=["doc_id", "title", "body"])
+    s0 = IndexSearcher(d)
+    title_hits = {sd.doc_key for sd in s0.search(TermQuery("merge", field="title"), k=10_000).score_docs}
+    victims = set(list(title_hits)[:2])
+    assert delete_by_keys(d, victims) == 2
+    s1 = IndexSearcher(d)
+    got = {sd.doc_key for sd in s1.search(TermQuery("merge", field="title"), k=10_000).score_docs}
+    assert got == title_hits - victims
+    m = merge_index(d, merge_factor=4)
+    for seg in m.segment_dirs():
+        assert check_segment(seg) == []
+    s2 = IndexSearcher(d)
+    assert {sd.doc_key for sd in s2.search(TermQuery("merge", field="title"), k=10_000).score_docs} == title_hits - victims
+    # per-field stats reclaimed the deletes exactly
+    assert s2._field_cstats("title").max_doc == 498
