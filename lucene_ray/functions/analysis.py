@@ -161,8 +161,12 @@ class Analyzer:
 
     # the batch is safe for the arrow fast path under 'standard' iff it has no
     # codepoint whose UAX#29 treatment differs from the [a-z0-9]+ split —
-    # i.e. only ASCII alnum + space-ish separators, no medial ['.,:_] joiners.
-    _ARROW_SAFE_RE = r"^[A-Za-z0-9 \t\n\r!\"#$%&()*+\-/;<=>?@\[\]^`{|}~\\]*$"
+    # i.e. only ASCII alnum + space-ish separators, and NONE of the medial
+    # joiner codepoints that _TOKEN_RE treats specially: MidLetter∪MidNumLet∪
+    # SingleQuote [.:'’·] (letters), MidNum∪MidNumLet [.,;'’] (digits), and
+    # ExtendNumLet '_' — every one of those is excluded from this class so the
+    # two paths provably tokenize identically on any batch that matches.
+    _ARROW_SAFE_RE = r"^[A-Za-z0-9 \t\n\r!\"#$%&()*+\-/<=>?@\[\]^`{|}~\\]*$"
 
     def tokenize_batch_encoded(
         self, texts

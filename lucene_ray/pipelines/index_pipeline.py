@@ -235,7 +235,7 @@ def build_index(
             metas.append(json.loads(row["meta"]))
 
     metas.sort(key=lambda m: m["part_id"])
-    prev_gen = Manifest.load(index_dir).gen if Manifest.exists(index_dir) else -1
+    prev_gen = Manifest.latest_gen(index_dir)
     import time as _time
 
     build_secs = [m.get("build_sec", 0.0) for m in metas]
@@ -351,7 +351,7 @@ def build_index_by_file(
             metas.append(json.loads(ray.get(ref)))
 
     metas.sort(key=lambda m: m["part_id"])
-    prev_gen = Manifest.load(index_dir).gen if Manifest.exists(index_dir) else -1
+    prev_gen = Manifest.latest_gen(index_dir)
     import time as _time
 
     build_secs = [m.get("build_sec", 0.0) for m in metas]

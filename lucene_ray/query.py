@@ -208,6 +208,10 @@ class BooleanQuery(Query):
 # --------------------------------------------------------------- parser
 
 
+class QueryParseError(ValueError):
+    """Malformed query string (the ParseException analogue)."""
+
+
 class _Tok:
     def __init__(self, kind, value=None):
         self.kind = kind
@@ -233,7 +237,11 @@ def _lex(s: str):
         elif c == "-":
             out.append(_Tok("MINUS")); i += 1
         elif c == '"':
-            j = s.index('"', i + 1)
+            j = s.find('"', i + 1)
+            if j < 0:
+                raise QueryParseError(
+                    f"unbalanced quote at offset {i} in query: {s!r}"
+                )
             out.append(_Tok("PHRASE", s[i + 1 : j]))
             i = j + 1
         else:

@@ -657,9 +657,12 @@ class IndexSearcher:
         weight = total term frequency): top-k dictionary terms with the
         prefix, ordered by (ttf desc, term asc)."""
         if self.global_term_stats is not None:
+            from lucene_ray.state.segment import prefix_successor
+
             g = self.global_term_stats
             lo = int(np.searchsorted(g.terms, prefix))
-            hi = int(np.searchsorted(g.terms, prefix + "￿"))
+            succ = prefix_successor(prefix)
+            hi = int(np.searchsorted(g.terms, succ)) if succ is not None else len(g.terms)
             cand = [(int(g.total_tf[i]), str(g.terms[i])) for i in range(lo, hi)]
         else:
             agg: dict[str, int] = {}

@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from lucene_ray.state.manifest import Manifest
+from lucene_ray.state.manifest import Manifest, commit_update
 
 
 def livedocs_path(seg_dir: str, del_gen: int) -> str:
@@ -85,7 +85,8 @@ def delete_by_query(index_dir: str, query) -> int:
                 n_deleted += int(newly)
         new_segments.append(seg)
     if n_deleted:
-        Manifest(index_dir, manifest.gen + 1, new_segments, manifest.config).commit()
+        commit_update(index_dir, manifest,
+                      {s["name"]: s for s in new_segments})
     return n_deleted
 
 
@@ -120,7 +121,8 @@ def delete_by_keys(index_dir: str, keys) -> int:
                 n_deleted += newly
         new_segments.append(seg)
     if n_deleted:
-        Manifest(index_dir, manifest.gen + 1, new_segments, manifest.config).commit()
+        commit_update(index_dir, manifest,
+                      {s["name"]: s for s in new_segments})
     return n_deleted
 
 
@@ -155,5 +157,5 @@ def update_documents(index_dir: str, rows: pa.Table, *, analyzer_kind: str | Non
     meta = write_segment(index_dir, name, postings_tbl, docs_tbl, stats,
                          extra_meta={"gen": manifest.gen + 1, "part_id": None,
                                      "analyzer": analyzer.kind, "key_col": key_col})
-    Manifest(index_dir, manifest.gen + 1, manifest.segments + [meta], cfg).commit()
+    commit_update(index_dir, manifest, {}, appended=[meta])
     return rows.num_rows

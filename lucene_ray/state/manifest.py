@@ -35,6 +35,30 @@ def _atomic_write(path: str, data: str) -> None:
     os.rename(tmp, path)
 
 
+def _atomic_write_exclusive(path: str, data: str) -> None:
+    """Atomic create-if-absent (os.link fails with EEXIST on POSIX): the
+    write.lock analogue — two writers racing to commit the same generation
+    lose deterministically instead of silently overwriting each other."""
+    tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflict(
+            f"{os.path.basename(path)} already committed by a concurrent "
+            "writer; reload the manifest and retry at the next generation"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent writer committed this manifest generation first."""
+
+
 class Manifest:
     def __init__(self, index_dir: str, gen: int, segments: list[dict], config: dict):
         self.index_dir = index_dir
@@ -60,8 +84,11 @@ class Manifest:
     # -- persistence -------------------------------------------------------
 
     def commit(self) -> str:
+        """Write manifest-<gen>.json exclusively (CommitConflict if a
+        concurrent writer claimed this generation — the write.lock analogue)
+        then advance the current pointer. Generations are append-only."""
         path = os.path.join(self.index_dir, f"manifest-{self.gen}.json")
-        _atomic_write(
+        _atomic_write_exclusive(
             path,
             json.dumps(
                 {
@@ -88,6 +115,40 @@ class Manifest:
     @staticmethod
     def exists(index_dir: str) -> bool:
         return os.path.exists(os.path.join(index_dir, CURRENT))
+
+    @staticmethod
+    def latest_gen(index_dir: str) -> int:
+        """Highest committed generation on disk, -1 if none. Scans
+        manifest-*.json rather than trusting the current pointer, so a crash
+        between the generation write and the pointer write can't cause a
+        resumed build to re-claim (and conflict on) an existing generation."""
+        gens = []
+        for p in glob.glob(os.path.join(index_dir, "manifest-*.json")):
+            stem = os.path.basename(p)[len("manifest-"):-len(".json")]
+            try:
+                gens.append(int(stem))
+            except ValueError:
+                continue
+        return max(gens, default=-1)
+
+
+def commit_update(index_dir: str, base: "Manifest", updated: dict[str, dict],
+                  appended: list[dict] | None = None, *, retries: int = 8) -> "Manifest":
+    """Commit gen+1 applying per-segment metadata ``updated`` (keyed by
+    segment name; segments removed by a concurrent merge are skipped) plus
+    ``appended`` new segments; on CommitConflict reload and reapply — the
+    optimistic-concurrency loop the reference avoids by owning write.lock."""
+    manifest = base
+    for _ in range(retries):
+        segs = [updated.get(s["name"], s) for s in manifest.segments]
+        segs = segs + list(appended or [])
+        m = Manifest(index_dir, manifest.gen + 1, segs, manifest.config)
+        try:
+            m.commit()
+            return m
+        except CommitConflict:
+            manifest = Manifest.load(index_dir)
+    raise CommitConflict(f"gave up after {retries} manifest commit retries")
 
 
 def rollback(index_dir: str, gen: int) -> "Manifest":

@@ -265,10 +265,22 @@ def merge_index(index_dir: str, *, merge_factor: int = 10,
         metas = [merge_segment_group(index_dir, n, o, del_gens=del_gens) for n, o in jobs]
 
     consumed = {n for g in groups for n in g}
-    survivors = [s for s in manifest.segments if s["name"] not in consumed]
-    new_segments = sorted(survivors + metas, key=lambda s: (s.get("part_id") or 0, s["name"]))
-    new_manifest = Manifest(index_dir, new_gen, new_segments, manifest.config)
-    new_manifest.commit()
+    from lucene_ray.state.manifest import CommitConflict
+
+    for _attempt in range(8):
+        survivors = [s for s in manifest.segments if s["name"] not in consumed]
+        new_segments = sorted(survivors + metas, key=lambda s: (s.get("part_id") or 0, s["name"]))
+        new_manifest = Manifest(index_dir, manifest.gen + 1, new_segments, manifest.config)
+        try:
+            new_manifest.commit()
+            break
+        except CommitConflict:
+            # a concurrent delete/update claimed our generation: reload and
+            # replay the merge result over the fresh segment list
+            manifest = Manifest.load(index_dir)
+    else:
+        raise CommitConflict("merge gave up after 8 manifest commit retries")
+    new_gen = new_manifest.gen
     # global term dictionary: unchanged by a pure merge (copy forward); a
     # merge that reclaimed deletes changes df/ttf → rebuild from the new
     # segment partials

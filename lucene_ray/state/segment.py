@@ -54,6 +54,29 @@ from lucene_ray.functions.postings import (
 
 META_NAME = "meta.json"
 
+def prefix_successor(prefix: str) -> str | None:
+    """Smallest string strictly greater than every string with ``prefix``.
+
+    Increment the last codepoint, carrying past U+10FFFF (any term whose next
+    codepoint is supplementary-plane sorts BELOW prefix+'\\uffff', so the old
+    sentinel bound silently missed it). ``None`` = no upper bound exists
+    (prefix is all U+10FFFF) — scan to the end of the dictionary.
+    """
+    cps = list(prefix)
+    while cps:
+        c = ord(cps[-1])
+        if c < 0x10FFFF:
+            cps[-1] = chr(c + 1)
+            return "".join(cps)
+        cps.pop()
+    return None
+
+
+# Token-position cap: positions share an int64 with docIDs in the exact
+# phrase matcher (doc << 21 | pos, searcher._eval_phrase), mirroring the
+# reference's IndexWriter MAX_POSITION bound on absurdly long documents.
+MAX_POSITION = 1 << 21
+
 
 def build_segment_tables(
     doc_keys: np.ndarray,
@@ -76,6 +99,17 @@ def build_segment_tables(
     """
     n_docs = len(texts)
     codes, vocab, doc_idx, positions, doc_lengths = analyzer.tokenize_batch_encoded(texts)
+
+    # MAX_POSITION cap (IndexWriter.java MAX_POSITION analogue): the exact
+    # phrase matcher packs positions into 21 bits of a (doc, pos) int64 key —
+    # a doc with a token position >= 2^21 would silently corrupt cross-doc
+    # phrase matches, so reject it at index time like the reference does.
+    if len(positions) and int(positions.max()) >= MAX_POSITION:
+        bad = int(doc_idx[int(np.argmax(positions))])
+        raise ValueError(
+            f"document {doc_keys[bad]!r} has a token position >= MAX_POSITION "
+            f"({MAX_POSITION}); split or truncate it before indexing"
+        )
 
     norm_bytes = encode_lengths(doc_lengths)
     docs_tbl = pa.table(
@@ -375,7 +409,8 @@ class SegmentReader:
     def term_range(self, prefix: str) -> tuple[int, int]:
         """seekCeil range scan for PrefixQuery: [lo, hi) of terms with prefix."""
         lo = int(np.searchsorted(self.terms, prefix))
-        hi = int(np.searchsorted(self.terms, prefix + "￿"))
+        succ = prefix_successor(prefix)
+        hi = int(np.searchsorted(self.terms, succ)) if succ is not None else len(self.terms)
         return lo, hi
 
     # -- postings ----------------------------------------------------------

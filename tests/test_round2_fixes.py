@@ -1,0 +1,112 @@
+"""Round-2 correctness fixes: tokenizer path agreement on joiner chars,
+MAX_POSITION guard, query-parse errors, prefix upper bounds, manifest
+commit exclusivity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_ray.functions.analysis import Analyzer
+from lucene_ray.query import QueryParseError, parse_query
+from lucene_ray.state.manifest import CommitConflict, Manifest
+from lucene_ray.state.segment import (
+    MAX_POSITION,
+    build_segment_tables,
+    prefix_successor,
+)
+
+
+# ------------------------------------------------ tokenizer path agreement
+
+JOINER_DOCS = [
+    "1;2 3,4 5.6 7:8",          # digit joiners: ; , . (: splits digits)
+    "a.b c:d e'f g’h",     # letter joiners
+    "x_y 1_2 a_1",              # ExtendNumLet
+    "plain ascii words 123",
+    "semi;colon;words",          # ; between LETTERS splits in both grammars
+    "",
+]
+
+
+def test_arrow_and_python_paths_agree_on_joiners():
+    an = Analyzer(kind="standard")
+    arrow_out = an.tokenize_batch(pa.array(JOINER_DOCS, type=pa.string()))
+    py_out = an.tokenize_batch(list(JOINER_DOCS))
+    for a, b in zip(arrow_out, py_out):
+        assert np.array_equal(a, b), (a, b)
+
+
+def test_arrow_safe_set_excludes_all_joiners():
+    import re
+
+    # every codepoint the UAX#29 mirror treats as a medial joiner must be
+    # UNSAFE for the Arrow fast path (they change tokenization)
+    safe = re.compile(Analyzer._ARROW_SAFE_RE)
+    for j in [".", ":", "'", "’", "·", ",", ";", "_"]:
+        assert not safe.match(f"1{j}2"), f"joiner {j!r} wrongly in safe set"
+
+
+def test_digit_semicolon_single_token():
+    an = Analyzer(kind="standard")
+    terms, _, _, _ = an.tokenize_batch(["1;2"])
+    assert terms.tolist() == ["1;2"]
+    # and identically when the input arrives as an Arrow array
+    terms2, _, _, _ = an.tokenize_batch(pa.array(["1;2"]))
+    assert terms2.tolist() == ["1;2"]
+
+
+# ----------------------------------------------------------- MAX_POSITION
+
+
+def test_max_position_guard():
+    an = Analyzer(kind="simple")
+    huge = "w " * (MAX_POSITION + 2)
+    with pytest.raises(ValueError, match="MAX_POSITION"):
+        build_segment_tables(np.array(["d0"], dtype=object), [huge], an)
+
+
+# ------------------------------------------------------------ parse errors
+
+
+def test_unbalanced_quote_raises_parse_error():
+    with pytest.raises(QueryParseError, match="unbalanced quote"):
+        parse_query('hello "world')
+    assert isinstance(QueryParseError("x"), ValueError)
+
+
+# --------------------------------------------------------- prefix successor
+
+
+def test_prefix_successor_basic():
+    assert prefix_successor("a") == "b"
+    assert prefix_successor("az") == "a{"
+    assert prefix_successor("a" + chr(0x10FFFF)) == "b"
+    assert prefix_successor(chr(0x10FFFF)) is None
+    assert prefix_successor("") is None
+
+
+def test_prefix_range_includes_supplementary_plane_terms():
+    terms = np.array(sorted(["ab", "ac", "a" + chr(0x10000) + "b", "b"]), dtype=object)
+    lo = int(np.searchsorted(terms, "a"))
+    succ = prefix_successor("a")
+    hi = int(np.searchsorted(terms, succ))
+    got = set(terms[lo:hi].tolist())
+    assert got == {"ab", "ac", "a" + chr(0x10000) + "b"}
+    # the old sentinel bound demonstrably missed the non-BMP term
+    old_hi = int(np.searchsorted(terms, "a￿"))
+    assert "a" + chr(0x10000) + "b" not in set(terms[lo:old_hi].tolist())
+
+
+# ------------------------------------------------------ manifest exclusivity
+
+
+def test_manifest_commit_conflict(tmp_path):
+    d = str(tmp_path)
+    Manifest(d, 1, [], {}).commit()
+    with pytest.raises(CommitConflict):
+        Manifest(d, 1, [], {}).commit()
+    # next generation commits fine
+    Manifest(d, 2, [], {}).commit()
+    assert Manifest.load(d).gen == 2
