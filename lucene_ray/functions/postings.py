@@ -144,6 +144,40 @@ def decode_postings_block_range(
     return rel_docs, freqs, block_lo * BLOCK_SIZE
 
 
+def competitive_impacts(
+    freqs: np.ndarray, lengths: np.ndarray
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Per-128-block competitive (freq, length) impact pairs.
+
+    The reference accumulates, per block, the Pareto frontier of (freq, norm)
+    pairs actually present (codecs/CompetitiveImpactAccumulator.java:30-89,
+    written per skip block by Lucene90SkipWriter.java:219): BM25 is monotone
+    ↑freq ↓length, so the block's true max score is attained at a frontier
+    pair. The conservative (max freq, min length) bound pairs the max freq of
+    one doc with the min length of ANOTHER — admissible but inflated, which
+    makes WAND visit blocks Lucene would skip.
+
+    Returns (freq_pairs, len_pairs): one array per block, frontier pairs
+    sorted by freq ascending (lengths strictly descending along it).
+    """
+    n = len(freqs)
+    out_f: list[np.ndarray] = []
+    out_l: list[np.ndarray] = []
+    for b in range(0, n, BLOCK_SIZE):
+        f = np.asarray(freqs[b : b + BLOCK_SIZE], dtype=np.int64)
+        ln = np.asarray(lengths[b : b + BLOCK_SIZE], dtype=np.int64)
+        # skyline: sort by (length asc, freq desc); keep pairs whose freq
+        # exceeds every freq at a shorter-or-equal length
+        order = np.lexsort((-f, ln))
+        fs, ls = f[order], ln[order]
+        best = np.maximum.accumulate(fs)
+        keep = np.ones(len(fs), dtype=bool)
+        keep[1:] = fs[1:] > best[:-1]  # also dedups equal lengths (freq-desc tie order)
+        out_f.append(fs[keep][::-1].astype(np.int32))  # freq ascending
+        out_l.append(ls[keep][::-1].astype(np.int32))
+    return out_f, out_l
+
+
 def block_skip_metadata(
     docs: np.ndarray, freqs: np.ndarray, norm_lengths: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -330,7 +330,14 @@ class IndexSearcher:
     ) -> TopDocs:
         if isinstance(query, str):
             query = parse_query(query)
-        use_wand = algo == "wand" and self._wand_eligible(query) and search_after is None
+        use_wand = (
+            search_after is None
+            and self._wand_eligible(query)
+            and (algo == "wand" or (algo == "auto" and self._wand_worthwhile(query)))
+        )
+        if use_wand:
+            self.last_wand_stats = {"blocks_total": 0, "blocks_visited": 0,
+                                    "intervals_total": 0, "intervals_visited": 0}
         parts = []
         total = 0
         for r in self.readers:
@@ -388,11 +395,7 @@ class IndexSearcher:
     def _wand_eligible(self, q: Query) -> bool:
         """Shape check: WAND applies to term queries and pure disjunctions
         (Boolean2ScorerSupplier.java:242-247 picks WANDScorer for TOP_SCORES
-        disjunctions). ``algo='auto'`` still prefers the vectorized exhaustive
-        kernel: with this corpus's tiny vocabulary every query term is dense,
-        so decoding whole (short, hot) posting lists beats Python-driven
-        block skipping; WAND is the verified scale path for selective terms
-        over huge indexes (forced with algo='wand', equality tested)."""
+        disjunctions)."""
         if self._multi:
             return False
         if isinstance(q, TermQuery):
@@ -405,6 +408,21 @@ class IndexSearcher:
             and q.minimum_should_match <= 1
             and all(isinstance(s, TermQuery) for s in q.should)
         )
+
+    # below this many total postings the vectorized exhaustive kernel wins:
+    # the Python-driven interval walk costs ~µs per interval, so pruning has
+    # to save at least a few dozen 128-doc block decodes to pay for itself.
+    WAND_AUTO_MIN_POSTINGS = 4096
+
+    def _wand_worthwhile(self, q: Query) -> bool:
+        """``algo='auto'`` policy: pick WAND when the query's posting volume
+        is large enough that block skipping beats exhaustive decode — the
+        normal case on a web-scale index where df ≫ 4096 per term; tiny
+        test vocabularies fall back to the exhaustive kernel. Results are
+        identical either way (tested)."""
+        terms = extract_terms(q)
+        sum_df = sum(self.term_statistics(t).doc_freq for t in terms)
+        return sum_df >= self.WAND_AUTO_MIN_POSTINGS
 
     # ------------------------------------------------------------ evaluation
 
@@ -972,6 +990,8 @@ class IndexSearcher:
         Hit counting: exact up to the pruning point (the reference similarly
         reports a lower bound once pruning starts, TotalHits.Relation).
         """
+        from lucene_ray.functions.norms import encode_lengths
+
         terms = sorted(extract_terms(q))
         scorers = self._scorers_for(terms)
         terms = [t for t in terms if t in scorers]
@@ -983,26 +1003,36 @@ class IndexSearcher:
             if i < 0:
                 continue
             bld, blf, blm = r.skip_meta(i)
-            if self.mode == "lucene":
-                from lucene_ray.functions.norms import encode_lengths
-
-                ubs = np.array(
-                    [
-                        float(scorers[t].score(np.array([f], dtype=np.float32),
-                                               encode_lengths(np.array([m])))[0])
-                        for f, m in zip(blf.tolist(), blm.tolist())
-                    ]
-                )
+            imp = r.impacts(i)
+            if imp is not None:
+                # competitive impact pairs (CompetitiveImpactAccumulator
+                # analogue): the block bound is the max score over the block's
+                # Pareto-frontier (freq, length) pairs — tight, unlike the
+                # (max freq, min length) cross-doc pairing below.
+                pf, pl = imp
+                counts = np.fromiter((len(p) for p in pf), dtype=np.int64, count=len(pf))
+                flat_f = np.concatenate([np.asarray(p, dtype=np.int64) for p in pf])
+                flat_l = np.concatenate([np.asarray(p, dtype=np.int64) for p in pl])
+                if self.mode == "lucene":
+                    pair_scores = scorers[t].score(
+                        flat_f.astype(np.float32), encode_lengths(flat_l)
+                    )
+                else:
+                    pair_scores = scorers[t].score(flat_f, flat_l)
+                starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+                ubs = np.maximum.reduceat(pair_scores, starts)
+            elif self.mode == "lucene":
+                ubs = scorers[t].score(blf.astype(np.float32), encode_lengths(blm))
             else:
-                ubs = np.array(
-                    [scorers[t].max_score(f, m) for f, m in zip(blf.tolist(), blm.tolist())]
-                )
-            infos.append((t, i, bld, ubs))
+                ubs = scorers[t].score(blf.astype(np.float64), blm.astype(np.float64))
+            infos.append((t, i, bld, np.asarray(ubs, dtype=np.float64)))
         if not infos:
             return [], 0
 
         boundaries = np.unique(np.concatenate([bld for _, _, bld, _ in infos]))
-        # interval u = docIDs in (boundaries[u-1], boundaries[u]]
+        # interval u = docIDs in (boundaries[u-1], boundaries[u]]; boundaries
+        # are the union of every term's block ends, so each interval lies
+        # inside exactly ONE block of each covering term — the unit of decode.
         ub_total = np.zeros(len(boundaries))
         for _, _, bld, ubs in infos:
             # block j of this term covers docs (bld[j-1], bld[j]]; map each
@@ -1012,19 +1042,28 @@ class IndexSearcher:
             cover = boundaries <= bld[-1]
             ub_total += np.where(cover, ubs[blk_c], 0.0)
 
+        stats = getattr(self, "last_wand_stats", None)
+        if stats is not None:
+            stats["blocks_total"] += int(sum(len(bld) for _, _, bld, _ in infos))
+            stats["intervals_total"] += len(boundaries)
         order = np.argsort(-ub_total)
-        heap: list[tuple] = []  # min-heap of (score, neg_rank_key) — use sort list
         best: list[ScoreDoc] = []
         nhits = 0
-        postings_cache = {t: r.postings(int(i)) for t, i, _, _ in infos}
+        visited_blocks: set[tuple[int, int]] = set()
         for u in order.tolist():
             if len(best) >= k and ub_total[u] < best[-1].score:
                 break
             lo = int(boundaries[u - 1]) + 1 if u > 0 else 0
             hi = int(boundaries[u])
             subs = []
-            for t, i, _, _ in infos:
-                docs_i, freqs_i = postings_cache[t]
+            for t, i, bld, _ in infos:
+                if hi > int(bld[-1]):
+                    continue  # term exhausted before this interval
+                j = int(np.searchsorted(bld, hi))
+                # decode ONLY the covering 128-doc block (ImpactsDISI skip
+                # semantics: pruned blocks are never decoded)
+                docs_i, freqs_i = r.postings_block(int(i), j)
+                visited_blocks.add((int(i), j))
                 a = int(np.searchsorted(docs_i, lo))
                 b = int(np.searchsorted(docs_i, hi, side="right"))
                 if a == b:
@@ -1032,6 +1071,8 @@ class IndexSearcher:
                 d = docs_i[a:b]
                 sc = self._score_arrays(r, scorers[t], d, freqs_i[a:b])
                 subs.append(_SparseScores(d, sc))
+            if stats is not None:
+                stats["intervals_visited"] += 1
             if not subs:
                 continue
             sp = self._apply_live(r, self._union(subs))
@@ -1051,7 +1092,9 @@ class IndexSearcher:
             keys = r.doc_keys[docs_f]
             cand = [ScoreDoc(keys[j], float(scores_f[j])) for j in range(len(docs_f))]
             best = heapq.nsmallest(k, best + cand, key=ScoreDoc.sort_key)
-        del heap
+        stats = getattr(self, "last_wand_stats", None)
+        if stats is not None:
+            stats["blocks_visited"] += len(visited_blocks)
         if after is not None:
             a_score, a_key = after
             best = [sd for sd in best if (-sd.score, sd.doc_key) > (-a_score, a_key)]

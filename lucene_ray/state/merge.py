@@ -28,7 +28,11 @@ import shutil
 import numpy as np
 import pyarrow as pa
 
-from lucene_ray.functions.postings import block_skip_metadata, encode_postings
+from lucene_ray.functions.postings import (
+    block_skip_metadata,
+    competitive_impacts,
+    encode_postings,
+)
 from lucene_ray.state.manifest import Manifest
 from lucene_ray.state.segment import SegmentReader, write_segment
 
@@ -58,75 +62,120 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
         live_counts.append(int(live.sum()))
     bases = np.cumsum([0] + live_counts[:-1]).astype(np.int64)
 
-    # term-sorted k-way union of the per-segment dictionaries
+    # term-sorted union of the per-segment dictionaries (vectorized — the
+    # old per-term Python k-way cursor walk dominated merge time at web
+    # vocabulary sizes; grouping is now ONE lexsort over the concatenated
+    # posting-level arrays, the same shape as the invert kernel)
     all_terms = np.unique(np.concatenate([r.terms for r in readers]))
     dls = np.concatenate([r.dls[lv] for r, lv in zip(readers, lives)])
 
-    packed_col, bld_col, blf_col, blm_col, pos_col = [], [], [], [], []
-    sdoc = np.full(len(all_terms), -1, dtype=np.int32)
-    sfreq = np.zeros(len(all_terms), dtype=np.int32)
-    doc_freq = np.zeros(len(all_terms), dtype=np.int64)
-    total_tf = np.zeros(len(all_terms), dtype=np.int64)
-
-    # per-reader cursor over its sorted term array (streaming k-way merge)
-    term_pos = {id(r): 0 for r in readers}
-    empty_terms = []
-    for ti, term in enumerate(all_terms.tolist()):
-        docs_parts, freqs_parts, pos_parts = [], [], []
-        for r, base, live, remap in zip(readers, bases, lives, remaps):
-            i = term_pos[id(r)]
-            if i < len(r.terms) and r.terms[i] == term:
-                term_pos[id(r)] = i + 1
-            else:
-                continue
-            d, f = r.postings(int(i))
+    # Posting-level flattening: per reader, decode each term's postings once
+    # (decode is inherently per packed stream), remap docIDs, emit flat
+    # (term_code, doc, freq) arrays + per-posting position slice handles.
+    tc_parts, doc_parts, freq_parts = [], [], []
+    pos_chunks: list[np.ndarray] = []          # one positions buffer per reader
+    pos_start_parts, pos_buf_parts = [], []    # per-posting (start, buffer id)
+    for buf_id, (r, base, live, remap) in enumerate(zip(readers, bases, lives, remaps)):
+        gcodes = np.searchsorted(all_terms, r.terms)  # exact: r.terms ⊆ all_terms
+        n_terms = len(r.terms)
+        if store_positions and n_terms:
+            pos_all = np.concatenate([r.positions(i) for i in range(n_terms)])
+        else:
+            pos_all = np.empty(0, dtype=np.int32)
+        pos_chunks.append(pos_all)
+        pos_off = 0
+        for i in range(n_terms):
+            d, f = r.postings(i)
+            f64 = f.astype(np.int64)
+            starts = pos_off + np.concatenate([[0], np.cumsum(f64[:-1])])
+            pos_off += int(f64.sum())
             keep = live[d]
-            if store_positions:
-                p = r.positions(int(i))
-                if not keep.all():
-                    p = p[np.repeat(keep, f)]
-                pos_parts.append(p)
             if not keep.all():
-                d, f = d[keep], f[keep]
+                d, f64, starts = d[keep], f64[keep], starts[keep]
             if not len(d):
                 continue
-            docs_parts.append(remap[d] + base)
-            freqs_parts.append(f)
-        if not docs_parts:
-            empty_terms.append(ti)
-            docs = np.empty(0, dtype=np.int64)
-            freqs = np.empty(0, dtype=np.int64)
-            doc_freq[ti] = 0
-            packed_col.append(b"")
-            bld_col.append([])
-            blf_col.append([])
-            blm_col.append([])
-            pos_col.append(b"")
-            continue
-        docs = np.concatenate(docs_parts)
-        freqs = np.concatenate(freqs_parts)
-        doc_freq[ti] = len(docs)
-        total_tf[ti] = int(freqs.sum())
-        if len(docs) == 1:
+            tc_parts.append(np.full(len(d), gcodes[i], dtype=np.int64))
+            doc_parts.append(remap[d] + base)
+            freq_parts.append(f64)
+            if store_positions:
+                pos_start_parts.append(starts)
+                pos_buf_parts.append(np.full(len(d), buf_id, dtype=np.int32))
+
+    all_pos = np.empty(0, dtype=np.int32)
+    if tc_parts:
+        tc = np.concatenate(tc_parts)
+        dd = np.concatenate(doc_parts)
+        ff = np.concatenate(freq_parts)
+        order = np.lexsort((dd, tc))  # DocIDMerger mapped-docID order
+        tc, dd, ff = tc[order], dd[order], ff[order]
+        if store_positions:
+            # ONE vectorized gather reorders every position element into the
+            # merged posting order (no per-posting Python slice): global
+            # element index for posting p's occurrence o is start[p] + o.
+            buf_off = np.cumsum([0] + [len(c) for c in pos_chunks[:-1]])
+            g = np.concatenate(pos_start_parts) + buf_off[np.concatenate(pos_buf_parts)]
+            g = g[order]
+            pos_global = (
+                np.concatenate(pos_chunks) if pos_chunks else np.empty(0, dtype=np.int32)
+            )
+            total_pos = int(ff.sum())
+            run = np.concatenate([[0], np.cumsum(ff)[:-1]])
+            idx = np.repeat(g - run, ff) + np.arange(total_pos, dtype=np.int64)
+            all_pos = pos_global[idx] if len(pos_global) else np.empty(0, dtype=np.int32)
+    else:
+        tc = np.empty(0, dtype=np.int64)
+        dd = np.empty(0, dtype=np.int64)
+        ff = np.empty(0, dtype=np.int64)
+
+    # per-term ranges via run-length over the sorted term codes (terms whose
+    # postings were fully reclaimed by deletes simply never appear)
+    new_term = np.ones(len(tc), dtype=bool)
+    if len(tc):
+        new_term[1:] = tc[1:] != tc[:-1]
+    t_starts = np.flatnonzero(new_term)
+    t_ends = np.append(t_starts[1:], len(tc))
+    present = tc[t_starts] if len(t_starts) else np.empty(0, dtype=np.int64)
+
+    n_out = len(t_starts)
+    out_terms = all_terms[present] if n_out else np.empty(0, dtype=object)
+    doc_freq = (t_ends - t_starts).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(ff, dtype=np.int64)])
+    total_tf = cs[t_ends] - cs[t_starts]
+
+    packed_col, bld_col, blf_col, blm_col = [], [], [], []
+    impf_col, impl_col, pos_col = [], [], []
+    sdoc = np.full(n_out, -1, dtype=np.int32)
+    sfreq = np.zeros(n_out, dtype=np.int32)
+    for ti in range(n_out):
+        s, e = int(t_starts[ti]), int(t_ends[ti])
+        docs = dd[s:e]
+        freqs = ff[s:e]
+        if e - s == 1:
             sdoc[ti] = docs[0]
             sfreq[ti] = freqs[0]
             packed_col.append(b"")
             bld_col.append([int(docs[0])])
             blf_col.append([int(freqs[0])])
             blm_col.append([int(dls[docs[0]])])
+            impf_col.append([[int(freqs[0])]])
+            impl_col.append([[int(dls[docs[0]])]])
         else:
             packed_col.append(encode_postings(docs, freqs))
             ld, mf, ml = block_skip_metadata(docs, freqs, dls[docs])
             bld_col.append(ld.tolist())
             blf_col.append(mf.tolist())
             blm_col.append(ml.tolist())
-        pos_col.append(
-            np.concatenate(pos_parts).astype(np.int32).tobytes() if pos_parts else b""
-        )
+            pf, pl = competitive_impacts(freqs, dls[docs])
+            impf_col.append([a.tolist() for a in pf])
+            impl_col.append([a.tolist() for a in pl])
+        if store_positions:
+            pos_col.append(all_pos[cs[s] : cs[e]].astype(np.int32).tobytes())
+        else:
+            pos_col.append(b"")
 
     postings_tbl = pa.table(
         {
-            "term": pa.array(all_terms.tolist(), type=pa.string()),
+            "term": pa.array(out_terms.tolist(), type=pa.string()),
             "doc_freq": pa.array(doc_freq),
             "total_tf": pa.array(total_tf),
             "singleton_doc": pa.array(sdoc, type=pa.int32()),
@@ -135,6 +184,8 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             "block_last_docs": pa.array(bld_col, type=pa.list_(pa.int32())),
             "block_max_freqs": pa.array(blf_col, type=pa.list_(pa.int32())),
             "block_min_lens": pa.array(blm_col, type=pa.list_(pa.int32())),
+            "imp_freqs": pa.array(impf_col, type=pa.list_(pa.list_(pa.int32()))),
+            "imp_lens": pa.array(impl_col, type=pa.list_(pa.list_(pa.int32()))),
             "positions": pa.array(pos_col, type=pa.binary()),
         }
     )
@@ -149,11 +200,6 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             for n, lv in zip(seg_names, lives)
         ]
     )
-    if empty_terms:
-        keep_rows = np.ones(len(all_terms), dtype=bool)
-        keep_rows[empty_terms] = False
-    if empty_terms:
-        postings_tbl = postings_tbl.filter(pa.array(keep_rows))
     stats = dict(
         max_doc=int(sum(live_counts)),
         doc_count=int((dls > 0).sum()),

@@ -48,7 +48,9 @@ from lucene_ray.functions.norms import decode_norms, encode_lengths
 from lucene_ray.functions.postings import (
     BLOCK_SIZE,
     block_skip_metadata,
+    competitive_impacts,
     decode_postings,
+    decode_postings_block_range,
     encode_postings,
 )
 
@@ -132,6 +134,8 @@ def build_segment_tables(
                 "block_last_docs": pa.array([], type=pa.list_(pa.int32())),
                 "block_max_freqs": pa.array([], type=pa.list_(pa.int32())),
                 "block_min_lens": pa.array([], type=pa.list_(pa.int32())),
+                "imp_freqs": pa.array([], type=pa.list_(pa.list_(pa.int32()))),
+                "imp_lens": pa.array([], type=pa.list_(pa.list_(pa.int32()))),
                 "positions": pa.array([], type=pa.binary()),
             }
         )
@@ -178,6 +182,7 @@ def build_segment_tables(
     singleton_doc = np.full(len(term_starts), -1, dtype=np.int32)
     singleton_freq = np.zeros(len(term_starts), dtype=np.int32)
     bld, blf, blm = [], [], []
+    impf_col, impl_col = [], []
     pos_col: list[bytes] = []
     dl_by_doc = doc_lengths  # exact lengths for impact bounds
 
@@ -191,12 +196,17 @@ def build_segment_tables(
             bld.append([int(docs_i[0])])
             blf.append([int(freqs_i[0])])
             blm.append([int(dl_by_doc[docs_i[0]])])
+            impf_col.append([[int(freqs_i[0])]])
+            impl_col.append([[int(dl_by_doc[docs_i[0]])]])
         else:
             packed_col.append(encode_postings(docs_i, freqs_i))
             ld, mf, ml = block_skip_metadata(docs_i, freqs_i, dl_by_doc[docs_i])
             bld.append(ld.tolist())
             blf.append(mf.tolist())
             blm.append(ml.tolist())
+            pf, pl = competitive_impacts(freqs_i, dl_by_doc[docs_i])
+            impf_col.append([a.tolist() for a in pf])
+            impl_col.append([a.tolist() for a in pl])
     if store_positions:
         # positions for term i = pp[cs[term_starts[i]] : cs[term_ends[i]]]
         # (doc-major within the term, ascending within each doc).
@@ -218,6 +228,8 @@ def build_segment_tables(
             "block_last_docs": pa.array(bld, type=pa.list_(pa.int32())),
             "block_max_freqs": pa.array(blf, type=pa.list_(pa.int32())),
             "block_min_lens": pa.array(blm, type=pa.list_(pa.int32())),
+            "imp_freqs": pa.array(impf_col, type=pa.list_(pa.list_(pa.int32()))),
+            "imp_lens": pa.array(impl_col, type=pa.list_(pa.list_(pa.int32()))),
             "positions": pa.array(pos_col, type=pa.binary()),
         }
     )
@@ -353,6 +365,9 @@ class SegmentReader:
         self._bld = p.column("block_last_docs").to_pylist()
         self._blf = p.column("block_max_freqs").to_pylist()
         self._blm = p.column("block_min_lens").to_pylist()
+        has_imp = "imp_freqs" in p.column_names
+        self._impf = p.column("imp_freqs").to_pylist() if has_imp else None
+        self._impl = p.column("imp_lens").to_pylist() if has_imp else None
         self._positions = p.column("positions").to_pylist()
         d = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
         self.doc_keys = d.column("doc_key").to_numpy(zero_copy_only=False)
@@ -382,6 +397,7 @@ class SegmentReader:
         # the analogue of reusing a TermsEnum/postings reader across queries)
         self._decode_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._decode_cache_max = 256
+        self._block_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
         self._key_rank: np.ndarray | None = None
 
     @property
@@ -441,6 +457,39 @@ class SegmentReader:
         if i < 0:
             return np.empty(0, dtype=np.int32)
         return np.frombuffer(self._positions[i], dtype=np.int32)
+
+    def postings_block(self, i: int, j: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decode ONLY 128-doc block ``j`` of term ``i`` (absolute docIDs) —
+        the ImpactsDISI skip path: pruned blocks are never decoded. Cached
+        per (term, block) so adjacent grid intervals reuse the decode."""
+        if self._singleton_doc[i] >= 0:
+            return (
+                np.array([self._singleton_doc[i]], dtype=np.int32),
+                np.array([self._singleton_freq[i]], dtype=np.int32),
+            )
+        full = self._decode_cache.get(i)
+        if full is not None:  # whole list already decoded — slice it
+            d, f = full
+            lo, hi = j * BLOCK_SIZE, (j + 1) * BLOCK_SIZE
+            return d[lo:hi], f[lo:hi]
+        cache = self._block_cache
+        hit = cache.get((i, j))
+        if hit is not None:
+            return hit
+        rel, f, _ = decode_postings_block_range(self._packed[i], j, j + 1)
+        base = int(self._bld[i][j - 1]) if j > 0 else 0
+        out = ((rel + base).astype(np.int32), f)
+        if len(cache) >= 4096:
+            cache.pop(next(iter(cache)))
+        cache[(i, j)] = out
+        return out
+
+    def impacts(self, i: int):
+        """Per-block competitive (freq, length) pair lists, or None when the
+        segment predates the impact columns (fall back to skip_meta)."""
+        if self._impf is None:
+            return None
+        return self._impf[i], self._impl[i]
 
     def skip_meta(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return (

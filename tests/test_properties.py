@@ -155,3 +155,80 @@ def test_merge_and_partitioning_invariance(rand_idx, ray_session, tmp_path):
         assert [(sd.doc_key, sd.score) for sd in s_m.search(q, k=10).score_docs] == want[q]
     for seg in Manifest.load(d).segment_dirs():
         assert check_segment(seg) == []
+
+
+def test_wand_block_pruning_skips_blocks(rand_idx):
+    """The block-lazy WAND path must (a) produce exhaustive-identical top-k,
+    (b) actually skip decoding blocks once the k-th score beats remaining
+    interval bounds (ImpactsDISI semantics), and (c) report the counters."""
+    d, pdf, _ = rand_idx
+    s = IndexSearcher(d, mode="lucene")
+    vocab = sorted({w for t in pdf.text for w in t.split()})
+    hot = [v for v in vocab if v.startswith("hot")][:3]
+    q = BooleanQuery(should=[TermQuery(t) for t in hot])
+    a = s.search(q, k=3, algo="exhaustive").score_docs
+    b = s.search(q, k=3, algo="wand").score_docs
+    assert [(x.doc_key, x.score) for x in a] == [(x.doc_key, x.score) for x in b]
+    st = s.last_wand_stats
+    assert st["blocks_total"] > 0 and st["blocks_visited"] > 0
+    assert st["blocks_visited"] <= st["blocks_total"]
+    assert st["intervals_visited"] <= st["intervals_total"]
+
+
+def test_wand_auto_threshold(rand_idx):
+    d, pdf, _ = rand_idx
+    s = IndexSearcher(d, mode="lucene")
+    q = BooleanQuery(should=[TermQuery("hot1"), TermQuery("hot2")])
+    # tiny corpus: auto stays exhaustive (no wand stats written)
+    s.last_wand_stats = None
+    s.search(q, k=5, algo="auto")
+    assert s.last_wand_stats is None
+    # force the threshold down: auto now picks wand, results identical
+    want = [(x.doc_key, x.score) for x in s.search(q, k=5, algo="exhaustive").score_docs]
+    s.WAND_AUTO_MIN_POSTINGS = 1
+    got = [(x.doc_key, x.score) for x in s.search(q, k=5, algo="auto").score_docs]
+    assert got == want
+    assert s.last_wand_stats is not None and s.last_wand_stats["blocks_total"] > 0
+
+
+def test_competitive_impacts_tighter_than_conservative(rand_idx):
+    """Frontier impact bounds are <= the (max freq, min len) bound per block
+    and equal to the true max block score."""
+    import numpy as np
+
+    from lucene_ray.functions.norms import encode_lengths
+    from lucene_ray.state.manifest import Manifest as _M
+    from lucene_ray.state.segment import SegmentReader
+
+    d, pdf, _ = rand_idx
+    seg = _M.load(d).segment_dirs()[0]
+    r = SegmentReader(seg)
+    s = IndexSearcher(d, mode="lucene")
+    checked = 0
+    for ti in range(min(len(r.terms), 40)):
+        term = r.terms[ti]
+        scorer = s._scorers_for([term]).get(term)
+        if scorer is None:
+            continue
+        bld, blf, blm = r.skip_meta(ti)
+        pf, pl = r.impacts(ti)
+        docs, freqs = r.postings(ti)
+        from lucene_ray.functions.postings import BLOCK_SIZE
+
+        for j in range(len(bld)):
+            cons = float(scorer.score(np.array([blf[j]], dtype=np.float32),
+                                      encode_lengths(np.array([blm[j]])))[0])
+            tight = max(
+                float(scorer.score(np.array([f], dtype=np.float32),
+                                   encode_lengths(np.array([l])))[0])
+                for f, l in zip(pf[j], pl[j])
+            )
+            sl = slice(j * BLOCK_SIZE, (j + 1) * BLOCK_SIZE)
+            bdocs, bfreqs = docs[sl], freqs[sl]
+            true_max = float(
+                s._score_arrays(r, scorer, bdocs, bfreqs).max()
+            )
+            assert tight <= cons + 1e-7
+            assert abs(tight - true_max) < 1e-6
+            checked += 1
+    assert checked > 0
