@@ -170,6 +170,21 @@ def _q_phrase_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, qs)
 
 
+SLOP_QUERIES = [("merge", "sort", 3), ("window", "batch", 2), ("stream", "batch", 4)]
+
+
+def _q_phrase_slop_topk(sf_dir: str) -> pa.Table:
+    """Sloppy phrase top-k — the EXACT SloppyPhraseMatcher kernel
+    (functions/sloppy.py) vs a recursive-CTE leapfrog oracle that mirrors
+    the reference's pq traversal for 2-slot phrases (equivalence
+    property-tested in tests/test_sloppy.py + /1e-9 vs the kernel)."""
+    from lucene_ray.query import PhraseQuery
+
+    s = _searcher(sf_dir)
+    qs = [(f"{a} {b}~{sl}", PhraseQuery([a, b], slop=sl)) for a, b, sl in SLOP_QUERIES]
+    return _ranked_topk(s, qs)
+
+
 def _q_msm_topk(sf_dir: str) -> pa.Table:
     from lucene_ray.query import BooleanQuery, TermQuery
 
@@ -603,6 +618,61 @@ SELECT query, rank, doc_id FROM ranked WHERE rank <= {k}
 """
 
 
+def _sql_phrase_slop_topk(slop_queries, k=K) -> str:
+    """Sloppy-phrase oracle: WITH RECURSIVE leapfrog over adjusted token
+    positions — the closed form of SloppyPhraseMatcher's 2-slot pq traversal
+    (each step: match d = q − predecessor in the other list; hop q to the
+    other list's successor). freq = Σ 1/(1+d) over steps with d ≤ slop."""
+    parts = []
+    for qi, (t0, t1, slop) in enumerate(slop_queries):
+        name = f"{t0} {t1}~{slop}"
+        parts.append(f"""
+pa{qi} AS (SELECT doc_id, i::BIGINT AS p FROM base, unnest(range(1, len(toks)+1)) AS t(i) WHERE toks[i] = '{t0}'),
+pb{qi} AS (SELECT doc_id, i::BIGINT - 1 AS p FROM base, unnest(range(1, len(toks)+1)) AS t(i) WHERE toks[i] = '{t1}'),
+posu{qi} AS (SELECT doc_id, 0 AS w, p FROM pa{qi} UNION ALL SELECT doc_id, 1 AS w, p FROM pb{qi}),
+firsts{qi} AS (
+  SELECT a.doc_id, a.p AS a0, b.p AS b0
+  FROM (SELECT doc_id, min(p) AS p FROM pa{qi} GROUP BY doc_id) a
+  JOIN (SELECT doc_id, min(p) AS p FROM pb{qi} GROUP BY doc_id) b USING (doc_id)
+),
+walk{qi} AS (
+  SELECT doc_id, greatest(a0, b0) AS q, CASE WHEN b0 >= a0 THEN 1 ELSE 0 END AS owner FROM firsts{qi}
+  UNION ALL
+  SELECT w.doc_id,
+         (SELECT min(u.p) FROM posu{qi} u WHERE u.doc_id = w.doc_id AND u.w = 1 - w.owner AND u.p > w.q) AS q,
+         1 - w.owner AS owner
+  FROM walk{qi} w
+  WHERE (SELECT min(u.p) FROM posu{qi} u WHERE u.doc_id = w.doc_id AND u.w = 1 - w.owner AND u.p > w.q) IS NOT NULL
+),
+matches{qi} AS (
+  SELECT w.doc_id,
+         w.q - (SELECT max(u.p) FROM posu{qi} u WHERE u.doc_id = w.doc_id AND u.w = 1 - w.owner AND u.p <= w.q) AS d
+  FROM walk{qi} w
+),
+pm{qi} AS (SELECT doc_id, sum(1.0/(1+d))::DOUBLE AS freq FROM matches{qi} WHERE d <= {slop} GROUP BY doc_id),
+scored{qi} AS (
+  SELECT '{name}' AS query, pm.doc_id,
+         (SELECT sum(ln(1 + (s.doc_count - df.df + 0.5)/(df.df + 0.5)))
+          FROM (VALUES ('{t0}'), ('{t1}')) pt(term) JOIN df ON df.term = pt.term CROSS JOIN stats s)
+         * (pm.freq * 2.2) / (pm.freq + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s2.sum_ttf / s2.doc_count))) AS score
+  FROM pm{qi} pm JOIN dl ON dl.doc_id = pm.doc_id CROSS JOIN stats s2
+)""")
+    ctes = ",".join(parts)
+    union = "\n  UNION ALL\n".join(f"SELECT * FROM scored{qi}" for qi in range(len(slop_queries)))
+    return f"""
+WITH RECURSIVE {_BASE},{ctes},
+allscored AS (
+{union}
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM allscored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {k}
+"""
+
+
 def _sql_phrase_topk(phrases, k=K) -> str:
     parts = []
     for ts in phrases:
@@ -872,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_and_topk": _q_bool_and_topk,
         "bool_or_topk": _q_bool_or_topk,
         "phrase_topk": _q_phrase_topk,
+        "phrase_slop_topk": _q_phrase_slop_topk,
         "min_should_match_topk": _q_msm_topk,
         "search_after": _q_search_after,
         "prefix_count": _q_prefix_count,
@@ -913,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
         "bool_and_topk": _sql_multi_term_topk(AND_QUERIES, "and"),
         "bool_or_topk": _sql_multi_term_topk(OR_QUERIES, "or"),
         "phrase_topk": _sql_phrase_topk(PHRASE_QUERIES),
+        "phrase_slop_topk": _sql_phrase_slop_topk(SLOP_QUERIES),
         "min_should_match_topk": _sql_multi_term_topk([MSM_QUERY], "or", k=20, msm=2),
         "search_after": _sql_single_term_topk(["merge"], rank_lo=11, rank_hi=20),
         "prefix_count": _SQL_PREFIX_COUNT,

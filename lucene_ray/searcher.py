@@ -115,38 +115,6 @@ def _bounded_edit_distance(a: str, b: str, max_edits: int) -> int:
     return prev[lb] if prev[lb] <= max_edits else -1
 
 
-def _sloppy_freq(position_sets: list[np.ndarray], slop: int) -> float:
-    """Sloppy-phrase freq ≈ Σ 1/(1+matchLength) (SloppyPhraseMatcher.java).
-
-    Simplified matcher (documented approximation of the reference's
-    interleaving algorithm): for each start position of the first term,
-    greedily pick for every later term the closest unused aligned position;
-    a match counts when the total displacement ≤ slop. Exact for slop=0
-    callers (they use the exact intersect path instead).
-    """
-    total = 0.0
-    for p0 in position_sets[0].tolist():
-        disp = 0
-        ok = True
-        for later in position_sets[1:]:
-            if not len(later):
-                return total
-            j = int(np.searchsorted(later, p0))
-            cands = []
-            if j < len(later):
-                cands.append(abs(int(later[j]) - p0))
-            if j > 0:
-                cands.append(abs(int(later[j - 1]) - p0))
-            d = min(cands)
-            disp += d
-            if disp > slop:
-                ok = False
-                break
-        if ok:
-            total += 1.0 / (1.0 + disp)
-    return total
-
-
 def _intersect_sorted(a: np.ndarray, b: np.ndarray):
     """Intersection of two SORTED unique arrays without the O((m+n)log(m+n))
     concat-sort that np.intersect1d pays: binary-search the smaller side into
@@ -941,7 +909,11 @@ class IndexSearcher:
             match_freqs = counts.astype(np.float64).tolist()
         else:
             # sloppy path: per-candidate-doc loop (candidates are the docID
-            # intersection; rare queries, approximate matcher — see _sloppy_freq)
+            # intersection — ConjunctionDISI approximation, SloppyPhraseMatcher
+            # .java:102-104); the per-doc matcher is the reference's exact
+            # pq interleaving algorithm (functions/sloppy.py)
+            from lucene_ray.functions.sloppy import sloppy_phrase_freq
+
             cand = post[0][0]
             for docs_i, _ in post[1:]:
                 cand, _, _ = _intersect_sorted(cand, docs_i)
@@ -958,9 +930,8 @@ class IndexSearcher:
                 for t_i in range(len(terms)):
                     docs_i, starts = offsets[t_i]
                     j = int(np.searchsorted(docs_i, d))
-                    p = pos_arrays[t_i][starts[j] : starts[j + 1]]
-                    sets.append(p.astype(np.int64) - t_i)
-                freq = _sloppy_freq(sets, q.slop)
+                    sets.append(pos_arrays[t_i][starts[j] : starts[j + 1]])
+                freq = sloppy_phrase_freq(sets, list(range(len(terms))), terms, q.slop)
                 if freq > 0:
                     match_docs.append(d)
                     match_freqs.append(freq)
