@@ -107,7 +107,9 @@ def _searcher(sf_dir: str):
 def _docs_ds(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    from lucene_ray.sources.io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet")
 
 
 def _ranked_topk(searcher, named_queries, k: int = K, rank_lo: int = 1) -> pa.Table:
@@ -290,7 +292,9 @@ def _q_knn_topk(sf_dir: str) -> pa.Table:
         pdf[pdf.vec_id.isin(KNN_QUERY_IDS)].sort_values("vec_id").embedding.tolist(),
         dtype=np.float64,
     )
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from lucene_ray.sources.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     out = knn_brute_force(ds, KNN_QUERY_IDS, qvecs, k=K + 16).to_pandas()
     # re-rank under the oracle's rounded ordering
     rows = []
@@ -361,7 +365,9 @@ def _q_events_window(sf_dir: str):
 
     from lucene_ray.pipelines.windows import tumbling_window_agg
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    from lucene_ray.sources.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type", "value"])
     out = tumbling_window_agg(ds, window="1h")
 
@@ -381,13 +387,39 @@ def _q_events_window(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+EMB_PLANT_OFFSET = 1_000_000
+EMB_PLANT_N = 40      # ids < this get an identical planted copy
+EMB_SUBSET = 1_000    # gate operates on this id range (oracle self-join size)
+
+
 def _q_embedding_neardup(sf_dir: str):
+    """Embedding near-dup with PLANTED pairs: every vec_id < EMB_PLANT_N gets
+    an identical copy at vec_id + EMB_PLANT_OFFSET, so the expected output is
+    exactly those pairs (cosine 1.0) — identical vectors collide in every
+    LSH band (recall 1) and no natural pair reaches the 0.95 threshold. The
+    DuckDB oracle computes the same pairs by exact self-join, making this a
+    full rows+schema+hash gate instead of the round-1 vacuous rows-only one."""
     import ray.data
 
     from lucene_ray.pipelines.dedup import embedding_near_dup_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = embedding_near_dup_pairs(ds, threshold=0.9)
+    from lucene_ray.sources.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+
+    def subset_and_plant(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.less(batch.column("vec_id"), EMB_SUBSET))
+        plant = batch.filter(pc.less(batch.column("vec_id"), EMB_PLANT_N))
+        plant = plant.set_column(
+            plant.column_names.index("vec_id"), "vec_id",
+            pc.add(plant.column("vec_id"), EMB_PLANT_OFFSET),
+        )
+        return pa.concat_tables([batch, plant]).select(["vec_id", "embedding"])
+
+    aug = ds.map_batches(subset_and_plant, batch_format="pyarrow")
+    out = embedding_near_dup_pairs(aug, threshold=0.95)
 
     def rnd(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -436,7 +468,9 @@ def _q_knn_ivf(sf_dir: str):
         pdf[pdf.vec_id.isin(KNN_QUERY_IDS)].sort_values("vec_id").embedding.tolist(),
         dtype=np.float64,
     )
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from lucene_ray.sources.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     return knn_ivf(ds, KNN_QUERY_IDS, qvecs, k=K, n_centroids=8, nprobe=4)
 
 
@@ -765,6 +799,20 @@ SELECT doc_id,
 FROM documents
 """
 
+_SQL_EMB_NEARDUP = f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {EMB_SUBSET}
+  UNION ALL
+  SELECT vec_id + {EMB_PLANT_OFFSET} AS vec_id, embedding FROM embeddings WHERE vec_id < {EMB_PLANT_N}
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95 ORDER BY id_a, id_b
+"""
+
 _SQL_KNN = f"""
 WITH q AS (SELECT vec_id, embedding FROM embeddings
            WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),
@@ -962,7 +1010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_pairs": _q_minhash_pairs,  # rows-only
-        "embedding_neardup": _q_embedding_neardup,  # rows-only (LSH recall)
+        "embedding_neardup": _q_embedding_neardup,  # planted pairs, full oracle
         "simhash": _q_simhash,  # rows-only
         # similarity search
         "knn_topk": _q_knn_topk,
@@ -1001,6 +1049,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _SQL_FINGERPRINT,
         "dedup_exact": _SQL_DEDUP,
         "jaccard_pairs": _SQL_JACCARD,
+        "embedding_neardup": _SQL_EMB_NEARDUP,
         "knn_topk": _SQL_KNN,
         "events_window": _SQL_EVENTS_WINDOW,
     }

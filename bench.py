@@ -117,7 +117,9 @@ def run_bench() -> dict:
     t0 = time.time()
     shuffle_dir = index_dir + "-shuffle"
     shutil.rmtree(shuffle_dir, ignore_errors=True)
-    ds = ray.data.read_parquet(corpus_dir, columns=["url", "html"])
+    from lucene_ray.sources.io import read_parquet_clean
+
+    ds = read_parquet_clean(corpus_dir, columns=["url", "html"])
     ds = ds.map_batches(extract_batch, batch_format="pyarrow")
     build_index(ds, shuffle_dir, key_col="url", text_col="text",
                 num_partitions=NUM_PARTITIONS, analyzer="standard",
@@ -168,7 +170,9 @@ def run_bench() -> dict:
     timings["search_pipeline"] = time.time() - t0
 
     # 5. data-prep stages on the raw documents table
-    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    from lucene_ray.sources.io import read_parquet_clean
+
+    docs = read_parquet_clean(f"{SF_DIR}/documents.parquet")
     t0 = time.time()
     dedup_exact_content(docs).count()
     timings["dedup_exact"] = time.time() - t0
@@ -189,7 +193,9 @@ def run_bench() -> dict:
     emb_pdf = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
     qids = emb_pdf.vec_id.head(8).tolist()
     qvecs = np.array(emb_pdf.head(8).embedding.tolist(), dtype=np.float64)
-    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    from lucene_ray.sources.io import read_parquet_clean
+
+    emb = read_parquet_clean(f"{SF_DIR}/embeddings.parquet")
     t0 = time.time()
     knn_brute_force(emb, qids, qvecs, k=10, concurrency=min(8, NUM_CPUS)).count()
     timings["knn_brute_force"] = time.time() - t0

@@ -9,7 +9,6 @@ searchers, and manifest-based per-partition checkpointing.
 Layout:
   functions/   pure kernels (analysis, similarity, norms, postings codec)
   state/       segment format, manifest (checkpoint/lineage), merge policy
-  stages/      Ray Data stage callables (invert kernel, searcher actors)
   sources/     corpus synthesis + HTML extraction (Common-Crawl-style input)
   pipelines/   end-to-end drivers (index build, search, dedup, knn, textstats)
 """

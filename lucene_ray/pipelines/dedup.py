@@ -12,8 +12,10 @@ vectorized verification.
 Scale notes: signatures are computed vectorized per batch (numpy
 multiply-shift hashing — deterministic, seedable, no Python per-token loop);
 the only shuffles are groupbys on (band_id, band_hash) whose group sizes are
-bounded by bucket collision counts, and candidate verification joins back via
-a broadcast of the (small) candidate id set — not a full self-join.
+bounded by bucket collision counts, and candidate verification is a pair of
+distributed hash joins (pairs ⨝ per-doc payload) with the exact check running
+vectorized inside map_batches — never a driver-side LUT, never a full
+self-join.
 """
 
 from __future__ import annotations
@@ -26,12 +28,22 @@ import pyarrow as pa
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _hash_tokens_u64(tokens: list[str]) -> np.ndarray:
-    """Deterministic 64-bit token hashes (md5-based, stable across runs)."""
-    return np.array(
-        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in tokens],
-        dtype=np.uint64,
-    )
+def _hash_tokens_u64(tokens) -> np.ndarray:
+    """Deterministic, VECTORIZED 64-bit token hashes: polars' seeded C hash
+    (stable across processes for a fixed seed/version — verified by the
+    cross-worker LSH bucket groupby working at all); md5 fallback when polars
+    is unavailable. No per-token Python loop on the fast path."""
+    if not len(tokens):
+        return np.empty(0, dtype=np.uint64)
+    try:
+        import polars as pl
+
+        return pl.Series(list(tokens)).hash(seed=1315423911).to_numpy().astype(np.uint64)
+    except ImportError:  # pragma: no cover
+        return np.array(
+            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in tokens],
+            dtype=np.uint64,
+        )
 
 
 def _simple_tokens(texts: list[str]):
@@ -142,9 +154,9 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-duplicate pairs, verified by true shingle Jaccard.
 
     Stages: signatures (actor pool) → explode to (band_id, band_hash, id)
-    → groupby band bucket → candidate pairs → broadcast candidate ids →
-    exact Jaccard verification. Returns Dataset (id_a, id_b, jaccard) with
-    id_a < id_b and jaccard >= threshold.
+    → groupby band bucket → candidate pairs → distributed pair dedup →
+    hash-join pairs to shingle payloads → exact Jaccard inside map_batches.
+    Returns Dataset (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
     """
     import pandas as pd
     import ray
@@ -183,60 +195,161 @@ def minhash_lsh_pairs(
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
         pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+        return pd.DataFrame(pairs, columns=["id_a", "id_b"]).astype("int64")
 
     cand = buckets.groupby(["band_id", "band_hash"]).map_groups(
         emit_pairs, batch_format="pandas"
     )
-    cand_pd = cand.to_pandas().drop_duplicates()  # candidate set is small
-    if len(cand_pd) == 0:
-        return ray.data.from_pandas(
-            pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                          "id_b": pd.Series([], dtype="int64"),
-                          "jaccard": pd.Series([], dtype="float64")})
-        )
-    need_ids = set(cand_pd["id_a"]) | set(cand_pd["id_b"])
+    cand = _dedup_pairs(cand)
+    if cand is None:
+        return _empty_pairs("jaccard")
 
-    # broadcast the candidate id set; collect shingle sets only for those docs
-    need_ref = ray.put(need_ids)
-
-    def shingle_sets(batch: pa.Table) -> pa.Table:
-        need = ray.get(need_ref)
-        ids = batch.column(id_col).to_pylist()
-        mask = [i in need for i in ids]
-        sel = batch.filter(pa.array(mask))
-        toks = _simple_tokens(sel.column(text_col).to_pylist())
-        sh = [list(set(_shingles(t, shingle))) for t in toks]
+    # distributed verification (no driver materialization): join the (small)
+    # candidate-pair set back to a per-doc shingle-set payload — two hash
+    # joins co-partition pairs with their payloads, the exact Jaccard runs
+    # inside map_batches. Payload lists are serialized to binary because the
+    # Acero hash join only ships fixed/binary non-key columns.
+    def shingle_payload(batch: pa.Table) -> pa.Table:
+        toks = _simple_tokens(batch.column(text_col).to_pylist())
+        sh = ["\x1e".join(sorted(set(_shingles(t, shingle)))) for t in toks]
         return pa.table(
             {
-                id_col: sel.column(id_col),
-                "shingles": pa.array(sh, type=pa.list_(pa.string())),
+                "pid": batch.column(id_col),
+                "payload": pa.array([x.encode() for x in sh], type=pa.binary()),
             }
         )
 
-    sets_pd = ds.map_batches(shingle_sets, batch_format="pyarrow").to_pandas()
-    lut = {r[id_col]: set(r["shingles"]) for _, r in sets_pd.iterrows()}
-    out = []
-    for a, b in zip(cand_pd["id_a"], cand_pd["id_b"]):
-        sa, sb = lut.get(a), lut.get(b)
-        if not sa or not sb:
-            continue
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        jac = inter / union if union else 0.0
-        if jac >= threshold:
-            out.append((int(a), int(b), jac))
-    out.sort()
-    return ray.data.from_pandas(
-        pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
-        if out
-        else pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                           "id_b": pd.Series([], dtype="int64"),
-                           "jaccard": pd.Series([], dtype="float64")})
+    payload = ds.map_batches(shingle_payload, batch_format="pyarrow")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_pairs_table("jaccard")
+        pa_sets = [set(x.decode().split("\x1e")) if x else set()
+                   for x in batch.column("payload_a").to_pylist()]
+        pb_sets = [set(x.decode().split("\x1e")) if x else set()
+                   for x in batch.column("payload_b").to_pylist()]
+        ja = np.empty(len(pa_sets))
+        for i, (sa, sb) in enumerate(zip(pa_sets, pb_sets)):
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            ja[i] = inter / union if union else 0.0
+        keep = ja >= threshold
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").filter(pa.array(keep)),
+                "id_b": batch.column("id_b").filter(pa.array(keep)),
+                "jaccard": pa.array(ja[keep], type=pa.float64()),
+            }
+        )
+
+    joined = _join_pair_payloads(cand, payload)
+    return joined.map_batches(verify, batch_format="pyarrow").sort(["id_a", "id_b"])
+
+
+def _dedup_pairs(cand):
+    """Distributed (id_a, id_b) dedup: hash-partitioned groupby, keep one row
+    per pair. Returns the materialized (small, output-sized) candidate set,
+    or None when empty."""
+    import pandas as pd
+
+    cand = cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    ).materialize()
+    return cand if cand.count() else None
+
+
+def _empty_pairs_table(metric: str) -> pa.Table:
+    return pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            metric: pa.array([], type=pa.float64()),
+        }
     )
+
+
+def _empty_pairs(metric: str):
+    import pandas as pd
+    import ray.data
+
+    return ray.data.from_pandas(
+        pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                      "id_b": pd.Series([], dtype="int64"),
+                      metric: pd.Series([], dtype="float64")})
+    )
+
+
+def _join_pair_payloads(cand, payload):
+    """Distributed pair↔payload join WITHOUT Dataset.join: (id_a,id_b) pairs
+    + (pid,payload) rows → (id_a,id_b,payload_a,payload_b).
+
+    Two hash-partitioned groupbys: (1) groupby doc id co-locates each pair
+    half with its payload row and tags it; (2) groupby pair key reunites the
+    two halves. This is the classic reduce-side join expressed in Ray Data
+    primitives — nothing corpus-sized touches the driver, group sizes are
+    bounded by a doc's pair fan-out. (Dataset.join would be the natural
+    operator, but its hash-shuffle aggregator rejects empty partitions in
+    chained joins as of Ray 2.49.)"""
+    import pandas as pd
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ida = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        idb = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = pa.array(
+            [f"{a}|{b}" for a, b in zip(ida.tolist(), idb.tolist())] * 2,
+            type=pa.string(),
+        )
+        return pa.table(
+            {
+                "pid": pa.array(np.concatenate([ida, idb])),
+                "pair": pair,
+                "side": pa.array([0] * len(ida) + [1] * len(idb), type=pa.int8()),
+                "payload": pa.array([b""] * (2 * len(ida)), type=pa.binary()),
+            }
+        )
+
+    halves = cand.map_batches(explode, batch_format="pyarrow")
+    pay = payload.map_batches(
+        lambda b: pa.table(
+            {
+                "pid": b.column("pid"),
+                "pair": pa.array([""] * b.num_rows, type=pa.string()),
+                "side": pa.array(np.full(b.num_rows, 2, dtype=np.int8), type=pa.int8()),
+                "payload": b.column("payload"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        pl = g.loc[g["side"] == 2, "payload"]
+        h = g[g["side"] != 2]
+        if not len(pl) or not len(h):
+            return pd.DataFrame({"pair": pd.Series([], dtype="object"),
+                                 "side": pd.Series([], dtype="int8"),
+                                 "payload": pd.Series([], dtype="object")})
+        v = pl.iloc[0]
+        return pd.DataFrame({"pair": h["pair"].values, "side": h["side"].values,
+                             "payload": [v] * len(h)})
+
+    attached = halves.union(pay).groupby("pid").map_groups(attach, batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1]
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "payload_a": pd.Series([], dtype="object"),
+                              "payload_b": pd.Series([], dtype="object")})
+        if not len(a) or not len(b):
+            return empty
+        ida, idb = g["pair"].iloc[0].split("|")
+        return pd.DataFrame({"id_a": [int(ida)], "id_b": [int(idb)],
+                             "payload_a": [a["payload"].iloc[0]],
+                             "payload_b": [b["payload"].iloc[0]]})
+
+    return attached.groupby("pair").map_groups(combine, batch_format="pandas")
 
 
 # ----------------------------------------------------------------- simhash
@@ -314,10 +427,13 @@ def simhash_near_pairs(ds, *, max_hamming: int = 3, text_col: str = "text",
         .groupby(["chunk_id", "chunk_val"])
         .map_groups(emit, batch_format="pandas")
     )
-    pd_pairs = pairs.to_pandas().drop_duplicates(subset=["id_a", "id_b"]).sort_values(
-        ["id_a", "id_b"]
+    # chunks already verified hamming inside the bucket groupby; pairs found
+    # by multiple chunks are deduped by a second hash-partitioned groupby —
+    # no driver materialization anywhere
+    deduped = pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
     )
-    return ray.data.from_pandas(pd_pairs.reset_index(drop=True))
+    return deduped.sort(["id_a", "id_b"])
 
 
 # ------------------------------------------------------- embedding near-dup
@@ -338,9 +454,10 @@ def embedding_near_dup_pairs(
     Per-batch: project embeddings onto ``n_bits`` seeded random hyperplanes →
     sign bits (a SimHash over the embedding space; two vectors agree on a bit
     with probability 1 − θ/π) → band the bits → groupby band buckets →
-    candidate pairs → exact cosine verification against the broadcast
-    candidate set. Returns (id_a, id_b, cosine) with cosine ≥ threshold,
-    id_a < id_b.
+    candidate pairs → DISTRIBUTED exact-cosine verification (hash join of
+    pairs to vector payloads + vectorized cosine inside map_batches; nothing
+    corpus-sized ever reaches the driver). Returns (id_a, id_b, cosine) with
+    cosine ≥ threshold, id_a < id_b.
     """
     import pandas as pd
     import ray
@@ -378,46 +495,47 @@ def embedding_near_dup_pairs(
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
         pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+        return pd.DataFrame(pairs, columns=["id_a", "id_b"]).astype("int64")
 
-    cand_pd = (
-        buckets.groupby(["band_id", "band_hash"])
-        .map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+    cand = buckets.groupby(["band_id", "band_hash"]).map_groups(
+        emit_pairs, batch_format="pandas"
     )
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                          "id_b": pd.Series([], dtype="int64"),
-                          "cosine": pd.Series([], dtype="float64")})
-    if len(cand_pd) == 0:
-        return ray.data.from_pandas(empty)
-    need = set(cand_pd.id_a) | set(cand_pd.id_b)
-    nref = ray.put(need)
+    cand = _dedup_pairs(cand)
+    if cand is None:
+        return _empty_pairs("cosine")
 
-    def gather(batch: pa.Table) -> pa.Table:
-        ns = ray.get(nref)
-        ids = batch.column(id_col).to_pylist()
-        mask = [i in ns for i in ids]
-        sel = batch.filter(pa.array(mask))
-        return pa.table({id_col: sel.column(id_col), vec_col: sel.column(vec_col)})
+    # distributed verification: hash-join pairs to a (pid, vector-bytes)
+    # payload, exact cosine vectorized inside map_batches
+    def vec_payload(batch: pa.Table) -> pa.Table:
+        v = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "pid": batch.column(id_col),
+                "payload": pa.array([row.tobytes() for row in v], type=pa.binary()),
+            }
+        )
 
-    vec_pd = ds.map_batches(gather, batch_format="pyarrow").to_pandas()
-    lut = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64)
-           for _, r in vec_pd.iterrows()}
-    out = []
-    for a, b in zip(cand_pd.id_a, cand_pd.id_b):
-        va, vb = lut.get(a), lut.get(b)
-        if va is None or vb is None:
-            continue
-        cos = float(va @ vb / max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-30))
-        if cos >= threshold:
-            out.append((int(a), int(b), cos))
-    out.sort()
-    import ray.data
+    payload = ds.map_batches(vec_payload, batch_format="pyarrow")
 
-    return ray.data.from_pandas(
-        pd.DataFrame(out, columns=["id_a", "id_b", "cosine"]) if out else empty
-    )
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_pairs_table("cosine")
+        va = np.stack([np.frombuffer(x, dtype=np.float64)
+                       for x in batch.column("payload_a").to_pylist()])
+        vb = np.stack([np.frombuffer(x, dtype=np.float64)
+                       for x in batch.column("payload_b").to_pylist()])
+        na = np.maximum(np.linalg.norm(va, axis=1), 1e-30)
+        nb = np.maximum(np.linalg.norm(vb, axis=1), 1e-30)
+        cos = np.einsum("ij,ij->i", va, vb) / (na * nb)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").filter(pa.array(keep)),
+                "id_b": batch.column("id_b").filter(pa.array(keep)),
+                "cosine": pa.array(cos[keep], type=pa.float64()),
+            }
+        )
+
+    joined = _join_pair_payloads(cand, payload)
+    return joined.map_batches(verify, batch_format="pyarrow").sort(["id_a", "id_b"])

@@ -196,7 +196,9 @@ def build_index(
     if isinstance(source, (str, list)):
         cols = columns or ([key_col, "html"] if extract_html else [key_col, text_col])
         cols = list(dict.fromkeys(list(cols) + list(docvalue_cols) + list(text_cols)))
-        ds = ray.data.read_parquet(source, columns=cols)
+        from lucene_ray.sources.io import read_parquet_clean
+
+        ds = read_parquet_clean(source, columns=cols)
     else:
         ds = source
 
@@ -466,7 +468,9 @@ def build_term_stats(index_dir: str, manifest: Manifest | None = None, *,
         )
         tbl = agg_t.rename_columns(["term", "doc_freq", "total_tf"]).sort_by("term")
     else:
-        ds = ray.data.read_parquet(paths, columns=["term", "doc_freq", "total_tf"])
+        from lucene_ray.sources.io import read_parquet_clean
+
+        ds = read_parquet_clean(paths, columns=["term", "doc_freq", "total_tf"])
 
         def add_salt(batch: pa.Table) -> pa.Table:
             terms = batch.column("term").to_pylist()

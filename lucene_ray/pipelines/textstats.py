@@ -190,9 +190,9 @@ class Fingerprints:
             else:
                 grams = [" ".join(toks[i : i + self.k]) for i in range(len(toks) - self.k + 1)]
             if grams:
-                hs = [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
-                      for g in grams]
-                winnows.append(min(hs))
+                from lucene_ray.pipelines.dedup import _hash_tokens_u64
+
+                winnows.append(int(_hash_tokens_u64(grams).min()))
             else:
                 winnows.append(0)
         return pa.table(

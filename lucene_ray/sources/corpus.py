@@ -164,7 +164,9 @@ def synthesize_corpus(sf_dir: str, *, replicas: int = 1, parallelism: int | None
             ]
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    from lucene_ray.sources.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet")
     # A single small source file arrives as ONE block; split it so the
     # (replicas ×) synthesis work fans out across the cluster instead of
     # running in one task. Repartition moves only the tiny source rows.
