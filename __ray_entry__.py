@@ -313,6 +313,43 @@ def _q_knn_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_knn_hnsw(sf_dir: str) -> pa.Table:
+    """HNSW ANN gate with MEASURED recall: per-shard persisted HNSW graphs
+    (pipelines/hnsw.py — HnswGraphBuilder analogue) searched by per-shard
+    top-k + exact merge, scored against the brute-force exact top-k. Output
+    carries recall@10 per query — the conformance number the reference's
+    TestHnswGraph checks — rather than being a vacuous rows-only gate."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.hnsw import build_hnsw_index, knn_hnsw
+    from lucene_ray.pipelines.knn import knn_brute_force
+    from lucene_ray.sources.io import read_parquet_clean
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pdf = emb.to_pandas()
+    qvecs = np.array(
+        pdf[pdf.vec_id.isin(KNN_QUERY_IDS)].sort_values("vec_id").embedding.tolist(),
+        dtype=np.float64,
+    )
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+    idx_dir = _cache_dir(sf_dir, "hnsw")
+    if not os.path.exists(os.path.join(idx_dir, "shards.json")):
+        build_hnsw_index(ds, idx_dir, M=16, ef_construction=80, shard_rows=4096)
+    ann = knn_hnsw(idx_dir, KNN_QUERY_IDS, qvecs, k=K, ef=96).to_pandas()
+    exact = knn_brute_force(ds, KNN_QUERY_IDS, qvecs, k=K).to_pandas()
+    rows = []
+    for qid in KNN_QUERY_IDS:
+        got = set(ann[ann.query_id == qid].neighbor_id.tolist())
+        true = set(exact[exact.query_id == qid].neighbor_id.tolist())
+        rows.append((qid, len(got & true) / max(len(true), 1)))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "recall_at_10": pa.array([round(r[1], 4) for r in rows], type=pa.float64()),
+        }
+    )
+
+
 def _q_jaccard_pairs(sf_dir: str) -> pa.Table:
     """Exact unigram-Jaccard ≥ 0.5 pairs among doc_id < JACCARD_MAX_ID, in
     integer form (2·|∩| ≥ |∪|) so both engines compare integers."""
@@ -1015,6 +1052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_topk": _q_knn_topk,
         "knn_ivf": _q_knn_ivf,  # rows-only (approximate by design)
+        "knn_hnsw": _q_knn_hnsw,  # measured recall@10 vs brute force in output
         # stream-shaped windowed aggregate (custom operator; SURVEY §2.9 note)
         "events_window": _q_events_window,
         # language id (rows-only: heuristic model)

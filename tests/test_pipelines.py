@@ -8,6 +8,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -270,3 +271,44 @@ def test_embedding_near_dup_pairs(emb):
     assert (3, 900001) in got
     assert (7, 900002) in got
     assert (pairs.cosine >= 0.98).all()
+
+
+def test_hnsw_graph_recall_and_persistence(tmp_path, ray_session):
+    import ray.data
+
+    from lucene_ray.pipelines.hnsw import HnswGraph, build_hnsw_index, knn_hnsw
+
+    rng = np.random.default_rng(3)
+    n, d = 600, 32
+    X = rng.standard_normal((n, d))
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(X), type=pa.list_(pa.float64()))})
+    )
+    idx = str(tmp_path / "hnsw")
+    build_hnsw_index(ds, idx, M=12, ef_construction=64, shard_rows=256)
+    import json, os
+
+    shards = json.load(open(os.path.join(idx, "shards.json")))
+    assert len(shards) >= 2  # multiple persisted per-shard graphs
+    q_ids = [0, 1, 2]
+    qv = X[q_ids]
+    out = knn_hnsw(idx, q_ids, qv, k=10, ef=80).to_pandas()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    hits = tot = 0
+    for qi in q_ids:
+        qn = X[qi] / np.linalg.norm(X[qi])
+        true = [i for i in np.argsort(-(Xn @ qn)).tolist() if i != qi][:10]
+        got = out[out.query_id == qi].neighbor_id.tolist()
+        assert len(got) == 10
+        hits += len(set(got) & set(true))
+        tot += 10
+    assert hits / tot >= 0.9, hits / tot
+    # graph serialization roundtrip preserves search results
+    g = HnswGraph(M=12, ef_construction=64).build(X)
+    t, meta = g.to_tables()
+    g2 = HnswGraph.from_tables(t, meta, X)
+    i1, _ = g.search(X[5], 10, ef=64)
+    i2, _ = g2.search(X[5], 10, ef=64)
+    assert i1.tolist() == i2.tolist()
