@@ -453,7 +453,7 @@ class IndexSearcher:
             import re as _re
 
             fp = self._fp(None)
-            rlo, rhi = r.term_range(fp) if fp else (0, len(r.terms))
+            rlo, rhi = r.term_range(fp) if fp else (0, r.n_terms)
             pat = _re.compile(
                 "".join(
                     ".*" if c == "*" else "." if c == "?" else _re.escape(c)
@@ -467,20 +467,18 @@ class IndexSearcher:
             import re as _re
 
             fp = self._fp(None)
-            rlo, rhi = r.term_range(fp) if fp else (0, len(r.terms))
+            rlo, rhi = r.term_range(fp) if fp else (0, r.n_terms)
             pat = _re.compile(q.pattern)
             idxs = [i for i in range(rlo, rhi) if pat.fullmatch(r.terms[i][len(fp):])]
             docs = self._union_docs(r, idxs)
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, TermRangeQuery):
             fp = self._fp(None)
-            lo = 0 if q.lower is None else int(
-                np.searchsorted(r.terms, fp + q.lower,
-                                side="left" if q.include_lower else "right")
+            lo = 0 if q.lower is None else r.bisect(
+                fp + q.lower, side="left" if q.include_lower else "right"
             )
-            hi = len(r.terms) if q.upper is None else int(
-                np.searchsorted(r.terms, fp + q.upper,
-                                side="right" if q.include_upper else "left")
+            hi = r.n_terms if q.upper is None else r.bisect(
+                fp + q.upper, side="right" if q.include_upper else "left"
             )
             if fp and q.upper is None:
                 hi = r.term_range(fp)[1]
@@ -667,7 +665,7 @@ class IndexSearcher:
         fp = self._fp(None)
         seen: dict[str, int] = {}
         for r in self.readers:
-            lo, hi = r.term_range(fp) if fp else (0, len(r.terms))
+            lo, hi = r.term_range(fp) if fp else (0, r.n_terms)
             for i in range(lo, hi):
                 t = r.terms[i][len(fp):]
                 if t == term or t in seen:
@@ -693,7 +691,7 @@ class IndexSearcher:
             if not len(pos):
                 continue
             local = int(pos[0])
-            lo, hi = r.term_range(fp) if fp else (0, len(r.terms))
+            lo, hi = r.term_range(fp) if fp else (0, r.n_terms)
             for i in range(lo, hi):
                 docs, freqs = r.postings(int(i))
                 j = np.searchsorted(docs, local)
@@ -803,7 +801,7 @@ class IndexSearcher:
         elif fp:
             lo, hi = r.term_range(fp)
         else:
-            lo, hi = 0, len(r.terms)
+            lo, hi = 0, r.n_terms
         subs = []
         base = q.term
         for i in range(lo, hi):
@@ -979,17 +977,18 @@ class IndexSearcher:
                 # competitive impact pairs (CompetitiveImpactAccumulator
                 # analogue): the block bound is the max score over the block's
                 # Pareto-frontier (freq, length) pairs — tight, unlike the
-                # (max freq, min length) cross-doc pairing below.
-                pf, pl = imp
-                counts = np.fromiter((len(p) for p in pf), dtype=np.int64, count=len(pf))
-                flat_f = np.concatenate([np.asarray(p, dtype=np.int64) for p in pf])
-                flat_l = np.concatenate([np.asarray(p, dtype=np.int64) for p in pl])
+                # (max freq, min length) cross-doc pairing below. Zero-copy
+                # (counts, flat freqs, flat lengths) views from the reader.
+                counts, flat_f, flat_l = imp
                 if self.mode == "lucene":
                     pair_scores = scorers[t].score(
-                        flat_f.astype(np.float32), encode_lengths(flat_l)
+                        flat_f.astype(np.float32), encode_lengths(np.asarray(flat_l, dtype=np.int64))
                     )
                 else:
-                    pair_scores = scorers[t].score(flat_f, flat_l)
+                    pair_scores = scorers[t].score(
+                        np.asarray(flat_f, dtype=np.float64),
+                        np.asarray(flat_l, dtype=np.float64),
+                    )
                 starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
                 ubs = np.maximum.reduceat(pair_scores, starts)
             elif self.mode == "lucene":

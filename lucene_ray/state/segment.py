@@ -341,6 +341,34 @@ def write_segment(
     return meta
 
 
+
+def _binary_views(arr) -> tuple[np.ndarray, memoryview]:
+    """Zero-copy (byte offsets, data) view of a Binary column — blobs are
+    sliced lazily instead of materialized as a Python list per reader."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    width = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(bufs[1], dtype=width)[arr.offset : arr.offset + len(arr) + 1]
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    return off, data
+
+
+def _list_views(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (offsets, values) view of a list<int32> column."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.offsets.to_numpy(), np.asarray(arr.values)
+
+
+def _nested_views(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-copy (outer offsets, inner offsets, values) of list<list<int32>>."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    inner = arr.values
+    return arr.offsets.to_numpy(), inner.offsets.to_numpy(), np.asarray(inner.values)
+
+
 class SegmentReader:
     """Point-in-time reader over one segment (the LeafReader analogue).
 
@@ -356,19 +384,31 @@ class SegmentReader:
             self.meta = json.load(f)
         self.name = self.meta["name"]
         p = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
-        self.terms = np.asarray(p.column("term").to_pylist(), dtype=object)
+        self._ptable = p  # owns every zero-copy buffer view below
+        # term dictionary stays an ARROW string array; term_index/term_range
+        # binary-search it with O(log n) .as_py() probes — the full Python
+        # string list only materializes if a dictionary SCAN runs (wildcard/
+        # regexp/spell/merge), via the lazy .terms property
+        ta = p.column("term")
+        self._terms_arr = ta.combine_chunks() if isinstance(ta, pa.ChunkedArray) else ta
+        self._terms_np: np.ndarray | None = None
+        self.n_terms = len(self._terms_arr)
         self.doc_freq = p.column("doc_freq").to_numpy()
         self.total_tf = p.column("total_tf").to_numpy()
         self._singleton_doc = p.column("singleton_doc").to_numpy()
         self._singleton_freq = p.column("singleton_freq").to_numpy()
-        self._packed = p.column("packed").to_pylist()
-        self._bld = p.column("block_last_docs").to_pylist()
-        self._blf = p.column("block_max_freqs").to_pylist()
-        self._blm = p.column("block_min_lens").to_pylist()
-        has_imp = "imp_freqs" in p.column_names
-        self._impf = p.column("imp_freqs").to_pylist() if has_imp else None
-        self._impl = p.column("imp_lens").to_pylist() if has_imp else None
-        self._positions = p.column("positions").to_pylist()
+        # zero-copy Arrow buffer views (no per-term Python objects)
+        self._packed_off, self._packed_data = _binary_views(p.column("packed"))
+        self._bld_off, self._bld_vals = _list_views(p.column("block_last_docs"))
+        self._blf_off, self._blf_vals = _list_views(p.column("block_max_freqs"))
+        self._blm_off, self._blm_vals = _list_views(p.column("block_min_lens"))
+        if "imp_freqs" in p.column_names:
+            self._impf_views = _nested_views(p.column("imp_freqs"))
+            self._impl_views = _nested_views(p.column("imp_lens"))
+        else:
+            self._impf_views = None
+            self._impl_views = None
+        self._pos_off, self._pos_data = _binary_views(p.column("positions"))
         d = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
         self.doc_keys = d.column("doc_key").to_numpy(zero_copy_only=False)
         self.norms = d.column("norm").to_numpy()
@@ -415,18 +455,57 @@ class SegmentReader:
 
     # -- term dictionary ---------------------------------------------------
 
+    @property
+    def terms(self) -> np.ndarray:
+        """Materialized term strings — LAZY; only dictionary scans (wildcard,
+        regexp, spell, merge) pay for it. Point lookups never do."""
+        if self._terms_np is None:
+            self._terms_np = np.asarray(self._terms_arr.to_pylist(), dtype=object)
+        return self._terms_np
+
+    def term_at(self, i: int) -> str:
+        if self._terms_np is not None:
+            return self._terms_np[i]
+        return self._terms_arr[i].as_py()
+
+    def _bisect_terms(self, key: str, side: str = "left") -> int:
+        """searchsorted over the Arrow term array without materializing it
+        (O(log n) single-string .as_py() probes)."""
+        if self._terms_np is not None:
+            return int(np.searchsorted(self._terms_np, key, side=side))
+        arr = self._terms_arr
+        lo, hi = 0, len(arr)
+        if side == "left":
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if arr[mid].as_py() < key:
+                    lo = mid + 1
+                else:
+                    hi = mid
+        else:
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if arr[mid].as_py() <= key:
+                    lo = mid + 1
+                else:
+                    hi = mid
+        return lo
+
+    def bisect(self, key: str, side: str = "left") -> int:
+        return self._bisect_terms(key, side)
+
     def term_index(self, term: str) -> int:
         """seekExact: index of term or -1."""
-        i = np.searchsorted(self.terms, term)
-        if i < len(self.terms) and self.terms[i] == term:
+        i = self._bisect_terms(term)
+        if i < self.n_terms and self.term_at(i) == term:
             return int(i)
         return -1
 
     def term_range(self, prefix: str) -> tuple[int, int]:
         """seekCeil range scan for PrefixQuery: [lo, hi) of terms with prefix."""
-        lo = int(np.searchsorted(self.terms, prefix))
+        lo = self._bisect_terms(prefix)
         succ = prefix_successor(prefix)
-        hi = int(np.searchsorted(self.terms, succ)) if succ is not None else len(self.terms)
+        hi = self._bisect_terms(succ) if succ is not None else self.n_terms
         return lo, hi
 
     # -- postings ----------------------------------------------------------
@@ -445,7 +524,7 @@ class SegmentReader:
         hit = self._decode_cache.get(i)
         if hit is not None:
             return hit
-        out = decode_postings(self._packed[i])
+        out = decode_postings(self._packed_blob(i))
         if len(self._decode_cache) >= self._decode_cache_max:
             self._decode_cache.pop(next(iter(self._decode_cache)))
         self._decode_cache[i] = out
@@ -456,7 +535,8 @@ class SegmentReader:
         i = self.term_index(term) if isinstance(term, str) else term
         if i < 0:
             return np.empty(0, dtype=np.int32)
-        return np.frombuffer(self._positions[i], dtype=np.int32)
+        sl = self._pos_data[self._pos_off[i] : self._pos_off[i + 1]]
+        return np.frombuffer(sl, dtype=np.int32)
 
     def postings_block(self, i: int, j: int) -> tuple[np.ndarray, np.ndarray]:
         """Decode ONLY 128-doc block ``j`` of term ``i`` (absolute docIDs) —
@@ -476,8 +556,9 @@ class SegmentReader:
         hit = cache.get((i, j))
         if hit is not None:
             return hit
-        rel, f, _ = decode_postings_block_range(self._packed[i], j, j + 1)
-        base = int(self._bld[i][j - 1]) if j > 0 else 0
+        rel, f, _ = decode_postings_block_range(self._packed_blob(i), j, j + 1)
+        bo = self._bld_off
+        base = int(self._bld_vals[bo[i] + j - 1]) if j > 0 else 0
         out = ((rel + base).astype(np.int32), f)
         if len(cache) >= 4096:
             cache.pop(next(iter(cache)))
@@ -485,18 +566,40 @@ class SegmentReader:
         return out
 
     def impacts(self, i: int):
-        """Per-block competitive (freq, length) pair lists, or None when the
+        """Per-block competitive impacts as zero-copy views:
+        (pair counts per block, flat freqs, flat lengths) — or None when the
         segment predates the impact columns (fall back to skip_meta)."""
-        if self._impf is None:
+        if self._impf_views is None:
             return None
-        return self._impf[i], self._impl[i]
+        o1, o2, vals_f = self._impf_views
+        _, _, vals_l = self._impl_views
+        b0, b1 = o1[i], o1[i + 1]
+        counts = np.diff(o2[b0 : b1 + 1]).astype(np.int64)
+        v0, v1 = o2[b0], o2[b1]
+        return counts, vals_f[v0:v1], vals_l[v0:v1]
+
+    def _packed_blob(self, i: int) -> memoryview:
+        return self._packed_data[self._packed_off[i] : self._packed_off[i + 1]]
 
     def skip_meta(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        return (
-            np.asarray(self._bld[i], dtype=np.int32),
-            np.asarray(self._blf[i], dtype=np.int32),
-            np.asarray(self._blm[i], dtype=np.int32),
-        )
+        """Zero-copy views of the per-block skip entries of term ``i``."""
+        sl = slice(self._bld_off[i], self._bld_off[i + 1])
+        return self._bld_vals[sl], self._blf_vals[sl], self._blm_vals[sl]
+
+    def memory_bytes(self) -> dict:
+        """Reader-resident memory: Arrow buffers (shared, zero-copy) vs
+        materialized Python objects (lazy term list) — the metric the
+        Arrow-native reader exists to keep small."""
+        import sys
+
+        py = 0
+        if self._terms_np is not None:
+            py = sum(sys.getsizeof(t) for t in self._terms_np.tolist())
+        return {
+            "arrow_bytes": int(self._ptable.nbytes),
+            "python_term_bytes": int(py),
+            "terms_materialized": self._terms_np is not None,
+        }
 
     def decoded_lengths(self) -> np.ndarray:
         """float32 lengths as BM25 sees them (through the norm byte)."""

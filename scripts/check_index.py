@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 
 from lucene_ray.state.manifest import Manifest
-from lucene_ray.state.segment import check_segment
+from lucene_ray.state.segment import SegmentReader, check_segment
 
 
 def main(index_dir: str) -> int:
@@ -23,8 +23,11 @@ def main(index_dir: str) -> int:
     for seg, d in zip(manifest.segments, manifest.segment_dirs()):
         problems = check_segment(d)
         status = "OK" if not problems else "BROKEN"
+        mem = SegmentReader(d).memory_bytes()
         print(f"segment {seg['name']}: max_doc={seg['max_doc']} "
-              f"terms={seg.get('n_terms')} {status}")
+              f"terms={seg.get('n_terms')} "
+              f"reader_arrow_bytes={mem['arrow_bytes']} "
+              f"terms_materialized={mem['terms_materialized']} {status}")
         for p in problems:
             print(f"  !! {p}")
             n_bad += 1

@@ -211,17 +211,20 @@ def test_competitive_impacts_tighter_than_conservative(rand_idx):
         if scorer is None:
             continue
         bld, blf, blm = r.skip_meta(ti)
-        pf, pl = r.impacts(ti)
+        counts, flat_f, flat_l = r.impacts(ti)
+        starts = np.concatenate([[0], np.cumsum(counts)])
         docs, freqs = r.postings(ti)
         from lucene_ray.functions.postings import BLOCK_SIZE
 
         for j in range(len(bld)):
             cons = float(scorer.score(np.array([blf[j]], dtype=np.float32),
                                       encode_lengths(np.array([blm[j]])))[0])
+            pf_j = flat_f[starts[j]:starts[j + 1]]
+            pl_j = flat_l[starts[j]:starts[j + 1]]
             tight = max(
                 float(scorer.score(np.array([f], dtype=np.float32),
                                    encode_lengths(np.array([l])))[0])
-                for f, l in zip(pf[j], pl[j])
+                for f, l in zip(pf_j.tolist(), pl_j.tolist())
             )
             sl = slice(j * BLOCK_SIZE, (j + 1) * BLOCK_SIZE)
             bdocs, bfreqs = docs[sl], freqs[sl]
