@@ -599,6 +599,45 @@ def _q_sort_by_field(sf_dir: str) -> pa.Table:
     )
 
 
+def _sorted_gate_index(sf_dir: str) -> str:
+    """Gate index with setIndexSort(n_chars desc): docIDs assigned in
+    (n_chars desc, doc_id) order so sorted-field top-k early-terminates
+    (index/IndexSorter.java + TopFieldCollector.canEarlyTerminate)."""
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.state.manifest import Manifest
+
+    d = _cache_dir(sf_dir, "gatesorted")
+    if not Manifest.exists(d):
+        build_index(
+            f"{sf_dir}/documents.parquet",
+            d,
+            key_col="doc_id",
+            text_col="text",
+            num_partitions=4,
+            analyzer="simple",
+            columns=["doc_id", "text", "lang", "n_chars"],
+            docvalue_cols=("lang", "n_chars"),
+            index_sort=("n_chars", "desc"),
+        )
+    return d
+
+
+def _q_sorted_index_topk(sf_dir: str) -> pa.Table:
+    from lucene_ray.query import TermQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(_sorted_gate_index(sf_dir), mode="exact")
+    rows = s.search_by_field(TermQuery("merge"), "n_chars", k=K, descending=True)
+    assert s.sort_stats["docs_examined"] <= s.sort_stats["docs_matched"]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+            "doc_id": pa.array([int(k) for k, _ in rows], type=pa.int64()),
+            "n_chars": pa.array([int(v) for _, v in rows], type=pa.int64()),
+        }
+    )
+
+
 def _q_facet_lang(sf_dir: str) -> pa.Table:
     from lucene_ray.query import TermQuery
 
@@ -1037,6 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_count": _q_fuzzy_count,
         "synonym_topk": _q_synonym_topk,
         "sort_by_field": _q_sort_by_field,
+        "sorted_index_topk": _q_sorted_index_topk,
         "facet_lang": _q_facet_lang,
         "grouped_topk": _q_grouped_topk,
         # analysis chain / text stats (SURVEY §2.2 + data-prep extensions)
@@ -1080,6 +1120,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_count": _SQL_FUZZY,
         "synonym_topk": _SQL_SYNONYM,
         "sort_by_field": _SQL_SORT_BY_FIELD,
+        "sorted_index_topk": _SQL_SORT_BY_FIELD,
         "facet_lang": _SQL_FACET_LANG,
         "grouped_topk": _SQL_GROUPED_TOPK,
         "token_stats": _SQL_TOKEN_STATS,

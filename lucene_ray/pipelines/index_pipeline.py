@@ -90,7 +90,8 @@ class _BuildSegment:
 
     def __init__(self, index_dir: str, key_col: str, text_col: str, analyzer_kind: str,
                  store_positions: bool, num_partitions: int,
-                 docvalue_cols: tuple = (), text_cols: tuple = ()):
+                 docvalue_cols: tuple = (), text_cols: tuple = (),
+                 index_sort: tuple | None = None):
         self.index_dir = index_dir
         self.key_col = key_col
         self.text_col = text_col
@@ -100,6 +101,10 @@ class _BuildSegment:
         self.num_partitions = num_partitions
         self.docvalue_cols = tuple(docvalue_cols)
         self.text_cols = tuple(text_cols)  # >1 → multi-field segments
+        # IndexWriterConfig.setIndexSort analogue: (column, "asc"|"desc") —
+        # local docIDs are assigned in (column, key) order so sorted-field
+        # top-k can early-terminate (index/IndexSorter.java)
+        self.index_sort = tuple(index_sort) if index_sort else None
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part_id = int(group.column("__part_id")[0].as_py())
@@ -113,8 +118,19 @@ class _BuildSegment:
 
         t0 = _time.time()
         _limit_worker_threads()
-        # deterministic local docID order: sort by document key
-        order = pa.compute.sort_indices(group.column(self.key_col))
+        if self.index_sort:
+            # deterministic index-sorted docIDs: (sort column, key) order
+            col, direction = self.index_sort
+            order = pa.compute.sort_indices(
+                group,
+                sort_keys=[
+                    (col, "descending" if direction == "desc" else "ascending"),
+                    (self.key_col, "ascending"),
+                ],
+            )
+        else:
+            # deterministic local docID order: sort by document key
+            order = pa.compute.sort_indices(group.column(self.key_col))
         group = group.take(order)
         keys = group.column(self.key_col).to_numpy(zero_copy_only=False)
         extra_meta_fields = {}
@@ -159,6 +175,7 @@ class _BuildSegment:
                 # manifest's metrics block at commit
                 "key_min": str(keys[0]) if len(keys) else None,
                 "key_max": str(keys[-1]) if len(keys) else None,
+                "index_sort": list(self.index_sort) if self.index_sort else None,
                 "build_sec": round(_time.time() - t0, 4),
                 **(lineage or {}),
                 **extra_meta_fields,
@@ -182,6 +199,7 @@ def build_index(
     columns: list[str] | None = None,
     docvalue_cols: tuple = (),
     text_cols: tuple = (),
+    index_sort: tuple | None = None,
 ) -> Manifest:
     """Build (or resume) an index from a Dataset or a parquet path/dir.
 
@@ -227,7 +245,7 @@ def build_index(
             batch_format="pyarrow",
         )
         builder = _BuildSegment(index_dir, key_col, text_col, analyzer, store_positions,
-                                num_partitions, docvalue_cols, text_cols)
+                                num_partitions, docvalue_cols, text_cols, index_sort)
 
         def build_one_segment(group: pa.Table) -> pa.Table:
             return builder(group)
@@ -265,6 +283,7 @@ def build_index(
             "store_positions": store_positions,
             "docvalue_cols": list(docvalue_cols),
             "text_cols": list(text_cols),
+            "index_sort": list(index_sort) if index_sort else None,
         },
     )
     manifest.commit()
@@ -286,6 +305,7 @@ def build_index_by_file(
     docvalue_cols: tuple = (),
     text_cols: tuple = (),
     max_in_flight: int | None = None,
+    index_sort: tuple | None = None,
 ) -> Manifest:
     """Shuffle-free index build: ONE INPUT FILE → ONE SEGMENT.
 
@@ -324,7 +344,7 @@ def build_index_by_file(
             if m.get("gen", 0) == 0 and m.get("num_partitions") == n}
 
     builder = _BuildSegment(index_dir, key_col, text_col, analyzer,
-                            store_positions, n, docvalue_cols, text_cols)
+                            store_positions, n, docvalue_cols, text_cols, index_sort)
 
     @ray.remote(num_cpus=1)
     def _file_task(path: str, part_id: int) -> str:
@@ -376,6 +396,7 @@ def build_index_by_file(
             "store_positions": store_positions,
             "docvalue_cols": list(docvalue_cols),
             "text_cols": list(text_cols),
+            "index_sort": list(index_sort) if index_sort else None,
             "partition_by": "input_file",
         },
     )

@@ -203,6 +203,10 @@ class IndexSearcher:
         self.mode = mode
         self.sim = BM25Similarity() if mode == "lucene" else BM25ExactSimilarity()
         self._ts_cache: dict[str, TermStatistics] = {}
+        # cumulative pruning telemetry (range pruning / sorted-index early
+        # termination); read the delta around a call to measure
+        self.range_stats = {"docs_examined": 0, "max_doc_total": 0}
+        self.sort_stats = {"docs_examined": 0, "docs_matched": 0}
 
     # ---------------------------------------------------------------- fields
 
@@ -494,13 +498,22 @@ class IndexSearcher:
             new_scores = np.asarray(q.fn(sub.scores, dv), dtype=np.float64)
             return _SparseScores(sub.docs, new_scores, sub.counts)
         if isinstance(q, NumericRangeQuery):
-            vals = r.doc_values[q.field]
-            mask = np.ones(r.max_doc, dtype=bool)
-            if q.lower is not None:
-                mask &= (vals >= q.lower) if q.include_lower else (vals > q.lower)
-            if q.upper is not None:
-                mask &= (vals <= q.upper) if q.include_upper else (vals < q.upper)
-            docs = np.flatnonzero(mask).astype(np.int32)
+            # BKD-style pruning: binary search the per-reader sorted column
+            # (PointRangeQuery over Lucene90PointsFormat semantics) — only
+            # the in-range docs are ever touched, not an O(maxDoc) mask
+            sv, od = r.numeric_index(q.field)
+            lo_i = 0 if q.lower is None else int(
+                np.searchsorted(sv, q.lower, side="left" if q.include_lower else "right")
+            )
+            hi_i = len(sv) if q.upper is None else int(
+                np.searchsorted(sv, q.upper, side="right" if q.include_upper else "left")
+            )
+            st = self.range_stats
+            st["docs_examined"] += max(0, hi_i - lo_i)
+            st["max_doc_total"] += r.max_doc
+            if hi_i <= lo_i:
+                return empty
+            docs = np.sort(od[lo_i:hi_i])
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, FuzzyQuery):
             return self._eval_fuzzy(r, q, boost)
@@ -726,11 +739,26 @@ class IndexSearcher:
         Returns [(doc_key, field_value), ...]."""
         if isinstance(query, str):
             query = parse_query(query)
+        want_sort = [field, "desc" if descending else "asc"]
         rows = []
         for r in self.readers:
             sp = self._apply_live(r, self._eval(r, query))
             if not len(sp.docs):
                 continue
+            if list(r.meta.get("index_sort") or ()) == want_sort:
+                # EARLY TERMINATION (TopFieldCollector.canEarlyTerminate,
+                # TopFieldCollector.java:150): this segment's docID order IS
+                # (field desc/asc, key asc), so the first k matching docIDs
+                # are the segment's top-k — no per-hit gather or sort
+                take = sp.docs[:k]
+                self.sort_stats["docs_examined"] += len(take)
+                self.sort_stats["docs_matched"] += len(sp.docs)
+                vals = r.doc_values[field][take]
+                keys = r.doc_keys[take]
+                rows.extend(zip(vals.tolist(), keys.tolist()))
+                continue
+            self.sort_stats["docs_examined"] += len(sp.docs)
+            self.sort_stats["docs_matched"] += len(sp.docs)
             vals = r.doc_values[field][sp.docs]
             keys = r.doc_keys[sp.docs]
             idx = np.arange(len(vals))

@@ -601,6 +601,21 @@ class SegmentReader:
             "terms_materialized": self._terms_np is not None,
         }
 
+    def numeric_index(self, field: str) -> tuple[np.ndarray, np.ndarray]:
+        """Per-column sorted (values, docIDs) — the 1-D BKD / points analogue
+        (util/bkd/BKDWriter.java stores values sorted for range pruning).
+        Built lazily ONCE per reader per column; a range query then touches
+        only the hits via two binary searches instead of an O(maxDoc) mask."""
+        cache = getattr(self, "_num_index", None)
+        if cache is None:
+            cache = self._num_index = {}
+        hit = cache.get(field)
+        if hit is None:
+            vals = self.doc_values[field]
+            order = np.argsort(vals, kind="stable").astype(np.int32)
+            hit = cache[field] = (vals[order], order)
+        return hit
+
     def decoded_lengths(self) -> np.ndarray:
         """float32 lengths as BM25 sees them (through the norm byte)."""
         return decode_norms(self.norms)

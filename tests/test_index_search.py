@@ -364,3 +364,55 @@ def test_build_by_file_matches_groupby_build(ray_session, tmp_path):
     assert sorted(s["checksum"] for s in m2.segments) == sorted(
         s["checksum"] for s in m.segments
     )
+
+
+def test_index_sort_early_termination_and_range_pruning(tmp_path, ray_session):
+    import pandas as pd
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import MatchAllDocsQuery, NumericRangeQuery, TermQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    words = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(words, size=12)) + (" special" if i % 7 == 0 else "")
+             for i in range(n)]
+    pdf = pd.DataFrame({"doc_id": range(n), "text": texts,
+                        "score_v": rng.integers(0, 10_000, n)})
+    src = str(tmp_path / "d.parquet")
+    pdf.to_parquet(src)
+    plain = str(tmp_path / "plain")
+    srt = str(tmp_path / "sorted")
+    build_index(src, plain, key_col="doc_id", text_col="text", num_partitions=3,
+                columns=["doc_id", "text", "score_v"], docvalue_cols=("score_v",))
+    build_index(src, srt, key_col="doc_id", text_col="text", num_partitions=3,
+                columns=["doc_id", "text", "score_v"], docvalue_cols=("score_v",),
+                index_sort=("score_v", "desc"))
+    s_plain = IndexSearcher(plain)
+    s_sorted = IndexSearcher(srt)
+
+    # identical sorted-field top-k, but the sorted index examines only k docs
+    # per segment (early termination) instead of every match
+    for q in [TermQuery("special"), MatchAllDocsQuery()]:
+        a = s_plain.search_by_field(q, "score_v", k=10, descending=True)
+        b0 = dict(s_sorted.sort_stats)
+        b = s_sorted.search_by_field(q, "score_v", k=10, descending=True)
+        assert a == b
+        d_ex = s_sorted.sort_stats["docs_examined"] - b0["docs_examined"]
+        d_mt = s_sorted.sort_stats["docs_matched"] - b0["docs_matched"]
+        assert d_ex <= 30 < d_mt  # k per segment vs all matches
+
+    # BM25 results unaffected by docID reordering
+    ta = s_plain.search("special w1", k=10).score_docs
+    tb = s_sorted.search("special w1", k=10).score_docs
+    assert [(x.doc_key, round(x.score, 5)) for x in ta] == \
+        [(x.doc_key, round(x.score, 5)) for x in tb]
+
+    # numeric range pruning touches ~hits docs, not maxDoc
+    before = dict(s_plain.range_stats)
+    hits = s_plain.count(NumericRangeQuery("score_v", lower=9900, upper=None))
+    examined = s_plain.range_stats["docs_examined"] - before["docs_examined"]
+    scanned_base = s_plain.range_stats["max_doc_total"] - before["max_doc_total"]
+    assert examined == hits  # only the in-range docs were touched
+    assert examined < scanned_base / 10
