@@ -32,10 +32,23 @@ BLOCK_SIZE = 128  # ForUtil.java:32
 
 
 def _pack_bits(values: np.ndarray, bits: int) -> bytes:
-    """Pack uint32 values into `bits` bits each (big-endian within value)."""
+    """Pack uint32 values into `bits` bits each (big-endian within value).
+
+    Byte-aligned widths (8/16/32 — all the writer now emits, via
+    ``_bits_needed``) take a pure C astype path; arbitrary widths keep the
+    general bit-matrix path for decoding segments written before the
+    width classes were byte-aligned (a big-endian b-bit packing of width
+    8/16/32 is byte-identical to '>u1/>u2/>u4', so both directions stay
+    format-compatible)."""
     if bits == 0:
         return b""
     v = np.asarray(values, dtype=np.uint32)
+    if bits == 8:
+        return v.astype(np.uint8).tobytes()
+    if bits == 16:
+        return v.astype(">u2").tobytes()
+    if bits == 32:
+        return v.astype(">u4").tobytes()
     shifts = np.arange(bits - 1, -1, -1, dtype=np.uint32)
     bitmat = ((v[:, None] >> shifts) & 1).astype(np.uint8)
     return np.packbits(bitmat.ravel()).tobytes()
@@ -45,6 +58,12 @@ def _unpack_bits(buf: memoryview, n: int, bits: int) -> np.ndarray:
     """Inverse of _pack_bits → uint32 array of length n."""
     if bits == 0:
         return np.zeros(n, dtype=np.uint32)
+    if bits == 8:
+        return np.frombuffer(buf[:n], dtype=np.uint8).astype(np.uint32)
+    if bits == 16:
+        return np.frombuffer(buf[: 2 * n], dtype=">u2").astype(np.uint32)
+    if bits == 32:
+        return np.frombuffer(buf[: 4 * n], dtype=">u4").astype(np.uint32)
     nbytes = (n * bits + 7) // 8
     raw = np.frombuffer(buf[:nbytes], dtype=np.uint8)
     bitarr = np.unpackbits(raw)[: n * bits].reshape(n, bits)
@@ -53,10 +72,20 @@ def _unpack_bits(buf: memoryview, n: int, bits: int) -> np.ndarray:
 
 
 def _bits_needed(values: np.ndarray) -> int:
+    """Width CLASS for a block: 0/8/16/32 bits (ForUtil's width specialization
+    collapsed to the byte-aligned classes numpy decodes at memcpy speed; the
+    ~2× storage give-up on sub-byte widths buys a ~20× faster codec, and the
+    stream stays self-describing so any width still decodes)."""
     if values.size == 0:
         return 0
     m = int(values.max())
-    return m.bit_length()
+    if m == 0:
+        return 0
+    if m < 256:
+        return 8
+    if m < 65536:
+        return 16
+    return 32
 
 
 def encode_postings(docs: np.ndarray, freqs: np.ndarray) -> bytes:
@@ -146,8 +175,8 @@ def decode_postings_block_range(
 
 def competitive_impacts(
     freqs: np.ndarray, lengths: np.ndarray
-) -> tuple[list[np.ndarray], list[np.ndarray]]:
-    """Per-128-block competitive (freq, length) impact pairs.
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-128-block competitive (freq, length) impact pairs, VECTORIZED.
 
     The reference accumulates, per block, the Pareto frontier of (freq, norm)
     pairs actually present (codecs/CompetitiveImpactAccumulator.java:30-89,
@@ -157,25 +186,34 @@ def competitive_impacts(
     one doc with the min length of ANOTHER — admissible but inflated, which
     makes WAND visit blocks Lucene would skip.
 
-    Returns (freq_pairs, len_pairs): one array per block, frontier pairs
-    sorted by freq ascending (lengths strictly descending along it).
+    One global lexsort groups (block, length asc, freq desc); the skyline per
+    block is then a row-wise cumulative max over a (blocks × 128) reshape —
+    no per-block Python loop. Returns (pair counts per block, flat freqs,
+    flat lengths); frontier pairs are emitted freq-descending per block.
     """
     n = len(freqs)
-    out_f: list[np.ndarray] = []
-    out_l: list[np.ndarray] = []
-    for b in range(0, n, BLOCK_SIZE):
-        f = np.asarray(freqs[b : b + BLOCK_SIZE], dtype=np.int64)
-        ln = np.asarray(lengths[b : b + BLOCK_SIZE], dtype=np.int64)
-        # skyline: sort by (length asc, freq desc); keep pairs whose freq
-        # exceeds every freq at a shorter-or-equal length
-        order = np.lexsort((-f, ln))
-        fs, ls = f[order], ln[order]
-        best = np.maximum.accumulate(fs)
-        keep = np.ones(len(fs), dtype=bool)
-        keep[1:] = fs[1:] > best[:-1]  # also dedups equal lengths (freq-desc tie order)
-        out_f.append(fs[keep][::-1].astype(np.int32))  # freq ascending
-        out_l.append(ls[keep][::-1].astype(np.int32))
-    return out_f, out_l
+    f = np.asarray(freqs, dtype=np.int64)
+    ln = np.asarray(lengths, dtype=np.int64)
+    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    bid = np.arange(n, dtype=np.int64) // BLOCK_SIZE
+    order = np.lexsort((-f, ln, bid))
+    fs, ls = f[order], ln[order]
+
+    keep = np.ones(n, dtype=bool)
+    n_full = (n // BLOCK_SIZE) * BLOCK_SIZE
+    if n_full:
+        fr = fs[:n_full].reshape(-1, BLOCK_SIZE)
+        cm = np.maximum.accumulate(fr, axis=1)
+        k2 = fr[:, 1:] > cm[:, :-1]
+        keep[:n_full] = np.column_stack(
+            [np.ones(len(fr), dtype=bool), k2]
+        ).ravel()
+    if n_full < n:  # tail block
+        ft = fs[n_full:]
+        cm = np.maximum.accumulate(ft)
+        keep[n_full + 1 :] = ft[1:] > cm[:-1]
+    counts = np.bincount(bid[keep], minlength=n_blocks).astype(np.int64)
+    return counts, fs[keep].astype(np.int32), ls[keep].astype(np.int32)
 
 
 def block_skip_metadata(
@@ -185,21 +223,19 @@ def block_skip_metadata(
 
     The reference stores one skip entry per block carrying competitive
     (freq, norm) impacts (Lucene90SkipWriter.java:219, index/Impact.java:20-31);
-    our conservative variant keeps the block's max freq and min doc length —
+    this conservative variant keeps the block's max freq and min doc length —
     ``score(max_freq, min_length)`` upper-bounds every real (freq, norm) pair,
-    so block-max pruning stays admissible.
+    so block-max pruning stays admissible. Vectorized with reduceat — no
+    per-block Python loop.
 
     ``norm_lengths`` are the indexed lengths of the docs in ``docs`` (aligned
     arrays, one entry per posting).
     """
     n = len(docs)
-    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-    last_docs = np.empty(n_blocks, dtype=np.int32)
-    max_freqs = np.empty(n_blocks, dtype=np.int32)
-    min_lens = np.empty(n_blocks, dtype=np.int32)
-    for b in range(n_blocks):
-        sl = slice(b * BLOCK_SIZE, min(n, (b + 1) * BLOCK_SIZE))
-        last_docs[b] = docs[sl.stop - 1]
-        max_freqs[b] = freqs[sl].max()
-        min_lens[b] = norm_lengths[sl].min()
+    starts = np.arange(0, n, BLOCK_SIZE)
+    last_docs = np.asarray(docs, dtype=np.int64)[
+        np.minimum(starts + BLOCK_SIZE - 1, n - 1)
+    ].astype(np.int32)
+    max_freqs = np.maximum.reduceat(np.asarray(freqs, dtype=np.int64), starts).astype(np.int32)
+    min_lens = np.minimum.reduceat(np.asarray(norm_lengths, dtype=np.int64), starts).astype(np.int32)
     return last_docs, max_freqs, min_lens

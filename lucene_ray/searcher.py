@@ -385,16 +385,24 @@ class IndexSearcher:
     # the Python-driven interval walk costs ~µs per interval, so pruning has
     # to save at least a few dozen 128-doc block decodes to pay for itself.
     WAND_AUTO_MIN_POSTINGS = 4096
+    # above this per-term density (df / docCount), posting lists are so hot
+    # that one vectorized whole-list pass beats any Python-driven skipping —
+    # and the near-uniform block bounds of a dense term prune nothing anyway
+    WAND_AUTO_MAX_DENSITY = 0.10
 
     def _wand_worthwhile(self, q: Query) -> bool:
-        """``algo='auto'`` policy: pick WAND when the query's posting volume
-        is large enough that block skipping beats exhaustive decode — the
-        normal case on a web-scale index where df ≫ 4096 per term; tiny
-        test vocabularies fall back to the exhaustive kernel. Results are
-        identical either way (tested)."""
+        """``algo='auto'`` policy: WAND pays off for SELECTIVE terms over
+        large posting volumes (block skipping saves decode + score work);
+        dense terms (high df/docCount) have near-uniform block bounds, so
+        skipping saves nothing and the numpy exhaustive kernel's one
+        vectorized pass wins. Results are identical either way (tested) —
+        this only chooses the faster physical plan."""
         terms = extract_terms(q)
-        sum_df = sum(self.term_statistics(t).doc_freq for t in terms)
-        return sum_df >= self.WAND_AUTO_MIN_POSTINGS
+        dfs = [self.term_statistics(t).doc_freq for t in terms]
+        if sum(dfs) < self.WAND_AUTO_MIN_POSTINGS:
+            return False
+        dc = max(1, self.collection_stats.doc_count)
+        return max(dfs) <= self.WAND_AUTO_MAX_DENSITY * dc
 
     # ------------------------------------------------------------ evaluation
 

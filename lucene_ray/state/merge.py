@@ -71,57 +71,56 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
 
     # Posting-level flattening: per reader, decode each term's postings once
     # (decode is inherently per packed stream), remap docIDs, emit flat
-    # (term_code, doc, freq) arrays + per-posting position slice handles.
-    tc_parts, doc_parts, freq_parts = [], [], []
-    pos_chunks: list[np.ndarray] = []          # one positions buffer per reader
-    pos_start_parts, pos_buf_parts = [], []    # per-posting (start, buffer id)
-    for buf_id, (r, base, live, remap) in enumerate(zip(readers, bases, lives, remaps)):
+    # (term_code, doc, freq) arrays. Positions are collected per
+    # (term, reader) RUN — readers are visited in doc-base order and a term's
+    # postings within one reader are already doc-ordered, so per-out-term
+    # concatenation of those runs IS the merged doc-major position stream
+    # (no per-posting indirection; a per-element gather only under deletes).
+    doc_parts, freq_parts = [], []
+    run_codes: list[int] = []
+    run_lens: list[int] = []
+    pos_by_code: dict[int, list[np.ndarray]] = {}
+    for r, base, live, remap in zip(readers, bases, lives, remaps):
         gcodes = np.searchsorted(all_terms, r.terms)  # exact: r.terms ⊆ all_terms
-        n_terms = len(r.terms)
-        if store_positions and n_terms:
-            pos_all = np.concatenate([r.positions(i) for i in range(n_terms)])
-        else:
-            pos_all = np.empty(0, dtype=np.int32)
-        pos_chunks.append(pos_all)
-        pos_off = 0
+        n_terms = r.n_terms
         for i in range(n_terms):
             d, f = r.postings(i)
-            f64 = f.astype(np.int64)
-            starts = pos_off + np.concatenate([[0], np.cumsum(f64[:-1])])
-            pos_off += int(f64.sum())
             keep = live[d]
-            if not keep.all():
-                d, f64, starts = d[keep], f64[keep], starts[keep]
+            all_live = keep.all()
+            if store_positions:
+                ptr = r.positions(i)
+                if not all_live:
+                    ptr = ptr[np.repeat(keep, f)]
+            if not all_live:
+                d, f = d[keep], f[keep]
             if not len(d):
                 continue
-            tc_parts.append(np.full(len(d), gcodes[i], dtype=np.int64))
+            code = int(gcodes[i])
             doc_parts.append(remap[d] + base)
-            freq_parts.append(f64)
+            freq_parts.append(f.astype(np.int64))
+            run_codes.append(code)
+            run_lens.append(len(d))
             if store_positions:
-                pos_start_parts.append(starts)
-                pos_buf_parts.append(np.full(len(d), buf_id, dtype=np.int32))
+                pos_by_code.setdefault(code, []).append(ptr)
 
-    all_pos = np.empty(0, dtype=np.int32)
-    if tc_parts:
-        tc = np.concatenate(tc_parts)
-        dd = np.concatenate(doc_parts)
-        ff = np.concatenate(freq_parts)
-        order = np.lexsort((dd, tc))  # DocIDMerger mapped-docID order
-        tc, dd, ff = tc[order], dd[order], ff[order]
-        if store_positions:
-            # ONE vectorized gather reorders every position element into the
-            # merged posting order (no per-posting Python slice): global
-            # element index for posting p's occurrence o is start[p] + o.
-            buf_off = np.cumsum([0] + [len(c) for c in pos_chunks[:-1]])
-            g = np.concatenate(pos_start_parts) + buf_off[np.concatenate(pos_buf_parts)]
-            g = g[order]
-            pos_global = (
-                np.concatenate(pos_chunks) if pos_chunks else np.empty(0, dtype=np.int32)
-            )
-            total_pos = int(ff.sum())
-            run = np.concatenate([[0], np.cumsum(ff)[:-1]])
-            idx = np.repeat(g - run, ff) + np.arange(total_pos, dtype=np.int64)
-            all_pos = pos_global[idx] if len(pos_global) else np.empty(0, dtype=np.int32)
+    if doc_parts:
+        # Each (term, reader) run is already doc-ordered, and readers are
+        # visited in ascending doc-base order — so the merged (term, doc)
+        # order is just the runs STABLY reordered by term code. One tiny
+        # run-level sort + one O(total) gather replaces a full posting-level
+        # lexsort (DocIDMerger's mapped-docID order, for free).
+        dd0 = np.concatenate(doc_parts)
+        ff0 = np.concatenate(freq_parts)
+        rc = np.asarray(run_codes, dtype=np.int64)
+        rl = np.asarray(run_lens, dtype=np.int64)
+        rstart = np.concatenate([[0], np.cumsum(rl)[:-1]])
+        ro = np.lexsort((np.arange(len(rc)), rc))  # stable: reader order kept
+        lens_o = rl[ro]
+        cum = np.concatenate([[0], np.cumsum(lens_o)[:-1]])
+        idx = np.repeat(rstart[ro] - cum, lens_o) + np.arange(int(lens_o.sum()))
+        tc = np.repeat(rc[ro], lens_o)
+        dd = dd0[idx]
+        ff = ff0[idx]
     else:
         tc = np.empty(0, dtype=np.int64)
         dd = np.empty(0, dtype=np.int64)
@@ -165,11 +164,17 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             bld_col.append(ld.tolist())
             blf_col.append(mf.tolist())
             blm_col.append(ml.tolist())
-            pf, pl = competitive_impacts(freqs, dls[docs])
-            impf_col.append([a.tolist() for a in pf])
-            impl_col.append([a.tolist() for a in pl])
+            icnt, iff, ill = competitive_impacts(freqs, dls[docs])
+            isplit = np.cumsum(icnt)[:-1]
+            impf_col.append([a.tolist() for a in np.split(iff, isplit)])
+            impl_col.append([a.tolist() for a in np.split(ill, isplit)])
         if store_positions:
-            pos_col.append(all_pos[cs[s] : cs[e]].astype(np.int32).tobytes())
+            parts = pos_by_code.get(int(tc[s]), ())
+            pos_col.append(
+                parts[0].astype(np.int32).tobytes() if len(parts) == 1
+                else np.concatenate(parts).astype(np.int32).tobytes() if parts
+                else b""
+            )
         else:
             pos_col.append(b"")
 

@@ -204,9 +204,10 @@ def build_segment_tables(
             bld.append(ld.tolist())
             blf.append(mf.tolist())
             blm.append(ml.tolist())
-            pf, pl = competitive_impacts(freqs_i, dl_by_doc[docs_i])
-            impf_col.append([a.tolist() for a in pf])
-            impl_col.append([a.tolist() for a in pl])
+            icnt, iff, ill = competitive_impacts(freqs_i, dl_by_doc[docs_i])
+            isplit = np.cumsum(icnt)[:-1]
+            impf_col.append([a.tolist() for a in np.split(iff, isplit)])
+            impl_col.append([a.tolist() for a in np.split(ill, isplit)])
     if store_positions:
         # positions for term i = pp[cs[term_starts[i]] : cs[term_ends[i]]]
         # (doc-major within the term, ascending within each doc).

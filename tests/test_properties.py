@@ -186,6 +186,7 @@ def test_wand_auto_threshold(rand_idx):
     # force the threshold down: auto now picks wand, results identical
     want = [(x.doc_key, x.score) for x in s.search(q, k=5, algo="exhaustive").score_docs]
     s.WAND_AUTO_MIN_POSTINGS = 1
+    s.WAND_AUTO_MAX_DENSITY = 1.0  # the test corpus's terms are dense
     got = [(x.doc_key, x.score) for x in s.search(q, k=5, algo="auto").score_docs]
     assert got == want
     assert s.last_wand_stats is not None and s.last_wand_stats["blocks_total"] > 0
