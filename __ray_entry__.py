@@ -187,6 +187,21 @@ def _q_phrase_slop_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, qs)
 
 
+SPAN_QUERIES = [("merge", "sort", 4), ("stream", "batch", 6)]
+
+
+def _q_span_near_topk(sf_dir: str) -> pa.Table:
+    """Ordered SpanNear gate: minimal-interval matcher (functions/intervals
+    .py) vs a SQL oracle that builds each chain (a → first b after a) and
+    keeps the minimal ones (max start per distinct end)."""
+    from lucene_ray.query import SpanNearQuery
+
+    s = _searcher(sf_dir)
+    qs = [(f"span:{a} {b}~{sl}", SpanNearQuery([a, b], slop=sl, in_order=True))
+          for a, b, sl in SPAN_QUERIES]
+    return _ranked_topk(s, qs)
+
+
 def _q_msm_topk(sf_dir: str) -> pa.Table:
     from lucene_ray.query import BooleanQuery, TermQuery
 
@@ -346,6 +361,77 @@ def _q_knn_hnsw(sf_dir: str) -> pa.Table:
         {
             "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
             "recall_at_10": pa.array([round(r[1], 4) for r in rows], type=pa.float64()),
+        }
+    )
+
+
+def _block_index(sf_dir: str) -> str:
+    """Parent/child block index over orders+lineitem (block-join fixture):
+    children (lineitems) then the parent (order) per o_orderkey block,
+    co-partitioned via partition_col so every block is contiguous in one
+    segment — the ToParentBlockJoinQuery layout contract."""
+    import ray.data
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.sources.io import read_parquet_clean
+    from lucene_ray.state.manifest import Manifest
+
+    d = _cache_dir(sf_dir, "gateblocks")
+    if Manifest.exists(d):
+        return d
+
+    def child_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        okey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False)
+        rf = batch.column("l_returnflag").to_pylist()
+        ls = batch.column("l_linestatus").to_pylist()
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        keys = [f"{o:010d}-c{l:02d}" for o, l in zip(okey.tolist(), ln.tolist())]
+        texts = [f"flag{a.lower()} status{b.lower()} part{int(p) % 20}"
+                 for a, b, p in zip(rf, ls, pk.tolist())]
+        return pa.table({"k": pa.array(keys), "text": pa.array(texts),
+                         "okey": pa.array(okey.astype(np.int64)),
+                         "is_parent": pa.array(np.zeros(len(keys), dtype=np.int64))})
+
+    def parent_rows(batch: pa.Table) -> pa.Table:
+        okey = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        keys = [f"{o:010d}-p" for o in okey.tolist()]
+        return pa.table({"k": pa.array(keys),
+                         "text": pa.array(["orderdoc"] * len(keys)),
+                         "okey": pa.array(okey.astype(np.int64)),
+                         "is_parent": pa.array(np.ones(len(keys), dtype=np.int64))})
+
+    ch = read_parquet_clean(f"{sf_dir}/lineitem.parquet").map_batches(
+        child_rows, batch_format="pyarrow")
+    pr = read_parquet_clean(f"{sf_dir}/orders.parquet").map_batches(
+        parent_rows, batch_format="pyarrow")
+    build_index(ch.union(pr), d, key_col="k", text_col="text", num_partitions=4,
+                analyzer="simple", docvalue_cols=("okey", "is_parent"),
+                partition_col="okey")
+    return d
+
+
+BLOCK_JOIN_TERM = "part7"
+
+
+def _q_block_join_topk(sf_dir: str) -> pa.Table:
+    from lucene_ray.query import TermQuery, ToParentBlockJoinQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(_block_index(sf_dir), mode="exact")
+    rows = []
+    for mode in ("sum", "max", "avg"):
+        td = s.search(ToParentBlockJoinQuery(TermQuery(BLOCK_JOIN_TERM), mode), k=K + 16)
+        scored = sorted((-np.round(sd.score, 6), int(sd.doc_key[:10])) for sd in td.score_docs)
+        for rank, (_, okey) in enumerate(scored[:K], start=1):
+            rows.append((mode, rank, okey))
+    return pa.table(
+        {
+            "score_mode": pa.array([r[0] for r in rows], type=pa.string()),
+            "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+            "o_orderkey": pa.array([r[2] for r in rows], type=pa.int64()),
         }
     )
 
@@ -728,6 +814,46 @@ SELECT query, rank, doc_id FROM ranked WHERE rank <= {k}
 """
 
 
+def _sql_span_near_topk(span_queries, k=K) -> str:
+    """Ordered 2-term SpanNear oracle: chains = (a, min b > a) per doc;
+    minimal intervals = max(start) per distinct end (chain ends are
+    non-decreasing in start, so nesting ⇔ equal end); freq = Σ 1/(1+width)
+    with width = e - s - 1 ≤ slop; BM25 with the 2-term idf sum."""
+    parts = []
+    for qi, (t0, t1, slop) in enumerate(span_queries):
+        name = f"span:{t0} {t1}~{slop}"
+        parts.append(f"""
+  SELECT '{name}' AS query, pm.doc_id,
+         (SELECT sum(ln(1 + (s.doc_count - df.df + 0.5)/(df.df + 0.5)))
+          FROM (VALUES ('{t0}'), ('{t1}')) pt(term) JOIN df ON df.term = pt.term CROSS JOIN stats s)
+         * (pm.freq * 2.2) / (pm.freq + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s2.sum_ttf / s2.doc_count))) AS score
+  FROM (
+    SELECT doc_id, sum(1.0 / (e - s)) AS freq FROM (
+      SELECT doc_id, e, max(s) AS s FROM (
+        SELECT a.doc_id, a.p AS s,
+               (SELECT min(b.p) FROM
+                  (SELECT doc_id, i::BIGINT AS p FROM base, unnest(range(1, len(toks)+1)) t(i) WHERE toks[i] = '{t1}') b
+                WHERE b.doc_id = a.doc_id AND b.p > a.p) AS e
+        FROM (SELECT doc_id, i::BIGINT AS p FROM base, unnest(range(1, len(toks)+1)) t(i) WHERE toks[i] = '{t0}') a
+      ) ch WHERE e IS NOT NULL GROUP BY doc_id, e
+    ) mi WHERE (e - s - 1) <= {slop} GROUP BY doc_id
+  ) pm
+  JOIN dl ON dl.doc_id = pm.doc_id CROSS JOIN stats s2""")
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH {_BASE},
+scored AS (
+{union}
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {k}
+"""
+
+
 def _sql_phrase_slop_topk(slop_queries, k=K) -> str:
     """Sloppy-phrase oracle: WITH RECURSIVE leapfrog over adjusted token
     positions — the closed form of SloppyPhraseMatcher's 2-slot pq traversal
@@ -873,6 +999,54 @@ _SQL_FINGERPRINT = f"""
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct({_TOK})), ' ')) AS fingerprint
 FROM documents
+"""
+
+
+_SQL_BLOCK_JOIN = f"""
+WITH corpus AS (
+  SELECT l_orderkey AS okey, 0 AS is_parent,
+         'flag' || lower(l_returnflag) || ' status' || lower(l_linestatus)
+             || ' part' || (l_partkey % 20) AS text
+  FROM lineitem
+  UNION ALL
+  SELECT o_orderkey, 1, 'orderdoc' FROM orders
+),
+toksb AS (SELECT okey, is_parent, text, string_split(text, ' ') AS toks FROM corpus),
+statsb AS (
+  SELECT count(*)::DOUBLE AS doc_count,
+         sum(len(toks))::DOUBLE AS sum_ttf
+  FROM toksb
+),
+dfb AS (
+  SELECT t.term, count(*)::DOUBLE AS df
+  FROM (SELECT unnest(toks) AS term, okey, is_parent FROM toksb) t
+  GROUP BY t.term
+),
+child AS (
+  SELECT okey, len(toks)::DOUBLE AS dl,
+         len(list_filter(toks, x -> x = '{BLOCK_JOIN_TERM}'))::DOUBLE AS tf
+  FROM toksb WHERE is_parent = 0
+),
+scored AS (
+  SELECT c.okey,
+         ln(1 + (s.doc_count - d.df + 0.5)/(d.df + 0.5))
+         * (c.tf * 2.2) / (c.tf + 1.2 * (1 - 0.75 + 0.75 * c.dl / (s.sum_ttf / s.doc_count))) AS score
+  FROM child c CROSS JOIN statsb s JOIN dfb d ON d.term = '{BLOCK_JOIN_TERM}'
+  WHERE c.tf > 0
+),
+agg AS (
+  SELECT okey, sum(score) AS s_sum, max(score) AS s_max, avg(score) AS s_avg
+  FROM scored GROUP BY okey
+),
+ranked AS (
+  SELECT 'sum' AS score_mode, okey,
+         row_number() OVER (ORDER BY round(s_sum, 6) DESC, okey) AS rank FROM agg
+  UNION ALL
+  SELECT 'max', okey, row_number() OVER (ORDER BY round(s_max, 6) DESC, okey) FROM agg
+  UNION ALL
+  SELECT 'avg', okey, row_number() OVER (ORDER BY round(s_avg, 6) DESC, okey) FROM agg
+)
+SELECT score_mode, rank, okey AS o_orderkey FROM ranked WHERE rank <= {K}
 """
 
 _SQL_EMB_NEARDUP = f"""
@@ -1067,6 +1241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_or_topk": _q_bool_or_topk,
         "phrase_topk": _q_phrase_topk,
         "phrase_slop_topk": _q_phrase_slop_topk,
+        "span_near_topk": _q_span_near_topk,
         "min_should_match_topk": _q_msm_topk,
         "search_after": _q_search_after,
         "prefix_count": _q_prefix_count,
@@ -1079,6 +1254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_index_topk": _q_sorted_index_topk,
         "facet_lang": _q_facet_lang,
         "grouped_topk": _q_grouped_topk,
+        # block join (SURVEY §2.5)
+        "block_join_topk": _q_block_join_topk,
         # analysis chain / text stats (SURVEY §2.2 + data-prep extensions)
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
@@ -1111,6 +1288,7 @@ def oracle_sql() -> dict[str, str]:
         "bool_or_topk": _sql_multi_term_topk(OR_QUERIES, "or"),
         "phrase_topk": _sql_phrase_topk(PHRASE_QUERIES),
         "phrase_slop_topk": _sql_phrase_slop_topk(SLOP_QUERIES),
+        "span_near_topk": _sql_span_near_topk(SPAN_QUERIES),
         "min_should_match_topk": _sql_multi_term_topk([MSM_QUERY], "or", k=20, msm=2),
         "search_after": _sql_single_term_topk(["merge"], rank_lo=11, rank_hi=20),
         "prefix_count": _SQL_PREFIX_COUNT,
@@ -1123,6 +1301,7 @@ def oracle_sql() -> dict[str, str]:
         "sorted_index_topk": _SQL_SORT_BY_FIELD,
         "facet_lang": _SQL_FACET_LANG,
         "grouped_topk": _SQL_GROUPED_TOPK,
+        "block_join_topk": _SQL_BLOCK_JOIN,
         "token_stats": _SQL_TOKEN_STATS,
         "quality_scores": _SQL_QUALITY,
         "fingerprint": _SQL_FINGERPRINT,

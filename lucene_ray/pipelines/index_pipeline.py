@@ -200,8 +200,15 @@ def build_index(
     docvalue_cols: tuple = (),
     text_cols: tuple = (),
     index_sort: tuple | None = None,
+    partition_col: str | None = None,
 ) -> Manifest:
     """Build (or resume) an index from a Dataset or a parquet path/dir.
+
+    ``partition_col`` hash-partitions on that column instead of the key —
+    the block-join co-location contract (all docs of a parent/child block
+    share the column value, so the whole block lands in one segment with
+    children-before-parent key order — join/ToParentBlockJoinQuery's
+    contiguous-block requirement).
 
     Returns the committed Manifest. Idempotent: re-running after a partial
     failure skips completed partitions and commits the same final state.
@@ -241,7 +248,7 @@ def build_index(
     remaining = set(range(num_partitions)) - set(done.keys())
     if remaining:
         ds = ds.map_batches(
-            _AddPartId(key_col, num_partitions, frozenset(done.keys())),
+            _AddPartId(partition_col or key_col, num_partitions, frozenset(done.keys())),
             batch_format="pyarrow",
         )
         builder = _BuildSegment(index_dir, key_col, text_col, analyzer, store_positions,

@@ -137,6 +137,44 @@ class MatchAllDocsQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Proximity query with minimal-interval semantics (spans/SpanNearQuery
+    .java:42 ordered/unordered; queries/.../intervals/IntervalQuery.java:59
+    Intervals.ordered/unordered): matches docs where all terms occur within
+    ``slop`` slack positions, optionally in order; freq = Σ 1/(1+width) over
+    minimal intervals (SpanScorer sloppyFreq)."""
+
+    terms: tuple
+    slop: int = 0
+    in_order: bool = False
+
+    def __init__(self, terms, slop: int = 0, in_order: bool = False):
+        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(self, "slop", int(slop))
+        object.__setattr__(self, "in_order", bool(in_order))
+
+
+@dataclass(frozen=True)
+class ToParentBlockJoinQuery(Query):
+    """Join child matches up to their parent doc (join/ToParentBlockJoinQuery
+    .java:63): blocks are indexed children-first with the parent LAST;
+    ``score_mode`` ∈ {none, sum, max, avg} aggregates child scores per parent
+    (ScoreMode.{None,Total,Max,Avg})."""
+
+    child_query: Query
+    score_mode: str = "sum"
+
+
+@dataclass(frozen=True)
+class ToChildBlockJoinQuery(Query):
+    """Join parent matches down to every child in the block
+    (join/ToChildBlockJoinQuery.java): each child inherits its parent's
+    score."""
+
+    parent_query: Query
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     query: Query
     score: float = 1.0

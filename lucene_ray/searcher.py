@@ -60,7 +60,10 @@ from lucene_ray.query import (
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
+    SpanNearQuery,
     TermRangeQuery,
+    ToChildBlockJoinQuery,
+    ToParentBlockJoinQuery,
     WildcardQuery,
     parse_query,
 )
@@ -523,12 +526,18 @@ class IndexSearcher:
                 return empty
             docs = np.sort(od[lo_i:hi_i])
             return _SparseScores(docs, np.full(len(docs), boost))
+        if isinstance(q, ToParentBlockJoinQuery):
+            return self._eval_block_join_parent(r, q, boost)
+        if isinstance(q, ToChildBlockJoinQuery):
+            return self._eval_block_join_child(r, q, boost)
         if isinstance(q, FuzzyQuery):
             return self._eval_fuzzy(r, q, boost)
         if isinstance(q, SynonymQuery):
             return self._eval_synonym(r, q, boost)
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(r, q, boost)
+        if isinstance(q, SpanNearQuery):
+            return self._eval_span_near(r, q, boost)
         if isinstance(q, DisjunctionMaxQuery):
             subs = [self._eval(r, d, boost) for d in q.disjuncts]
             return self._dismax(subs, q.tie_breaker)
@@ -820,6 +829,79 @@ class IndexSearcher:
                 out.append((g, rank, kkey, s))
         return out
 
+    # ---------------------------------------------------------- block join
+
+    def _parents_of(self, r: SegmentReader) -> np.ndarray:
+        """Sorted local docIDs of parent docs (the parents-filter BitSet of
+        ToParentBlockJoinQuery; blocks are contiguous, parent last — the
+        layout pipelines/index_pipeline.build_index(partition_col=...) +
+        child-before-parent keys produce). Cached per reader."""
+        p = getattr(r, "_parent_docs", None)
+        if p is None:
+            p = r._parent_docs = np.flatnonzero(
+                r.doc_values["is_parent"] != 0
+            ).astype(np.int32)
+        return p
+
+    def _eval_block_join_parent(self, r, q, boost: float) -> _SparseScores:
+        empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        child = self._eval(r, q.child_query, boost)
+        if not len(child.docs):
+            return empty
+        parents = self._parents_of(r)
+        is_parent = r.doc_values["is_parent"]
+        mask = is_parent[child.docs] == 0  # a parent matching the child query joins nothing
+        cdocs = child.docs[mask]
+        cscores = child.scores[mask]
+        if not len(cdocs):
+            return empty
+        pi = np.searchsorted(parents, cdocs, side="left")  # next parent >= child
+        ok = pi < len(parents)
+        pdocs = parents[pi[ok]]
+        cscores = cscores[ok]
+        uniq, inv = np.unique(pdocs, return_inverse=True)
+        if q.score_mode == "none":
+            return _SparseScores(uniq.astype(np.int32), np.full(len(uniq), boost))
+        sums = np.zeros(len(uniq))
+        np.add.at(sums, inv, cscores)
+        if q.score_mode == "sum":
+            out = sums
+        elif q.score_mode == "max":
+            out = np.full(len(uniq), -np.inf)
+            np.maximum.at(out, inv, cscores)
+        elif q.score_mode == "avg":
+            cnt = np.bincount(inv, minlength=len(uniq))
+            out = sums / cnt
+        else:
+            raise ValueError(f"unknown score_mode {q.score_mode!r}")
+        return _SparseScores(uniq.astype(np.int32), out)
+
+    def _eval_block_join_child(self, r, q, boost: float) -> _SparseScores:
+        empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        parent = self._eval(r, q.parent_query, boost)
+        if not len(parent.docs):
+            return empty
+        parents = self._parents_of(r)
+        is_parent = r.doc_values["is_parent"]
+        keep = is_parent[parent.docs] != 0
+        pdocs = parent.docs[keep]
+        pscores = parent.scores[keep]
+        if not len(pdocs):
+            return empty
+        pi = np.searchsorted(parents, pdocs)  # position of each parent
+        starts = np.where(pi > 0, parents[np.maximum(pi - 1, 0)] + 1, 0)
+        counts = pdocs - starts  # children per block
+        m = counts > 0
+        pdocs, pscores, starts, counts = pdocs[m], pscores[m], starts[m], counts[m]
+        if not len(pdocs):
+            return empty
+        total = int(counts.sum())
+        run = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        docs = (np.repeat(starts - run, counts)
+                + np.arange(total, dtype=np.int64)).astype(np.int32)
+        scores = np.repeat(pscores, counts)
+        return _SparseScores(docs, scores)
+
     # -------------------------------------------------- fuzzy / synonym
 
     def _eval_fuzzy(self, r: SegmentReader, q: FuzzyQuery, boost: float) -> _SparseScores:
@@ -976,6 +1058,48 @@ class IndexSearcher:
         tstats = [self.term_statistics(fp + t) for t in terms]
         scorer = self.sim.scorer(self._field_cstats(q.field), tstats, boost=boost)
         return _SparseScores(docs, self._score_arrays(r, scorer, docs, freqs, q.field))
+
+    def _eval_span_near(self, r: SegmentReader, q: SpanNearQuery, boost: float) -> _SparseScores:
+        """SpanNearQuery: docID conjunction, then the per-doc minimal-interval
+        matcher (functions/intervals.py); scored like a phrase (multi-term
+        idf sum through BM25 with the span freq)."""
+        from lucene_ray.functions.intervals import span_near_freq
+
+        empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        fp = self._fp(None)
+        terms = list(q.terms)
+        idxs = [r.term_index(fp + t) for t in terms]
+        if any(i < 0 for i in idxs):
+            return empty
+        post = [r.postings(int(i)) for i in idxs]
+        pos_arrays = [r.positions(int(i)) for i in idxs]
+        cand = post[0][0]
+        for docs_i, _ in post[1:]:
+            cand, _, _ = _intersect_sorted(cand, docs_i)
+            if not len(cand):
+                return empty
+        offsets = []
+        for docs_i, freqs_i in post:
+            starts = np.concatenate([[0], np.cumsum(freqs_i)])
+            offsets.append((docs_i, starts))
+        match_docs, match_freqs = [], []
+        for d in cand.tolist():
+            sets = []
+            for t_i in range(len(terms)):
+                docs_i, starts = offsets[t_i]
+                j = int(np.searchsorted(docs_i, d))
+                sets.append(pos_arrays[t_i][starts[j] : starts[j + 1]])
+            freq = span_near_freq(sets, q.slop, q.in_order)
+            if freq > 0:
+                match_docs.append(d)
+                match_freqs.append(freq)
+        if not match_docs:
+            return empty
+        docs = np.array(match_docs, dtype=np.int32)
+        freqs = np.array(match_freqs, dtype=np.float64)
+        tstats = [self.term_statistics(fp + t) for t in terms]
+        scorer = self.sim.scorer(self._field_cstats(None), tstats, boost=boost)
+        return _SparseScores(docs, self._score_arrays(r, scorer, docs, freqs))
 
     # ------------------------------------------------------------ block-max
 

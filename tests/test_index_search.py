@@ -416,3 +416,74 @@ def test_index_sort_early_termination_and_range_pruning(tmp_path, ray_session):
     scanned_base = s_plain.range_stats["max_doc_total"] - before["max_doc_total"]
     assert examined == hits  # only the in-range docs were touched
     assert examined < scanned_base / 10
+
+
+def test_block_join_parent_and_child(tmp_path, ray_session):
+    import pandas as pd
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import (
+        TermQuery,
+        ToChildBlockJoinQuery,
+        ToParentBlockJoinQuery,
+    )
+    from lucene_ray.searcher import IndexSearcher
+
+    # blocks: children then parent, co-partitioned by block id
+    rows = []
+    rng = np.random.default_rng(5)
+    for b in range(40):
+        n_child = int(rng.integers(1, 5))
+        for c in range(n_child):
+            tok = "redx" if rng.random() < 0.4 else "bluex"
+            rows.append((f"{b:04d}-c{c}", f"child {tok} item{b % 7}", b, 0))
+        rows.append((f"{b:04d}-p", "parent block", b, 1))
+    pdf = pd.DataFrame(rows, columns=["k", "text", "block_id", "is_parent"])
+    src = str(tmp_path / "b.parquet")
+    pdf.to_parquet(src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, key_col="k", text_col="text", num_partitions=4,
+                columns=["k", "text", "block_id", "is_parent"],
+                docvalue_cols=("block_id", "is_parent"), partition_col="block_id")
+    s = IndexSearcher(idx, mode="exact")
+
+    # brute-force expectation
+    import re
+
+    child_rows = pdf[pdf.is_parent == 0]
+    # exact BM25 over the whole corpus
+    texts = pdf.text.tolist()
+    toks = [t.split() for t in texts]
+    N = len(texts)
+    df_red = sum(1 for t in toks if "redx" in t)
+    avgdl = sum(len(t) for t in toks) / N
+    idf = np.log(1 + (N - df_red + 0.5) / (df_red + 0.5))
+
+    def bm25(tf, dl):
+        return idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    exp: dict[int, list[float]] = {}
+    for _, row in pdf.iterrows():
+        ts = row.text.split()
+        tf = ts.count("redx")
+        if tf and not row.is_parent:
+            exp.setdefault(row.block_id, []).append(bm25(tf, len(ts)))
+    for mode, agg in [("sum", sum), ("max", max),
+                      ("avg", lambda v: sum(v) / len(v))]:
+        td = s.search(ToParentBlockJoinQuery(TermQuery("redx"), mode), k=50)
+        got = {sd.doc_key: sd.score for sd in td.score_docs}
+        want = {f"{b:04d}-p": agg(v) for b, v in exp.items()}
+        assert set(got) == set(want), mode
+        for key in want:
+            assert got[key] == pytest.approx(want[key], rel=1e-9), (mode, key)
+    # score_mode=none: constant score, parents of matching children
+    td = s.search(ToParentBlockJoinQuery(TermQuery("redx"), "none"), k=50)
+    assert {sd.doc_key for sd in td.score_docs} == {f"{b:04d}-p" for b in exp}
+    assert all(sd.score == 1.0 for sd in td.score_docs)
+
+    # ToChild: every child of matching parents, inheriting parent score
+    tdc = s.search(ToChildBlockJoinQuery(TermQuery("parent")), k=500)
+    n_children = int((pdf.is_parent == 0).sum())
+    assert len(tdc.score_docs) == n_children
+    assert all(not k.endswith("-p") for k in
+               (sd.doc_key for sd in tdc.score_docs))
