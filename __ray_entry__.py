@@ -73,7 +73,7 @@ _SCORE = (
 
 
 def _cache_dir(sf_dir: str, tag: str) -> str:
-    key = hashlib.md5(f"{sf_dir}|{tag}|v3".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|{tag}|v4".encode()).hexdigest()[:12]
     return os.path.join("/tmp/lucene_ray_cache", f"{tag}-{key}")
 
 
@@ -92,8 +92,8 @@ def _gate_index(sf_dir: str) -> str:
             text_col="text",
             num_partitions=4,
             analyzer="simple",
-            columns=["doc_id", "text", "lang", "n_chars"],
-            docvalue_cols=("lang", "n_chars"),
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+            docvalue_cols=("lang", "source", "n_chars"),
         )
     return d
 
@@ -724,6 +724,55 @@ def _q_sorted_index_topk(sf_dir: str) -> pa.Table:
     )
 
 
+PERC_QUERIES = {
+    "q_merge": "merge",
+    "q_and": "merge AND window",
+    "q_or": "stream OR batch",
+    "q_phrase": '"merge sort"',
+}
+
+
+def _q_percolate_counts(sf_dir: str) -> pa.Table:
+    """Monitor/percolator gate: registered queries vs the document stream
+    (pipelines/percolate.py — per-batch MemoryIndex), aggregated to
+    (query_id, n_docs) so the oracle can verify with plain SQL."""
+    from ray.data.aggregate import Count
+
+    from lucene_ray.pipelines.percolate import percolate
+
+    out = percolate(_docs_ds(sf_dir), PERC_QUERIES, analyzer="simple")
+    agg = out.groupby("query_id").aggregate(Count(alias_name="n_docs")).to_pandas()
+    agg = agg.sort_values("query_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "query_id": pa.array(agg.query_id.tolist(), type=pa.string()),
+            "n_docs": pa.array(agg.n_docs.astype("int64").tolist(), type=pa.int64()),
+        }
+    )
+
+
+def _q_taxonomy_facets(sf_dir: str) -> pa.Table:
+    """Hierarchical (source → lang) facet counts with rollup for docs
+    matching 'merge' (TaxonomyFacetCounts analogue; oracle = GROUP BY
+    ROLLUP)."""
+    from lucene_ray.query import TermQuery
+
+    s = _searcher(sf_dir)
+    rows = s.taxonomy_counts(TermQuery("merge"), ["source", "lang"])
+    src, lng, cnt = [], [], []
+    for path, n in rows:
+        src.append(path[0] if len(path) >= 1 else "*")
+        lng.append(path[1] if len(path) >= 2 else "*")
+        cnt.append(int(n))
+    return pa.table(
+        {
+            "source": pa.array(src, type=pa.string()),
+            "lang": pa.array(lng, type=pa.string()),
+            "n": pa.array(cnt, type=pa.int64()),
+        }
+    )
+
+
 def _q_facet_lang(sf_dir: str) -> pa.Table:
     from lucene_ray.query import TermQuery
 
@@ -1189,6 +1238,32 @@ ranked AS (
 SELECT rank, doc_id, n_chars FROM ranked WHERE rank <= {K}
 """
 
+
+_SQL_PERCOLATE = f"""
+WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+m AS (
+  SELECT 'q_merge' AS query_id, count(*) AS n_docs FROM base WHERE list_contains(toks, 'merge')
+  UNION ALL
+  SELECT 'q_and', count(*) FROM base WHERE list_contains(toks, 'merge') AND list_contains(toks, 'window')
+  UNION ALL
+  SELECT 'q_or', count(*) FROM base WHERE list_contains(toks, 'stream') OR list_contains(toks, 'batch')
+  UNION ALL
+  SELECT 'q_phrase', count(*) FROM base
+  WHERE EXISTS (SELECT 1 FROM unnest(range(1, len(toks))) t(i)
+                WHERE toks[i] = 'merge' AND toks[i+1] = 'sort')
+)
+SELECT query_id, n_docs FROM m WHERE n_docs > 0 ORDER BY query_id
+"""
+
+_SQL_TAXONOMY = f"""
+WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+m AS (SELECT d.doc_id, d.source, d.lang FROM documents d
+      JOIN base b ON b.doc_id = d.doc_id WHERE list_contains(b.toks, 'merge'))
+SELECT COALESCE(source, '*') AS source, COALESCE(lang, '*') AS lang, count(*) AS n
+FROM m GROUP BY ROLLUP(source, lang)
+ORDER BY source, lang
+"""
+
 _SQL_FACET_LANG = f"""
 WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
 toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
@@ -1253,6 +1328,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field": _q_sort_by_field,
         "sorted_index_topk": _q_sorted_index_topk,
         "facet_lang": _q_facet_lang,
+        "taxonomy_facets": _q_taxonomy_facets,
+        # percolation (Monitor / MemoryIndex, SURVEY §2.9 extension surface)
+        "percolate_counts": _q_percolate_counts,
         "grouped_topk": _q_grouped_topk,
         # block join (SURVEY §2.5)
         "block_join_topk": _q_block_join_topk,
@@ -1300,6 +1378,8 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_field": _SQL_SORT_BY_FIELD,
         "sorted_index_topk": _SQL_SORT_BY_FIELD,
         "facet_lang": _SQL_FACET_LANG,
+        "taxonomy_facets": _SQL_TAXONOMY,
+        "percolate_counts": _SQL_PERCOLATE,
         "grouped_topk": _SQL_GROUPED_TOPK,
         "block_join_topk": _SQL_BLOCK_JOIN,
         "token_stats": _SQL_TOKEN_STATS,

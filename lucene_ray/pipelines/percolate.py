@@ -1,0 +1,81 @@
+"""Percolation — registered queries matched against a document stream.
+
+The reference's Monitor (monitor/.../Monitor.java:47) registers a set of
+queries and, for each incoming document, reports which queries match —
+internally by indexing the document into a MemoryIndex
+(memory/.../MemoryIndex.java:161) and running the queries against it.
+
+Ray-Data-first shape: the (small) query set is parsed once per actor
+(``__init__``), each batch of documents is inverted IN RAM with the normal
+invert kernel (``build_segment_tables`` → ``SegmentReader.from_tables`` — a
+batch-sized MemoryIndex), and every registered query runs against that
+mini-index. Matching is a per-batch vectorized evaluation, the stream never
+materializes, and the output is (doc key, query id) match pairs.
+
+Scoring note: percolation is a MATCH decision (Monitor semantics), so any
+per-batch collection statistics are fine — matching is stats-independent
+for every query type this engine supports.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class Percolator:
+    """map_batches callable: registered queries vs each batch's MemoryIndex."""
+
+    def __init__(self, queries: dict, *, text_col: str = "text",
+                 id_col: str = "doc_id", analyzer: str = "standard"):
+        from lucene_ray.functions.analysis import get_analyzer
+        from lucene_ray.query import Query, parse_query
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.analyzer = get_analyzer(analyzer)
+        self.queries = {
+            qid: (q if isinstance(q, Query) else parse_query(q, self.analyzer.normalize))
+            for qid, q in queries.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from lucene_ray.searcher import IndexSearcher
+        from lucene_ray.state.segment import SegmentReader, build_segment_tables
+
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        p, d, stats = build_segment_tables(
+            ids, batch.column(self.text_col), self.analyzer
+        )
+        reader = SegmentReader.from_tables(p, d, {"name": "mem", **stats})
+        searcher = IndexSearcher.from_readers([reader])
+        out_doc, out_q = [], []
+        for qid, q in self.queries.items():
+            for r in searcher.readers:
+                sp = searcher._eval(r, q)
+                if len(sp.docs):
+                    out_doc.extend(reader.doc_keys[sp.docs].tolist())
+                    out_q.extend([qid] * len(sp.docs))
+        return pa.table(
+            {
+                self.id_col: pa.array(out_doc),
+                "query_id": pa.array(out_q, type=pa.string()),
+            }
+        )
+
+
+def percolate(ds, queries: dict, *, text_col: str = "text", id_col: str = "doc_id",
+              analyzer: str = "standard", concurrency: int = 4):
+    """Match every registered query against every document in ``ds``.
+
+    Returns Dataset (id_col, query_id) — one row per (doc, matching query).
+    Queries are parsed once per actor; each batch builds one in-RAM
+    mini-index (MemoryIndex) — streaming, no driver materialization.
+    """
+    return ds.map_batches(
+        Percolator,
+        fn_constructor_kwargs=dict(queries=queries, text_col=text_col,
+                                   id_col=id_col, analyzer=analyzer),
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )

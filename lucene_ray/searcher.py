@@ -211,6 +211,37 @@ class IndexSearcher:
         self.range_stats = {"docs_examined": 0, "max_doc_total": 0}
         self.sort_stats = {"docs_examined": 0, "docs_matched": 0}
 
+    @classmethod
+    def from_readers(cls, readers, *, mode: str = "exact", config: dict | None = None):
+        """Searcher over in-RAM readers (the MemoryIndex / percolator path):
+        no manifest, no disk; collection + term statistics are the sums of
+        the readers' per-segment partials (exactly what a committed manifest
+        would hold)."""
+        from lucene_ray.functions.similarity import CollectionStatistics
+
+        s = cls.__new__(cls)
+        s.index_dir = None
+        s.manifest = None
+        s.readers = list(readers)
+        s.global_term_stats = None
+        s.collection_stats = CollectionStatistics(
+            max_doc=sum(r.meta["max_doc"] for r in s.readers),
+            doc_count=sum(r.meta["doc_count"] for r in s.readers),
+            sum_doc_freq=sum(r.meta["sum_doc_freq"] for r in s.readers),
+            sum_total_term_freq=sum(r.meta["sum_total_term_freq"] for r in s.readers),
+        )
+        cfg = config or {}
+        s.fields = tuple(cfg.get("text_cols") or ())
+        s.default_field = cfg.get("text_col", "text")
+        s._multi = len(s.fields) > 1
+        s._cstats_cache = {}
+        s.mode = mode
+        s.sim = BM25Similarity() if mode == "lucene" else BM25ExactSimilarity()
+        s._ts_cache = {}
+        s.range_stats = {"docs_examined": 0, "max_doc_total": 0}
+        s.sort_stats = {"docs_examined": 0, "docs_matched": 0}
+        return s
+
     # ---------------------------------------------------------------- fields
 
     def _fp(self, field: str | None) -> str:
@@ -691,13 +722,34 @@ class IndexSearcher:
 
     def spell_suggest(self, term: str, k: int = 3, max_edits: int = 2) -> list[str]:
         """Did-you-mean (suggest/spell/DirectSpellChecker analogue): dictionary
-        terms within ``max_edits``, ranked by (edits asc, docFreq desc, term)."""
+        terms within ``max_edits``, ranked by (edits asc, docFreq desc, term).
+
+        Candidate pruning (EXACT — provably admissible, the n-gram analogue
+        of DirectSpellChecker's FuzzyTermsEnum automaton walk): a term within
+        e edits of the query shares at least ``max(len)-1-2e`` character
+        bigrams with it, so a lazily-built per-reader bigram→terms index
+        cuts the scan from the whole dictionary to the bigram-overlap
+        candidates; only terms too short for the bound to prune (len<5) are
+        still scanned exhaustively."""
         fp = self._fp(None)
         seen: dict[str, int] = {}
+        q_bigrams = {term[i : i + 2] for i in range(len(term) - 1)}
         for r in self.readers:
             lo, hi = r.term_range(fp) if fp else (0, r.n_terms)
-            for i in range(lo, hi):
-                t = r.terms[i][len(fp):]
+            bg_index, short_idx = self._bigram_index(r, fp, lo, hi)
+            counts = np.zeros(hi - lo, dtype=np.int32)
+            for g in q_bigrams:
+                ids = bg_index.get(g)
+                if ids is not None:
+                    counts[ids] += 1
+            cand = set(short_idx)
+            for i in np.flatnonzero(counts).tolist():
+                t = r.term_at(lo + i)[len(fp):]
+                need = max(0, max(len(term), len(t)) - 1 - 2 * max_edits)
+                if counts[i] >= need:
+                    cand.add(lo + i)
+            for i in cand:
+                t = r.term_at(i)[len(fp):]
                 if t == term or t in seen:
                     continue
                 ed = _bounded_edit_distance(term, t, max_edits)
@@ -709,14 +761,49 @@ class IndexSearcher:
         )
         return [t for t, _ in ranked[:k]]
 
+    @staticmethod
+    def _bigram_index(r: SegmentReader, fp: str, lo: int, hi: int):
+        """Lazy per-reader (bigram → np term offsets, short-term indices)."""
+        cached = getattr(r, "_spell_bigrams", None)
+        if cached is not None and cached[0] == (fp, lo, hi):
+            return cached[1], cached[2]
+        bg: dict[str, list[int]] = {}
+        short: list[int] = []
+        for i in range(lo, hi):
+            t = r.term_at(i)[len(fp):]
+            if len(t) < 5:
+                short.append(i)
+            for j in range(len(t) - 1):
+                bg.setdefault(t[j : j + 2], []).append(i - lo)
+        bgn = {g: np.unique(np.asarray(v, dtype=np.int64)) for g, v in bg.items()}
+        r._spell_bigrams = ((fp, lo, hi), bgn, short)
+        return bgn, short
+
     def more_like_this(self, doc_key, *, max_query_terms: int = 10,
-                       min_tf: int = 1, k: int = 10) -> TopDocs:
+                       min_tf: int = 1, k: int = 10, text: str | None = None,
+                       analyzer=None) -> TopDocs:
         """MoreLikeThis (queries/.../mlt/MoreLikeThis.java semantics): pick
         the doc's top terms by tf·idf, search them as a SHOULD query with the
-        source doc excluded."""
+        source doc excluded.
+
+        ``text`` — the document's stored text, when the caller has it (the
+        row store is the source parquet): the reference's
+        ``MoreLikeThis.like(Reader)`` path, which re-analyzes the text
+        instead of probing every dictionary term's postings. Without it the
+        dictionary-scan fallback runs (fine for bounded vocabularies)."""
         fp = self._fp(None)
         tf: dict[str, int] = {}
-        for r in self.readers:
+        if text is not None:
+            from lucene_ray.functions.analysis import get_analyzer
+
+            an = analyzer or get_analyzer(
+                (self.manifest.config or {}).get("analyzer", "standard")
+                if self.manifest else "standard"
+            )
+            codes, vocab, _di, _pos, _dl = an.tokenize_batch_encoded([text])
+            cnt = np.bincount(codes, minlength=len(vocab))
+            tf = {str(vocab[i]): int(cnt[i]) for i in range(len(vocab)) if cnt[i]}
+        for r in self.readers if text is None else ():
             pos = np.flatnonzero(r.doc_keys == doc_key)
             if not len(pos):
                 continue
@@ -803,6 +890,30 @@ class IndexSearcher:
             for v, c in zip(vals.tolist(), counts.tolist()):
                 out[v] = out.get(v, 0) + c
         return out
+
+    def taxonomy_counts(self, query: Query | str, dims: list[str]) -> list[tuple]:
+        """Hierarchical facet counts with rollup (facet/.../taxonomy/
+        TaxonomyFacetCounts + DirectoryTaxonomyReader.java:61 semantics over
+        a flat dim hierarchy): for matching docs, counts for every path
+        prefix of the dim chain — ('src0',), ('src0','en'), … — plus the
+        root total. Returns [(path tuple, count)] sorted; rollup rows carry
+        the prefix path (deeper levels as None)."""
+        if isinstance(query, str):
+            query = parse_query(query)
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for r in self.readers:
+            sp = self._apply_live(r, self._eval(r, query))
+            if not len(sp.docs):
+                continue
+            cols = [r.doc_values[d][sp.docs] for d in dims]
+            n = len(sp.docs)
+            counts[()] += n
+            for depth in range(1, len(dims) + 1):
+                keys = list(zip(*[c.tolist() for c in cols[:depth]]))
+                counts.update(keys)
+        return sorted(counts.items(), key=lambda kv: (len(kv[0]), kv[0]))
 
     def grouped_topk(
         self, query: Query | str, group_field: str, k_per_group: int = 2

@@ -385,6 +385,22 @@ class SegmentReader:
             self.meta = json.load(f)
         self.name = self.meta["name"]
         p = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
+        d = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
+        self._load(p, d)
+
+    @classmethod
+    def from_tables(cls, postings_tbl: pa.Table, docs_tbl: pa.Table, meta: dict) -> "SegmentReader":
+        """In-RAM reader over freshly built tables — the MemoryIndex analogue
+        (memory/.../MemoryIndex.java:161): no disk round-trip, same read
+        surface. Used by the percolator pipeline."""
+        r = cls.__new__(cls)
+        r.dir = None
+        r.meta = dict(meta)
+        r.name = meta.get("name", "memory")
+        r._load(postings_tbl, docs_tbl)
+        return r
+
+    def _load(self, p: pa.Table, d: pa.Table) -> None:
         self._ptable = p  # owns every zero-copy buffer view below
         # term dictionary stays an ARROW string array; term_index/term_range
         # binary-search it with O(log n) .as_py() probes — the full Python
@@ -410,7 +426,6 @@ class SegmentReader:
             self._impf_views = None
             self._impl_views = None
         self._pos_off, self._pos_data = _binary_views(p.column("positions"))
-        d = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
         self.doc_keys = d.column("doc_key").to_numpy(zero_copy_only=False)
         self.norms = d.column("norm").to_numpy()
         self.dls = d.column("dl").to_numpy()

@@ -103,3 +103,41 @@ def test_index_job_cli(tmp_path):
 
     info = json.loads(out.stdout.strip().splitlines()[-1])
     assert info["max_doc"] == 500
+
+
+def test_spell_prefilter_equals_full_scan(idx):
+    """The bigram prefilter must be EXACT: same suggestions as a brute-force
+    full-dictionary scan for every query term."""
+    from lucene_ray.searcher import IndexSearcher, _bounded_edit_distance
+
+    s = IndexSearcher(idx)
+    r = s.readers[0]
+    vocab = {t for rd in s.readers for t in rd.terms.tolist()}
+
+    def brute(term, k=5, max_edits=2):
+        seen = {}
+        for t in vocab:
+            if t == term:
+                continue
+            ed = _bounded_edit_distance(term, t, max_edits)
+            if ed > 0:
+                seen[t] = ed
+        return [t for t, _ in sorted(
+            seen.items(),
+            key=lambda kv: (kv[1], -s.term_statistics(kv[0]).doc_freq, kv[0]))][:5]
+
+    for term in ["merge", "mrege", "window", "batc", "xy", "strem"]:
+        assert s.spell_suggest(term, k=5) == brute(term), term
+
+
+def test_mlt_text_path_matches_scan_path(idx):
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(idx)
+    key = s.readers[0].doc_keys[0]
+    # reconstruct the doc's text from the index is not possible; instead use
+    # a synthetic text containing the doc's terms — both paths must produce a
+    # TopDocs with the source doc excluded
+    td = s.more_like_this(key, k=5, text="merge sort stream batch merge")
+    assert all(sd.doc_key != key for sd in td.score_docs)
+    assert len(td.score_docs) > 0
