@@ -41,6 +41,10 @@ NUM_PARTITIONS = int(os.environ.get("BENCH_PARTITIONS", "64"))
 # cost rises superlinearly once a shard's token arrays spill out of LLC)
 BENCH_FILES = int(os.environ.get("BENCH_FILES", "128"))
 QUERY_REPEATS = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
+# BENCH_STAGES=core limits a run to the stages the scaling metric reads
+# (index build + merge + warm query latency) — the --scaling child runs use
+# it so 3 trials × 2 levels fit a sane wall-clock; default runs everything
+STAGES = os.environ.get("BENCH_STAGES", "all")
 
 
 def run_bench() -> dict:
@@ -114,18 +118,20 @@ def run_bench() -> dict:
 
     # 1b. the hash-partitioned groupby build (the explicit-shuffle path) on
     # the same input, timed for comparison
+    core_only = STAGES == "core"
     t0 = time.time()
     shuffle_dir = index_dir + "-shuffle"
     shutil.rmtree(shuffle_dir, ignore_errors=True)
     from lucene_ray.sources.io import read_parquet_clean
 
-    ds = read_parquet_clean(corpus_dir, columns=["url", "html"])
-    ds = ds.map_batches(extract_batch, batch_format="pyarrow")
-    build_index(ds, shuffle_dir, key_col="url", text_col="text",
-                num_partitions=NUM_PARTITIONS, analyzer="standard",
-                store_positions=True, resume=False)
-    timings["index_build_shuffle"] = time.time() - t0
-    shutil.rmtree(shuffle_dir, ignore_errors=True)
+    if not core_only:
+        ds = read_parquet_clean(corpus_dir, columns=["url", "html"])
+        ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+        build_index(ds, shuffle_dir, key_col="url", text_col="text",
+                    num_partitions=NUM_PARTITIONS, analyzer="standard",
+                    store_positions=True, resume=False)
+        timings["index_build_shuffle"] = time.time() - t0
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
 
     # 2. merge round
     t0 = time.time()
@@ -162,6 +168,24 @@ def run_bench() -> dict:
     timings["query_p99"] = float(np.percentile(lat, 99))
     for a in actors:
         ray.kill(a)
+
+    if core_only:
+        total = timings["index_build"] + timings["merge"] + timings["query_wall"]
+        result = {
+            "metric": "core (build+merge+query) wall time",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 4) for k, v in timings.items()},
+            "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            "num_cpus": NUM_CPUS,
+            "n_docs_indexed": int(n_docs_total),
+            "index_docs_per_sec": round(n_docs_total / timings["index_build"], 1),
+            "mean_task_build_sec": round(
+                manifest.config["metrics"]["sum_partition_build_sec"]
+                / max(1, manifest.config["metrics"]["n_partitions"]), 4),
+        }
+        ray.shutdown()
+        return result
 
     # 3b. block-max WAND over the same query set — judge-visible evidence
     # that the block-lazy ImpactsDISI path actually skips decodes: counters
@@ -245,7 +269,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_STAGES="core")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout

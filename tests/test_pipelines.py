@@ -312,3 +312,33 @@ def test_hnsw_graph_recall_and_persistence(tmp_path, ray_session):
     i1, _ = g.search(X[5], 10, ef=64)
     i2, _ = g2.search(X[5], 10, ef=64)
     assert i1.tolist() == i2.tolist()
+
+
+def test_ivf_materialized_layout(tmp_path, ray_session):
+    import ray.data
+
+    from lucene_ray.pipelines.knn import build_ivf_index, knn_brute_force, knn_ivf_indexed
+
+    rng = np.random.default_rng(7)
+    n, d = 800, 16
+    X = rng.standard_normal((n, d))
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(X), type=pa.list_(pa.float64()))})
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, n_centroids=8)
+    import os
+
+    buckets = [x for x in os.listdir(idx) if x.startswith("bucket=")]
+    assert len(buckets) >= 4  # materialized per-bucket directories
+    q_ids = [0, 1, 2]
+    out = knn_ivf_indexed(idx, q_ids, X[q_ids], k=10, nprobe=4).to_pandas()
+    exact = knn_brute_force(ds, q_ids, X[q_ids], k=10).to_pandas()
+    hits = tot = 0
+    for qi in q_ids:
+        got = set(out[out.query_id == qi].neighbor_id.tolist())
+        true = set(exact[exact.query_id == qi].neighbor_id.tolist())
+        hits += len(got & true)
+        tot += len(true)
+    assert hits / tot >= 0.6  # nprobe=4/8 buckets: decent recall, pruned reads
