@@ -110,3 +110,24 @@ def test_manifest_commit_conflict(tmp_path):
     # next generation commits fine
     Manifest(d, 2, [], {}).commit()
     assert Manifest.load(d).gen == 2
+
+
+def test_merge_retries_on_commit_conflict(tmp_path, ray_session):
+    import pandas as pd
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.state.merge import merge_index
+
+    src = str(tmp_path / "d.parquet")
+    pd.DataFrame({"doc_id": range(50),
+                  "text": [f"w{i % 7} common" for i in range(50)]}).to_parquet(src)
+    d = str(tmp_path / "idx")
+    build_index(src, d, key_col="doc_id", text_col="text", num_partitions=4,
+                columns=["doc_id", "text"])
+    m = Manifest.load(d)
+    # a concurrent writer claims the next generation first
+    Manifest(d, m.gen + 1, m.segments, m.config).commit()
+    out = merge_index(d, merge_factor=4, use_ray=False)
+    # merge retried past the conflict and committed a later generation
+    assert out.gen >= m.gen + 2
+    assert len(out.segments) < len(m.segments)
