@@ -581,20 +581,23 @@ def _q_langid_counts(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
+    """IVF over a MATERIALIZED per-centroid bucket layout (built once,
+    cached): probing prunes read I/O, not just compute — the 100-TB shape."""
     import pyarrow.parquet as pq
-    import ray.data
 
-    from lucene_ray.pipelines.knn import knn_ivf
+    from lucene_ray.pipelines.knn import build_ivf_index, knn_ivf_indexed
+    from lucene_ray.sources.io import read_parquet_clean
 
     pdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
     qvecs = np.array(
         pdf[pdf.vec_id.isin(KNN_QUERY_IDS)].sort_values("vec_id").embedding.tolist(),
         dtype=np.float64,
     )
-    from lucene_ray.sources.io import read_parquet_clean
-
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
-    return knn_ivf(ds, KNN_QUERY_IDS, qvecs, k=K, n_centroids=8, nprobe=4)
+    idx = _cache_dir(sf_dir, "ivf")
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+        build_ivf_index(ds, idx, n_centroids=8)
+    return knn_ivf_indexed(idx, KNN_QUERY_IDS, qvecs, k=K, nprobe=4)
 
 
 def _q_lucene_topk(sf_dir: str):

@@ -650,6 +650,22 @@ class IndexSearcher:
         keep = ~np.isin(a.docs, not_docs, assume_unique=True)
         return _SparseScores(a.docs[keep], a.scores[keep], a.counts[keep])
 
+    def _filter_docs(self, r: SegmentReader, q: Query) -> np.ndarray:
+        cache = getattr(r, "_filter_cache", None)
+        if cache is None:
+            cache = r._filter_cache = {}
+        try:
+            hit = cache.get(q)
+        except TypeError:  # unhashable query (custom fn) — evaluate directly
+            return self._eval(r, q).docs
+        if hit is not None:
+            return hit
+        docs = self._eval(r, q).docs
+        if len(cache) > 64:
+            cache.pop(next(iter(cache)))
+        cache[q] = docs
+        return docs
+
     def _eval_bool(self, r: SegmentReader, q: BooleanQuery, boost: float) -> _SparseScores:
         empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
         result: _SparseScores | None = None
@@ -659,8 +675,14 @@ class IndexSearcher:
             if not len(result.docs):
                 return empty
         for f in q.filter:
-            sub = self._eval(r, f)  # FILTER: matches constrain, scores don't count
-            sub = _SparseScores(sub.docs, np.zeros(len(sub.docs)), sub.counts * 0)
+            # FILTER: matches constrain, scores don't count. Results are
+            # cached per (reader, query) — the LRUQueryCache analogue
+            # (search/LRUQueryCache.java caches filter-context DocIdSets on
+            # reuse); our queries are immutable hashable values, so the doc
+            # array itself is the cached bitset.
+            fdocs = self._filter_docs(r, f)
+            sub = _SparseScores(fdocs, np.zeros(len(fdocs)),
+                                np.zeros(len(fdocs), dtype=np.int32))
             result = sub if result is None else self._intersect(result, sub)
             if not len(result.docs):
                 return empty
