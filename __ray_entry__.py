@@ -776,6 +776,27 @@ def _q_taxonomy_facets(sf_dir: str) -> pa.Table:
     )
 
 
+POINT_BOXES = [(100, 400, 0, 200), (250, 900, 100, 450), (0, 5000, 300, 499)]
+
+
+def _q_point_box_count(sf_dir: str) -> pa.Table:
+    """2-D BKD-style box counts over (n_chars, doc_id) doc values — the
+    multidimensional points operator (util/bkd + PointRangeQuery 2-dim)."""
+    from lucene_ray.query import PointBoxQuery
+
+    s = _searcher(sf_dir)
+    rows = []
+    for bi, (x0, x1, y0, y1) in enumerate(POINT_BOXES):
+        n = s.count(PointBoxQuery("n_chars", "doc_id", x0, x1, y0, y1))
+        rows.append((bi, n))
+    return pa.table(
+        {
+            "box_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n_docs": pa.array([r[1] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def _q_facet_lang(sf_dir: str) -> pa.Table:
     from lucene_ray.query import TermQuery
 
@@ -1242,6 +1263,13 @@ SELECT rank, doc_id, n_chars FROM ranked WHERE rank <= {K}
 """
 
 
+
+_SQL_POINT_BOX = "\nUNION ALL\n".join(
+    f"SELECT {bi} AS box_id, count(*) AS n_docs FROM documents "
+    f"WHERE n_chars BETWEEN {x0} AND {x1} AND doc_id BETWEEN {y0} AND {y1}"
+    for bi, (x0, x1, y0, y1) in enumerate(POINT_BOXES)
+)
+
 _SQL_PERCOLATE = f"""
 WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
 m AS (
@@ -1324,6 +1352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after": _q_search_after,
         "prefix_count": _q_prefix_count,
         "numeric_range_topk": _q_numeric_range_topk,
+        "point_box_count": _q_point_box_count,
         "wildcard_count": _q_wildcard_count,
         "term_range_count": _q_term_range_count,
         "fuzzy_count": _q_fuzzy_count,
@@ -1374,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         "search_after": _sql_single_term_topk(["merge"], rank_lo=11, rank_hi=20),
         "prefix_count": _SQL_PREFIX_COUNT,
         "numeric_range_topk": _SQL_NUMERIC_RANGE,
+        "point_box_count": _SQL_POINT_BOX,
         "wildcard_count": _SQL_WILDCARD,
         "term_range_count": _SQL_TERM_RANGE,
         "fuzzy_count": _SQL_FUZZY,

@@ -1,0 +1,90 @@
+"""2-D point index — the BKD tree analogue for multidimensional ranges.
+
+Reference: util/bkd/BKDWriter.java:76 builds a balanced k-d tree over packed
+point values (leaf blocks of ~512 points, split dimension by widest spread),
+queried by PointRangeQuery with CELL_INSIDE / CELL_CROSSES pruning. This is
+the same structure in numpy: median splits on the wider dimension, an
+implicit array-backed tree, leaves ≤ ``LEAF_SIZE`` filtered vectorized, and
+inner cells pruned (or bulk-accepted) against the query box — so a box
+query touches O(boundary cells + hits) points, not O(n).
+
+Pure kernel; built lazily per SegmentReader column pair (like
+``numeric_index``) and cached.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LEAF_SIZE = 512
+
+
+class KDIndex:
+    """Array-backed balanced 2-d tree over (x, y) with payload docIDs."""
+
+    __slots__ = ("xs", "ys", "ids", "nodes")
+
+    def __init__(self, xs: np.ndarray, ys: np.ndarray, ids: np.ndarray):
+        order = np.arange(len(xs), dtype=np.int64)
+        self.xs = np.asarray(xs, dtype=np.float64).copy()
+        self.ys = np.asarray(ys, dtype=np.float64).copy()
+        self.ids = np.asarray(ids, dtype=np.int32).copy()
+        # nodes: list of (lo, hi, dim, split_val, left, right); leaf => dim=-1
+        self.nodes: list[tuple] = []
+        if len(xs):
+            self._build(0, len(xs))
+        del order
+
+    def _build(self, lo: int, hi: int) -> int:
+        me = len(self.nodes)
+        self.nodes.append(None)  # placeholder
+        if hi - lo <= LEAF_SIZE:
+            self.nodes[me] = (lo, hi, -1, 0.0, -1, -1)
+            return me
+        xs, ys = self.xs[lo:hi], self.ys[lo:hi]
+        dim = 0 if (xs.max() - xs.min()) >= (ys.max() - ys.min()) else 1
+        vals = xs if dim == 0 else ys
+        mid = (hi - lo) // 2
+        part = np.argpartition(vals, mid)
+        # apply the permutation to the slice in place
+        for arr in (self.xs, self.ys, self.ids):
+            arr[lo:hi] = arr[lo:hi][part]
+        split_val = float((self.xs if dim == 0 else self.ys)[lo + mid])
+        left = self._build(lo, lo + mid)
+        right = self._build(lo + mid, hi)
+        self.nodes[me] = (lo, hi, dim, split_val, left, right)
+        return me
+
+    def box(self, x0: float, x1: float, y0: float, y1: float):
+        """docIDs with x0 ≤ x ≤ x1 and y0 ≤ y ≤ y1 (sorted), plus the number
+        of points actually examined (pruning telemetry)."""
+        if not len(self.xs):
+            return np.empty(0, dtype=np.int32), 0
+        out: list[np.ndarray] = []
+        examined = 0
+        # per-node bounding boxes tracked during descent (root = infinite)
+        stack = [(0, -np.inf, np.inf, -np.inf, np.inf)]
+        while stack:
+            ni, bx0, bx1, by0, by1 = stack.pop()
+            lo, hi, dim, sv, left, right = self.nodes[ni]
+            if bx0 > x1 or bx1 < x0 or by0 > y1 or by1 < y0:
+                continue  # CELL_OUTSIDE
+            if x0 <= bx0 and bx1 <= x1 and y0 <= by0 and by1 <= y1:
+                out.append(self.ids[lo:hi])  # CELL_INSIDE: bulk accept
+                continue
+            if dim < 0:  # leaf: vectorized filter
+                xs, ys = self.xs[lo:hi], self.ys[lo:hi]
+                examined += hi - lo
+                m = (xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)
+                if m.any():
+                    out.append(self.ids[lo:hi][m])
+                continue
+            if dim == 0:
+                stack.append((left, bx0, sv, by0, by1))
+                stack.append((right, sv, bx1, by0, by1))
+            else:
+                stack.append((left, bx0, bx1, by0, sv))
+                stack.append((right, bx0, bx1, sv, by1))
+        if not out:
+            return np.empty(0, dtype=np.int32), examined
+        return np.sort(np.concatenate(out)), examined

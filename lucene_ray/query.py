@@ -113,6 +113,20 @@ class NumericRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class PointBoxQuery(Query):
+    """2-D box over two numeric doc-values columns, served by the BKD-style
+    k-d index (util/bkd/BKDWriter.java:76 + PointRangeQuery 2-dim case).
+    Non-scoring (constant score), composes as FILTER/MUST."""
+
+    field_x: str
+    field_y: str
+    x0: float
+    x1: float
+    y0: float
+    y1: float
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     """Multi-term scored as ONE pseudo-term: summed tf per doc, idf from the
     blended (max) docFreq (search/SynonymQuery.java:52-214)."""

@@ -54,6 +54,7 @@ from lucene_ray.query import (
     MatchAllDocsQuery,
     NumericRangeQuery,
     PhraseQuery,
+    PointBoxQuery,
     PrefixQuery,
     Query,
     RegexpQuery,
@@ -561,6 +562,13 @@ class IndexSearcher:
             return self._eval_block_join_parent(r, q, boost)
         if isinstance(q, ToChildBlockJoinQuery):
             return self._eval_block_join_child(r, q, boost)
+        if isinstance(q, PointBoxQuery):
+            kd = r.kd_index(q.field_x, q.field_y)
+            docs, examined = kd.box(q.x0, q.x1, q.y0, q.y1)
+            st = self.range_stats
+            st["docs_examined"] += examined + len(docs)
+            st["max_doc_total"] += r.max_doc
+            return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, FuzzyQuery):
             return self._eval_fuzzy(r, q, boost)
         if isinstance(q, SynonymQuery):

@@ -632,6 +632,30 @@ class SegmentReader:
             hit = cache[field] = (vals[order], order)
         return hit
 
+    def kd_index(self, field_x: str, field_y: str):
+        """Lazy per-reader 2-D BKD-style point tree over two doc-values
+        columns (functions/points.KDIndex) — cached like numeric_index."""
+        cache = getattr(self, "_kd_cache", None)
+        if cache is None:
+            cache = self._kd_cache = {}
+        key = (field_x, field_y)
+        hit = cache.get(key)
+        if hit is None:
+            from lucene_ray.functions.points import KDIndex
+
+            def col(f):
+                v = self.doc_values.get(f)
+                if v is None and f == self.meta.get("key_col"):
+                    return self.doc_keys.astype(np.float64)  # numeric keys only
+                return v
+
+            hit = cache[key] = KDIndex(
+                col(field_x),
+                col(field_y),
+                np.arange(self.max_doc, dtype=np.int32),
+            )
+        return hit
+
     def decoded_lengths(self) -> np.ndarray:
         """float32 lengths as BM25 sees them (through the norm byte)."""
         return decode_norms(self.norms)

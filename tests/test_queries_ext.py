@@ -175,3 +175,58 @@ def test_manifest_rollback(ray_session, tmp_path):
     rollback(d, g0)
     assert Manifest.load(d).gen == g0
     assert IndexSearcher(d).count(TermQuery("merge")) == n0
+
+
+def test_point_box_kd_matches_bruteforce():
+    import numpy as np
+
+    from lucene_ray.functions.points import KDIndex
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    xs = rng.uniform(0, 100, n)
+    ys = rng.uniform(0, 100, n)
+    kd = KDIndex(xs, ys, np.arange(n))
+    total_examined = 0
+    for _ in range(25):
+        x0, x1 = sorted(rng.uniform(0, 100, 2))
+        y0, y1 = sorted(rng.uniform(0, 100, 2))
+        got, examined = kd.box(x0, x1, y0, y1)
+        want = np.flatnonzero((xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1))
+        assert got.tolist() == want.tolist()
+        total_examined += examined
+    # the tree pruned: boundary leaves only, far less than 25 full scans
+    assert total_examined < 25 * n * 0.6
+
+
+def test_point_box_query_end_to_end(tmp_path, ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import BooleanQuery, PointBoxQuery, TermQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    rng = np.random.default_rng(4)
+    n = 2000
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        "text": ["alpha beta" if i % 3 == 0 else "gamma delta" for i in range(n)],
+        "px": rng.uniform(0, 10, n),
+        "py": rng.uniform(0, 10, n),
+    })
+    src = str(tmp_path / "p.parquet")
+    pdf.to_parquet(src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, key_col="doc_id", text_col="text", num_partitions=3,
+                columns=["doc_id", "text", "px", "py"], docvalue_cols=("px", "py"))
+    s = IndexSearcher(idx)
+    q = PointBoxQuery("px", "py", 2.0, 5.0, 1.0, 4.0)
+    got = {sd.doc_key for sd in s.search(q, k=n).score_docs}
+    want = set(pdf[(pdf.px >= 2) & (pdf.px <= 5) & (pdf.py >= 1) & (pdf.py <= 4)].doc_id)
+    assert got == want
+    # composes as a filter clause
+    both = s.count(BooleanQuery(must=[TermQuery("alpha")], filter=[q]))
+    want_b = len(pdf[(pdf.doc_id % 3 == 0) & (pdf.px >= 2) & (pdf.px <= 5)
+                     & (pdf.py >= 1) & (pdf.py <= 4)])
+    assert both == want_b
