@@ -54,13 +54,27 @@ ENGLISH_STOP_WORDS = frozenset(
 #   and hiragana are single-codepoint tokens (IDEOGRAPHIC/HIRAGANA types).
 # Known divergences vs the full grammar (documented, golden-tested): emoji
 # sequences, Hebrew-quote rules, mixed katakana+latin adjacency.
+# Emoji sequences (faces, tone-modified hands, ZWJ families) are emitted
+# as single tokens, matching the grammar's EMOJI type
+# (StandardTokenizerImpl.jflex, Unicode-9 word-break + emoji rules);
+# regional-indicator flags / keycaps remain documented divergences.
+_EMOJI_BASE = "[\U0001F000-\U0001FAFF\u2600-\u27BF\u2B00-\u2BFF\u2764\u2B50]"
+_EMOJI_MOD = "[\U0001F3FB-\U0001F3FF\uFE0F]"
+_EMOJI_SEG = f"{_EMOJI_BASE}{_EMOJI_MOD}*(?:\u200D{_EMOJI_BASE}{_EMOJI_MOD}*)*"
 _IDEO_HIRA = "⺀-⻿぀-ゟ㐀-䶿一-鿿豈-﫿"
 _KATA = "ァ-ヺー-ヿㇰ-ㇿ"
 _L = rf"[^\W\d_{_IDEO_HIRA}{_KATA}]"  # unicode letter, CJK handled separately
-_LSEG = rf"{_L}+(?:[.:'’·]{_L}+)*"
+# Hebrew-quote word-break rules (WB7a/b/c of the UAX#29 grammar the
+# reference compiles): gershayim/double-quote BETWEEN Hebrew letters
+# joins (צה״ל stays one token); a single quote/geresh AFTER a Hebrew
+# letter is kept (WB7a).
+_HEB = "\u05D0-\u05EA"
+_LJOIN = rf"(?:[.:\u0027\u2019\u00B7]|(?<=[{_HEB}])[\"\u05F4](?=[{_HEB}]))"
+_LSEG = rf"{_L}+(?:{_LJOIN}{_L}+)*(?:(?<=[{_HEB}])[\u0027\u05F3])?"
 _DSEG = rf"\d+(?:[.,;'’]\d+)*"
 _TOKEN_RE = re.compile(
-    rf"[{_KATA}]+"
+    rf"{_EMOJI_SEG}"
+    rf"|[{_KATA}]+"
     rf"|[{_IDEO_HIRA}]"
     rf"|_*(?:{_LSEG}|{_DSEG})(?:_*(?:{_LSEG}|{_DSEG}))*_*",
     re.UNICODE,

@@ -131,3 +131,39 @@ def test_merge_retries_on_commit_conflict(tmp_path, ray_session):
     # merge retried past the conflict and committed a later generation
     assert out.gen >= m.gen + 2
     assert len(out.segments) < len(m.segments)
+
+
+def test_emoji_tokens():
+    """The standard tokenizer emits emoji sequences as single tokens
+    (StandardTokenizerImpl.jflex EMOJI type, Unicode-9 grammar)."""
+    an = Analyzer(kind="standard")
+
+    def toks(t):
+        terms, _, _, _ = an.tokenize_batch([t])
+        return terms.tolist()
+
+    assert toks("hello \U0001F600 world") == ["hello", "\U0001F600", "world"]
+    # skin-tone modifier stays attached
+    assert toks("ok \U0001F44D\U0001F3FD done") == ["ok", "\U0001F44D\U0001F3FD", "done"]
+    # ZWJ family sequence is ONE token
+    fam = "\U0001F468‍\U0001F469‍\U0001F467"
+    assert toks(f"a {fam} b") == ["a", fam, "b"]
+    # emoji are NOT in the Arrow-safe fast path (would be dropped there)
+    import re
+
+    assert not re.compile(Analyzer._ARROW_SAFE_RE).match("\U0001F600")
+
+
+def test_hebrew_quote_rules():
+    """WB7a/b/c: gershayim between Hebrew letters joins; trailing geresh /
+    single quote after a Hebrew letter is kept; Latin double quotes split."""
+    an = Analyzer(kind="standard")
+
+    def toks(t):
+        terms, _, _, _ = an.tokenize_batch([t])
+        return terms.tolist()
+
+    assert toks('צה״ל test') == ['צה״ל', 'test']
+    assert toks('abc"def') == ['abc', 'def']
+    assert toks("מא' end") == ["מא'", 'end']
+    assert toks("don't stop") == ["don't", 'stop']
