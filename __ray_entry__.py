@@ -202,6 +202,61 @@ def _q_span_near_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, qs)
 
 
+DISMAX = (("merge", "window"), 0.3)
+
+
+def _mf_gate_index(sf_dir: str) -> str:
+    """Multi-field gate index: a deterministic 'title' field (the doc's
+    first 3 simple tokens — identically derivable in SQL) + the body, each
+    with its own postings/norms/statistics (FieldInvertState per field)."""
+    import ray.data
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.sources.io import read_parquet_clean
+    from lucene_ray.state.manifest import Manifest
+
+    d = _cache_dir(sf_dir, "gatemf")
+    if Manifest.exists(d):
+        return d
+
+    def add_title(batch: pa.Table) -> pa.Table:
+        import re
+
+        pat = re.compile(r"[a-z0-9]+")
+        titles = [" ".join(pat.findall(t.lower())[:3])
+                  for t in batch.column("text").to_pylist()]
+        return batch.append_column("title", pa.array(titles, type=pa.string()))
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet").map_batches(
+        add_title, batch_format="pyarrow")
+    build_index(ds, d, key_col="doc_id", text_col="text",
+                text_cols=("title", "text"), num_partitions=4,
+                analyzer="simple", columns=None)
+    return d
+
+
+def _q_field_title_topk(sf_dir: str) -> pa.Table:
+    """Fielded search gate: TermQuery on the TITLE field scores against the
+    title field's own statistics (per-field avgdl/df — FieldInvertState)."""
+    from lucene_ray.query import TermQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(_mf_gate_index(sf_dir), mode="exact")
+    qs = [(f"title:{t}", TermQuery(t, field="title")) for t in ("merge", "the")]
+    return _ranked_topk(s, qs)
+
+
+def _q_dismax_topk(sf_dir: str) -> pa.Table:
+    """DisjunctionMaxQuery gate: score = max(sub) + tie·(sum − max)
+    (search/DisjunctionMaxQuery.java), mirrored exactly in SQL."""
+    from lucene_ray.query import DisjunctionMaxQuery, TermQuery
+
+    s = _searcher(sf_dir)
+    (t0, t1), tie = DISMAX
+    q = DisjunctionMaxQuery([TermQuery(t0), TermQuery(t1)], tie_breaker=tie)
+    return _ranked_topk(s, [(f"dismax {t0}|{t1}", q)])
+
+
 def _q_msm_topk(sf_dir: str) -> pa.Table:
     from lucene_ray.query import BooleanQuery, TermQuery
 
@@ -1270,6 +1325,58 @@ _SQL_POINT_BOX = "\nUNION ALL\n".join(
     for bi, (x0, x1, y0, y1) in enumerate(POINT_BOXES)
 )
 
+
+_DM_T0, _DM_T1 = DISMAX[0]
+_DM_TIE = DISMAX[1]
+_SQL_DISMAX = f"""
+WITH {_BASE},
+s0 AS (SELECT tf.doc_id, {_SCORE} AS sc FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+       JOIN df ON df.term = tf.term CROSS JOIN stats WHERE tf.term = '{_DM_T0}'),
+s1 AS (SELECT tf.doc_id, {_SCORE} AS sc FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+       JOIN df ON df.term = tf.term CROSS JOIN stats WHERE tf.term = '{_DM_T1}'),
+u AS (
+  SELECT COALESCE(s0.doc_id, s1.doc_id) AS doc_id,
+         COALESCE(s0.sc, 0) AS a, COALESCE(s1.sc, 0) AS b
+  FROM s0 FULL OUTER JOIN s1 ON s0.doc_id = s1.doc_id
+),
+scored AS (
+  SELECT doc_id, greatest(a, b) + {_DM_TIE} * (a + b - greatest(a, b)) AS score FROM u
+),
+ranked AS (
+  SELECT 'dismax {_DM_T0}|{_DM_T1}' AS query, doc_id,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
+"""
+
+
+_SQL_FIELD_TITLE = f"""
+WITH tb AS (
+  SELECT doc_id, list_slice({_TOK}, 1, 3) AS toks FROM documents
+),
+ttoks AS (SELECT doc_id, unnest(toks) AS term FROM tb),
+ttf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ttoks GROUP BY doc_id, term),
+tdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ttoks GROUP BY doc_id),
+tdf AS (SELECT term, count(*)::DOUBLE AS df FROM ttf GROUP BY term),
+tstats AS (SELECT (SELECT count(*) FROM tdl)::DOUBLE AS doc_count,
+                  (SELECT sum(dl) FROM tdl)::DOUBLE AS sum_ttf),
+scored AS (
+  SELECT 'title:' || ttf.term AS query, ttf.doc_id,
+         ln(1 + (s.doc_count - tdf.df + 0.5)/(tdf.df + 0.5))
+         * (ttf.tf * 2.2) / (ttf.tf + 1.2 * (1 - 0.75 + 0.75 * tdl.dl / (s.sum_ttf / s.doc_count))) AS score
+  FROM ttf JOIN tdl ON tdl.doc_id = ttf.doc_id JOIN tdf ON tdf.term = ttf.term
+  CROSS JOIN tstats s
+  WHERE ttf.term IN ('merge', 'the')
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
+"""
+
 _SQL_PERCOLATE = f"""
 WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
 m AS (
@@ -1349,6 +1456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_slop_topk": _q_phrase_slop_topk,
         "span_near_topk": _q_span_near_topk,
         "min_should_match_topk": _q_msm_topk,
+        "dismax_topk": _q_dismax_topk,
+        "field_title_topk": _q_field_title_topk,
         "search_after": _q_search_after,
         "prefix_count": _q_prefix_count,
         "numeric_range_topk": _q_numeric_range_topk,
@@ -1400,6 +1509,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_slop_topk": _sql_phrase_slop_topk(SLOP_QUERIES),
         "span_near_topk": _sql_span_near_topk(SPAN_QUERIES),
         "min_should_match_topk": _sql_multi_term_topk([MSM_QUERY], "or", k=20, msm=2),
+        "dismax_topk": _SQL_DISMAX,
+        "field_title_topk": _SQL_FIELD_TITLE,
         "search_after": _sql_single_term_topk(["merge"], rank_lo=11, rank_hi=20),
         "prefix_count": _SQL_PREFIX_COUNT,
         "numeric_range_topk": _SQL_NUMERIC_RANGE,

@@ -921,6 +921,23 @@ class IndexSearcher:
                 out[v] = out.get(v, 0) + c
         return out
 
+    def document(self, doc_key) -> dict | None:
+        """Stored-fields retrieval (IndexSearcher.doc / StoredFields analogue):
+        the per-doc row from the docs table — key, doc-values columns, norms.
+        The wide original text lives in the source parquet row store (the
+        design's stored-fields layer); everything indexed as doc values is
+        available here."""
+        for r in self.readers:
+            pos = np.flatnonzero(r.doc_keys == doc_key)
+            if len(pos):
+                i = int(pos[0])
+                out = {"doc_key": doc_key, "dl": int(r.dls[i])}
+                for name, arr in r.doc_values.items():
+                    v = arr[i]
+                    out[name] = v.item() if hasattr(v, "item") else v
+                return out
+        return None
+
     def taxonomy_counts(self, query: Query | str, dims: list[str]) -> list[tuple]:
         """Hierarchical facet counts with rollup (facet/.../taxonomy/
         TaxonomyFacetCounts + DirectoryTaxonomyReader.java:61 semantics over

@@ -230,3 +230,21 @@ def test_point_box_query_end_to_end(tmp_path, ray_session):
     want_b = len(pdf[(pdf.doc_id % 3 == 0) & (pdf.px >= 2) & (pdf.px <= 5)
                      & (pdf.py >= 1) & (pdf.py <= 4)])
     assert both == want_b
+
+
+def test_document_retrieval(tmp_path, ray_session):
+    import pandas as pd
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.searcher import IndexSearcher
+
+    src = str(tmp_path / "d.parquet")
+    pd.DataFrame({"doc_id": [1, 2], "text": ["one two", "three"],
+                  "score_v": [10, 20]}).to_parquet(src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, key_col="doc_id", text_col="text", num_partitions=1,
+                columns=["doc_id", "text", "score_v"], docvalue_cols=("score_v",))
+    s = IndexSearcher(idx)
+    d = s.document(1)
+    assert d == {"doc_key": 1, "dl": 2, "score_v": 10}
+    assert s.document(99) is None
