@@ -150,6 +150,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    max_bucket: int = 500,
 ):
     """MinHash+LSH near-duplicate pairs, verified by true shingle Jaccard.
 
@@ -195,6 +196,12 @@ def minhash_lsh_pairs(
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g[id_col].tolist())
+        if len(ids) > max_bucket:
+            # degenerate bucket (boilerplate/empty shingles): O(g²) pair
+            # emission would explode at web scale — skip it, like dropping a
+            # stop-term. Other bands still pair the genuinely-near docs.
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
         pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
         return pd.DataFrame(pairs, columns=["id_a", "id_b"]).astype("int64")
 
