@@ -167,3 +167,17 @@ def test_hebrew_quote_rules():
     assert toks('abc"def') == ['abc', 'def']
     assert toks("מא' end") == ["מא'", 'end']
     assert toks("don't stop") == ["don't", 'stop']
+
+
+def test_memory_index():
+    from lucene_ray.query import NumericRangeQuery, TermQuery
+    from lucene_ray.state.memory import MemoryIndex
+
+    mi = MemoryIndex([3, 1, 2], ["alpha beta", "beta gamma", "alpha alpha"],
+                     analyzer="simple", doc_values={"v": [30, 10, 20]})
+    td = mi.search(TermQuery("alpha"), k=5)
+    assert {sd.doc_key for sd in td.score_docs} == {2, 3}
+    # higher tf scores higher
+    assert td.score_docs[0].doc_key == 2
+    assert mi.count(NumericRangeQuery("v", lower=15)) == 2
+    assert mi.count("beta AND gamma") == 1
