@@ -24,32 +24,40 @@ import numpy as np
 
 def minimal_intervals_unordered(pos_lists: list[np.ndarray]) -> list[tuple[int, int]]:
     """All minimal [start, end] windows containing ≥1 occurrence of every
-    clause, any order (Intervals.unordered). Pointer sweep: repeatedly take
-    the current window (min..max of the cursors), advance the min cursor; a
-    window is emitted unless a LATER window nests inside it (later windows
-    have strictly greater start, so nesting ⇔ end' ≤ end)."""
+    clause at DISTINCT positions, any order (Intervals.unordered /
+    NearSpansUnordered non-overlap rule). Pointer sweep collects candidate
+    windows (min..max of the cursors, advancing the min cursor); windows
+    with any shared cursor position are invalid (a repeated clause term may
+    not reuse one occurrence); an exhaustive nesting filter then keeps the
+    minimal ones."""
     n = len(pos_lists)
     if n == 0 or any(len(p) == 0 for p in pos_lists):
         return []
+    if n == 1:
+        return [(int(p), int(p)) for p in pos_lists[0].tolist()]
     idx = [0] * n
     cand: list[tuple[int, int]] = []
     while True:
         cur = [int(pos_lists[k][idx[k]]) for k in range(n)]
         start, end = min(cur), max(cur)
-        cand.append((start, end))
+        # a valid unordered match needs DISTINCT positions (non-overlapping
+        # subspans, NearSpansUnordered semantics; matters when a clause term
+        # repeats and two cursors share one occurrence)
+        if len(set(cur)) == n:
+            cand.append((start, end))
         k_min = cur.index(start)
         idx[k_min] += 1
         if idx[k_min] >= len(pos_lists[k_min]):
             break
-    # starts are non-decreasing; drop any window whose successor nests in it
-    out = []
-    for i, (s, e) in enumerate(cand):
-        nxt = cand[i + 1] if i + 1 < len(cand) else None
-        if nxt is not None and nxt[1] <= e and nxt[0] >= s and nxt != (s, e):
-            continue
-        if out and out[-1] == (s, e):
-            continue
-        out.append((s, e))
+    # keep only MINIMAL windows: no other candidate strictly nested inside
+    # (candidates per doc are few; the exhaustive filter avoids relying on
+    # monotonicity that distinct-position skipping can break)
+    uniq = sorted(set(cand))
+    out = [
+        (s, e)
+        for s, e in uniq
+        if not any((s2 >= s and e2 <= e and (s2, e2) != (s, e)) for s2, e2 in uniq)
+    ]
     return out
 
 
@@ -63,6 +71,8 @@ def minimal_intervals_ordered(pos_lists: list[np.ndarray]) -> list[tuple[int, in
     n = len(pos_lists)
     if n == 0 or any(len(p) == 0 for p in pos_lists):
         return []
+    if n == 1:
+        return [(int(p), int(p)) for p in pos_lists[0].tolist()]
     cand: list[tuple[int, int]] = []
     for p0 in pos_lists[0].tolist():
         prev = p0
@@ -95,7 +105,7 @@ def span_near_freq(pos_lists: list[np.ndarray], slop: int, in_order: bool) -> fl
     )
     total = 0.0
     for s, e in iv:
-        w = (e - s) - (n - 1)
+        w = max(0, (e - s) - (n - 1))
         if w <= slop:
             total += 1.0 / (1.0 + w)
     return total

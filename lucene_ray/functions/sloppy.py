@@ -66,6 +66,11 @@ def sloppy_phrase_freq(
     repeated slots. Returns 0.0 when no match within ``slop``.
     """
     n = len(position_lists)
+    if n == 0:
+        return 0.0
+    if n == 1:
+        # one slot: every occurrence is a zero-length match
+        return float(len(position_lists[0]))
     pps = [_PP(position_lists[i], offsets[i], i) for i in range(n)]
 
     # repeat groups = slots sharing a term, sorted by offset

@@ -29,21 +29,47 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _hash_tokens_u64(tokens) -> np.ndarray:
-    """Deterministic, VECTORIZED 64-bit token hashes: polars' seeded C hash
-    (stable across processes for a fixed seed/version — verified by the
-    cross-worker LSH bucket groupby working at all); md5 fallback when polars
-    is unavailable. No per-token Python loop on the fast path."""
-    if not len(tokens):
-        return np.empty(0, dtype=np.uint64)
-    try:
-        import polars as pl
+    """Deterministic, VECTORIZED, SELF-CONTAINED 64-bit string hashes.
 
-        return pl.Series(list(tokens)).hash(seed=1315423911).to_numpy().astype(np.uint64)
-    except ImportError:  # pragma: no cover
-        return np.array(
-            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in tokens],
-            dtype=np.uint64,
-        )
+    Polynomial hash over utf-8 bytes (base = FNV prime, wraparound uint64)
+    finished with murmur3's public fmix64 avalanche — all plain numpy, so
+    the value is identical on every worker, machine, and library version
+    (a library-provided hash that is only "stable per version" would
+    silently break cross-worker LSH bucket collisions on a heterogeneous
+    cluster). No per-token Python loop: one Arrow byte buffer + reduceat.
+    """
+    toks = list(tokens)
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    import pyarrow as pa
+
+    arr = pa.array(toks, type=pa.string())
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[: len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0] : off[-1]].astype(np.uint64)
+    off = off - off[0]
+    lens = np.diff(off)
+    P = np.uint64(1099511628211)
+    max_len = int(lens.max()) if len(lens) else 0
+    powers = np.ones(max_len + 1, dtype=np.uint64)
+    if max_len:
+        powers[1:] = np.multiply.accumulate(np.full(max_len, P, dtype=np.uint64))
+    if len(data):
+        ends_rep = np.repeat(off[1:], lens)
+        pfe = (ends_rep - 1 - np.arange(len(data), dtype=np.int64)).astype(np.int64)
+        contrib = data * powers[pfe]
+        sums = np.add.reduceat(contrib, off[:-1])
+        sums[lens == 0] = 0  # reduceat quirk: empty slice returns next element
+    else:
+        sums = np.zeros(len(lens), dtype=np.uint64)
+    h = sums ^ (lens.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    # murmur3 fmix64 (public domain) avalanche
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
 
 
 def _simple_tokens(texts: list[str]):

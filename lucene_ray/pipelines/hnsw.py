@@ -247,7 +247,12 @@ def build_hnsw_index(ds, out_dir: str, *, vec_col: str = "embedding",
         vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
         g = HnswGraph(M=M, ef_construction=ef_construction, seed=seed).build(vecs)
         graph_tbl, meta = g.to_tables()
-        name = f"shard-{ids.min():012d}"
+        # shard identity = hash of its EXACT id set: same-batch retries reuse
+        # the written dir, while a resumed run with different batch
+        # boundaries never collides with a stale shard (whose ids differ)
+        import hashlib
+
+        name = f"shard-{hashlib.md5(ids.tobytes()).hexdigest()[:12]}"
         final = os.path.join(out_dir, name)
         if not os.path.exists(final):
             tmp = final + ".tmp-" + uuid.uuid4().hex[:8]

@@ -754,32 +754,31 @@ class IndexSearcher:
         """Did-you-mean (suggest/spell/DirectSpellChecker analogue): dictionary
         terms within ``max_edits``, ranked by (edits asc, docFreq desc, term).
 
-        Candidate pruning (EXACT — provably admissible, the n-gram analogue
-        of DirectSpellChecker's FuzzyTermsEnum automaton walk): a term within
-        e edits of the query shares at least ``max(len)-1-2e`` character
-        bigrams with it, so a lazily-built per-reader bigram→terms index
-        cuts the scan from the whole dictionary to the bigram-overlap
-        candidates; only terms too short for the bound to prune (len<5) are
-        still scanned exhaustively."""
+        Candidate pruning is the EXACT multiset q-gram bound (admissible — the
+        n-gram stand-in for DirectSpellChecker's FuzzyTermsEnum automaton):
+        ed(q,t) ≤ e implies the MULTISET bigram overlap ≥ max(|q|,|t|) − 1 −
+        2e, so only terms violating that bound are skipped; terms whose bound
+        is ≤ 0 are always examined (the bound can't prune them). Verified
+        equal to the full scan by property test."""
         fp = self._fp(None)
         seen: dict[str, int] = {}
-        q_bigrams = {term[i : i + 2] for i in range(len(term) - 1)}
+        q_big: dict[str, int] = {}
+        for i in range(len(term) - 1):
+            g = term[i : i + 2]
+            q_big[g] = q_big.get(g, 0) + 1
+        lq = len(term)
         for r in self.readers:
             lo, hi = r.term_range(fp) if fp else (0, r.n_terms)
-            bg_index, short_idx = self._bigram_index(r, fp, lo, hi)
-            counts = np.zeros(hi - lo, dtype=np.int32)
-            for g in q_bigrams:
-                ids = bg_index.get(g)
-                if ids is not None:
-                    counts[ids] += 1
-            cand = set(short_idx)
-            for i in np.flatnonzero(counts).tolist():
+            bg_index, lens = self._bigram_index(r, fp, lo, hi)
+            counts = np.zeros(hi - lo, dtype=np.int64)
+            for g, qc in q_big.items():
+                hit = bg_index.get(g)
+                if hit is not None:
+                    ids, tcs = hit
+                    counts[ids] += np.minimum(tcs, qc)
+            need = np.maximum(0, np.maximum(lq, lens) - 1 - 2 * max_edits)
+            for i in np.flatnonzero(counts >= need).tolist():
                 t = r.term_at(lo + i)[len(fp):]
-                need = max(0, max(len(term), len(t)) - 1 - 2 * max_edits)
-                if counts[i] >= need:
-                    cand.add(lo + i)
-            for i in cand:
-                t = r.term_at(i)[len(fp):]
                 if t == term or t in seen:
                     continue
                 ed = _bounded_edit_distance(term, t, max_edits)
@@ -793,21 +792,24 @@ class IndexSearcher:
 
     @staticmethod
     def _bigram_index(r: SegmentReader, fp: str, lo: int, hi: int):
-        """Lazy per-reader (bigram → np term offsets, short-term indices)."""
+        """Lazy per-reader bigram → (term offsets, occurrence counts) plus the
+        per-term length array (for the q-gram bound)."""
         cached = getattr(r, "_spell_bigrams", None)
         if cached is not None and cached[0] == (fp, lo, hi):
             return cached[1], cached[2]
         bg: dict[str, list[int]] = {}
-        short: list[int] = []
+        lens = np.zeros(hi - lo, dtype=np.int64)
         for i in range(lo, hi):
             t = r.term_at(i)[len(fp):]
-            if len(t) < 5:
-                short.append(i)
+            lens[i - lo] = len(t)
             for j in range(len(t) - 1):
                 bg.setdefault(t[j : j + 2], []).append(i - lo)
-        bgn = {g: np.unique(np.asarray(v, dtype=np.int64)) for g, v in bg.items()}
-        r._spell_bigrams = ((fp, lo, hi), bgn, short)
-        return bgn, short
+        bgn = {}
+        for g, v in bg.items():
+            ids, tcs = np.unique(np.asarray(v, dtype=np.int64), return_counts=True)
+            bgn[g] = (ids, tcs.astype(np.int64))
+        r._spell_bigrams = ((fp, lo, hi), bgn, lens)
+        return bgn, lens
 
     def more_like_this(self, doc_key, *, max_query_terms: int = 10,
                        min_tf: int = 1, k: int = 10, text: str | None = None,
@@ -931,6 +933,8 @@ class IndexSearcher:
             pos = np.flatnonzero(r.doc_keys == doc_key)
             if len(pos):
                 i = int(pos[0])
+                if r.live is not None and not r.live[i]:
+                    continue  # deleted (or superseded by an update) here
                 out = {"doc_key": doc_key, "dl": int(r.dls[i])}
                 for name, arr in r.doc_values.items():
                     v = arr[i]
@@ -1144,6 +1148,10 @@ class IndexSearcher:
         empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
         if self._multi and q.field and q.field not in self.fields:
             return empty
+        if len(q.terms) == 1:
+            # PhraseQuery with one term rewrites to TermQuery
+            # (PhraseQuery.java rewrite(); the matcher needs >= 2 positions)
+            return self._eval(r, TermQuery(q.terms[0], q.field), boost)
         fp = self._fp(q.field)
         terms = list(q.terms)
         idxs = [r.term_index(fp + t) for t in terms]

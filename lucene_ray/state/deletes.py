@@ -45,10 +45,26 @@ def load_livedocs(seg_dir: str, del_gen: int) -> np.ndarray | None:
 
 
 def _write_livedocs(seg_dir: str, del_gen: int, live: np.ndarray) -> None:
+    """Exclusive create (os.link fails on EEXIST): two concurrent deleters
+    computing the same del_gen for one segment must not silently overwrite
+    each other's marks — the loser gets CommitConflict and must redo its
+    deletes against the fresh generation."""
+    import uuid
+
+    from lucene_ray.state.manifest import CommitConflict
+
     path = livedocs_path(seg_dir, del_gen)
-    tmp = path + ".tmp"
+    tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
     pq.write_table(pa.table({"live": pa.array(live, type=pa.bool_())}), tmp)
-    os.rename(tmp, path)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflict(
+            f"livedocs-{del_gen} already written by a concurrent deleter on "
+            f"{seg_dir}; redo the delete against the current manifest"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def delete_by_query(index_dir: str, query) -> int:

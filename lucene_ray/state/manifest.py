@@ -135,11 +135,25 @@ class Manifest:
 def commit_update(index_dir: str, base: "Manifest", updated: dict[str, dict],
                   appended: list[dict] | None = None, *, retries: int = 8) -> "Manifest":
     """Commit gen+1 applying per-segment metadata ``updated`` (keyed by
-    segment name; segments removed by a concurrent merge are skipped) plus
-    ``appended`` new segments; on CommitConflict reload and reapply — the
-    optimistic-concurrency loop the reference avoids by owning write.lock."""
+    segment name) plus ``appended`` new segments; on CommitConflict reload
+    and reapply — the optimistic-concurrency loop the reference avoids by
+    owning write.lock.
+
+    Safety: if a reload shows one of the ``updated`` segments GONE (a
+    concurrent merge consumed it), the update cannot be replayed faithfully
+    (the merged segment absorbed the old rows without our side-state), so the
+    whole operation fails with CommitConflict rather than silently dropping
+    an acknowledged change — callers must redo the operation against the new
+    generation."""
     manifest = base
     for _ in range(retries):
+        names = {s["name"] for s in manifest.segments}
+        missing = set(updated) - names
+        if missing:
+            raise CommitConflict(
+                f"segments {sorted(missing)} were consumed by a concurrent "
+                "merge; redo the operation against the current manifest"
+            )
         segs = [updated.get(s["name"], s) for s in manifest.segments]
         segs = segs + list(appended or [])
         m = Manifest(index_dir, manifest.gen + 1, segs, manifest.config)

@@ -326,9 +326,22 @@ def merge_index(index_dir: str, *, merge_factor: int = 10,
             new_manifest.commit()
             break
         except CommitConflict:
-            # a concurrent delete/update claimed our generation: reload and
-            # replay the merge result over the fresh segment list
+            # a concurrent writer claimed our generation: reload. The merge
+            # output was built from the del_gens snapshot — if any consumed
+            # segment's deletes advanced (or it vanished) meanwhile, replaying
+            # the stale merge would RESURRECT deleted docs, so abort instead.
             manifest = Manifest.load(index_dir)
+            fresh = {s["name"]: s.get("del_gen", 0) for s in manifest.segments}
+            for n in consumed:
+                if fresh.get(n, None) != del_gens.get(n, 0):
+                    for out_name in merged_names:
+                        shutil.rmtree(os.path.join(index_dir, "segments", out_name),
+                                      ignore_errors=True)
+                    raise CommitConflict(
+                        f"segment {n} changed under the merge (deletes or a "
+                        "competing merge); merge aborted, redo against the "
+                        "current manifest"
+                    )
     else:
         raise CommitConflict("merge gave up after 8 manifest commit retries")
     new_gen = new_manifest.gen

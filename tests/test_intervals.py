@@ -103,3 +103,33 @@ def test_span_near_end_to_end(tmp_path, ray_session):
     ordered3 = {sd.doc_key for sd in
                 s.search(SpanNearQuery(["alpha", "beta"], slop=3, in_order=True), k=10).score_docs}
     assert ordered3 == {0, 2}
+
+
+def test_repeated_term_spans_no_crash_and_sane():
+    # repeated clause term: one occurrence may not satisfy both slots
+    A = np.array([0, 2, 5])
+    f_u = span_near_freq([A, A], slop=2, in_order=False)
+    # valid distinct pairs within slop 2 (width = |a-b|-1): (0,2) w1, ... 
+    assert f_u > 0
+    # single occurrence of the repeated term → no valid pair
+    assert span_near_freq([np.array([3]), np.array([3])], 5, False) == 0.0
+    # ordered repeated term uses strictly increasing positions
+    f_o = span_near_freq([A, A], slop=2, in_order=True)
+    assert f_o > 0
+
+
+def test_unordered_minimality_overlapping_lists():
+    # reviewer counter-examples: exhaustive nesting filter keeps true minimals
+    got = minimal_intervals_unordered([np.array([0, 4, 7, 8]), np.array([3, 4, 5, 7])])
+    assert got == [(0, 3), (3, 4), (5, 7), (7, 8)]
+    got2 = minimal_intervals_unordered([np.array([2, 4]), np.array([9]), np.array([2, 8, 9])])
+    # distinct-position windows over (c0, c1, c2); minimal only
+    for s, e in got2:
+        assert not any((s2 >= s and e2 <= e and (s2, e2) != (s, e)) for s2, e2 in got2)
+
+
+def test_single_term_phrase_and_span():
+    from lucene_ray.functions.sloppy import sloppy_phrase_freq
+
+    assert sloppy_phrase_freq([np.array([1, 5, 9])], [0], ["t"], 2) == 3.0
+    assert span_near_freq([np.array([1, 5])], 0, True) == 2.0

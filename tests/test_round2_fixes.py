@@ -181,3 +181,57 @@ def test_memory_index():
     assert td.score_docs[0].doc_key == 2
     assert mi.count(NumericRangeQuery("v", lower=15)) == 2
     assert mi.count("beta AND gamma") == 1
+
+
+def test_spell_prefilter_review_counterexamples(tmp_path, ray_session):
+    """Reviewer cases: zero-shared-bigram terms within the q-gram bound and
+    multiset (repeated-bigram) undercounting must NOT be pruned."""
+    import pandas as pd
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.searcher import IndexSearcher
+
+    docs = ["abcde axcxe aaaaaaa aaaxaaa other words here"]
+    src = str(tmp_path / "d.parquet")
+    pd.DataFrame({"doc_id": [0], "text": docs}).to_parquet(src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, key_col="doc_id", text_col="text", num_partitions=1,
+                columns=["doc_id", "text"])
+    s = IndexSearcher(idx)
+    assert "axcxe" in s.spell_suggest("abcde", k=5)     # 0 shared bigrams, ed=2
+    assert "aaaxaaa" in s.spell_suggest("aaaaaaa", k=5)  # multiset overlap case
+
+
+def test_document_respects_deletes(tmp_path, ray_session):
+    import pandas as pd
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.searcher import IndexSearcher
+    from lucene_ray.state.deletes import delete_by_keys
+
+    src = str(tmp_path / "d.parquet")
+    pd.DataFrame({"doc_id": [1, 2], "text": ["alpha", "beta"]}).to_parquet(src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, key_col="doc_id", text_col="text", num_partitions=1,
+                columns=["doc_id", "text"])
+    delete_by_keys(idx, [2])
+    s = IndexSearcher(idx)
+    assert s.document(1) is not None
+    assert s.document(2) is None
+
+
+def test_single_term_sloppy_phrase_search(tmp_path, ray_session):
+    import pandas as pd
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import PhraseQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    src = str(tmp_path / "d.parquet")
+    pd.DataFrame({"doc_id": [1, 2], "text": ["hello world hello", "foo bar"]}).to_parquet(src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, key_col="doc_id", text_col="text", num_partitions=1,
+                columns=["doc_id", "text"])
+    s = IndexSearcher(idx)
+    td = s.search(PhraseQuery(["hello"], slop=1), k=5)  # crashed before the fix
+    assert [sd.doc_key for sd in td.score_docs] == [1]
