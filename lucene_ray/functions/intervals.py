@@ -22,43 +22,72 @@ from __future__ import annotations
 import numpy as np
 
 
+def _minimal_filter(wins: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Keep windows with no other window nested inside — O(k log k): sort by
+    (start asc, end asc); scanning right-to-left, a window is non-minimal iff
+    some window with start ≥ its start has end ≤ its end (other than itself;
+    equal-start duplicates keep only the smallest end)."""
+    uniq = sorted(set(wins))
+    out = []
+    min_end = None
+    i = len(uniq) - 1
+    while i >= 0:
+        s0 = uniq[i][0]
+        j = i
+        while j >= 0 and uniq[j][0] == s0:
+            j -= 1
+        best = uniq[j + 1]  # smallest end at this start
+        if min_end is None or best[1] < min_end:
+            out.append(best)
+            min_end = best[1]
+        i = j
+    out.reverse()
+    return out
+
+
 def minimal_intervals_unordered(pos_lists: list[np.ndarray]) -> list[tuple[int, int]]:
-    """All minimal [start, end] windows containing ≥1 occurrence of every
+    """All minimal [start, end] windows containing one occurrence of every
     clause at DISTINCT positions, any order (Intervals.unordered /
-    NearSpansUnordered non-overlap rule). Pointer sweep collects candidate
-    windows (min..max of the cursors, advancing the min cursor); windows
-    with any shared cursor position are invalid (a repeated clause term may
-    not reuse one occurrence); an exhaustive nesting filter then keeps the
-    minimal ones."""
+    NearSpansUnordered non-overlap rule).
+
+    Clauses with IDENTICAL position lists (a repeated query term) are grouped:
+    a group of multiplicity r contributes a sliding window of r consecutive
+    occurrences (the r distinct positions the repeated term must consume —
+    the repeat-group treatment, same idea as SloppyPhraseMatcher's
+    advanceRepeatGroups). The sweep then advances the group whose window
+    starts first; the minimality filter keeps non-nested windows.
+    """
     n = len(pos_lists)
     if n == 0 or any(len(p) == 0 for p in pos_lists):
         return []
-    if n == 1:
-        return [(int(p), int(p)) for p in pos_lists[0].tolist()]
-    idx = [0] * n
+    # group identical clause lists by content
+    groups: list[tuple[np.ndarray, int]] = []
+    for p in pos_lists:
+        for gi, (gp, r) in enumerate(groups):
+            if len(gp) == len(p) and np.array_equal(gp, p):
+                groups[gi] = (gp, r + 1)
+                break
+        else:
+            groups.append((p, 1))
+    # per-group sliding windows of r consecutive occurrences
+    g_start: list[np.ndarray] = []
+    g_end: list[np.ndarray] = []
+    for gp, r in groups:
+        if len(gp) < r:
+            return []
+        g_start.append(np.asarray(gp[: len(gp) - r + 1], dtype=np.int64))
+        g_end.append(np.asarray(gp[r - 1 :], dtype=np.int64))
+    idx = [0] * len(groups)
     cand: list[tuple[int, int]] = []
     while True:
-        cur = [int(pos_lists[k][idx[k]]) for k in range(n)]
-        start, end = min(cur), max(cur)
-        # a valid unordered match needs DISTINCT positions (non-overlapping
-        # subspans, NearSpansUnordered semantics; matters when a clause term
-        # repeats and two cursors share one occurrence)
-        if len(set(cur)) == n:
-            cand.append((start, end))
-        k_min = cur.index(start)
+        starts = [int(g_start[k][idx[k]]) for k in range(len(groups))]
+        ends = [int(g_end[k][idx[k]]) for k in range(len(groups))]
+        cand.append((min(starts), max(ends)))
+        k_min = starts.index(min(starts))
         idx[k_min] += 1
-        if idx[k_min] >= len(pos_lists[k_min]):
+        if idx[k_min] >= len(g_start[k_min]):
             break
-    # keep only MINIMAL windows: no other candidate strictly nested inside
-    # (candidates per doc are few; the exhaustive filter avoids relying on
-    # monotonicity that distinct-position skipping can break)
-    uniq = sorted(set(cand))
-    out = [
-        (s, e)
-        for s, e in uniq
-        if not any((s2 >= s and e2 <= e and (s2, e2) != (s, e)) for s2, e2 in uniq)
-    ]
-    return out
+    return _minimal_filter(cand)
 
 
 def minimal_intervals_ordered(pos_lists: list[np.ndarray]) -> list[tuple[int, int]]:

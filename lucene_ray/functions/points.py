@@ -25,7 +25,6 @@ class KDIndex:
     __slots__ = ("xs", "ys", "ids", "nodes")
 
     def __init__(self, xs: np.ndarray, ys: np.ndarray, ids: np.ndarray):
-        order = np.arange(len(xs), dtype=np.int64)
         self.xs = np.asarray(xs, dtype=np.float64).copy()
         self.ys = np.asarray(ys, dtype=np.float64).copy()
         self.ids = np.asarray(ids, dtype=np.int32).copy()
@@ -33,7 +32,6 @@ class KDIndex:
         self.nodes: list[tuple] = []
         if len(xs):
             self._build(0, len(xs))
-        del order
 
     def _build(self, lo: int, hi: int) -> int:
         me = len(self.nodes)

@@ -54,14 +54,16 @@ def _hash_tokens_u64(tokens) -> np.ndarray:
     powers = np.ones(max_len + 1, dtype=np.uint64)
     if max_len:
         powers[1:] = np.multiply.accumulate(np.full(max_len, P, dtype=np.uint64))
-    if len(data):
+    sums = np.zeros(len(lens), dtype=np.uint64)
+    ne = lens > 0
+    if len(data) and ne.any():
         ends_rep = np.repeat(off[1:], lens)
         pfe = (ends_rep - 1 - np.arange(len(data), dtype=np.int64)).astype(np.int64)
         contrib = data * powers[pfe]
-        sums = np.add.reduceat(contrib, off[:-1])
-        sums[lens == 0] = 0  # reduceat quirk: empty slice returns next element
-    else:
-        sums = np.zeros(len(lens), dtype=np.uint64)
+        # reduceat over NON-EMPTY starts only: an empty string's start can
+        # equal len(data) (trailing empty → IndexError) or alias the next
+        # string's first element — both quirks avoided by masking
+        sums[ne] = np.add.reduceat(contrib, off[:-1][ne])
     h = sums ^ (lens.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
     # murmur3 fmix64 (public domain) avalanche
     h ^= h >> np.uint64(33)

@@ -663,13 +663,14 @@ class IndexSearcher:
         if cache is None:
             cache = r._filter_cache = {}
         try:
-            hit = cache.get(q)
+            hit = cache.pop(q, None)  # pop+reinsert = LRU via insertion order
         except TypeError:  # unhashable query (custom fn) — evaluate directly
             return self._eval(r, q).docs
         if hit is not None:
+            cache[q] = hit
             return hit
         docs = self._eval(r, q).docs
-        if len(cache) > 64:
+        if len(cache) >= 64:
             cache.pop(next(iter(cache)))
         cache[q] = docs
         return docs

