@@ -190,11 +190,20 @@ class IndexSearcher:
         # reference's semantics, see state/deletes.py)
         by_name = {s["name"]: s for s in manifest.segments}
         for r in self.readers:
-            del_gen = by_name.get(r.name, {}).get("del_gen", 0)
+            entry = by_name.get(r.name, {})
+            del_gen = entry.get("del_gen", 0)
             if del_gen:
                 from lucene_ray.state.deletes import load_livedocs
 
                 r.live = load_livedocs(r.dir, del_gen)
+            # overlay updated doc-values generations (docValuesGen analogue)
+            for field, dv_gen in (entry.get("dv_gens") or {}).items():
+                import pyarrow.parquet as _pq
+
+                t = _pq.read_table(
+                    os.path.join(r.dir, f"dv-{field}-{dv_gen}.parquet")
+                )
+                r.doc_values[field] = t.column(field).to_numpy(zero_copy_only=False)
         ts_path = os.path.join(index_dir, f"term_stats-{manifest.gen}.parquet")
         self.global_term_stats = GlobalTermStats(ts_path) if os.path.exists(ts_path) else None
         self.collection_stats = manifest.collection_stats()

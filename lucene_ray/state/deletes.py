@@ -197,3 +197,69 @@ def update_documents(index_dir: str, rows: pa.Table, *, analyzer_kind: str | Non
                                      "analyzer": analyzer.kind, "key_col": key_col})
     commit_update(index_dir, manifest, {}, appended=[meta])
     return rows.num_rows
+
+
+def update_numeric_docvalues(index_dir: str, field: str, updates: dict) -> int:
+    """IndexWriter.updateNumericDocValue analogue: rewrite ONE doc-values
+    column out-of-band, without reindexing.
+
+    Like the reference (SegmentCommitInfo docValuesGen; Lucene90DocValuesFormat
+    writes a whole new generation of the field's dv file per update batch),
+    each affected segment gets ``dv-<field>-<gen>.parquet`` holding the FULL
+    updated column; the manifest entry's ``dv_gens[field]`` points at the
+    current generation and readers overlay it at load. Postings/norms/stats
+    are untouched — doc-values updates never affect scoring statistics.
+
+    ``updates`` maps doc_key → new value. Returns the number of docs updated.
+    """
+    import uuid as _uuid
+
+    from lucene_ray.state.manifest import CommitConflict, commit_update
+    from lucene_ray.state.segment import SegmentReader
+
+    manifest = Manifest.load(index_dir)
+    n_updated = 0
+    changed: dict[str, dict] = {}
+    written: list[str] = []
+    keys = set(updates)
+    for seg in manifest.segments:
+        seg_dir = os.path.join(index_dir, "segments", seg["name"])
+        reader = SegmentReader(seg_dir)
+        mask = np.array([k in keys for k in reader.doc_keys], dtype=bool)
+        if not mask.any():
+            continue
+        vals = reader.doc_values[field].copy()
+        idxs = np.flatnonzero(mask)
+        for i in idxs.tolist():
+            vals[i] = updates[reader.doc_keys[i]]
+        old = dict(seg.get("dv_gens") or {})
+        new_gen = int(old.get(field, 0)) + 1
+        path = os.path.join(seg_dir, f"dv-{field}-{new_gen}.parquet")
+        tmp = path + ".tmp-" + _uuid.uuid4().hex[:8]
+        pq.write_table(pa.table({field: pa.array(vals)}), tmp)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise CommitConflict(
+                f"dv-{field}-{new_gen} already written by a concurrent updater "
+                f"on {seg_dir}; redo against the current manifest"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        written.append(path)
+        seg = dict(seg)
+        old[field] = new_gen
+        seg["dv_gens"] = old
+        changed[seg["name"]] = seg
+        n_updated += int(mask.sum())
+    if changed:
+        try:
+            commit_update(index_dir, manifest, changed)
+        except BaseException:
+            for p in written:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+            raise
+    return n_updated

@@ -39,7 +39,8 @@ from lucene_ray.state.segment import SegmentReader, write_segment
 
 def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
                         store_positions: bool = True,
-                        del_gens: dict | None = None) -> dict:
+                        del_gens: dict | None = None,
+                        dv_gens: dict | None = None) -> dict:
     """K-way merge of segments into one (SegmentMerger analogue). Pure
     function of its inputs; safe to retry. When a segment carries a
     live-docs generation (deletes.py), its dead docs are dropped and docIDs
@@ -198,12 +199,18 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
     # dropping dead rows
     import pyarrow.parquet as pq
 
+    def _docs_with_dv(n: str) -> pa.Table:
+        d = os.path.join(index_dir, "segments", n)
+        t = pq.read_table(os.path.join(d, "docs.parquet"))
+        # bake in doc-values update generations (docValuesGen): the merged
+        # segment carries the CURRENT values, dropping the side files
+        for field, g in ((dv_gens or {}).get(n) or {}).items():
+            col = pq.read_table(os.path.join(d, f"dv-{field}-{g}.parquet")).column(field)
+            t = t.set_column(t.column_names.index(field), field, col)
+        return t
+
     docs_tbl = pa.concat_tables(
-        [
-            pq.read_table(os.path.join(index_dir, "segments", n, "docs.parquet"))
-            .filter(pa.array(lv))
-            for n, lv in zip(seg_names, lives)
-        ]
+        [_docs_with_dv(n).filter(pa.array(lv)) for n, lv in zip(seg_names, lives)]
     )
     stats = dict(
         max_doc=int(sum(live_counts)),
@@ -304,16 +311,19 @@ def merge_index(index_dir: str, *, merge_factor: int = 10,
         jobs.append((names, out_name))
 
     del_gens = {s["name"]: s.get("del_gen", 0) for s in manifest.segments}
+    dv_gens = {s["name"]: (s.get("dv_gens") or {}) for s in manifest.segments}
     if use_ray:
         import ray
 
         @ray.remote(num_cpus=1)
         def _task(names, out_name):
-            return merge_segment_group(index_dir, names, out_name, del_gens=del_gens)
+            return merge_segment_group(index_dir, names, out_name,
+                                       del_gens=del_gens, dv_gens=dv_gens)
 
         metas = ray.get([_task.remote(n, o) for n, o in jobs])
     else:
-        metas = [merge_segment_group(index_dir, n, o, del_gens=del_gens) for n, o in jobs]
+        metas = [merge_segment_group(index_dir, n, o, del_gens=del_gens,
+                                     dv_gens=dv_gens) for n, o in jobs]
 
     consumed = {n for g in groups for n in g}
     from lucene_ray.state.manifest import CommitConflict
@@ -331,9 +341,12 @@ def merge_index(index_dir: str, *, merge_factor: int = 10,
             # segment's deletes advanced (or it vanished) meanwhile, replaying
             # the stale merge would RESURRECT deleted docs, so abort instead.
             manifest = Manifest.load(index_dir)
-            fresh = {s["name"]: s.get("del_gen", 0) for s in manifest.segments}
+            fresh = {
+                s["name"]: (s.get("del_gen", 0), s.get("dv_gens") or {})
+                for s in manifest.segments
+            }
             for n in consumed:
-                if fresh.get(n, None) != del_gens.get(n, 0):
+                if fresh.get(n, None) != (del_gens.get(n, 0), dv_gens.get(n, {})):
                     for out_name in merged_names:
                         shutil.rmtree(os.path.join(index_dir, "segments", out_name),
                                       ignore_errors=True)

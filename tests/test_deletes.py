@@ -93,3 +93,61 @@ def test_wand_respects_deletes(idx):
     b = s1.search("merge window", k=5, algo="exhaustive").score_docs
     assert [(x.doc_key, x.score) for x in a] == [(x.doc_key, x.score) for x in b]
     assert victims[0] not in {x.doc_key for x in a}
+
+
+def test_update_numeric_docvalues(tmp_path, ray_session):
+    import pandas as pd
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import NumericRangeQuery
+    from lucene_ray.searcher import IndexSearcher
+    from lucene_ray.state.deletes import update_numeric_docvalues
+    from lucene_ray.state.manifest import Manifest
+
+    src = str(tmp_path / "d.parquet")
+    pd.DataFrame({"doc_id": range(20), "text": ["w x"] * 20,
+                  "price": list(range(20))}).to_parquet(src)
+    d = str(tmp_path / "idx")
+    build_index(src, d, key_col="doc_id", text_col="text", num_partitions=3,
+                columns=["doc_id", "text", "price"], docvalue_cols=("price",))
+    gen0 = Manifest.load(d).gen
+    s0 = IndexSearcher(d)
+    assert s0.count(NumericRangeQuery("price", lower=100)) == 0
+    n = update_numeric_docvalues(d, "price", {3: 150, 7: 200, 19: 99})
+    assert n == 3
+    assert Manifest.load(d).gen == gen0 + 1
+    s = IndexSearcher(d)
+    assert s.count(NumericRangeQuery("price", lower=100)) == 2
+    assert s.document(3)["price"] == 150
+    assert s.document(4)["price"] == 4  # untouched
+    # statistics unchanged (dv updates never touch postings/norms)
+    assert Manifest.load(d).collection_stats() == s0.collection_stats
+    # second update generation stacks
+    update_numeric_docvalues(d, "price", {3: 5})
+    s2 = IndexSearcher(d)
+    assert s2.count(NumericRangeQuery("price", lower=100)) == 1
+
+
+def test_merge_bakes_in_docvalue_updates(tmp_path, ray_session):
+    import pandas as pd
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import NumericRangeQuery
+    from lucene_ray.searcher import IndexSearcher
+    from lucene_ray.state.deletes import update_numeric_docvalues
+    from lucene_ray.state.manifest import Manifest
+    from lucene_ray.state.merge import merge_index
+
+    src = str(tmp_path / "d.parquet")
+    pd.DataFrame({"doc_id": range(30), "text": ["w x"] * 30,
+                  "price": list(range(30))}).to_parquet(src)
+    d = str(tmp_path / "idx")
+    build_index(src, d, key_col="doc_id", text_col="text", num_partitions=4,
+                columns=["doc_id", "text", "price"], docvalue_cols=("price",))
+    update_numeric_docvalues(d, "price", {5: 500, 25: 501})
+    merge_index(d, merge_factor=4)
+    m = Manifest.load(d)
+    assert all(not s.get("dv_gens") for s in m.segments)  # baked in
+    s = IndexSearcher(d)
+    assert s.count(NumericRangeQuery("price", lower=400)) == 2
+    assert s.document(5)["price"] == 500
