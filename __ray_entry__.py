@@ -471,6 +471,66 @@ def _block_index(sf_dir: str) -> str:
 BLOCK_JOIN_TERM = "part7"
 
 
+def _join_index(sf_dir: str) -> str:
+    """JoinUtil fixture: customers + orders in one index; customers carry
+    from_field ``custkey`` (and text 'segment <mktsegment>'), orders carry
+    to_field ``ocustkey`` (-1 sentinels on the other doc type)."""
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.sources.io import read_parquet_clean
+    from lucene_ray.state.manifest import Manifest
+
+    d = _cache_dir(sf_dir, "gatejoin")
+    if Manifest.exists(d):
+        return d
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = batch.column("c_mktsegment").to_pylist()
+        return pa.table({
+            "k": pa.array([f"c{c:010d}" for c in ck.tolist()]),
+            "text": pa.array([f"segment {m.lower()}" for m in seg]),
+            "custkey": pa.array(ck),
+            "ocustkey": pa.array(np.full(len(ck), -1, dtype=np.int64)),
+        })
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "k": pa.array([f"o{o:010d}" for o in ok.tolist()]),
+            "text": pa.array(["orderdoc"] * len(ok)),
+            "custkey": pa.array(np.full(len(ok), -1, dtype=np.int64)),
+            "ocustkey": pa.array(ck),
+        })
+
+    cu = read_parquet_clean(f"{sf_dir}/customer.parquet").map_batches(
+        cust_rows, batch_format="pyarrow")
+    od = read_parquet_clean(f"{sf_dir}/orders.parquet").map_batches(
+        order_rows, batch_format="pyarrow")
+    build_index(cu.union(od), d, key_col="k", text_col="text", num_partitions=4,
+                analyzer="simple", docvalue_cols=("custkey", "ocustkey"))
+    return d
+
+
+def _q_join_topk(sf_dir: str) -> pa.Table:
+    """JoinUtil gate: customers matching 'furniture' → their orders, scored
+    with the customer's BM25 score (ScoreMode avg over a unique from doc)."""
+    from lucene_ray.query import JoinQuery, TermQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(_join_index(sf_dir), mode="exact")
+    q = JoinQuery(TermQuery("furniture"), "custkey", "ocustkey", "avg")
+    td = s.search(q, k=K + 32, algo="exhaustive")
+    scored = sorted((-np.round(sd.score, 6), int(sd.doc_key[1:])) for sd in td.score_docs)
+    rows = [(rank, okey) for rank, (_, okey) in enumerate(scored[:K], start=1)]
+    return pa.table(
+        {
+            "rank": pa.array([r[0] for r in rows], type=pa.int64()),
+            "o_orderkey": pa.array([r[1] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def _q_block_join_topk(sf_dir: str) -> pa.Table:
     from lucene_ray.query import TermQuery, ToParentBlockJoinQuery
     from lucene_ray.searcher import IndexSearcher
@@ -1177,6 +1237,34 @@ ranked AS (
 SELECT score_mode, rank, okey AS o_orderkey FROM ranked WHERE rank <= {K}
 """
 
+
+_SQL_JOIN = f"""
+WITH corpus AS (
+  SELECT 'segment ' || lower(c_mktsegment) AS text FROM customer
+  UNION ALL
+  SELECT 'orderdoc' FROM orders
+),
+toksj AS (SELECT string_split(text, ' ') AS toks FROM corpus),
+statsj AS (SELECT count(*)::DOUBLE AS doc_count, sum(len(toks))::DOUBLE AS sum_ttf FROM toksj),
+dfj AS (SELECT count(*)::DOUBLE AS df FROM customer WHERE lower(c_mktsegment) = 'furniture'),
+cscore AS (
+  SELECT c.c_custkey,
+         ln(1 + (s.doc_count - d.df + 0.5)/(d.df + 0.5))
+         * (1.0 * 2.2) / (1.0 + 1.2 * (1 - 0.75 + 0.75 * 2.0 / (s.sum_ttf / s.doc_count))) AS score
+  FROM customer c CROSS JOIN statsj s CROSS JOIN dfj d
+  WHERE lower(c.c_mktsegment) = 'furniture'
+),
+joined AS (
+  SELECT o.o_orderkey, cs.score
+  FROM orders o JOIN cscore cs ON cs.c_custkey = o.o_custkey
+),
+ranked AS (
+  SELECT o_orderkey, row_number() OVER (ORDER BY round(score, 6) DESC, o_orderkey) AS rank
+  FROM joined
+)
+SELECT rank, o_orderkey FROM ranked WHERE rank <= {K}
+"""
+
 _SQL_EMB_NEARDUP = f"""
 WITH aug AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < {EMB_SUBSET}
@@ -1475,6 +1563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": _q_grouped_topk,
         # block join (SURVEY §2.5)
         "block_join_topk": _q_block_join_topk,
+        "join_topk": _q_join_topk,
         # analysis chain / text stats (SURVEY §2.2 + data-prep extensions)
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
@@ -1526,6 +1615,7 @@ def oracle_sql() -> dict[str, str]:
         "percolate_counts": _SQL_PERCOLATE,
         "grouped_topk": _SQL_GROUPED_TOPK,
         "block_join_topk": _SQL_BLOCK_JOIN,
+        "join_topk": _SQL_JOIN,
         "token_stats": _SQL_TOKEN_STATS,
         "quality_scores": _SQL_QUALITY,
         "fingerprint": _SQL_FINGERPRINT,

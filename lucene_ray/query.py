@@ -151,6 +151,20 @@ class MatchAllDocsQuery(Query):
 
 
 @dataclass(frozen=True)
+class JoinQuery(Query):
+    """Query-time scored join (join/JoinUtil.createJoinQuery semantics):
+    evaluate ``from_query``, project the matching docs' ``from_field``
+    doc values with their scores aggregated per value (ScoreMode
+    none/sum/max/avg), then match every doc whose ``to_field`` value is in
+    that set, scoring it with the aggregated from-score."""
+
+    from_query: Query
+    from_field: str
+    to_field: str
+    score_mode: str = "avg"
+
+
+@dataclass(frozen=True)
 class SpanNearQuery(Query):
     """Proximity query with minimal-interval semantics (spans/SpanNearQuery
     .java:42 ordered/unordered; queries/.../intervals/IntervalQuery.java:59

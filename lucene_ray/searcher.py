@@ -51,6 +51,7 @@ from lucene_ray.query import (
     DisjunctionMaxQuery,
     FunctionScoreQuery,
     FuzzyQuery,
+    JoinQuery,
     MatchAllDocsQuery,
     NumericRangeQuery,
     PhraseQuery,
@@ -571,6 +572,8 @@ class IndexSearcher:
             return self._eval_block_join_parent(r, q, boost)
         if isinstance(q, ToChildBlockJoinQuery):
             return self._eval_block_join_child(r, q, boost)
+        if isinstance(q, JoinQuery):
+            return self._eval_join(r, q, boost)
         if isinstance(q, PointBoxQuery):
             kd = r.kd_index(q.field_x, q.field_y)
             docs, examined = kd.box(q.x0, q.x1, q.y0, q.y1)
@@ -1000,6 +1003,64 @@ class IndexSearcher:
             for rank, (_, kkey, s) in enumerate(best, start=1):
                 out.append((g, rank, kkey, s))
         return out
+
+    def _join_lut(self, q: JoinQuery, boost: float):
+        """Global (from_field value → aggregated score) map for a JoinQuery —
+        computed ONCE across all segments per (query, boost) and cached
+        (JoinUtil's first phase: collect fromField terms + scores)."""
+        cache = getattr(self, "_join_cache", None)
+        if cache is None:
+            cache = self._join_cache = {}
+        key = (q, float(boost), self.mode)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        vals_parts, score_parts = [], []
+        for r in self.readers:
+            sp = self._apply_live(r, self._eval(r, q.from_query, boost))
+            if not len(sp.docs):
+                continue
+            vals_parts.append(np.asarray(r.doc_values[q.from_field][sp.docs]))
+            score_parts.append(sp.scores)
+        if not vals_parts:
+            out = (np.empty(0), np.empty(0))
+        else:
+            vals = np.concatenate(vals_parts)
+            scores = np.concatenate(score_parts)
+            uniq, inv = np.unique(vals, return_inverse=True)
+            if q.score_mode == "none":
+                agg = np.full(len(uniq), boost)
+            else:
+                sums = np.zeros(len(uniq))
+                np.add.at(sums, inv, scores)
+                if q.score_mode == "sum":
+                    agg = sums
+                elif q.score_mode == "max":
+                    agg = np.full(len(uniq), -np.inf)
+                    np.maximum.at(agg, inv, scores)
+                elif q.score_mode == "avg":
+                    agg = sums / np.bincount(inv, minlength=len(uniq))
+                else:
+                    raise ValueError(f"unknown score_mode {q.score_mode!r}")
+            out = (uniq, agg)
+        if len(cache) > 16:
+            cache.pop(next(iter(cache)))
+        cache[key] = out
+        return out
+
+    def _eval_join(self, r: SegmentReader, q: JoinQuery, boost: float) -> _SparseScores:
+        empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        uniq, agg = self._join_lut(q, boost)
+        if not len(uniq):
+            return empty
+        tvals = np.asarray(r.doc_values[q.to_field])
+        pos = np.searchsorted(uniq, tvals)
+        pos_c = np.minimum(pos, len(uniq) - 1)
+        m = uniq[pos_c] == tvals
+        docs = np.flatnonzero(m).astype(np.int32)
+        if not len(docs):
+            return empty
+        return _SparseScores(docs, agg[pos_c[m]])
 
     # ---------------------------------------------------------- block join
 

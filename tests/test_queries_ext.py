@@ -248,3 +248,40 @@ def test_document_retrieval(tmp_path, ray_session):
     d = s.document(1)
     assert d == {"doc_key": 1, "dl": 2, "score_v": 10}
     assert s.document(99) is None
+
+
+def test_join_query_score_modes(tmp_path, ray_session):
+    import pandas as pd
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import JoinQuery, TermQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    # from docs: tagged parents with group keys; to docs: children keyed in
+    rows = []
+    for g in range(5):
+        tok = "hot" if g % 2 == 0 else "cold"
+        rows.append((f"f{g}", f"{tok} {tok}" if g == 0 else tok, g, -1))
+    for i in range(20):
+        rows.append((f"t{i:02d}", "plain", -1, i % 5))
+    pdf = pd.DataFrame(rows, columns=["k", "text", "fromkey", "tokey"])
+    src = str(tmp_path / "j.parquet")
+    pdf.to_parquet(src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, key_col="k", text_col="text", num_partitions=2,
+                columns=["k", "text", "fromkey", "tokey"],
+                docvalue_cols=("fromkey", "tokey"))
+    s = IndexSearcher(idx, mode="exact")
+    base = {sd.doc_key: sd.score
+            for sd in s.search(TermQuery("hot"), k=10).score_docs}
+    td = s.search(JoinQuery(TermQuery("hot"), "fromkey", "tokey", "avg"), k=50)
+    got = {sd.doc_key: sd.score for sd in td.score_docs}
+    # children of groups 0,2,4 (hot), each scored with its parent's score
+    want_groups = {0, 2, 4}
+    assert {k for k in got} == {f"t{i:02d}" for i in range(20) if i % 5 in want_groups}
+    for k, sc in got.items():
+        g = int(k[1:]) % 5
+        assert sc == pytest.approx(base[f"f{g}"])
+    # none mode: constant scores
+    tdn = s.search(JoinQuery(TermQuery("hot"), "fromkey", "tokey", "none"), k=50)
+    assert all(sd.score == 1.0 for sd in tdn.score_docs)
