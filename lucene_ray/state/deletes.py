@@ -110,15 +110,13 @@ def delete_by_query(index_dir: str, query) -> int:
         ).copy()
         newly = live[sp.docs].sum()
         if newly:
-            seg = dict(seg)
             live[sp.docs] = False
             new_gen = old_gen + 1
             _write_livedocs(reader.dir, new_gen, live)
             written.append(livedocs_path(reader.dir, new_gen))
-            seg["del_gen"] = new_gen
-            seg["del_count"] = int((~live).sum())
             n_deleted += int(newly)
-            changed[seg["name"]] = seg
+            changed[seg["name"]] = {"del_gen": new_gen,
+                                    "del_count": int((~live).sum())}
     if n_deleted:
         # only the segments we actually marked ride in `updated` — an
         # unrelated concurrent merge of OTHER segments must not abort us
@@ -150,15 +148,13 @@ def delete_by_keys(index_dir: str, keys) -> int:
         ).copy()
         newly = int(live[mask].sum())
         if newly:
-            seg = dict(seg)
             live[mask] = False
             new_gen = old_gen + 1
             _write_livedocs(seg_dir, new_gen, live)
             written.append(livedocs_path(seg_dir, new_gen))
-            seg["del_gen"] = new_gen
-            seg["del_count"] = int((~live).sum())
             n_deleted += newly
-            changed[seg["name"]] = seg
+            changed[seg["name"]] = {"del_gen": new_gen,
+                                    "del_count": int((~live).sum())}
     if n_deleted:
         _commit_or_cleanup(index_dir, manifest, changed, written)
     return n_deleted
@@ -206,60 +202,68 @@ def update_numeric_docvalues(index_dir: str, field: str, updates: dict) -> int:
     Like the reference (SegmentCommitInfo docValuesGen; Lucene90DocValuesFormat
     writes a whole new generation of the field's dv file per update batch),
     each affected segment gets ``dv-<field>-<gen>.parquet`` holding the FULL
-    updated column; the manifest entry's ``dv_gens[field]`` points at the
-    current generation and readers overlay it at load. Postings/norms/stats
-    are untouched — doc-values updates never affect scoring statistics.
+    updated column — built from the segment's CURRENT generation, so prior
+    updates to other docs carry forward — and the manifest entry's
+    ``dv_gens[field]`` advances; readers overlay it at load. Postings/norms/
+    stats are untouched (doc-values updates never affect scoring statistics).
+
+    Reads only docs.parquet (doc keys + the one column), never the postings.
+    Any failure (exclusive-create race, manifest conflict) removes every dv
+    side file this call wrote, so a redo is never bricked by its own orphans.
 
     ``updates`` maps doc_key → new value. Returns the number of docs updated.
     """
     import uuid as _uuid
 
     from lucene_ray.state.manifest import CommitConflict, commit_update
-    from lucene_ray.state.segment import SegmentReader
 
     manifest = Manifest.load(index_dir)
     n_updated = 0
     changed: dict[str, dict] = {}
     written: list[str] = []
     keys = set(updates)
-    for seg in manifest.segments:
-        seg_dir = os.path.join(index_dir, "segments", seg["name"])
-        reader = SegmentReader(seg_dir)
-        mask = np.array([k in keys for k in reader.doc_keys], dtype=bool)
-        if not mask.any():
-            continue
-        vals = reader.doc_values[field].copy()
-        idxs = np.flatnonzero(mask)
-        for i in idxs.tolist():
-            vals[i] = updates[reader.doc_keys[i]]
-        old = dict(seg.get("dv_gens") or {})
-        new_gen = int(old.get(field, 0)) + 1
-        path = os.path.join(seg_dir, f"dv-{field}-{new_gen}.parquet")
-        tmp = path + ".tmp-" + _uuid.uuid4().hex[:8]
-        pq.write_table(pa.table({field: pa.array(vals)}), tmp)
-        try:
-            os.link(tmp, path)
-        except FileExistsError:
-            raise CommitConflict(
-                f"dv-{field}-{new_gen} already written by a concurrent updater "
-                f"on {seg_dir}; redo against the current manifest"
-            ) from None
-        finally:
-            os.unlink(tmp)
-        written.append(path)
-        seg = dict(seg)
-        old[field] = new_gen
-        seg["dv_gens"] = old
-        changed[seg["name"]] = seg
-        n_updated += int(mask.sum())
-    if changed:
-        try:
+    try:
+        for seg in manifest.segments:
+            seg_dir = os.path.join(index_dir, "segments", seg["name"])
+            d = pq.read_table(os.path.join(seg_dir, "docs.parquet"),
+                              columns=["doc_key", field])
+            doc_keys = d.column("doc_key").to_numpy(zero_copy_only=False)
+            mask = np.array([k in keys for k in doc_keys], dtype=bool)
+            if not mask.any():
+                continue
+            old_gens = seg.get("dv_gens") or {}
+            old_gen = int(old_gens.get(field, 0))
+            if old_gen:  # chain from the CURRENT generation, not the base
+                vals = pq.read_table(
+                    os.path.join(seg_dir, f"dv-{field}-{old_gen}.parquet")
+                ).column(field).to_numpy(zero_copy_only=False).copy()
+            else:
+                vals = d.column(field).to_numpy(zero_copy_only=False).copy()
+            for i in np.flatnonzero(mask).tolist():
+                vals[i] = updates[doc_keys[i]]
+            new_gen = old_gen + 1
+            path = os.path.join(seg_dir, f"dv-{field}-{new_gen}.parquet")
+            tmp = path + ".tmp-" + _uuid.uuid4().hex[:8]
+            pq.write_table(pa.table({field: pa.array(vals)}), tmp)
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                raise CommitConflict(
+                    f"dv-{field}-{new_gen} already written by a concurrent "
+                    f"updater on {seg_dir}; redo against the current manifest"
+                ) from None
+            finally:
+                os.unlink(tmp)
+            written.append(path)
+            changed[seg["name"]] = {"dv_gens": {field: new_gen}}
+            n_updated += int(mask.sum())
+        if changed:
             commit_update(index_dir, manifest, changed)
-        except BaseException:
-            for p in written:
-                try:
-                    os.unlink(p)
-                except OSError:
-                    pass
-            raise
+    except BaseException:
+        for p in written:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        raise
     return n_updated

@@ -132,19 +132,52 @@ class Manifest:
         return max(gens, default=-1)
 
 
+def _apply_overrides(fresh: dict, base: dict, overrides: dict) -> dict:
+    """Overlay FIELD-level overrides onto the freshly-loaded segment entry.
+
+    Conflict rule: an override may only replace a field whose fresh value
+    still equals what the writer READ (its base) — if a concurrent writer
+    advanced the same field meanwhile, replaying would clobber an
+    acknowledged change (e.g. a dv update resurrecting a delete's del_gen),
+    so raise instead. ``dv_gens`` merges per FIELD with the same rule, so
+    updates to different doc-values columns never conflict."""
+    out = dict(fresh)
+    for k, v in overrides.items():
+        if k == "dv_gens":
+            fresh_dv = dict(fresh.get("dv_gens") or {})
+            base_dv = base.get("dv_gens") or {}
+            for f, g in v.items():
+                if fresh_dv.get(f) != base_dv.get(f):
+                    raise CommitConflict(
+                        f"doc-values field {f!r} of segment {fresh['name']} "
+                        "changed under this update; redo against the current "
+                        "manifest"
+                    )
+                fresh_dv[f] = g
+            out["dv_gens"] = fresh_dv
+        else:
+            if fresh.get(k) != base.get(k):
+                raise CommitConflict(
+                    f"field {k!r} of segment {fresh['name']} changed under "
+                    "this update; redo against the current manifest"
+                )
+            out[k] = v
+    return out
+
+
 def commit_update(index_dir: str, base: "Manifest", updated: dict[str, dict],
                   appended: list[dict] | None = None, *, retries: int = 8) -> "Manifest":
-    """Commit gen+1 applying per-segment metadata ``updated`` (keyed by
-    segment name) plus ``appended`` new segments; on CommitConflict reload
-    and reapply — the optimistic-concurrency loop the reference avoids by
-    owning write.lock.
+    """Commit gen+1 applying per-segment FIELD overrides ``updated`` (keyed
+    by segment name; each value holds only the metadata fields this writer
+    changed) plus ``appended`` new segments; on CommitConflict reload and
+    reapply — the optimistic-concurrency loop the reference avoids by owning
+    write.lock.
 
-    Safety: if a reload shows one of the ``updated`` segments GONE (a
-    concurrent merge consumed it), the update cannot be replayed faithfully
-    (the merged segment absorbed the old rows without our side-state), so the
-    whole operation fails with CommitConflict rather than silently dropping
-    an acknowledged change — callers must redo the operation against the new
-    generation."""
+    Safety: a segment consumed by a concurrent merge, or a field advanced by
+    a concurrent writer, fails the whole operation with CommitConflict
+    (never silently dropping an acknowledged change) — callers redo against
+    the new generation."""
+    base_by_name = {s["name"]: s for s in base.segments}
     manifest = base
     for _ in range(retries):
         names = {s["name"] for s in manifest.segments}
@@ -154,13 +187,20 @@ def commit_update(index_dir: str, base: "Manifest", updated: dict[str, dict],
                 f"segments {sorted(missing)} were consumed by a concurrent "
                 "merge; redo the operation against the current manifest"
             )
-        segs = [updated.get(s["name"], s) for s in manifest.segments]
+        segs = [
+            _apply_overrides(s, base_by_name[s["name"]], updated[s["name"]])
+            if s["name"] in updated
+            else s
+            for s in manifest.segments
+        ]
         segs = segs + list(appended or [])
         m = Manifest(index_dir, manifest.gen + 1, segs, manifest.config)
         try:
             m.commit()
             return m
         except CommitConflict:
+            # only the generation race lands here (field-level conflicts are
+            # raised while building ``segs``, before the commit attempt)
             manifest = Manifest.load(index_dir)
     raise CommitConflict(f"gave up after {retries} manifest commit retries")
 

@@ -151,3 +151,36 @@ def test_merge_bakes_in_docvalue_updates(tmp_path, ray_session):
     s = IndexSearcher(d)
     assert s.count(NumericRangeQuery("price", lower=400)) == 2
     assert s.document(5)["price"] == 500
+
+
+def test_dv_update_generations_carry_forward(tmp_path, ray_session):
+    """Second update batch must NOT revert prior updates to other docs in the
+    same segment (reviewer repro), and a dv update must not clobber a
+    concurrent delete's del_gen (field-level replay)."""
+    import pandas as pd
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.searcher import IndexSearcher
+    from lucene_ray.state.deletes import delete_by_keys, update_numeric_docvalues
+    from lucene_ray.state.manifest import Manifest
+
+    src = str(tmp_path / "d.parquet")
+    pd.DataFrame({"doc_id": range(10), "text": ["w"] * 10,
+                  "price": list(range(10))}).to_parquet(src)
+    d = str(tmp_path / "idx")
+    build_index(src, d, key_col="doc_id", text_col="text", num_partitions=1,
+                columns=["doc_id", "text", "price"], docvalue_cols=("price",))
+    update_numeric_docvalues(d, "price", {3: 150, 4: 160})
+    update_numeric_docvalues(d, "price", {3: 5})
+    s = IndexSearcher(d)
+    assert s.document(4)["price"] == 160  # carried forward (was reverted pre-fix)
+    assert s.document(3)["price"] == 5
+    # delete + dv update on the same segment compose (field-level overrides)
+    delete_by_keys(d, [7])
+    update_numeric_docvalues(d, "price", {8: 999})
+    s2 = IndexSearcher(d)
+    assert s2.document(7) is None            # delete survives the dv commit
+    assert s2.document(8)["price"] == 999
+    m = Manifest.load(d)
+    seg = m.segments[0]
+    assert seg["del_gen"] == 1 and seg["dv_gens"]["price"] == 3

@@ -285,3 +285,39 @@ def test_join_query_score_modes(tmp_path, ray_session):
     # none mode: constant scores
     tdn = s.search(JoinQuery(TermQuery("hot"), "fromkey", "tokey", "none"), k=50)
     assert all(sd.score == 1.0 for sd in tdn.score_docs)
+
+
+def test_join_query_aggregation_modes_discriminated(tmp_path, ray_session):
+    """Two from-docs sharing one from_field value: sum/max/avg must differ."""
+    import pandas as pd
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import JoinQuery, TermQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    rows = [
+        ("f0", "hot", 1, -1),
+        ("f1", "hot hot", 1, -1),   # same fromkey, different score
+        ("f2", "cold", 2, -1),
+        ("t0", "plain", -1, 1),
+        ("t1", "plain", -1, 2),
+    ]
+    pdf = pd.DataFrame(rows, columns=["k", "text", "fromkey", "tokey"])
+    src = str(tmp_path / "j.parquet")
+    pdf.to_parquet(src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, key_col="k", text_col="text", num_partitions=1,
+                columns=["k", "text", "fromkey", "tokey"],
+                docvalue_cols=("fromkey", "tokey"))
+    s = IndexSearcher(idx, mode="exact")
+    base = {sd.doc_key: sd.score for sd in s.search(TermQuery("hot"), k=10).score_docs}
+    s0, s1 = base["f0"], base["f1"]
+    got = {}
+    for mode in ("sum", "max", "avg"):
+        td = s.search(JoinQuery(TermQuery("hot"), "fromkey", "tokey", mode), k=10)
+        got[mode] = {sd.doc_key: sd.score for sd in td.score_docs}
+        assert set(got[mode]) == {"t0"}
+    assert got["sum"]["t0"] == pytest.approx(s0 + s1)
+    assert got["max"]["t0"] == pytest.approx(max(s0, s1))
+    assert got["avg"]["t0"] == pytest.approx((s0 + s1) / 2)
+    assert got["sum"]["t0"] > got["max"]["t0"] > 0
