@@ -912,6 +912,131 @@ def _q_point_box_count(sf_dir: str) -> pa.Table:
     )
 
 
+# (circle_id, lat, lon, radius_m); margins |dist−r| ≥ 1.2 km for every doc at
+# sf0.001/0.01/0.1 — far above any cross-libm transcendental noise, so the
+# counts are boundary-stable. Circle 3 crosses the antimeridian, circle 2 is
+# pole-adjacent (exercises both split-box prune paths).
+GEO_CIRCLES = [
+    (0, 10.0, 20.0, 500_000.0),
+    (1, -45.0, 170.0, 2_000_000.0),
+    (2, 80.0, 0.0, 1_500_000.0),
+    (3, 0.0, -179.5, 800_000.0),
+]
+
+
+def _geo_index(sf_dir: str) -> str:
+    """Index with derived (lat, lon) doc values: lat/lon are deterministic
+    arithmetic on doc_id (exact in IEEE double on both sides, so the SQL
+    oracle recomputes identical coordinates)."""
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.sources.io import read_parquet_clean
+    from lucene_ray.state.manifest import Manifest
+
+    d = _cache_dir(sf_dir, "geo")
+    if not Manifest.exists(d):
+        def add_latlon(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy()
+            lat = ((ids * 7919) % 18000) / 100.0 - 90.0
+            lon = ((ids * 104729) % 36000) / 100.0 - 180.0
+            return b.append_column("lat", pa.array(lat)).append_column("lon", pa.array(lon))
+
+        ds = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(add_latlon, batch_format="pyarrow")
+        build_index(
+            ds,
+            d,
+            key_col="doc_id",
+            text_col="text",
+            num_partitions=4,
+            analyzer="simple",
+            docvalue_cols=("lat", "lon"),
+        )
+    return d
+
+
+def _q_geo_distance(sf_dir: str) -> pa.Table:
+    """LatLonPoint.newDistanceQuery analogue (document/LatLonPoint.java:281):
+    kd-tree box prune + exact haversine verify; per-circle match counts."""
+    from lucene_ray.query import GeoDistanceQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(_geo_index(sf_dir), mode="exact")
+    rows = [
+        (cid, s.count(GeoDistanceQuery("lat", "lon", la, lo, r)))
+        for cid, la, lo, r in GEO_CIRCLES
+    ]
+    return pa.table(
+        {
+            "circle_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n_docs": pa.array([r[1] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+# overlapping on purpose: each range is counted independently
+# (LongRangeFacetCounts semantics, NOT a groupby)
+NCHAR_RANGES = [("short", 0, 800), ("mid", 600, 2000), ("long", 1500, 1_000_000_000)]
+
+
+def _q_range_facets(sf_dir: str) -> pa.Table:
+    """Numeric range facets over n_chars for docs matching 'merge'
+    (facet/range/LongRangeFacetCounts.java:42; overlapping ranges)."""
+    from lucene_ray.query import TermQuery
+
+    s = _searcher(sf_dir)
+    rows = s.range_facet_counts(TermQuery("merge"), "n_chars", NCHAR_RANGES)
+    return pa.table(
+        {
+            "range_id": pa.array(list(range(len(rows))), type=pa.int64()),
+            "label": pa.array([l for l, _ in rows], type=pa.string()),
+            "n_docs": pa.array([n for _, n in rows], type=pa.int64()),
+        }
+    )
+
+
+SUGGEST_PREFIXES = ["me", "wi", "s", "ba"]
+
+
+def _q_suggest_topk(sf_dir: str) -> pa.Table:
+    """Weighted prefix completion (suggest/.../AnalyzingSuggester analogue,
+    weight = total term frequency, order (weight desc, term asc))."""
+    s = _searcher(sf_dir)
+    pr, rk, tm, wt = [], [], [], []
+    for p in SUGGEST_PREFIXES:
+        for rank, (t, w) in enumerate(s.suggest_terms(p, k=5), start=1):
+            pr.append(p)
+            rk.append(rank)
+            tm.append(t)
+            wt.append(int(w))
+    return pa.table(
+        {
+            "prefix": pa.array(pr, type=pa.string()),
+            "rank": pa.array(rk, type=pa.int64()),
+            "term": pa.array(tm, type=pa.string()),
+            "weight": pa.array(wt, type=pa.int64()),
+        }
+    )
+
+
+def _q_diversified_topk(sf_dir: str) -> pa.Table:
+    """Diversified top-k for 'merge': ≤2 docs per lang
+    (misc/search/DiversifiedTopDocsCollector.java:63)."""
+    from lucene_ray.query import TermQuery
+
+    s = _searcher(sf_dir)
+    rows = s.diversified_topk(
+        TermQuery("merge"), "lang", max_per_key=2, k=K, round_digits=6
+    )
+    return pa.table(
+        {
+            "rank": pa.array([r for r, *_ in rows], type=pa.int64()),
+            "doc_id": pa.array([int(dk) for _, dk, *_ in rows], type=pa.int64()),
+            "lang": pa.array([str(kk) for _, _, kk, _ in rows], type=pa.string()),
+        }
+    )
+
+
 def _q_facet_lang(sf_dir: str) -> pa.Table:
     from lucene_ray.query import TermQuery
 
@@ -1532,6 +1657,96 @@ def entry() -> Any:
     return run_query_set(d, DEFAULT_QUERY_SET, k=K, concurrency=2)
 
 
+def _sql_geo_distance() -> str:
+    vals = ", ".join(f"({cid}, {la}, {lo}, {r})" for cid, la, lo, r in GEO_CIRCLES)
+    # identical haversine op order to functions/points.py:haversine_meters
+    # (util/SloppyMath.java:48-58): h1 + cos·cos·h2, then R·2·asin(min(1,√(h/2)))
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM documents
+),
+q(circle_id, qlat, qlon, r) AS (VALUES {vals}),
+d AS (
+  SELECT q.circle_id,
+         6371008.7714 * 2 * asin(least(1.0, sqrt((
+           (1 - cos(radians(pts.lat - q.qlat)))
+           + cos(radians(pts.lat)) * cos(radians(q.qlat))
+             * (1 - cos(radians(pts.lon - q.qlon)))
+         ) * 0.5))) AS dist,
+         q.r AS r
+  FROM pts CROSS JOIN q
+)
+SELECT circle_id::BIGINT AS circle_id,
+       (count(*) FILTER (WHERE dist <= r))::BIGINT AS n_docs
+FROM d GROUP BY circle_id ORDER BY circle_id
+"""
+
+
+def _sql_range_facets() -> str:
+    vals = ", ".join(
+        f"({i}, '{label}', {lo}, {hi})" for i, (label, lo, hi) in enumerate(NCHAR_RANGES)
+    )
+    return f"""
+WITH m AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+  WHERE term = 'merge'
+),
+vals AS (SELECT d.n_chars FROM documents d JOIN m USING (doc_id)),
+r(range_id, label, lo, hi) AS (VALUES {vals}),
+j AS (
+  SELECT r.range_id, r.label,
+         count(*) FILTER (WHERE vals.n_chars >= r.lo AND vals.n_chars < r.hi) AS n
+  FROM r CROSS JOIN vals GROUP BY r.range_id, r.label
+)
+SELECT range_id::BIGINT AS range_id, label, n::BIGINT AS n_docs
+FROM j ORDER BY range_id
+"""
+
+
+def _sql_suggest_topk() -> str:
+    vals = ", ".join(f"('{p}')" for p in SUGGEST_PREFIXES)
+    return f"""
+WITH {_BASE},
+ttf AS (SELECT term, sum(tf)::BIGINT AS w FROM tf GROUP BY term),
+p(prefix) AS (VALUES {vals}),
+cand AS (
+  SELECT p.prefix, ttf.term, ttf.w,
+         row_number() OVER (PARTITION BY p.prefix ORDER BY ttf.w DESC, ttf.term) AS rank
+  FROM p JOIN ttf ON ttf.term LIKE p.prefix || '%'
+)
+SELECT prefix, rank::BIGINT AS rank, term, w AS weight
+FROM cand WHERE rank <= 5 ORDER BY prefix, rank
+"""
+
+
+def _sql_diversified_topk(term: str = "merge", m: int = 2, k: int = K) -> str:
+    # greedy-in-rank-order with a per-key cap == keep rows whose within-key
+    # rank ≤ m, then global top-k (see IndexSearcher.diversified_topk)
+    return f"""
+WITH {_BASE},
+scored AS (
+  SELECT tf.doc_id, round({_SCORE}, 6) AS sc
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id JOIN df ON df.term = tf.term CROSS JOIN stats
+  WHERE tf.term = '{term}'
+),
+withkey AS (SELECT s.doc_id, d.lang, s.sc FROM scored s JOIN documents d USING (doc_id)),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY sc DESC, doc_id) AS rin
+  FROM withkey
+),
+fin AS (
+  SELECT row_number() OVER (ORDER BY sc DESC, doc_id) AS rank, doc_id, lang
+  FROM rk WHERE rin <= {m}
+)
+SELECT rank::BIGINT AS rank, doc_id::BIGINT AS doc_id, lang
+FROM fin WHERE rank <= {k} ORDER BY rank
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # index + BM25 search (SURVEY §2.6-2.8)
@@ -1550,6 +1765,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_count": _q_prefix_count,
         "numeric_range_topk": _q_numeric_range_topk,
         "point_box_count": _q_point_box_count,
+        "geo_distance_count": _q_geo_distance,
+        "range_facets": _q_range_facets,
+        "suggest_topk": _q_suggest_topk,
+        "diversified_topk": _q_diversified_topk,
         "wildcard_count": _q_wildcard_count,
         "term_range_count": _q_term_range_count,
         "fuzzy_count": _q_fuzzy_count,
@@ -1604,6 +1823,10 @@ def oracle_sql() -> dict[str, str]:
         "prefix_count": _SQL_PREFIX_COUNT,
         "numeric_range_topk": _SQL_NUMERIC_RANGE,
         "point_box_count": _SQL_POINT_BOX,
+        "geo_distance_count": _sql_geo_distance(),
+        "range_facets": _sql_range_facets(),
+        "suggest_topk": _sql_suggest_topk(),
+        "diversified_topk": _sql_diversified_topk(),
         "wildcard_count": _SQL_WILDCARD,
         "term_range_count": _SQL_TERM_RANGE,
         "fuzzy_count": _SQL_FUZZY,

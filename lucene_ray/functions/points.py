@@ -86,3 +86,46 @@ class KDIndex:
         if not out:
             return np.empty(0, dtype=np.int32), examined
         return np.sort(np.concatenate(out)), examined
+
+
+# ------------------------------------------------------------------- geo
+
+# SloppyMath.TO_METERS (util/SloppyMath.java:200) — mean earth radius.
+MEAN_EARTH_RADIUS_M = 6_371_008.7714
+
+
+def haversine_meters(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Vectorized haversine distance in meters, same op order as the
+    reference (util/SloppyMath.java:48-58 haversinSortKey + haversinMeters):
+    h = (1-cos Δlat) + cos(lat1)·cos(lat2)·(1-cos Δlon);
+    d = R · 2 · asin(min(1, sqrt(h/2)))."""
+    x1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    x2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    h1 = 1.0 - np.cos(x1 - x2)
+    h2 = 1.0 - np.cos(np.radians(np.asarray(lon1, dtype=np.float64) - lon2))
+    h = h1 + np.cos(x1) * np.cos(x2) * h2
+    return MEAN_EARTH_RADIUS_M * 2.0 * np.arcsin(np.minimum(1.0, np.sqrt(h * 0.5)))
+
+
+def distance_bounding_boxes(lat: float, lon: float, radius_m: float) -> list[tuple]:
+    """Lat/lon boxes that fully contain the circle (geo/Rectangle.fromPointDistance
+    analogue, conservatively widened): the kd-tree prune set; candidates are
+    then verified with :func:`haversine_meters`. Returns one box, or two when
+    the circle crosses the antimeridian; boxes are (lat0, lat1, lon0, lon1)."""
+    eps = 1e-7  # absorb float rounding — boxes only need to be ⊇ circle
+    dlat = np.degrees(radius_m / MEAN_EARTH_RADIUS_M) + eps
+    lat0, lat1 = max(-90.0, lat - dlat), min(90.0, lat + dlat)
+    # widest parallel inside the box bounds the longitude delta
+    max_abs = min(90.0, max(abs(lat0), abs(lat1)))
+    c = np.cos(np.radians(max_abs))
+    if c <= 1e-9 or radius_m / (MEAN_EARTH_RADIUS_M * c) >= np.pi:
+        return [(lat0, lat1, -180.0, 180.0)]  # pole-adjacent: all longitudes
+    dlon = np.degrees(radius_m / (MEAN_EARTH_RADIUS_M * c)) + eps
+    lon0, lon1 = lon - dlon, lon + dlon
+    if lon0 < -180.0 and lon1 > 180.0:
+        return [(lat0, lat1, -180.0, 180.0)]
+    if lon0 < -180.0:  # crosses the antimeridian going west
+        return [(lat0, lat1, -180.0, lon1), (lat0, lat1, lon0 + 360.0, 180.0)]
+    if lon1 > 180.0:  # crosses going east
+        return [(lat0, lat1, lon0, 180.0), (lat0, lat1, -180.0, lon1 - 360.0)]
+    return [(lat0, lat1, lon0, lon1)]

@@ -127,6 +127,22 @@ class PointBoxQuery(Query):
 
 
 @dataclass(frozen=True)
+class GeoDistanceQuery(Query):
+    """All docs whose (lat, lon) doc values lie within ``radius_m`` meters of
+    the center — LatLonPoint.newDistanceQuery (document/LatLonPoint.java:281)
+    semantics: BKD box pruning (the 2-D kd index over the lat/lon columns)
+    followed by exact haversine verification (util/SloppyMath.java:47
+    haversinMeters, same op order). Non-scoring (constant score 1·boost),
+    composes as FILTER/MUST."""
+
+    lat_field: str
+    lon_field: str
+    lat: float
+    lon: float
+    radius_m: float
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     """Multi-term scored as ONE pseudo-term: summed tf per doc, idf from the
     blended (max) docFreq (search/SynonymQuery.java:52-214)."""

@@ -51,6 +51,7 @@ from lucene_ray.query import (
     DisjunctionMaxQuery,
     FunctionScoreQuery,
     FuzzyQuery,
+    GeoDistanceQuery,
     JoinQuery,
     MatchAllDocsQuery,
     NumericRangeQuery,
@@ -581,6 +582,26 @@ class IndexSearcher:
             st["docs_examined"] += examined + len(docs)
             st["max_doc_total"] += r.max_doc
             return _SparseScores(docs, np.full(len(docs), boost))
+        if isinstance(q, GeoDistanceQuery):
+            from lucene_ray.functions.points import distance_bounding_boxes, haversine_meters
+
+            kd = r.kd_index(q.lat_field, q.lon_field)
+            st = self.range_stats
+            parts = []
+            for lat0, lat1, lon0, lon1 in distance_bounding_boxes(q.lat, q.lon, q.radius_m):
+                cand, examined = kd.box(lat0, lat1, lon0, lon1)
+                st["docs_examined"] += examined + len(cand)
+                if len(cand):
+                    d = haversine_meters(
+                        r.doc_values[q.lat_field][cand],
+                        r.doc_values[q.lon_field][cand],
+                        q.lat,
+                        q.lon,
+                    )
+                    parts.append(cand[d <= q.radius_m])
+            st["max_doc_total"] += r.max_doc
+            docs = np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int32)
+            return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, FuzzyQuery):
             return self._eval_fuzzy(r, q, boost)
         if isinstance(q, SynonymQuery):
@@ -934,6 +955,77 @@ class IndexSearcher:
             vals, counts = np.unique(r.doc_values[field][sp.docs], return_counts=True)
             for v, c in zip(vals.tolist(), counts.tolist()):
                 out[v] = out.get(v, 0) + c
+        return out
+
+    def range_facet_counts(
+        self, query: Query | str, field: str, ranges: list[tuple]
+    ) -> list[tuple]:
+        """Numeric range facets (facet/range/LongRangeFacetCounts.java:42):
+        for docs matching ``query``, count how many fall into each
+        ``(label, lo, hi)`` half-open range lo ≤ v < hi. Ranges may overlap —
+        each is counted independently (the reference's LongRange list
+        semantics), so this is NOT a groupby. Returns [(label, count)] in
+        the given range order."""
+        if isinstance(query, str):
+            query = parse_query(query)
+        totals = np.zeros(len(ranges), dtype=np.int64)
+        for r in self.readers:
+            sp = self._apply_live(r, self._eval(r, query))
+            if not len(sp.docs):
+                continue
+            vals = np.asarray(r.doc_values[field][sp.docs], dtype=np.float64)
+            for i, (_, lo, hi) in enumerate(ranges):
+                totals[i] += int(np.count_nonzero((vals >= lo) & (vals < hi)))
+        return [(label, int(totals[i])) for i, (label, *_rest) in enumerate(ranges)]
+
+    def diversified_topk(
+        self,
+        query: Query | str,
+        key_field: str,
+        max_per_key: int = 1,
+        k: int = 10,
+        round_digits: int | None = None,
+    ) -> list[tuple]:
+        """Diversified top-k (misc/search/DiversifiedTopDocsCollector.java:63):
+        global top-k by (score desc, doc_key asc) with at most ``max_per_key``
+        docs sharing a ``key_field`` value. Greedy-in-rank-order == "keep a
+        doc iff its within-key rank ≤ max_per_key, then global top-k" — a doc
+        beyond its key's top-``max_per_key`` is always preceded by enough
+        same-key docs to fill the cap. Per segment only the per-key
+        top-``max_per_key`` survivors are forwarded (the exact-merge bound),
+        so the driver-side merge is O(segments · keys · max_per_key).
+        Returns [(rank, doc_key, key, score)]."""
+        if isinstance(query, str):
+            query = parse_query(query)
+        rd = round_digits
+
+        cands: list[tuple] = []  # (-score_key, doc_key, key, score)
+        for r in self.readers:
+            sp = self._apply_live(r, self._eval(r, query))
+            if not len(sp.docs):
+                continue
+            keys = r.doc_values[key_field][sp.docs]
+            dks = r.doc_keys[sp.docs]
+            scores = np.round(sp.scores, rd) if rd is not None else sp.scores
+            per_key: dict = {}
+            for kk, dk, s0, s in zip(
+                keys.tolist(), dks.tolist(), scores.tolist(), sp.scores.tolist()
+            ):
+                per_key.setdefault(kk, []).append((-s0, dk, kk, s))
+            for lst in per_key.values():
+                cands.extend(heapq.nsmallest(max_per_key, lst))
+
+        cands.sort()
+        counts: dict = {}
+        out = []
+        for negs, dk, kk, s in cands:
+            c = counts.get(kk, 0)
+            if c >= max_per_key:
+                continue
+            counts[kk] = c + 1
+            out.append((len(out) + 1, dk, kk, s))
+            if len(out) >= k:
+                break
         return out
 
     def document(self, doc_key) -> dict | None:
