@@ -932,13 +932,15 @@ def _geo_index(sf_dir: str) -> str:
     from lucene_ray.sources.io import read_parquet_clean
     from lucene_ray.state.manifest import Manifest
 
-    d = _cache_dir(sf_dir, "geo")
+    d = _cache_dir(sf_dir, "geov2")
     if not Manifest.exists(d):
         def add_latlon(b: pa.Table) -> pa.Table:
             ids = b.column("doc_id").to_numpy()
             lat = ((ids * 7919) % 18000) / 100.0 - 90.0
             lon = ((ids * 104729) % 36000) / 100.0 - 180.0
-            return b.append_column("lat", pa.array(lat)).append_column("lon", pa.array(lon))
+            mm = 1 + ids % 3  # per-doc minimum-match for the covering gate
+            b = b.append_column("lat", pa.array(lat)).append_column("lon", pa.array(lon))
+            return b.append_column("mm", pa.array(mm))
 
         ds = read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -950,7 +952,7 @@ def _geo_index(sf_dir: str) -> str:
             text_col="text",
             num_partitions=4,
             analyzer="simple",
-            docvalue_cols=("lat", "lon"),
+            docvalue_cols=("lat", "lon", "mm"),
         )
     return d
 
@@ -1033,6 +1035,41 @@ def _q_diversified_topk(sf_dir: str) -> pa.Table:
             "rank": pa.array([r for r, *_ in rows], type=pa.int64()),
             "doc_id": pa.array([int(dk) for _, dk, *_ in rows], type=pa.int64()),
             "lang": pa.array([str(kk) for _, _, kk, _ in rows], type=pa.string()),
+        }
+    )
+
+
+COVERING_TERMS = ("merge", "spark", "window")
+
+
+def _q_covering_topk(sf_dir: str) -> pa.Table:
+    """CoveringQuery (sandbox/search/CoveringQuery.java:49): per-doc
+    minimum-match read from the 'mm' doc-values column (1 + doc_id % 3);
+    score = sum of matching clause scores."""
+    from lucene_ray.query import CoveringQuery, TermQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(_geo_index(sf_dir), mode="exact")
+    q = CoveringQuery([TermQuery(t) for t in COVERING_TERMS], "mm")
+    return _ranked_topk(s, [("covering", q)], k=K)
+
+
+def _q_dv_stats(sf_dir: str) -> pa.Table:
+    """Doc-values statistics over matching docs
+    (misc/DocValuesStats.java + DocValuesStatsCollector)."""
+    from lucene_ray.query import TermQuery
+
+    s = _searcher(sf_dir)
+    st = s.dv_stats(TermQuery("merge"), "n_chars")
+    return pa.table(
+        {
+            "count": pa.array([st["count"]], type=pa.int64()),
+            "min": pa.array([st["min"]], type=pa.int64()),
+            "max": pa.array([st["max"]], type=pa.int64()),
+            "sum": pa.array([st["sum"]], type=pa.int64()),
+            "mean": pa.array([st["mean"]], type=pa.float64()),
+            "variance": pa.array([st["variance"]], type=pa.float64()),
+            "stddev": pa.array([st["stddev"]], type=pa.float64()),
         }
     )
 
@@ -1747,6 +1784,50 @@ FROM fin WHERE rank <= {k} ORDER BY rank
 """
 
 
+def _sql_covering_topk(k: int = K) -> str:
+    terms = ", ".join(f"'{t}'" for t in COVERING_TERMS)
+    return f"""
+WITH {_BASE},
+sc AS (
+  SELECT tf.doc_id, count(*) AS c, sum({_SCORE}) AS score
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id JOIN df ON df.term = tf.term CROSS JOIN stats
+  WHERE tf.term IN ({terms})
+  GROUP BY tf.doc_id
+),
+keep AS (SELECT doc_id, score FROM sc WHERE c >= 1 + doc_id % 3),
+ranked AS (
+  SELECT 'covering' AS query,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id
+  FROM keep
+)
+SELECT query, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id
+FROM ranked WHERE rank <= {k} ORDER BY rank
+"""
+
+
+# mean/variance use the engine's exact double op order (sum and sum-of-squares
+# accumulate exactly in int64, the float division/multiply happen once)
+_SQL_DV_STATS = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+  WHERE term = 'merge'
+),
+v AS (SELECT d.n_chars::BIGINT AS v FROM documents d JOIN m USING (doc_id)),
+a AS (
+  SELECT count(*)::BIGINT AS count, min(v)::BIGINT AS min, max(v)::BIGINT AS max,
+         sum(v)::BIGINT AS sum, sum(v * v)::BIGINT AS sq
+  FROM v
+)
+SELECT count, min, max, sum,
+       sum / count AS mean,
+       sq / count - (sum / count) * (sum / count) AS variance,
+       sqrt(greatest(0.0, sq / count - (sum / count) * (sum / count))) AS stddev
+FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # index + BM25 search (SURVEY §2.6-2.8)
@@ -1766,6 +1847,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numeric_range_topk": _q_numeric_range_topk,
         "point_box_count": _q_point_box_count,
         "geo_distance_count": _q_geo_distance,
+        "covering_topk": _q_covering_topk,
+        "dv_stats": _q_dv_stats,
         "range_facets": _q_range_facets,
         "suggest_topk": _q_suggest_topk,
         "diversified_topk": _q_diversified_topk,
@@ -1824,6 +1907,8 @@ def oracle_sql() -> dict[str, str]:
         "numeric_range_topk": _SQL_NUMERIC_RANGE,
         "point_box_count": _SQL_POINT_BOX,
         "geo_distance_count": _sql_geo_distance(),
+        "covering_topk": _sql_covering_topk(),
+        "dv_stats": _SQL_DV_STATS,
         "range_facets": _sql_range_facets(),
         "suggest_topk": _sql_suggest_topk(),
         "diversified_topk": _sql_diversified_topk(),

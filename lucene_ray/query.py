@@ -127,6 +127,23 @@ class PointBoxQuery(Query):
 
 
 @dataclass(frozen=True)
+class CoveringQuery(Query):
+    """Matches docs where the number of matching sub-queries ≥ a PER-DOC
+    minimum read from a numeric doc-values column — sandbox/search/
+    CoveringQuery.java:49 with LongValuesSource.fromLongField semantics.
+    Score = sum of the matching sub-scores. Evaluation is union-driven, so
+    the per-doc minimum is effectively clamped to ≥ 1 (a doc matching zero
+    clauses never matches, exactly as in the reference's scorer)."""
+
+    queries: tuple
+    min_match_field: str
+
+    def __init__(self, queries, min_match_field: str):
+        object.__setattr__(self, "queries", tuple(queries))
+        object.__setattr__(self, "min_match_field", min_match_field)
+
+
+@dataclass(frozen=True)
 class GeoDistanceQuery(Query):
     """All docs whose (lat, lon) doc values lie within ``radius_m`` meters of
     the center — LatLonPoint.newDistanceQuery (document/LatLonPoint.java:281)

@@ -48,6 +48,7 @@ from lucene_ray.query import (
     BooleanQuery,
     BoostQuery,
     ConstantScoreQuery,
+    CoveringQuery,
     DisjunctionMaxQuery,
     FunctionScoreQuery,
     FuzzyQuery,
@@ -582,6 +583,14 @@ class IndexSearcher:
             st["docs_examined"] += examined + len(docs)
             st["max_doc_total"] += r.max_doc
             return _SparseScores(docs, np.full(len(docs), boost))
+        if isinstance(q, CoveringQuery):
+            subs = [self._eval(r, sub, boost) for sub in q.queries]
+            u = self._union(subs, r.max_doc)
+            if not len(u.docs):
+                return u
+            mins = np.asarray(r.doc_values[q.min_match_field][u.docs], dtype=np.int64)
+            keep = u.counts >= mins
+            return _SparseScores(u.docs[keep], u.scores[keep], u.counts[keep])
         if isinstance(q, GeoDistanceQuery):
             from lucene_ray.functions.points import distance_bounding_boxes, haversine_meters
 
@@ -956,6 +965,40 @@ class IndexSearcher:
             for v, c in zip(vals.tolist(), counts.tolist()):
                 out[v] = out.get(v, 0) + c
         return out
+
+    def dv_stats(self, query: Query | str, field: str) -> dict:
+        """Aggregate statistics of a numeric doc-values column over matching
+        docs (misc/DocValuesStats.java + DocValuesStatsCollector): count,
+        min, max, sum, mean, variance (population), stddev. Sums accumulate
+        in int64 (exact for integral columns), the float ops happen once in
+        a fixed order so an SQL oracle reproduces them bit-for-bit."""
+        if isinstance(query, str):
+            query = parse_query(query)
+        n = 0
+        s = 0
+        sq = 0
+        mn: float | None = None
+        mx: float | None = None
+        for r in self.readers:
+            sp = self._apply_live(r, self._eval(r, query))
+            if not len(sp.docs):
+                continue
+            vals = np.asarray(r.doc_values[field][sp.docs], dtype=np.int64)
+            n += len(vals)
+            s += int(vals.sum())
+            sq += int((vals * vals).sum())
+            lo, hi = int(vals.min()), int(vals.max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        if n == 0:
+            return {"count": 0, "min": None, "max": None, "sum": 0,
+                    "mean": None, "variance": None, "stddev": None}
+        mean = s / n
+        var = sq / n - mean * mean
+        return {
+            "count": n, "min": mn, "max": mx, "sum": s,
+            "mean": mean, "variance": var, "stddev": float(np.sqrt(max(0.0, var))),
+        }
 
     def range_facet_counts(
         self, query: Query | str, field: str, ranges: list[tuple]

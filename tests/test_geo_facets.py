@@ -174,6 +174,56 @@ def test_diversified_topk_greedy_oracle(doc_idx):
         assert [(r, dk, kk) for r, dk, kk, _ in got] == want, (m, k)
 
 
+def test_covering_query_per_doc_min_match(geo_idx):
+    """CoveringQuery vs brute force: every doc's matching-clause count must
+    meet its own 'mm' doc-values minimum (here derived from doc_id)."""
+    import ray.data
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import CoveringQuery
+
+    rng = np.random.default_rng(11)
+    n = 300
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 5), replace=False)) for _ in range(n)]
+    mm = (1 + np.arange(n) % 3).astype(np.int64)
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts, "mm": mm})
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cov") + "/idx"
+    build_index(ray.data.from_pandas(df), d, key_col="doc_id", text_col="text",
+                num_partitions=2, analyzer="simple", docvalue_cols=("mm",))
+    s = IndexSearcher(d, mode="exact")
+    clauses = [TermQuery(t) for t in ("alpha", "beta", "gamma")]
+    got = {sd.doc_key for sd in s.search(CoveringQuery(clauses, "mm"), k=1000).score_docs}
+    want = set()
+    for i, t in enumerate(texts):
+        words = set(t.split())
+        c = sum(1 for x in ("alpha", "beta", "gamma") if x in words)
+        if c >= mm[i]:
+            want.add(i)
+    assert got == want
+
+
+def test_dv_stats_matches_numpy(doc_idx):
+    import pyarrow.parquet as pq
+
+    from lucene_ray.functions.analysis import Analyzer
+
+    s = IndexSearcher(doc_idx, mode="exact")
+    st = s.dv_stats(TermQuery("merge"), "n_chars")
+    t = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    an = Analyzer("simple")
+    v = t[[("merge" in {w for w, _ in an.tokenize_one(x)}) for x in t.text]].n_chars.to_numpy(np.int64)
+    assert st["count"] == len(v) and st["min"] == v.min() and st["max"] == v.max()
+    assert st["sum"] == int(v.sum())
+    assert abs(st["mean"] - v.mean()) < 1e-9
+    assert abs(st["variance"] - v.var()) < 1e-6
+    assert abs(st["stddev"] - v.std()) < 1e-6
+    empty = s.dv_stats(TermQuery("zzznotaterm"), "n_chars")
+    assert empty["count"] == 0 and empty["mean"] is None
+
+
 def test_diversified_respects_cap(doc_idx):
     s = IndexSearcher(doc_idx, mode="exact")
     out = s.diversified_topk(TermQuery("the"), "lang", max_per_key=2, k=20)
