@@ -1039,6 +1039,29 @@ def _q_diversified_topk(sf_dir: str) -> pa.Table:
     )
 
 
+# slots of accepted terms per phrase position; the second query repeats a
+# term across slots on purpose (its idf is summed twice on both sides, the
+# reference's flattened-termArrays stats behavior)
+MPHRASE_QUERIES = [
+    (("merge", "spark"), ("sort", "window")),
+    (("batch",), ("batch", "window")),
+    (("stream", "key"), ("value", "batch", "hash")),
+]
+
+
+def _q_multi_phrase_topk(sf_dir: str) -> pa.Table:
+    """MultiPhraseQuery (search/MultiPhraseQuery.java:47): per-position
+    term alternatives, matched via per-slot union postings."""
+    from lucene_ray.query import MultiPhraseQuery
+
+    s = _searcher(sf_dir)
+    named = [
+        (" ".join("(" + "|".join(slot) + ")" for slot in slots), MultiPhraseQuery(slots))
+        for slots in MPHRASE_QUERIES
+    ]
+    return _ranked_topk(s, named)
+
+
 COVERING_TERMS = ("merge", "spark", "window")
 
 
@@ -1784,6 +1807,45 @@ FROM fin WHERE rank <= {k} ORDER BY rank
 """
 
 
+def _sql_multi_phrase_topk(queries, k: int = K) -> str:
+    parts = []
+    for slots in queries:
+        name = " ".join("(" + "|".join(s) + ")" for s in slots)
+        conds = " AND ".join(
+            "toks[i+{}] IN ({})".format(j, ", ".join(f"'{t}'" for t in slot))
+            for j, slot in enumerate(slots)
+        )
+        allterms = [t for slot in slots for t in slot]
+        pterms = ", ".join(f"('{t}')" for t in allterms)
+        n = len(slots)
+        parts.append(f"""
+  SELECT '{name}' AS query, pm.doc_id,
+         (SELECT sum(ln(1 + (s.doc_count - df.df + 0.5)/(df.df + 0.5)))
+          FROM (VALUES {pterms}) pt(term) JOIN df ON df.term = pt.term CROSS JOIN stats s)
+         * (pm.freq * 2.2) / (pm.freq + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s2.sum_ttf / s2.doc_count))) AS score
+  FROM (
+    SELECT doc_id, count(*)::DOUBLE AS freq
+    FROM base, unnest(range(1, len(toks) - {n - 2})) AS t(i)
+    WHERE {conds}
+    GROUP BY doc_id
+  ) pm
+  JOIN dl ON dl.doc_id = pm.doc_id
+  CROSS JOIN stats s2""")
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH {_BASE},
+scored AS (
+{union}
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {k}
+"""
+
+
 def _sql_covering_topk(k: int = K) -> str:
     terms = ", ".join(f"'{t}'" for t in COVERING_TERMS)
     return f"""
@@ -1848,6 +1910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "point_box_count": _q_point_box_count,
         "geo_distance_count": _q_geo_distance,
         "covering_topk": _q_covering_topk,
+        "multi_phrase_topk": _q_multi_phrase_topk,
         "dv_stats": _q_dv_stats,
         "range_facets": _q_range_facets,
         "suggest_topk": _q_suggest_topk,
@@ -1908,6 +1971,7 @@ def oracle_sql() -> dict[str, str]:
         "point_box_count": _SQL_POINT_BOX,
         "geo_distance_count": _sql_geo_distance(),
         "covering_topk": _sql_covering_topk(),
+        "multi_phrase_topk": _sql_multi_phrase_topk(MPHRASE_QUERIES),
         "dv_stats": _SQL_DV_STATS,
         "range_facets": _sql_range_facets(),
         "suggest_topk": _sql_suggest_topk(),

@@ -127,6 +127,28 @@ class PointBoxQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with MULTIPLE accepted terms per position (search/
+    MultiPhraseQuery.java:47, e.g. "microsoft (app OR office)"): position j
+    matches if ANY of ``positions[j]``'s terms occurs there. Matched like
+    ExactPhraseMatcher over per-slot UNION postings (the reference's
+    UnionPostingsEnum), scored with the idf sum over every term in the query
+    (terms absent from the collection contribute nothing, as in the
+    reference where they carry no TermStates)."""
+
+    positions: tuple  # tuple[tuple[str, ...], ...]
+    slop: int = 0
+    field: str | None = None
+
+    def __init__(self, positions, slop: int = 0, field: str | None = None):
+        object.__setattr__(
+            self, "positions", tuple(tuple(slot) for slot in positions)
+        )
+        object.__setattr__(self, "slop", int(slop))
+        object.__setattr__(self, "field", field)
+
+
+@dataclass(frozen=True)
 class CoveringQuery(Query):
     """Matches docs where the number of matching sub-queries ≥ a PER-DOC
     minimum read from a numeric doc-values column — sandbox/search/

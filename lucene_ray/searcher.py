@@ -55,6 +55,7 @@ from lucene_ray.query import (
     GeoDistanceQuery,
     JoinQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     NumericRangeQuery,
     PhraseQuery,
     PointBoxQuery,
@@ -617,6 +618,8 @@ class IndexSearcher:
             return self._eval_synonym(r, q, boost)
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(r, q, boost)
+        if isinstance(q, MultiPhraseQuery):
+            return self._eval_multi_phrase(r, q, boost)
         if isinstance(q, SpanNearQuery):
             return self._eval_span_near(r, q, boost)
         if isinstance(q, DisjunctionMaxQuery):
@@ -1430,6 +1433,83 @@ class IndexSearcher:
         tstats = [self.term_statistics(fp + t) for t in terms]
         scorer = self.sim.scorer(self._field_cstats(q.field), tstats, boost=boost)
         return _SparseScores(docs, self._score_arrays(r, scorer, docs, freqs, q.field))
+
+    def _eval_multi_phrase(
+        self, r: SegmentReader, q: MultiPhraseQuery, boost: float
+    ) -> _SparseScores:
+        """MultiPhraseQuery (search/MultiPhraseQuery.java:47): each slot is
+        the UNION of its terms' (doc, position) keys (UnionPostingsEnum),
+        then the same consecutive-key intersect as the exact phrase matcher;
+        slop > 0 routes the unioned per-doc position sets through the
+        SloppyPhraseMatcher port with each SLOT as one pseudo-term (the
+        reference likewise drives one PostingsEnum per position)."""
+        empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        if self._multi and q.field and q.field not in self.fields:
+            return empty
+        fp = self._fp(q.field)
+        slots = list(q.positions)
+        if len(slots) == 1:
+            # rewrites to a SynonymQuery-like union; score each term alone
+            # (MultiPhraseQuery.java rewrite to TermQuery for 1x1)
+            if len(slots[0]) == 1:
+                return self._eval(r, TermQuery(slots[0][0], q.field), boost)
+        SHIFT = np.int64(1) << np.int64(21)
+        slot_keys: list[np.ndarray] = []
+        for slot in slots:
+            idxs = [i for i in (r.term_index(fp + t) for t in slot) if i >= 0]
+            if not idxs:
+                return empty  # no accepted term of this slot exists here
+            parts = []
+            for i in idxs:
+                docs_i, freqs_i = r.postings(int(i))
+                pos_i = r.positions(int(i))
+                doc_rep = np.repeat(docs_i.astype(np.int64), freqs_i)
+                parts.append(doc_rep * SHIFT + pos_i.astype(np.int64))
+            # distinct terms never share a position, so the union is disjoint
+            kk = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
+            slot_keys.append(kk)
+
+        if q.slop == 0:
+            cand = slot_keys[0]
+            for j in range(1, len(slot_keys)):
+                cand, _, _ = _intersect_sorted(cand, slot_keys[j] - j)
+                if not len(cand):
+                    return empty
+            docs64, counts = np.unique(cand >> np.int64(21), return_counts=True)
+            match_docs = docs64.astype(np.int32)
+            match_freqs = counts.astype(np.float64)
+        else:
+            from lucene_ray.functions.sloppy import sloppy_phrase_freq
+
+            doc_sets = [np.unique(kk >> np.int64(21)) for kk in slot_keys]
+            cand = doc_sets[0]
+            for ds in doc_sets[1:]:
+                cand, _, _ = _intersect_sorted(cand, ds)
+                if not len(cand):
+                    return empty
+            labels = [tuple(sorted(slot)) for slot in slots]
+            md, mf = [], []
+            for d in cand.tolist():
+                sets = []
+                for kk in slot_keys:
+                    lo = int(np.searchsorted(kk, np.int64(d) * SHIFT))
+                    hi = int(np.searchsorted(kk, (np.int64(d) + 1) * SHIFT))
+                    sets.append((kk[lo:hi] & (SHIFT - 1)).astype(np.int64))
+                freq = sloppy_phrase_freq(sets, list(range(len(slots))), labels, q.slop)
+                if freq > 0:
+                    md.append(d)
+                    mf.append(freq)
+            if not md:
+                return empty
+            match_docs = np.array(md, dtype=np.int32)
+            match_freqs = np.array(mf, dtype=np.float64)
+
+        tstats = [self.term_statistics(fp + t) for slot in slots for t in slot]
+        tstats = [ts for ts in tstats if ts.doc_freq > 0]
+        scorer = self.sim.scorer(self._field_cstats(q.field), tstats, boost=boost)
+        return _SparseScores(
+            match_docs, self._score_arrays(r, scorer, match_docs, match_freqs, q.field)
+        )
 
     def _eval_span_near(self, r: SegmentReader, q: SpanNearQuery, boost: float) -> _SparseScores:
         """SpanNearQuery: docID conjunction, then the per-doc minimal-interval
