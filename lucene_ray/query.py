@@ -238,6 +238,23 @@ class SpanNearQuery(Query):
 
 
 @dataclass(frozen=True)
+class IntervalQuery(Query):
+    """Minimal-interval algebra query (queries/.../intervals/IntervalQuery
+    .java:59): matches docs where ``source`` (built with the factories in
+    functions/interval_algebra — term/phrase/ordered/unordered/or/maxgaps/
+    containing/...) produces at least one interval. Score is similarity-
+    independent: per-doc freq = Σ 1/max(extent - minExtent + 1, 1) over the
+    emitted minimal intervals, passed through a saturation function
+    ``boost * (1 - pivot/(pivot + freq))`` (IntervalScoreFunction.java), or
+    a sigmoid when ``exp`` is set."""
+
+    field: str | None
+    source: object  # an interval_algebra.IvSource
+    pivot: float = 1.0
+    exp: float | None = None
+
+
+@dataclass(frozen=True)
 class ToParentBlockJoinQuery(Query):
     """Join child matches up to their parent doc (join/ToParentBlockJoinQuery
     .java:63): blocks are indexed children-first with the parent LAST;

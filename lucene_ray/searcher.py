@@ -53,6 +53,7 @@ from lucene_ray.query import (
     FunctionScoreQuery,
     FuzzyQuery,
     GeoDistanceQuery,
+    IntervalQuery,
     JoinQuery,
     MatchAllDocsQuery,
     MultiPhraseQuery,
@@ -622,6 +623,8 @@ class IndexSearcher:
             return self._eval_multi_phrase(r, q, boost)
         if isinstance(q, SpanNearQuery):
             return self._eval_span_near(r, q, boost)
+        if isinstance(q, IntervalQuery):
+            return self._eval_interval(r, q, boost)
         if isinstance(q, DisjunctionMaxQuery):
             subs = [self._eval(r, d, boost) for d in q.disjuncts]
             return self._dismax(subs, q.tie_breaker)
@@ -1552,6 +1555,124 @@ class IndexSearcher:
         tstats = [self.term_statistics(fp + t) for t in terms]
         scorer = self.sim.scorer(self._field_cstats(None), tstats, boost=boost)
         return _SparseScores(docs, self._score_arrays(r, scorer, docs, freqs))
+
+    def _eval_interval(self, r: SegmentReader, q: IntervalQuery, boost: float) -> _SparseScores:
+        """IntervalQuery: two-phase evaluation (IntervalQuery.java:59,
+        IntervalScorer.java). The docID approximation comes from the source's
+        doc_plan (conjunction → postings intersect, disjunction → union,
+        negative filters → positive side only); each candidate doc then runs
+        the per-doc minimal-interval kernels, freq = Σ 1/max(extent -
+        minExtent + 1, 1), scored through the saturation (or sigmoid)
+        function — similarity-independent, bounded by boost."""
+        from lucene_ray.functions import interval_algebra as ia
+
+        empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+
+        def key(field, term):
+            return self._fp(field if field is not None else q.field) + term
+
+        def expand(s):
+            # per-segment MultiTermIntervalsSource expansion (Intervals.prefix
+            # / wildcard, default 128-term cap like the reference)
+            if isinstance(s, ia.IvMultiTerm):
+                fp = self._fp(s.field if s.field is not None else q.field)
+                if s.kind == "prefix":
+                    lo, hi = r.term_range(fp + s.pattern)
+                    names = [r.terms[i][len(fp):] for i in range(lo, hi)]
+                else:
+                    import re as _re
+
+                    rlo, rhi = r.term_range(fp) if fp else (0, r.n_terms)
+                    pat = _re.compile(
+                        "".join(
+                            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                            for c in s.pattern
+                        )
+                    )
+                    names = [
+                        r.terms[i][len(fp):]
+                        for i in range(rlo, rhi)
+                        if pat.fullmatch(r.terms[i][len(fp):])
+                    ]
+                if len(names) > s.max_expansions:
+                    raise RuntimeError(
+                        f"Automaton [{s.pattern}] expanded to too many terms "
+                        f"(limit {s.max_expansions})"
+                    )
+                if not names:
+                    return ia.IvTerm("\x00nomatch", s.field)
+                subs = tuple(ia.IvTerm(n, s.field) for n in names)
+                return subs[0] if len(subs) == 1 else ia.IvOr(subs)
+            if isinstance(s, ia.IvTerm):
+                return s
+            return ia._map_children(s, expand)
+
+        src = expand(q.source)
+        min_extent = src.min_extent()
+        leaves = sorted(src.leaf_terms(), key=lambda ft: (ft[0] or "", ft[1]))
+
+        # per-leaf postings + flat positions, sliced per doc below
+        post = {}
+        for fld, t in leaves:
+            i = r.term_index(key(fld, t))
+            if i < 0:
+                post[(fld, t)] = None
+                continue
+            docs_i, freqs_i = r.postings(int(i))
+            starts = np.concatenate([[0], np.cumsum(freqs_i)])
+            post[(fld, t)] = (docs_i, starts, r.positions(int(i)))
+
+        def cand(s):
+            if isinstance(s, ia.IvTerm):
+                p = post.get((s.field, s.term))
+                return p[0] if p is not None else np.empty(0, dtype=np.int32)
+            mode, kids = s.doc_plan()
+            if mode == "first":
+                return cand(kids[0])
+            sets = [cand(k) for k in kids]
+            if mode == "and":
+                out = sets[0]
+                for d in sets[1:]:
+                    out, _, _ = _intersect_sorted(out, d)
+                    if not len(out):
+                        break
+                return out
+            return (
+                np.unique(np.concatenate(sets)).astype(np.int32)
+                if sets
+                else np.empty(0, dtype=np.int32)
+            )
+
+        cand_docs = cand(src)
+        if not len(cand_docs):
+            return empty
+
+        match_docs, scores = [], []
+        for d in cand_docs.tolist():
+            env = {}
+            for ft in leaves:
+                p = post[ft]
+                if p is None:
+                    continue
+                docs_i, starts, flat = p
+                j = int(np.searchsorted(docs_i, d))
+                if j < len(docs_i) and docs_i[j] == d:
+                    env[ft] = flat[starts[j] : starts[j + 1]]
+            ivs = src.intervals(env)
+            if not ivs:
+                continue
+            freq = ia.interval_freq(ivs, min_extent)
+            if q.exp is not None:
+                s_ = ia.sigmoid_score(freq, q.pivot, q.exp, boost)
+            else:
+                s_ = ia.saturation_score(freq, q.pivot, boost)
+            match_docs.append(d)
+            scores.append(s_)
+        if not match_docs:
+            return empty
+        return _SparseScores(
+            np.array(match_docs, dtype=np.int32), np.array(scores, dtype=np.float64)
+        )
 
     # ------------------------------------------------------------ block-max
 
