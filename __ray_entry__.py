@@ -202,6 +202,35 @@ def _q_span_near_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, qs)
 
 
+IV_ORDERED = ("merge", "sort", 4)    # maxgaps(4, ordered(a, b))
+IV_UNORDERED = ("stream", "batch")   # unordered(a, b)
+
+
+def _q_interval_topk(sf_dir: str) -> pa.Table:
+    """IntervalQuery gate (queries/.../intervals/IntervalQuery.java:59):
+    minimal-interval algebra (functions/interval_algebra.py) with the
+    similarity-independent saturation score 1 - pivot/(pivot + freq),
+    freq = Σ 1/max(extent - minExtent + 1, 1). Oracle: the ordered source
+    reuses the span chain SQL (max start per distinct end, gap filter);
+    the unordered source's minimal intervals are exactly the adjacent
+    different-label pairs of the merged position list (lead() window)."""
+    from lucene_ray.functions import interval_algebra as ia
+    from lucene_ray.query import IntervalQuery
+
+    s = _searcher(sf_dir)
+    a, b, g = IV_ORDERED
+    u0, u1 = IV_UNORDERED
+    qs = [
+        (f"iv:ordered {a} {b}~{g}",
+         IntervalQuery(field=None,
+                       source=ia.maxgaps(g, ia.ordered(ia.term(a), ia.term(b))))),
+        (f"iv:unordered {u0} {u1}",
+         IntervalQuery(field=None,
+                       source=ia.unordered(ia.term(u0), ia.term(u1)))),
+    ]
+    return _ranked_topk(s, qs)
+
+
 DISMAX = (("merge", "window"), 0.3)
 
 
@@ -1227,6 +1256,60 @@ SELECT query, rank, doc_id FROM ranked WHERE rank <= {k}
 """
 
 
+def _sql_interval_topk(ordered_q, unordered_q, k=K) -> str:
+    """IntervalQuery oracle. Ordered source = span chain SQL (a → first
+    b after a, minimal = max start per distinct end, gap e-s-1 ≤ g).
+    Unordered source: merge both position lists sorted; a minimal interval
+    is exactly an adjacent pair with different term labels (any wider pair
+    nests a closer one). freq = Σ 1/max(extent − minExtent + 1, 1) =
+    Σ 1/(e−s) for 2-term sources (minExtent 2); saturation score
+    freq/(1+freq) (pivot=1, boost=1), similarity-independent."""
+    a, b, g = ordered_q
+    u0, u1 = unordered_q
+    return f"""
+WITH {_BASE},
+ord_mi AS (
+  SELECT doc_id, e, max(s) AS s FROM (
+    SELECT pa.doc_id, pa.p AS s,
+           (SELECT min(pb.p) FROM
+              (SELECT doc_id, i::BIGINT AS p FROM base, unnest(range(1, len(toks)+1)) t(i) WHERE toks[i] = '{b}') pb
+            WHERE pb.doc_id = pa.doc_id AND pb.p > pa.p) AS e
+    FROM (SELECT doc_id, i::BIGINT AS p FROM base, unnest(range(1, len(toks)+1)) t(i) WHERE toks[i] = '{a}') pa
+  ) ch WHERE e IS NOT NULL GROUP BY doc_id, e
+),
+ord_freq AS (
+  SELECT doc_id, sum(1.0 / greatest(e - s, 1)) AS freq
+  FROM ord_mi WHERE (e - s - 1) <= {g} GROUP BY doc_id
+),
+un_pos AS (
+  SELECT doc_id, 0 AS w, i::BIGINT AS p FROM base, unnest(range(1, len(toks)+1)) t(i) WHERE toks[i] = '{u0}'
+  UNION ALL
+  SELECT doc_id, 1 AS w, i::BIGINT AS p FROM base, unnest(range(1, len(toks)+1)) t(i) WHERE toks[i] = '{u1}'
+),
+un_adj AS (
+  SELECT doc_id, w, p,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2,
+         lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS p2
+  FROM un_pos
+),
+un_freq AS (
+  SELECT doc_id, sum(1.0 / greatest(p2 - p, 1)) AS freq
+  FROM un_adj WHERE w2 IS NOT NULL AND w2 <> w GROUP BY doc_id
+),
+scored AS (
+  SELECT 'iv:ordered {a} {b}~{g}' AS query, doc_id, freq/(1+freq) AS score FROM ord_freq
+  UNION ALL
+  SELECT 'iv:unordered {u0} {u1}' AS query, doc_id, freq/(1+freq) AS score FROM un_freq
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {k}
+"""
+
+
 def _sql_phrase_slop_topk(slop_queries, k=K) -> str:
     """Sloppy-phrase oracle: WITH RECURSIVE leapfrog over adjusted token
     positions — the closed form of SloppyPhraseMatcher's 2-slot pq traversal
@@ -1901,6 +1984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": _q_phrase_topk,
         "phrase_slop_topk": _q_phrase_slop_topk,
         "span_near_topk": _q_span_near_topk,
+        "interval_topk": _q_interval_topk,
         "min_should_match_topk": _q_msm_topk,
         "dismax_topk": _q_dismax_topk,
         "field_title_topk": _q_field_title_topk,
@@ -1962,6 +2046,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": _sql_phrase_topk(PHRASE_QUERIES),
         "phrase_slop_topk": _sql_phrase_slop_topk(SLOP_QUERIES),
         "span_near_topk": _sql_span_near_topk(SPAN_QUERIES),
+        "interval_topk": _sql_interval_topk(IV_ORDERED, IV_UNORDERED),
         "min_should_match_topk": _sql_multi_term_topk([MSM_QUERY], "or", k=20, msm=2),
         "dismax_topk": _SQL_DISMAX,
         "field_title_topk": _SQL_FIELD_TITLE,
