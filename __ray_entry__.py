@@ -202,6 +202,86 @@ def _q_span_near_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, qs)
 
 
+_NB_MODELS: dict = {}
+NB_INPUTS = 30   # snippets = first 10 tokens of docs 0..29
+KNN_CLS_INPUTS = 10
+
+
+def _snippets(sf_dir: str, n: int) -> list[tuple[int, str]]:
+    """Deterministic held-out inputs: first 10 simple tokens of the first
+    ``n`` docs (== ``toks[1:10]`` of the oracle's base CTE)."""
+    import re
+
+    import pyarrow.parquet as pq_
+
+    pat = re.compile(r"[a-z0-9]+")
+    t = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = sorted(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    out = []
+    for doc_id, text in rows:
+        if doc_id >= n:
+            continue
+        toks = pat.findall(text.lower())[:10]
+        if toks:
+            out.append((doc_id, " ".join(toks)))
+    return out
+
+
+def _q_nb_classify(sf_dir: str) -> pa.Table:
+    """SimpleNaiveBayesClassifier gate (classification/SimpleNaiveBayes
+    Classifier.java:48): model trained in one streaming pass (in-batch
+    partials → groupby(term, class)), argmax over log prior + add-1
+    log likelihood, vs the same math spelled out in SQL."""
+    from lucene_ray.pipelines.classify import nb_classify_texts, train_naive_bayes
+
+    if sf_dir not in _NB_MODELS:
+        _NB_MODELS[sf_dir] = train_naive_bayes(
+            _docs_ds(sf_dir), text_col="text", class_col="lang", analyzer="simple")
+    model = _NB_MODELS[sf_dir]
+    inputs = _snippets(sf_dir, NB_INPUTS)
+    preds = nb_classify_texts(model, [s for _, s in inputs], round_to=6)
+    return pa.table({
+        "input_id": pa.array([i for i, _ in inputs], type=pa.int64()),
+        "pred_class": pa.array(preds, type=pa.string()),
+    })
+
+
+def _q_knn_classify(sf_dir: str) -> pa.Table:
+    """KNearestNeighborClassifier gate (classification/KNearestNeighbor
+    Classifier.java:120-236): BM25 top-10 for each input (distinct-token
+    SHOULD query), class vote Σ(score/maxScore)/k read from stored fields,
+    vs the identical vote in SQL over the BM25 CTE."""
+    from lucene_ray.pipelines.classify import knn_vote
+    from lucene_ray.query import BooleanQuery, TermQuery
+
+    s = _searcher(sf_dir)
+    rows_i, rows_c = [], []
+    for input_id, snip in _snippets(sf_dir, KNN_CLS_INPUTS):
+        seen, uniq = set(), []
+        for t in snip.split():
+            if t not in seen:
+                seen.add(t)
+                uniq.append(t)
+        td = s.search(BooleanQuery(should=[TermQuery(t) for t in uniq]),
+                      k=K + 32, algo="exhaustive")
+        ranked = sorted(((-np.round(sd.score, 6), int(sd.doc_key), float(sd.score))
+                         for sd in td.score_docs))[:K]
+        hits = []
+        for _, doc_key, score in ranked:
+            doc = s.document(doc_key)
+            hits.append((None if doc is None else str(doc.get("lang")), score))
+        vote = knn_vote(hits, K)
+        if vote:
+            # oracle-compare determinism: rank by rounded score, class asc
+            best = min(vote, key=lambda x: (-np.round(x[1], 5), x[0]))
+            rows_i.append(input_id)
+            rows_c.append(best[0])
+    return pa.table({
+        "input_id": pa.array(rows_i, type=pa.int64()),
+        "pred_class": pa.array(rows_c, type=pa.string()),
+    })
+
+
 IV_ORDERED = ("merge", "sort", 4)    # maxgaps(4, ordered(a, b))
 IV_UNORDERED = ("stream", "batch")   # unordered(a, b)
 
@@ -1256,6 +1336,78 @@ SELECT query, rank, doc_id FROM ranked WHERE rank <= {k}
 """
 
 
+def _sql_nb_classify(n_inputs, k_snip=10) -> str:
+    """SimpleNaiveBayesClassifier oracle: prior = ln(cdc) − ln(dwc);
+    per input token (with multiplicity) ln((df(term∧class)+1) /
+    (avgUniqueTermsPerDoc·cdc + dwc)); argmax with ties to class asc."""
+    return f"""
+WITH {_BASE},
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+cls AS (SELECT lang AS c, count(*)::DOUBLE AS cdc FROM documents GROUP BY lang),
+nbs AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS dwc,
+               (SELECT count(*)::DOUBLE FROM dt)
+                 / (SELECT count(*)::DOUBLE FROM documents) AS avg_u),
+tc AS (SELECT dt.term, d.lang AS c, count(*)::DOUBLE AS cdf
+       FROM dt JOIN documents d USING (doc_id) GROUP BY dt.term, d.lang),
+inp AS (SELECT doc_id AS input_id, unnest(toks[1:{k_snip}]) AS term
+        FROM base WHERE doc_id < {n_inputs} AND len(toks) > 0),
+sc AS (
+  SELECT i.input_id, cls.c,
+         ln(cls.cdc) - ln(nbs.dwc)
+         + sum(ln(coalesce(tc.cdf, 0) + 1) - ln(nbs.avg_u * cls.cdc + nbs.dwc)) AS score
+  FROM inp i CROSS JOIN cls CROSS JOIN nbs
+  LEFT JOIN tc ON tc.term = i.term AND tc.c = cls.c
+  GROUP BY i.input_id, cls.c, cls.cdc, nbs.dwc, nbs.avg_u
+),
+r AS (SELECT input_id, c,
+             row_number() OVER (PARTITION BY input_id
+                                ORDER BY round(score, 6) DESC, c) AS rk
+      FROM sc)
+SELECT input_id, c AS pred_class FROM r WHERE rk = 1
+"""
+
+
+def _sql_knn_classify(n_inputs, k=K, k_snip=10) -> str:
+    """KNearestNeighborClassifier oracle: BM25 top-k per input over the
+    distinct snippet tokens, per-class Σ(score/maxScore)/k with the <k
+    correction, argmax (score desc, class asc)."""
+    return f"""
+WITH {_BASE},
+inp AS (SELECT doc_id AS input_id, unnest(toks[1:{k_snip}]) AS term
+        FROM base WHERE doc_id < {n_inputs} AND len(toks) > 0),
+qt AS (SELECT DISTINCT input_id, term FROM inp),
+per AS (
+  SELECT qt.input_id, tf.doc_id, sum({_SCORE}) AS score
+  FROM qt
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = qt.term
+  CROSS JOIN stats
+  GROUP BY qt.input_id, tf.doc_id
+),
+top AS (SELECT input_id, doc_id, score,
+               row_number() OVER (PARTITION BY input_id
+                                  ORDER BY round(score, 6) DESC, doc_id) AS rk
+        FROM per),
+mx AS (SELECT input_id, score AS max_score FROM top WHERE rk = 1),
+hits AS (SELECT t.input_id, t.score, d.lang AS c
+         FROM top t JOIN documents d USING (doc_id) WHERE t.rk <= {k}),
+vote AS (SELECT h.input_id, h.c, count(*)::DOUBLE AS cnt,
+                sum(h.score / m.max_score) AS boost
+         FROM hits h JOIN mx m USING (input_id) GROUP BY h.input_id, h.c),
+tot AS (SELECT input_id, sum(cnt) AS sumdoc FROM vote GROUP BY input_id),
+fin AS (SELECT v.input_id, v.c,
+               CASE WHEN t.sumdoc < {k} THEN (v.boost/{k}) * {k}/t.sumdoc
+                    ELSE v.boost/{k} END AS score
+        FROM vote v JOIN tot t USING (input_id)),
+r AS (SELECT input_id, c,
+             row_number() OVER (PARTITION BY input_id
+                                ORDER BY round(score, 5) DESC, c) AS rk
+      FROM fin)
+SELECT input_id, c AS pred_class FROM r WHERE rk = 1
+"""
+
+
 def _sql_interval_topk(ordered_q, unordered_q, k=K) -> str:
     """IntervalQuery oracle. Ordered source = span chain SQL (a → first
     b after a, minimal = max start per distinct end, gap e-s-1 ≤ g).
@@ -1986,6 +2138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_near_topk": _q_span_near_topk,
         "interval_topk": _q_interval_topk,
         "min_should_match_topk": _q_msm_topk,
+        # classification (reference classification module)
+        "nb_classify": _q_nb_classify,
+        "knn_classify": _q_knn_classify,
         "dismax_topk": _q_dismax_topk,
         "field_title_topk": _q_field_title_topk,
         "search_after": _q_search_after,
@@ -2047,6 +2202,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_slop_topk": _sql_phrase_slop_topk(SLOP_QUERIES),
         "span_near_topk": _sql_span_near_topk(SPAN_QUERIES),
         "interval_topk": _sql_interval_topk(IV_ORDERED, IV_UNORDERED),
+        "nb_classify": _sql_nb_classify(NB_INPUTS),
+        "knn_classify": _sql_knn_classify(KNN_CLS_INPUTS),
         "min_should_match_topk": _sql_multi_term_topk([MSM_QUERY], "or", k=20, msm=2),
         "dismax_topk": _SQL_DISMAX,
         "field_title_topk": _SQL_FIELD_TITLE,
