@@ -282,6 +282,24 @@ def _q_knn_classify(sf_dir: str) -> pa.Table:
     })
 
 
+EXPR_TERMS = ["merge", "window"]
+EXPR_SRC = "0.3*ln(n_chars+1) + 0.7*_score"
+
+
+def _q_expr_rescore_topk(sf_dir: str) -> pa.Table:
+    """Expressions-module gate (expressions/.../js/JavascriptCompiler
+    .java:178 + queries/.../function/FunctionScoreQuery.java): the compiled
+    JS-like expression rescores a TermQuery from doc values, vs the same
+    formula in SQL."""
+    from lucene_ray.functions.expressions import compile_expression
+    from lucene_ray.query import FunctionScoreQuery, TermQuery
+
+    s = _searcher(sf_dir)
+    fn = compile_expression(EXPR_SRC).as_score_fn()
+    qs = [(f"expr:{t}", FunctionScoreQuery(TermQuery(t), fn)) for t in EXPR_TERMS]
+    return _ranked_topk(s, qs)
+
+
 IV_ORDERED = ("merge", "sort", 4)    # maxgaps(4, ordered(a, b))
 IV_UNORDERED = ("stream", "batch")   # unordered(a, b)
 
@@ -1336,6 +1354,32 @@ SELECT query, rank, doc_id FROM ranked WHERE rank <= {k}
 """
 
 
+def _sql_expr_rescore_topk(terms, k=K) -> str:
+    """FunctionScoreQuery + compiled expression oracle: new score =
+    0.3·ln(n_chars+1) + 0.7·BM25 (n_chars from doc values)."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {_BASE},
+q(term) AS (VALUES {vals}),
+scored AS (
+  SELECT 'expr:' || q.term AS query, tf.doc_id,
+         0.3*ln(d.n_chars + 1) + 0.7*({_SCORE}) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = tf.term
+  JOIN documents d ON d.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {k}
+"""
+
+
 def _sql_nb_classify(n_inputs, k_snip=10) -> str:
     """SimpleNaiveBayesClassifier oracle: prior = ln(cdc) − ln(dwc);
     per input token (with multiplicity) ln((df(term∧class)+1) /
@@ -2141,6 +2185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # classification (reference classification module)
         "nb_classify": _q_nb_classify,
         "knn_classify": _q_knn_classify,
+        # expressions module (compiled JS-like rescoring)
+        "expr_rescore_topk": _q_expr_rescore_topk,
         "dismax_topk": _q_dismax_topk,
         "field_title_topk": _q_field_title_topk,
         "search_after": _q_search_after,
@@ -2204,6 +2250,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_topk": _sql_interval_topk(IV_ORDERED, IV_UNORDERED),
         "nb_classify": _sql_nb_classify(NB_INPUTS),
         "knn_classify": _sql_knn_classify(KNN_CLS_INPUTS),
+        "expr_rescore_topk": _sql_expr_rescore_topk(EXPR_TERMS),
         "min_should_match_topk": _sql_multi_term_topk([MSM_QUERY], "or", k=20, msm=2),
         "dismax_topk": _SQL_DISMAX,
         "field_title_topk": _SQL_FIELD_TITLE,
