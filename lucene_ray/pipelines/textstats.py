@@ -28,39 +28,46 @@ _BPEISH = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-
 
 class TokenStats:
     """Per-doc integer stats: simple tokens, bpe-ish tokens, chars, stopwords,
-    total token chars. Compiled patterns live in the actor (__init__)."""
+    total token chars. Fully vectorized — pyarrow.compute RE2 kernels over the
+    whole column, no per-row Python; the stopword count flattens the split
+    token lists once and segment-sums an ``is_in`` mask via offsets."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
-        self.simple = _SIMPLE
-        self.bpeish = _BPEISH
-        self.stops = ENGLISH_STOP_WORDS
+        self.stop_set = pa.array(sorted(ENGLISH_STOP_WORDS), type=pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        n = len(texts)
-        n_tokens = np.empty(n, dtype=np.int64)
-        n_bpeish = np.empty(n, dtype=np.int64)
-        n_chars = np.empty(n, dtype=np.int64)
-        n_stop = np.empty(n, dtype=np.int64)
-        tok_chars = np.empty(n, dtype=np.int64)
-        for i, t in enumerate(texts):
-            low = t.lower()
-            toks = self.simple.findall(low)
-            n_tokens[i] = len(toks)
-            n_bpeish[i] = len(self.bpeish.findall(t))
-            n_chars[i] = len(t)
-            n_stop[i] = sum(1 for w in toks if w in self.stops)
-            tok_chars[i] = sum(len(w) for w in toks)
+        import pyarrow.compute as pc
+
+        col = batch.column(self.text_col).combine_chunks() \
+            if isinstance(batch.column(self.text_col), pa.ChunkedArray) \
+            else batch.column(self.text_col)
+        low = pc.utf8_lower(col)
+        n_chars = pc.utf8_length(col)
+        n_tokens = pc.count_substring_regex(low, "[a-z0-9]+")
+        # Σ len(token) == count of [a-z0-9] chars after lowering
+        tok_chars = pc.utf8_length(pc.replace_substring_regex(low, "[^a-z0-9]", ""))
+        n_bpeish = pc.count_substring_regex(col, _BPEISH.pattern)
+        # stopwords: split → flatten → is_in → segment-sum by list offsets
+        split = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = pc.list_flatten(split)
+        stop_mask = pc.is_in(flat, value_set=self.stop_set)
+        offs = split.offsets.to_numpy() - split.offsets[0].as_py()
+        cum = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(stop_mask.to_numpy(zero_copy_only=False).astype(np.int64),
+                  out=cum[1:])
+        n_stop = cum[offs[1:]] - cum[offs[:-1]]
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "n_tokens": pa.array(n_tokens),
-                "n_bpeish_tokens": pa.array(n_bpeish),
-                "n_chars": pa.array(n_chars),
-                "n_stopwords": pa.array(n_stop),
-                "token_chars": pa.array(tok_chars),
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+                "n_bpeish_tokens": pc.cast(n_bpeish, pa.int64()),
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_stopwords": pa.array(n_stop, type=pa.int64()),
+                "token_chars": pc.cast(tok_chars, pa.int64()),
             }
         )
 
@@ -180,26 +187,35 @@ class Fingerprints:
         self.simple = _SIMPLE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from lucene_ray.pipelines.dedup import _hash_tokens_u64
+
         texts = batch.column(self.text_col).to_pylist()
-        fps, winnows = [], []
-        for t in texts:
+        fps = []
+        all_grams: list[str] = []
+        seg_lens = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
             toks = self.simple.findall(t.lower())
             fps.append(hashlib.md5(" ".join(sorted(set(toks))).encode()).hexdigest())
             if len(toks) < self.k:
                 grams = [" ".join(toks)] if toks else []
             else:
-                grams = [" ".join(toks[i : i + self.k]) for i in range(len(toks) - self.k + 1)]
-            if grams:
-                from lucene_ray.pipelines.dedup import _hash_tokens_u64
-
-                winnows.append(int(_hash_tokens_u64(grams).min()))
-            else:
-                winnows.append(0)
+                grams = [" ".join(toks[j : j + self.k]) for j in range(len(toks) - self.k + 1)]
+            seg_lens[i] = len(grams)
+            all_grams.extend(grams)
+        # one vectorized hash over the whole batch's grams, then segment-min
+        winnows = np.zeros(len(texts), dtype=np.uint64)
+        if all_grams:
+            h = _hash_tokens_u64(all_grams)
+            starts = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+            nonempty = seg_lens > 0
+            if nonempty.any():
+                mins = np.minimum.reduceat(h, starts[nonempty])
+                winnows[nonempty] = mins
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
                 "fingerprint": pa.array(fps, type=pa.string()),
-                "winnow": pa.array(np.array(winnows, dtype=np.uint64), type=pa.uint64()),
+                "winnow": pa.array(winnows, type=pa.uint64()),
             }
         )
 
