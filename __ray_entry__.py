@@ -37,7 +37,10 @@ MSM_QUERY = ("merge", "spark", "window")  # minimum_should_match=2
 PREFIXES = ["s", "b", "w", "qu"]
 WILDCARDS = ["s?an", "b*h", "*ue*"]
 RANGE = ("batch", "data")
+REGEXPS = ["me.*e", "[bw]atch", "d[aeiou]ta"]
 FUZZY_TERMS = ["scam", "merge", "window"]
+SIM_OR = ("stream", "batch")  # OR query for the alternate-similarity gates
+SAMPLE_RATE, SAMPLE_SALT = 0.1, 7
 SYNONYMS = ("merge", "join")
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_MAX_ID = 150
@@ -885,6 +888,61 @@ def _q_wildcard_count(sf_dir: str) -> pa.Table:
             "n_docs": pa.array([s.count(WildcardQuery(p)) for p in pats], type=pa.int64()),
         }
     )
+
+
+def _q_regexp_count(sf_dir: str) -> pa.Table:
+    """RegexpQuery (search/RegexpQuery.java): anchored RE2-style regexp over
+    the term dictionary — same semantics as DuckDB regexp_full_match."""
+    from lucene_ray.query import RegexpQuery
+
+    s = _searcher(sf_dir)
+    return pa.table(
+        {
+            "pattern": pa.array(REGEXPS, type=pa.string()),
+            "n_docs": pa.array([s.count(RegexpQuery(p)) for p in REGEXPS], type=pa.int64()),
+        }
+    )
+
+
+def _sim_queries():
+    from lucene_ray.query import BooleanQuery, TermQuery
+
+    return [
+        ("merge", TermQuery("merge")),
+        (
+            " ".join(SIM_OR),
+            BooleanQuery(should=[TermQuery(t) for t in SIM_OR]),
+        ),
+    ]
+
+
+def _q_tfidf_topk(sf_dir: str) -> pa.Table:
+    """ClassicSimilarity (TF-IDF) plugged via IndexSearcher(similarity=...) —
+    the setSimilarity analogue (search/similarities/ClassicSimilarity.java)."""
+    from lucene_ray.functions.similarity import ClassicSimilarity
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(_gate_index(sf_dir), similarity=ClassicSimilarity())
+    return _ranked_topk(s, _sim_queries())
+
+
+def _q_lm_dirichlet_topk(sf_dir: str) -> pa.Table:
+    """LMDirichletSimilarity (mu=2000, search/similarities/
+    LMDirichletSimilarity.java:70-77) over the same query shapes."""
+    from lucene_ray.functions.similarity import LMDirichletSimilarity
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(_gate_index(sf_dir), similarity=LMDirichletSimilarity())
+    return _ranked_topk(s, _sim_queries())
+
+
+def _q_sample_docs(sf_dir: str):
+    """Deterministic multiplicative-hash sample: retry-stable, cluster-shape
+    independent, SQL-verifiable (pipelines/sample.py)."""
+    from lucene_ray.pipelines.sample import deterministic_sample
+
+    ds = _docs_ds(sf_dir).select_columns(["doc_id"])
+    return deterministic_sample(ds, "doc_id", SAMPLE_RATE, SAMPLE_SALT)
 
 
 def _q_term_range_count(sf_dir: str) -> pa.Table:
@@ -1838,6 +1896,78 @@ FROM q LEFT JOIN toks t ON levenshtein(t.term, q.term) <= 1
 GROUP BY q.term
 """
 
+_SQL_REGEXP = f"""
+WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+p(pattern) AS (VALUES {", ".join(f"('{p}')" for p in REGEXPS)})
+SELECT p.pattern, count(DISTINCT t.doc_id)::BIGINT AS n_docs
+FROM p LEFT JOIN toks t ON regexp_full_match(t.term, p.pattern)
+GROUP BY p.pattern
+"""
+
+_SIM_Q_VALUES = ", ".join(
+    [f"('merge', 'merge')"] + [f"('{' '.join(SIM_OR)}', '{t}')" for t in SIM_OR]
+)
+
+# ClassicSimilarity exact variant: score = (ln((docCount+1)/(df+1)) + 1)
+# * sqrt(tf) / sqrt(dl), summed over query terms present in the doc.
+_SQL_TFIDF = f"""
+WITH {_BASE},
+q(query, term) AS (VALUES {_SIM_Q_VALUES}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum((ln((stats.doc_count + 1) / (df.df + 1)) + 1)
+             * sqrt(tf.tf) / sqrt(dl.dl)) AS score
+  FROM q JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats
+  GROUP BY q.query, tf.doc_id
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
+"""
+
+# LMDirichlet (mu=2000): per-term max(0, ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)))
+# with p = (ttf+1)/(sumTtf+1), summed over query terms.
+_SQL_LM_DIRICHLET = f"""
+WITH {_BASE},
+ttf AS (SELECT term, sum(tf) AS ttf FROM tf GROUP BY term),
+q(query, term) AS (VALUES {_SIM_Q_VALUES}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(greatest(0.0,
+             ln(1 + tf.tf / (2000.0 * ((ttf.ttf + 1) / (stats.sum_ttf + 1))))
+             + ln(2000.0 / (dl.dl + 2000.0)))) AS score
+  FROM q JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN ttf ON ttf.term = tf.term
+  CROSS JOIN stats
+  GROUP BY q.query, tf.doc_id
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
+"""
+
+def _sql_sample_docs() -> str:
+    from lucene_ray.pipelines.sample import sample_sql_predicate
+
+    return (
+        "SELECT doc_id FROM documents WHERE "
+        + sample_sql_predicate("doc_id", SAMPLE_RATE, SAMPLE_SALT)
+    )
+
+
+_SQL_SAMPLE_DOCS = _sql_sample_docs()
+
 _SYN_IN = ", ".join(f"'{t}'" for t in SYNONYMS)
 _SQL_SYNONYM = f"""
 WITH {_BASE},
@@ -2201,6 +2331,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_topk": _q_suggest_topk,
         "diversified_topk": _q_diversified_topk,
         "wildcard_count": _q_wildcard_count,
+        "regexp_count": _q_regexp_count,
+        # pluggable similarities (setSimilarity analogue, SURVEY §2.8)
+        "tfidf_topk": _q_tfidf_topk,
+        "lm_dirichlet_topk": _q_lm_dirichlet_topk,
+        # deterministic hash sampling (resumable 100-TB sample)
+        "sample_docs": _q_sample_docs,
         "term_range_count": _q_term_range_count,
         "fuzzy_count": _q_fuzzy_count,
         "synonym_topk": _q_synonym_topk,
@@ -2266,6 +2402,10 @@ def oracle_sql() -> dict[str, str]:
         "suggest_topk": _sql_suggest_topk(),
         "diversified_topk": _sql_diversified_topk(),
         "wildcard_count": _SQL_WILDCARD,
+        "regexp_count": _SQL_REGEXP,
+        "tfidf_topk": _SQL_TFIDF,
+        "lm_dirichlet_topk": _SQL_LM_DIRICHLET,
+        "sample_docs": _SQL_SAMPLE_DOCS,
         "term_range_count": _SQL_TERM_RANGE,
         "fuzzy_count": _SQL_FUZZY,
         "synonym_topk": _SQL_SYNONYM,

@@ -155,6 +155,111 @@ class BM25ExactSimilarity:
         return BM25ExactScorer(float(boost) * idf, self.k1, self.b, avgdl)
 
 
+class ClassicSimilarity:
+    """TF-IDF vector-space model, exact-length variant (SQL-mirrorable).
+
+    Reference: search/similarities/ClassicSimilarity.java — tf=sqrt(freq)
+    (:44-46), idf=ln((docCount+1)/(docFreq+1))+1 (:62-64),
+    lengthNorm=1/sqrt(dl) (:38-40); score = tf(freq) * (boost*idf) *
+    lengthNorm(dl) per TFIDFSimilarity.TFIDFScorer.score (:497-501).
+    Multi-term idf is the sum of per-term idfs (TFIDFSimilarity idfExplain).
+
+    The reference quantizes dl through the SmallFloat norm byte; this exact
+    variant uses true lengths so DuckDB can replicate it ulp-for-ulp — the
+    same split as BM25Similarity vs BM25ExactSimilarity above.
+    """
+
+    def idf(self, doc_freq: int, doc_count: int) -> float:
+        return float(np.log((doc_count + 1) / float(doc_freq + 1)) + 1.0)
+
+    def scorer(self, collection_stats, term_stats, boost: float = 1.0) -> "ClassicScorer":
+        if isinstance(term_stats, TermStatistics):
+            idf = self.idf(term_stats.doc_freq, collection_stats.doc_count)
+        else:
+            idf = sum(self.idf(ts.doc_freq, collection_stats.doc_count) for ts in term_stats)
+        return ClassicScorer(float(boost) * idf)
+
+
+class ClassicScorer:
+    __slots__ = ("weight",)
+
+    def __init__(self, weight: float):
+        self.weight = weight
+
+    def score(self, freqs: np.ndarray, doc_lengths: np.ndarray) -> np.ndarray:
+        freqs = np.asarray(freqs, dtype=np.float64)
+        dl = np.asarray(doc_lengths, dtype=np.float64)
+        return self.weight * np.sqrt(freqs) / np.sqrt(dl)
+
+    def max_score(self, max_freq: float, min_dl: int) -> float:
+        # monotone ↑ freq, ↓ dl — same dominance shape as BM25
+        return float(self.weight * np.sqrt(max_freq) / np.sqrt(max(1, min_dl)))
+
+
+class LMDirichletSimilarity:
+    """Dirichlet-smoothed query-likelihood LM, exact-length variant.
+
+    Reference: search/similarities/LMDirichletSimilarity.java:70-77 —
+    score = boost * (ln(1 + freq/(mu*p)) + ln(mu/(dl+mu))), clamped at 0;
+    p(t|C) = (totalTermFreq+1)/(sumTotalTermFreq+1)
+    (LMSimilarity.DefaultCollectionModel:145-147). Default mu=2000 (:59-66).
+    """
+
+    def __init__(self, mu: float = 2000.0):
+        if not (np.isfinite(mu) and mu >= 0):
+            raise ValueError(f"illegal mu value: {mu}, must be a non-negative finite value")
+        self.mu = float(mu)
+
+    def scorer(self, collection_stats, term_stats, boost: float = 1.0) -> "LMDirichletScorer":
+        ts_list = [term_stats] if isinstance(term_stats, TermStatistics) else list(term_stats)
+        # blended multi-term stats: summed ttf (SynonymQuery feeds the union)
+        ttf = sum(ts.total_term_freq for ts in ts_list)
+        p = (ttf + 1.0) / (collection_stats.sum_total_term_freq + 1.0)
+        return LMDirichletScorer(float(boost), self.mu, p)
+
+
+class LMDirichletScorer:
+    __slots__ = ("boost", "mu", "p")
+
+    def __init__(self, boost: float, mu: float, p: float):
+        self.boost = boost
+        self.mu = mu
+        self.p = p
+
+    def score(self, freqs: np.ndarray, doc_lengths: np.ndarray) -> np.ndarray:
+        freqs = np.asarray(freqs, dtype=np.float64)
+        dl = np.asarray(doc_lengths, dtype=np.float64)
+        s = self.boost * (np.log1p(freqs / (self.mu * self.p)) + np.log(self.mu / (dl + self.mu)))
+        return np.maximum(s, 0.0)
+
+    def max_score(self, max_freq: float, min_dl: int) -> float:
+        return float(
+            max(0.0, self.boost * (np.log1p(max_freq / (self.mu * self.p))
+                                   + np.log(self.mu / (min_dl + self.mu))))
+        )
+
+
+class BooleanSimilarity:
+    """score = boost, ignoring freq/length (search/similarities/
+    BooleanSimilarity.java:57-60)."""
+
+    def scorer(self, collection_stats, term_stats, boost: float = 1.0) -> "BooleanScorer":
+        return BooleanScorer(float(boost))
+
+
+class BooleanScorer:
+    __slots__ = ("boost",)
+
+    def __init__(self, boost: float):
+        self.boost = boost
+
+    def score(self, freqs: np.ndarray, doc_lengths: np.ndarray) -> np.ndarray:
+        return np.full(len(np.asarray(freqs)), self.boost, dtype=np.float64)
+
+    def max_score(self, max_freq: float, min_dl: int) -> float:
+        return self.boost
+
+
 class BM25ExactScorer:
     __slots__ = ("weight", "k1", "b", "avgdl")
 

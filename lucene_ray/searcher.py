@@ -179,7 +179,14 @@ class GlobalTermStats:
 
 
 class IndexSearcher:
-    def __init__(self, index_dir: str, *, mode: str = "lucene", segment_names=None):
+    def __init__(self, index_dir: str, *, mode: str = "lucene", segment_names=None,
+                 similarity=None):
+        """``similarity`` plugs in a non-BM25 scorer (ClassicSimilarity,
+        LMDirichletSimilarity, BooleanSimilarity, or any object with the same
+        ``scorer(cstats, tstats, boost)`` contract) — the
+        IndexSearcher.setSimilarity analogue. Plugged similarities score over
+        exact document lengths (the ``exact`` path), so they are
+        SQL-mirrorable like BM25ExactSimilarity."""
         import os
 
         self.index_dir = index_dir
@@ -218,8 +225,11 @@ class IndexSearcher:
         self.default_field = cfg.get("text_col", "text")
         self._multi = len(self.fields) > 1
         self._cstats_cache: dict = {}
-        self.mode = mode
-        self.sim = BM25Similarity() if mode == "lucene" else BM25ExactSimilarity()
+        self.mode = mode if similarity is None else "exact"
+        if similarity is not None:
+            self.sim = similarity
+        else:
+            self.sim = BM25Similarity() if mode == "lucene" else BM25ExactSimilarity()
         self._ts_cache: dict[str, TermStatistics] = {}
         # cumulative pruning telemetry (range pruning / sorted-index early
         # termination); read the delta around a call to measure
@@ -227,7 +237,8 @@ class IndexSearcher:
         self.sort_stats = {"docs_examined": 0, "docs_matched": 0}
 
     @classmethod
-    def from_readers(cls, readers, *, mode: str = "exact", config: dict | None = None):
+    def from_readers(cls, readers, *, mode: str = "exact", config: dict | None = None,
+                     similarity=None):
         """Searcher over in-RAM readers (the MemoryIndex / percolator path):
         no manifest, no disk; collection + term statistics are the sums of
         the readers' per-segment partials (exactly what a committed manifest
@@ -250,8 +261,11 @@ class IndexSearcher:
         s.default_field = cfg.get("text_col", "text")
         s._multi = len(s.fields) > 1
         s._cstats_cache = {}
-        s.mode = mode
-        s.sim = BM25Similarity() if mode == "lucene" else BM25ExactSimilarity()
+        s.mode = mode if similarity is None else "exact"
+        if similarity is not None:
+            s.sim = similarity
+        else:
+            s.sim = BM25Similarity() if mode == "lucene" else BM25ExactSimilarity()
         s._ts_cache = {}
         s.range_stats = {"docs_examined": 0, "max_doc_total": 0}
         s.sort_stats = {"docs_examined": 0, "docs_matched": 0}
