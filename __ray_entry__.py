@@ -376,6 +376,23 @@ def _q_field_title_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, qs)
 
 
+CF_FIELDS = (("title", 2.0), ("text", 1.0))
+
+
+def _q_combined_field_topk(sf_dir: str) -> pa.Table:
+    """CombinedFieldQuery (BM25F, sandbox/search/CombinedFieldQuery.java):
+    title+text as one synthetic field, title weighted 2x."""
+    from lucene_ray.query import CombinedFieldQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(_mf_gate_index(sf_dir), mode="exact")
+    qs = [
+        ("cf merge", CombinedFieldQuery(("merge",), CF_FIELDS)),
+        ("cf stream batch", CombinedFieldQuery(("stream", "batch"), CF_FIELDS)),
+    ]
+    return _ranked_topk(s, qs)
+
+
 def _q_dismax_topk(sf_dir: str) -> pa.Table:
     """DisjunctionMaxQuery gate: score = max(sub) + tie·(sum − max)
     (search/DisjunctionMaxQuery.java), mirrored exactly in SQL."""
@@ -2059,6 +2076,63 @@ ranked AS (
 SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
 """
 
+# BM25F combined field: pseudo-term freq = Σ_f w_f·tf, dl = Σ_f w_f·dl_f,
+# df = max over (field, term) pairs, doc_count = max_f, avgdl from
+# Σ w_f·sumTtf_f — mirrors searcher._eval_combined_field exactly.
+_CF_WT, _CF_WB = CF_FIELDS[0][1], CF_FIELDS[1][1]
+_CF_Q_VALUES = (
+    "('cf merge', 'merge'), ('cf stream batch', 'stream'), ('cf stream batch', 'batch')"
+)
+_SQL_COMBINED_FIELD = f"""
+WITH body AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+btoks AS (SELECT doc_id, unnest(toks) AS term FROM body),
+btf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM btoks GROUP BY doc_id, term),
+bdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM btoks GROUP BY doc_id),
+bdf AS (SELECT term, count(*)::DOUBLE AS df FROM btf GROUP BY term),
+tb AS (SELECT doc_id, list_slice({_TOK}, 1, 3) AS toks FROM documents),
+ttoks AS (SELECT doc_id, unnest(toks) AS term FROM tb),
+ttf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ttoks GROUP BY doc_id, term),
+tdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ttoks GROUP BY doc_id),
+tdf AS (SELECT term, count(*)::DOUBLE AS df FROM ttf GROUP BY term),
+pstats AS (SELECT
+  greatest((SELECT count(*) FROM bdl), (SELECT count(*) FROM tdl))::DOUBLE AS doc_count,
+  ({_CF_WT} * (SELECT sum(dl) FROM tdl) + {_CF_WB} * (SELECT sum(dl) FROM bdl))::DOUBLE AS sum_ttf),
+q(query, term) AS (VALUES {_CF_Q_VALUES}),
+pts AS (
+  SELECT q.query, max(greatest(coalesce(b.df, 0), coalesce(t.df, 0))) AS df
+  FROM q LEFT JOIN bdf b ON b.term = q.term LEFT JOIN tdf t ON t.term = q.term
+  GROUP BY q.query
+),
+pairs AS (
+  SELECT doc_id, term, {_CF_WB} * tf AS wtf FROM btf
+  UNION ALL
+  SELECT doc_id, term, {_CF_WT} * tf FROM ttf
+),
+cfreq AS (
+  SELECT q.query, p.doc_id, sum(p.wtf) AS freq
+  FROM q JOIN pairs p ON p.term = q.term
+  GROUP BY q.query, p.doc_id
+),
+cdl AS (
+  SELECT b.doc_id, {_CF_WB} * b.dl + {_CF_WT} * coalesce(t.dl, 0) AS dl
+  FROM bdl b LEFT JOIN tdl t ON t.doc_id = b.doc_id
+),
+scored AS (
+  SELECT c.query, c.doc_id,
+         ln(1 + (s.doc_count - p.df + 0.5)/(p.df + 0.5))
+         * (c.freq * 2.2) / (c.freq + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.sum_ttf / s.doc_count))) AS score
+  FROM cfreq c JOIN cdl d ON d.doc_id = c.doc_id
+  JOIN pts p ON p.query = c.query
+  CROSS JOIN pstats s
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
+"""
+
 _SQL_PERCOLATE = f"""
 WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
 m AS (
@@ -2319,6 +2393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_rescore_topk": _q_expr_rescore_topk,
         "dismax_topk": _q_dismax_topk,
         "field_title_topk": _q_field_title_topk,
+        "combined_field_topk": _q_combined_field_topk,
         "search_after": _q_search_after,
         "prefix_count": _q_prefix_count,
         "numeric_range_topk": _q_numeric_range_topk,
@@ -2390,6 +2465,7 @@ def oracle_sql() -> dict[str, str]:
         "min_should_match_topk": _sql_multi_term_topk([MSM_QUERY], "or", k=20, msm=2),
         "dismax_topk": _SQL_DISMAX,
         "field_title_topk": _SQL_FIELD_TITLE,
+        "combined_field_topk": _SQL_COMBINED_FIELD,
         "search_after": _sql_single_term_topk(["merge"], rank_lo=11, rank_hi=20),
         "prefix_count": _SQL_PREFIX_COUNT,
         "numeric_range_topk": _SQL_NUMERIC_RANGE,

@@ -193,6 +193,28 @@ class SynonymQuery(Query):
 
 
 @dataclass(frozen=True)
+class CombinedFieldQuery(Query):
+    """BM25F-style combined-field scoring (sandbox/search/CombinedFieldQuery
+    .java:84-91): treats the listed fields as one synthetic field. All
+    (field, term) postings merge into ONE pseudo-term — per-doc
+    freq = Σ_f w_f·freq(f,t), per-doc length = Σ_f w_f·dl_f, pseudo term
+    stats df = max over pairs / ttf = Σ w_f·ttf (:295-305), pseudo
+    collection stats docCount = max_f, sumTotalTermFreq = Σ w_f·sumTtf_f
+    (:318-334); the norm sum mirrors MultiNormsLeafSimScorer's
+    MultiFieldNormValues (exact lengths here instead of the re-encoded
+    SmallFloat byte)."""
+
+    terms: tuple
+    fields: tuple  # ((field, weight), ...)
+
+    def __init__(self, terms, fields):
+        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(
+            self, "fields", tuple((str(f), float(w)) for f, w in fields)
+        )
+
+
+@dataclass(frozen=True)
 class TermInSetQuery(Query):
     terms: tuple
 

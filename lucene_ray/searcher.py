@@ -47,6 +47,7 @@ from lucene_ray.functions.similarity import (
 from lucene_ray.query import (
     BooleanQuery,
     BoostQuery,
+    CombinedFieldQuery,
     ConstantScoreQuery,
     CoveringQuery,
     DisjunctionMaxQuery,
@@ -629,6 +630,8 @@ class IndexSearcher:
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, FuzzyQuery):
             return self._eval_fuzzy(r, q, boost)
+        if isinstance(q, CombinedFieldQuery):
+            return self._eval_combined_field(r, q, boost)
         if isinstance(q, SynonymQuery):
             return self._eval_synonym(r, q, boost)
         if isinstance(q, PhraseQuery):
@@ -1360,6 +1363,75 @@ class IndexSearcher:
             uniq.astype(np.int32),
             self._score_arrays(r, scorer, uniq.astype(np.int32), tf),
         )
+
+    def _eval_combined_field(self, r: SegmentReader, q: CombinedFieldQuery,
+                             boost: float) -> _SparseScores:
+        """BM25F combined-field scoring (sandbox CombinedFieldQuery.java):
+        one pseudo-term over every (field, term) pair — see the Query
+        docstring for the exact statistic blend. Exact mode scores the true
+        weighted length sum; lucene mode re-encodes it through SmallFloat
+        like MultiNormsLeafSimScorer.MultiFieldNormValues (:148-151)."""
+        from types import SimpleNamespace
+
+        from lucene_ray.state.segment import FIELD_SEP
+
+        empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        if not self._multi:
+            raise ValueError("CombinedFieldQuery requires a multi-field index")
+        for f, _ in q.fields:
+            if f not in self.fields:
+                raise ValueError(f"unknown field {f!r}; index has {self.fields}")
+        # pseudo collection stats (CombinedFieldQuery.java:318-334)
+        doc_count = 0
+        sum_df = 0
+        sum_ttf = 0.0
+        for f, w in q.fields:
+            cs = self._field_cstats(f)
+            doc_count = max(doc_count, cs.doc_count)
+            sum_df = max(sum_df, cs.sum_doc_freq)
+            sum_ttf += w * cs.sum_total_term_freq
+        # pseudo term stats: df = max over pairs, ttf = Σ w·ttf (:295-305)
+        df = 0
+        ttf = 0.0
+        for f, w in q.fields:
+            for t in q.terms:
+                ts = self.term_statistics(f + FIELD_SEP + t)
+                df = max(df, ts.doc_freq)
+                ttf += w * ts.total_term_freq
+        if df == 0:
+            return empty
+        pseudo_cstats = SimpleNamespace(
+            max_doc=self.collection_stats.max_doc, doc_count=doc_count,
+            sum_doc_freq=sum_df, sum_total_term_freq=sum_ttf,
+        )
+        pseudo_ts = TermStatistics("pseudo_term", df, max(1.0, ttf))
+        scorer = self.sim.scorer(pseudo_cstats, pseudo_ts, boost=boost)
+
+        docs_all, wf_all = [], []
+        for f, w in q.fields:
+            for t in q.terms:
+                d, fr = r.postings(f + FIELD_SEP + t)
+                if len(d):
+                    docs_all.append(d)
+                    wf_all.append(w * fr.astype(np.float64))
+        if not docs_all:
+            return empty
+        docs = np.concatenate(docs_all)
+        wf = np.concatenate(wf_all)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        tf = np.zeros(len(uniq))
+        np.add.at(tf, inv, wf)
+        uniq = uniq.astype(np.int32)
+        dl = np.zeros(len(uniq))
+        for f, w in q.fields:
+            dl += w * r.dls_by_field[f][uniq]
+        if self.mode == "lucene":
+            from lucene_ray.functions.norms import encode_lengths
+
+            scores = scorer.score(tf, encode_lengths(np.rint(dl).astype(np.int64)))
+        else:
+            scores = scorer.score(tf, dl)
+        return _SparseScores(uniq, scores)
 
     # ------------------------------------------------------------ phrase
 

@@ -111,6 +111,72 @@ def test_searcher_similarity_plug(tmp_path):
         assert got[d] == pytest.approx(exp[d], rel=1e-9)
 
 
+def test_combined_field_query_bm25f(tmp_path):
+    """CombinedFieldQuery vs a hand-computed BM25F: title weight 2, body 1.
+
+    docs: (title, body) pairs; combined freq = 2*tf_title + tf_body,
+    combined dl = 2*dl_title + dl_body, df = max over (field, term) pairs,
+    doc_count = max over fields, avgdl from 2*sumTtf_title + sumTtf_body.
+    """
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import CombinedFieldQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    titles = ["merge policy", "window merge", "scan basics"]
+    bodies = [
+        "merge sort is stable",            # dl 4, merge tf 1
+        "window frame and pane",           # dl 4
+        "merge merge scan",                # dl 3, merge tf 2
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "title": titles,
+            "text": bodies,
+        }),
+        tmp_path / "docs.parquet",
+    )
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "docs.parquet"), idx, key_col="doc_id",
+                text_col="text", text_cols=("title", "text"),
+                num_partitions=1, analyzer="simple")
+
+    s = IndexSearcher(idx, mode="exact")
+    td = s.search(CombinedFieldQuery(("merge",), (("title", 2.0), ("text", 1.0))), k=5)
+    got = {int(sd.doc_key): sd.score for sd in td.score_docs}
+
+    # hand statistics
+    t_tf = {0: 1, 1: 1, 2: 0}     # 'merge' tf in title
+    b_tf = {0: 1, 1: 0, 2: 2}     # 'merge' tf in body
+    t_dl = {0: 2, 1: 2, 2: 2}
+    b_dl = {0: 4, 1: 4, 2: 3}
+    df = max(2, 2)                # title df=2, body df=2
+    doc_count = 3
+    sum_ttf = 2.0 * 6 + 1.0 * 11  # title tokens 6, body tokens 11
+    avgdl = sum_ttf / doc_count
+    idf = math.log(1 + (doc_count - df + 0.5) / (df + 0.5))
+    exp = {}
+    for d in (0, 1, 2):
+        freq = 2.0 * t_tf[d] + 1.0 * b_tf[d]
+        if freq == 0:
+            continue
+        dl = 2.0 * t_dl[d] + 1.0 * b_dl[d]
+        exp[d] = idf * (freq * 2.2) / (freq + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d] == pytest.approx(exp[d], rel=1e-9)
+
+    # lucene mode runs the SmallFloat-encoded path without error and agrees
+    # on the ranking for this tiny corpus
+    s32 = IndexSearcher(idx, mode="lucene")
+    td32 = s32.search(CombinedFieldQuery(("merge",), (("title", 2.0), ("text", 1.0))), k=5)
+    assert [int(sd.doc_key) for sd in td32.score_docs] == [
+        int(sd.doc_key) for sd in td.score_docs
+    ]
+
+
 def test_sample_mask_deterministic_and_unbiased():
     from lucene_ray.pipelines.sample import sample_mask
 
