@@ -393,6 +393,87 @@ def _q_combined_field_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, qs)
 
 
+PARSED_QUERIES = [
+    "+merge -spark window",
+    "me?ge OR wind*",
+    '"merge sort" AND n_chars:[200 TO 800]',
+]
+
+
+def _q_parsed_query_topk(sf_dir: str) -> pa.Table:
+    """Classic QueryParser gate: each query STRING goes through the full
+    parser (queryparser/classic syntax — +/- modifiers, wildcards, prefix,
+    phrases, AND, numeric ranges) and the resulting tree is executed; the
+    oracle mirrors the parsed semantics in SQL."""
+    from lucene_ray.query import parse_query
+
+    s = _searcher(sf_dir)
+    qs = [(qs_, parse_query(qs_, numeric_fields={"n_chars"})) for qs_ in PARSED_QUERIES]
+    return _ranked_topk(s, qs)
+
+
+def _sql_parsed_query_topk(k=K) -> str:
+    """Oracle for PARSED_QUERIES: q1 = scored must/should with exclusion,
+    q2 = constant-score wildcard/prefix disjunction (1.0 per matching
+    clause), q3 = exact-phrase BM25 + 1.0 constant-score numeric filter."""
+    q1, q2, q3 = PARSED_QUERIES
+    return f"""
+WITH {_BASE},
+q1 AS (
+  SELECT tf.doc_id, sum({_SCORE}) AS score,
+         max(CASE WHEN tf.term = 'merge' THEN 1 ELSE 0 END) AS has_must
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats
+  WHERE tf.term IN ('merge', 'window')
+  GROUP BY tf.doc_id
+  HAVING max(CASE WHEN tf.term = 'merge' THEN 1 ELSE 0 END) = 1
+     AND tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'spark')
+),
+w1 AS (SELECT DISTINCT doc_id FROM toks WHERE regexp_full_match(term, 'me.ge')),
+w2 AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'wind%'),
+q2 AS (
+  SELECT coalesce(w1.doc_id, w2.doc_id) AS doc_id,
+         (CASE WHEN w1.doc_id IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN w2.doc_id IS NULL THEN 0 ELSE 1 END)::DOUBLE AS score
+  FROM w1 FULL JOIN w2 ON w1.doc_id = w2.doc_id
+),
+pm3 AS (
+  SELECT doc_id, count(*)::DOUBLE AS freq
+  FROM base, unnest(range(1, len(toks))) AS t(i)
+  WHERE toks[i] = 'merge' AND toks[i+1] = 'sort'
+  GROUP BY doc_id
+),
+q3 AS (
+  SELECT pm3.doc_id,
+         (SELECT sum(ln(1 + (s.doc_count - df.df + 0.5)/(df.df + 0.5)))
+          FROM (VALUES ('merge'), ('sort')) pt(term)
+          JOIN df ON df.term = pt.term CROSS JOIN stats s)
+         * (pm3.freq * 2.2) / (pm3.freq + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s2.sum_ttf / s2.doc_count)))
+         + 1.0 AS score
+  FROM pm3
+  JOIN dl ON dl.doc_id = pm3.doc_id
+  JOIN documents d ON d.doc_id = pm3.doc_id
+  CROSS JOIN stats s2
+  WHERE d.n_chars BETWEEN 200 AND 800
+),
+scored AS (
+  SELECT '{q1}' AS query, doc_id, score FROM q1
+  UNION ALL
+  SELECT '{q2}' AS query, doc_id, score FROM q2
+  UNION ALL
+  SELECT '{q3.replace("'", "''")}' AS query, doc_id, score FROM q3
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_dismax_topk(sf_dir: str) -> pa.Table:
     """DisjunctionMaxQuery gate: score = max(sub) + tie·(sum − max)
     (search/DisjunctionMaxQuery.java), mirrored exactly in SQL."""
@@ -2392,6 +2473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # expressions module (compiled JS-like rescoring)
         "expr_rescore_topk": _q_expr_rescore_topk,
         "dismax_topk": _q_dismax_topk,
+        "parsed_query_topk": _q_parsed_query_topk,
         "field_title_topk": _q_field_title_topk,
         "combined_field_topk": _q_combined_field_topk,
         "search_after": _q_search_after,
@@ -2464,6 +2546,7 @@ def oracle_sql() -> dict[str, str]:
         "expr_rescore_topk": _sql_expr_rescore_topk(EXPR_TERMS),
         "min_should_match_topk": _sql_multi_term_topk([MSM_QUERY], "or", k=20, msm=2),
         "dismax_topk": _SQL_DISMAX,
+        "parsed_query_topk": _sql_parsed_query_topk(),
         "field_title_topk": _SQL_FIELD_TITLE,
         "combined_field_topk": _SQL_COMBINED_FIELD,
         "search_after": _sql_single_term_topk(["merge"], rank_lo=11, rank_hi=20),

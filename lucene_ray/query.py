@@ -61,9 +61,11 @@ class PrefixQuery(Query):
 class WildcardQuery(Query):
     """``?`` = one char, ``*`` = any run (search/WildcardQuery.java) —
     executed as a compiled-regex scan over the sorted term dictionary, the
-    moral equivalent of the automaton∩term-dict intersection."""
+    moral equivalent of the automaton∩term-dict intersection. ``\\*`` /
+    ``\\?`` escape to literal chars, as in the reference."""
 
     pattern: str
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -72,6 +74,7 @@ class RegexpQuery(Query):
     anchored at both ends like the reference."""
 
     pattern: str
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -84,6 +87,7 @@ class FuzzyQuery(Query):
     term: str
     max_edits: int = 2
     prefix_length: int = 0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -94,6 +98,7 @@ class TermRangeQuery(Query):
     upper: str | None
     include_lower: bool = True
     include_upper: bool = True
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -217,9 +222,11 @@ class CombinedFieldQuery(Query):
 @dataclass(frozen=True)
 class TermInSetQuery(Query):
     terms: tuple
+    field: str | None = None
 
-    def __init__(self, terms):
+    def __init__(self, terms, field: str | None = None):
         object.__setattr__(self, "terms", tuple(sorted(set(terms))))
+        object.__setattr__(self, "field", field)
 
 
 @dataclass(frozen=True)
@@ -382,8 +389,44 @@ class _Tok:
 
 
 def _lex(s: str):
+    """Tokenize the full classic syntax (queryparser/classic/QueryParser.jj):
+    terms with ``\\``-escapes, ``field:`` prefixes, quoted phrases with
+    ``~slop``/``^boost`` suffixes, ``[a TO b]`` / ``{a TO b}`` ranges,
+    ``/regexp/`` terms, ``( )`` groups with trailing ``^boost``, the
+    ``+ - ! && ||`` operators and the AND/OR/NOT keywords.
+
+    WORD tokens carry a list of ``(char, escaped)`` pairs so the parser can
+    distinguish ``foo\\*`` (literal star) from ``foo*`` (wildcard)."""
     i, n = 0, len(s)
     out = []
+
+    def _number(j):
+        """Scan an unsigned float at j; returns (value, next_index)."""
+        k = j
+        while k < n and (s[k].isdigit() or s[k] == "."):
+            k += 1
+        if k == j:
+            return None, j
+        try:
+            return float(s[j:k]), k
+        except ValueError:
+            raise QueryParseError(f"bad number at offset {j} in query: {s!r}")
+
+    def _suffixes(j):
+        """Parse optional ``~[num]`` then ``^num`` starting at j (the order
+        Lucene accepts after a phrase/range); returns (fuzz, boost, next)."""
+        fuzz = boost = None
+        if j < n and s[j] == "~":
+            fuzz, j2 = _number(j + 1)
+            if fuzz is None:
+                fuzz = -1.0  # bare "~" = default
+            j = j2 if fuzz != -1.0 else j + 1
+        if j < n and s[j] == "^":
+            boost, j = _number(j + 1)
+            if boost is None:
+                raise QueryParseError(f"expected number after ^ at {j} in {s!r}")
+        return fuzz, boost, j
+
     while i < n:
         c = s[i]
         if c.isspace():
@@ -391,41 +434,108 @@ def _lex(s: str):
         elif c == "(":
             out.append(_Tok("LP")); i += 1
         elif c == ")":
-            out.append(_Tok("RP")); i += 1
+            i += 1
+            _, boost, i = _suffixes(i)
+            out.append(_Tok("RP", boost))
         elif c == "+":
             out.append(_Tok("PLUS")); i += 1
         elif c == "-":
             out.append(_Tok("MINUS")); i += 1
+        elif c == "!":
+            out.append(_Tok("NOT")); i += 1
+        elif c == "&" and i + 1 < n and s[i + 1] == "&":
+            out.append(_Tok("AND")); i += 2
+        elif c == "|" and i + 1 < n and s[i + 1] == "|":
+            out.append(_Tok("OR")); i += 2
         elif c == '"':
-            j = s.find('"', i + 1)
-            if j < 0:
+            j = i + 1
+            buf = []
+            while j < n and s[j] != '"':
+                if s[j] == "\\" and j + 1 < n:
+                    buf.append(s[j + 1]); j += 2
+                else:
+                    buf.append(s[j]); j += 1
+            if j >= n:
                 raise QueryParseError(
                     f"unbalanced quote at offset {i} in query: {s!r}"
                 )
-            out.append(_Tok("PHRASE", s[i + 1 : j]))
-            i = j + 1
+            fuzz, boost, i = _suffixes(j + 1)
+            out.append(_Tok("PHRASE", ("".join(buf), fuzz, boost)))
+        elif c in "[{":
+            incl_lo = c == "["
+            j = s.find("]", i + 1)
+            k = s.find("}", i + 1)
+            end = min(x for x in (j, k) if x >= 0) if (j >= 0 or k >= 0) else -1
+            if end < 0:
+                raise QueryParseError(f"unterminated range at {i} in {s!r}")
+            incl_hi = s[end] == "]"
+            body = s[i + 1 : end]
+            parts = body.split(" TO ")
+            if len(parts) != 2:
+                raise QueryParseError(f"range needs 'lo TO hi' at {i} in {s!r}")
+            lo, hi = (p.strip().strip('"') or "*" for p in parts)
+            _, boost, i = _suffixes(end + 1)
+            out.append(_Tok("RANGE", (lo, hi, incl_lo, incl_hi, boost)))
+        elif c == "/":
+            j = i + 1
+            buf = []
+            while j < n and s[j] != "/":
+                if s[j] == "\\" and j + 1 < n and s[j + 1] == "/":
+                    buf.append("/"); j += 2
+                else:
+                    buf.append(s[j]); j += 1
+            if j >= n:
+                raise QueryParseError(f"unterminated regexp at {i} in {s!r}")
+            _, boost, i = _suffixes(j + 1)
+            out.append(_Tok("REGEX", ("".join(buf), boost)))
         else:
+            # a term: chars up to whitespace / ( ) " with backslash escapes
+            pairs = []  # (char, escaped)
             j = i
             while j < n and not s[j].isspace() and s[j] not in '()"':
-                j += 1
-            word = s[i:j]
-            if word == "AND":
+                if s[j] == "\\" and j + 1 < n:
+                    pairs.append((s[j + 1], True)); j += 2
+                elif s[j] == ":" and j + 1 < n and s[j + 1] in '("[{/':
+                    # field prefix attached to a grouped/phrase/range/regexp
+                    # atom — close the word at the colon
+                    pairs.append((":", False)); j += 1
+                    break
+                else:
+                    pairs.append((s[j], False)); j += 1
+            i = j
+            word = "".join(ch for ch, _ in pairs)
+            if word == "AND" and not pairs[0][1]:
                 out.append(_Tok("AND"))
-            elif word == "OR":
+            elif word == "OR" and not pairs[0][1]:
                 out.append(_Tok("OR"))
-            elif word == "NOT":
+            elif word == "NOT" and not pairs[0][1]:
                 out.append(_Tok("NOT"))
             else:
-                out.append(_Tok("WORD", word))
-            i = j
+                # field: prefix directly attached to a ( " [ { / atom —
+                # emit FIELD so the parser can scope the following atom
+                ci = next(
+                    (k for k, (ch, esc) in enumerate(pairs) if ch == ":" and not esc),
+                    -1,
+                )
+                if ci >= 0 and ci == len(pairs) - 1 and i < n and s[i] in '("[{/':
+                    out.append(_Tok("FIELD", word[:ci]))
+                else:
+                    out.append(_Tok("WORD", pairs))
     return out
 
 
 class _Parser:
-    def __init__(self, toks, normalize):
+    """Recursive-descent parser over the classic grammar: OR < AND < clause
+    runs with +/-/NOT modifiers < atoms (QueryParserBase.java). Field scope
+    from ``field:`` prefixes and field-scoped groups ``title:(a b)``
+    propagates to atoms that don't carry their own field."""
+
+    def __init__(self, toks, normalize, default_field=None, numeric_fields=()):
         self.toks = toks
         self.i = 0
         self.normalize = normalize
+        self.numeric_fields = frozenset(numeric_fields)
+        self.fields = [default_field]  # field-context stack
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -436,7 +546,10 @@ class _Parser:
         return t
 
     def parse(self) -> Query:
-        return self.parse_or()
+        q = self.parse_or()
+        if self.peek() is not None:
+            raise QueryParseError(f"unexpected trailing token {self.peek()}")
+        return q
 
     def parse_or(self) -> Query:
         parts = [self.parse_and()]
@@ -461,66 +574,171 @@ class _Parser:
         return BooleanQuery(must=must, must_not=must_not)
 
     def parse_clause(self) -> Query:
-        # a space-separated run of atoms (classic default-OR with +/- modifiers)
+        # a space-separated run of atoms (classic default-OR with +/-/NOT
+        # prefix modifiers)
         must, should, must_not = [], [], []
         while True:
             t = self.peek()
-            if t is None or t.kind in ("AND", "OR", "NOT", "RP"):
+            if t is None or t.kind in ("AND", "OR", "RP"):
                 break
             occur = "should"
             if t.kind == "PLUS":
                 self.next(); occur = "must"
             elif t.kind == "MINUS":
                 self.next(); occur = "must_not"
+            elif t.kind == "NOT":
+                if not (must or should or must_not):
+                    self.next(); occur = "must_not"  # leading NOT / !
+                else:
+                    break  # binary NOT — let parse_and handle it
             q = self.parse_atom()
             {"must": must, "should": should, "must_not": must_not}[occur].append(q)
         if len(should) == 1 and not must and not must_not:
             return should[0]
         if len(must) == 1 and not should and not must_not:
             return must[0]
+        if not (must or should or must_not):
+            raise QueryParseError("empty clause")
         return BooleanQuery(must=must, should=should, must_not=must_not)
+
+    # ------------------------------------------------------------- atoms
 
     def parse_atom(self) -> Query:
         t = self.next()
+        if t.kind == "FIELD":
+            self.fields.append(t.value)
+            try:
+                return self.parse_atom()
+            finally:
+                self.fields.pop()
         if t.kind == "LP":
             q = self.parse_or()
-            if self.peek() and self.peek().kind == "RP":
-                self.next()
-            return self._maybe_boost(q)
-        if t.kind == "PHRASE":
-            terms = [self.normalize(w) for w in t.value.split()]
-            return self._maybe_boost(PhraseQuery(terms))
-        if t.kind == "WORD":
-            w = t.value
-            fieldname = None
-            if ":" in w:  # classic field:term syntax
-                fieldname, w = w.split(":", 1)
             boost = None
-            if "^" in w:
-                w, bs = w.rsplit("^", 1)
-                boost = float(bs)
-            if w.endswith("*") and len(w) > 1:
-                q: Query = PrefixQuery(self.normalize(w[:-1]), field=fieldname)
+            if self.peek() and self.peek().kind == "RP":
+                boost = self.next().value
+            return BoostQuery(q, boost) if boost is not None else q
+        if t.kind == "PHRASE":
+            text, fuzz, boost = t.value
+            terms = [self.normalize(w) for w in text.split()]
+            slop = int(fuzz) if fuzz not in (None, -1.0) else 0
+            q: Query = (
+                TermQuery(terms[0], field=self.fields[-1])
+                if len(terms) == 1
+                else PhraseQuery(terms, slop=slop, field=self.fields[-1])
+            )
+            return BoostQuery(q, boost) if boost is not None else q
+        if t.kind == "RANGE":
+            lo, hi, incl_lo, incl_hi, boost = t.value
+            fieldname = self.fields[-1]
+            if fieldname in self.numeric_fields:
+                q = NumericRangeQuery(
+                    fieldname,
+                    None if lo == "*" else float(lo),
+                    None if hi == "*" else float(hi),
+                    incl_lo,
+                    incl_hi,
+                )
             else:
-                q = TermQuery(self.normalize(w), field=fieldname)
-            if boost is not None:
-                q = BoostQuery(q, boost)
-            return q
-        raise ValueError(f"unexpected token {t}")
+                q = TermRangeQuery(
+                    None if lo == "*" else self.normalize(lo),
+                    None if hi == "*" else self.normalize(hi),
+                    incl_lo,
+                    incl_hi,
+                    field=fieldname,
+                )
+            return BoostQuery(q, boost) if boost is not None else q
+        if t.kind == "REGEX":
+            pattern, boost = t.value
+            q = RegexpQuery(pattern, field=self.fields[-1])
+            return BoostQuery(q, boost) if boost is not None else q
+        if t.kind == "WORD":
+            return self._word_query(t.value)
+        raise QueryParseError(f"unexpected token {t}")
 
-    def _maybe_boost(self, q: Query) -> Query:
-        return q
+    def _word_query(self, pairs) -> Query:
+        """Build the query for one bare term, handling ``field:term``,
+        ``term~[edits]``, ``term^boost``, embedded ``*``/``?`` wildcards
+        and the ``*:*`` match-all idiom. Escaped chars are always literal."""
+        fieldname = self.fields[-1]
+        ci = next(
+            (k for k, (ch, esc) in enumerate(pairs) if ch == ":" and not esc), -1
+        )
+        if ci >= 0:
+            fieldname = "".join(ch for ch, _ in pairs[:ci]) or None
+            pairs = pairs[ci + 1 :]
+            if not pairs:
+                raise QueryParseError(f"missing term after field '{fieldname}:'")
+        # trailing ^boost
+        boost = None
+        bi = next(
+            (k for k in range(len(pairs) - 1, -1, -1)
+             if pairs[k][0] == "^" and not pairs[k][1]),
+            -1,
+        )
+        if bi >= 0:
+            try:
+                boost = float("".join(ch for ch, _ in pairs[bi + 1 :]))
+            except ValueError:
+                raise QueryParseError("expected number after ^")
+            pairs = pairs[:bi]
+        # trailing ~[edits]
+        max_edits = None
+        ti = next(
+            (k for k in range(len(pairs) - 1, -1, -1)
+             if pairs[k][0] == "~" and not pairs[k][1]),
+            -1,
+        )
+        if ti >= 0 and all(
+            ch.isdigit() or ch == "." for ch, _ in pairs[ti + 1 :]
+        ):
+            suffix = "".join(ch for ch, _ in pairs[ti + 1 :])
+            max_edits = min(int(float(suffix)), 2) if suffix else 2
+            pairs = pairs[:ti]
+        if not pairs:
+            raise QueryParseError("empty term")
+        text = "".join(ch for ch, _ in pairs)
+        wild = [k for k, (ch, esc) in enumerate(pairs) if ch in "*?" and not esc]
+        if fieldname == "*" and text == "*" and len(wild) == 1:
+            return MatchAllDocsQuery()
+        q: Query
+        if max_edits is not None:
+            q = FuzzyQuery(self.normalize(text), max_edits=max_edits, field=fieldname)
+        elif len(wild) == 1 and wild[0] == len(pairs) - 1 and pairs[-1][0] == "*" and len(pairs) > 1:
+            q = PrefixQuery(self.normalize(text[:-1]), field=fieldname)
+        elif wild:
+            # lowercase (not stem) expanded terms, preserving \-escapes for
+            # literal * / ? — QueryParserBase setLowercaseExpandedTerms
+            pat = "".join(
+                ("\\" + ch if esc and ch in "*?\\" else ch.lower())
+                for ch, esc in pairs
+            )
+            q = WildcardQuery(pat, field=fieldname)
+        else:
+            q = TermQuery(self.normalize(text), field=fieldname)
+        return BoostQuery(q, boost) if boost is not None else q
 
 
-def parse_query(s: str, normalize=None) -> Query:
-    """Parse the classic-syntax subset. ``normalize`` defaults to lowercase
-    (the reference applies the analyzer's normalize chain to query terms,
-    StandardAnalyzer.java:98-101)."""
+def parse_query(
+    s: str,
+    normalize=None,
+    default_field: str | None = None,
+    numeric_fields=(),
+) -> Query:
+    """Parse the classic query syntax (queryparser/classic/QueryParser.jj):
+    terms, ``field:term``, quoted phrases with ``~slop``, ``term~edits``
+    fuzzies, ``[lo TO hi]`` / ``{lo TO hi}`` ranges, ``*``/``?`` wildcards,
+    ``/regexp/`` terms, ``^boost`` on any atom or group, ``+ - ! && ||``
+    operators, AND/OR/NOT keywords, field-scoped groups ``title:(a b)`` and
+    ``*:*``. ``normalize`` defaults to lowercase (the reference applies the
+    analyzer's normalize chain to query terms, StandardAnalyzer.java:98-101);
+    fields listed in ``numeric_fields`` turn range syntax into
+    NumericRangeQuery (the points-config analogue of
+    StandardQueryParser.setPointsConfigMap)."""
     normalize = normalize or (lambda w: w.lower())
     toks = _lex(s)
     if not toks:
         return MatchAllDocsQuery()
-    return _Parser(toks, normalize).parse()
+    return _Parser(toks, normalize, default_field, numeric_fields).parse()
 
 
 def extract_terms(q: Query) -> set[str]:

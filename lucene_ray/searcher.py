@@ -103,6 +103,25 @@ def _merge_top(parts: list[list[ScoreDoc]], k: int, after: tuple | None = None) 
     return heapq.nsmallest(k, allsd, key=ScoreDoc.sort_key)
 
 
+def _wildcard_regex(pattern: str) -> str:
+    """Wildcard → regex: ``*`` any run, ``?`` one char, ``\\x`` literal x
+    (search/WildcardQuery.java toAutomaton, incl. the escape rule)."""
+    import re as _re
+
+    out, i = [], 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(_re.escape(pattern[i + 1])); i += 2
+        elif c == "*":
+            out.append(".*"); i += 1
+        elif c == "?":
+            out.append("."); i += 1
+        else:
+            out.append(_re.escape(c)); i += 1
+    return "".join(out)
+
+
 def _bounded_edit_distance(a: str, b: str, max_edits: int) -> int:
     """Levenshtein distance if ≤ max_edits else -1 (banded DP, early exit)."""
     if a == b:
@@ -521,35 +540,30 @@ class IndexSearcher:
             docs = self._union_docs(r, range(lo, hi))
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, TermInSetQuery):
-            fp = self._fp(None)
+            fp = self._fp(q.field)
             idxs = [i for t in q.terms if (i := r.term_index(fp + t)) >= 0]
             docs = self._union_docs(r, idxs)
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, WildcardQuery):
             import re as _re
 
-            fp = self._fp(None)
+            fp = self._fp(q.field)
             rlo, rhi = r.term_range(fp) if fp else (0, r.n_terms)
-            pat = _re.compile(
-                "".join(
-                    ".*" if c == "*" else "." if c == "?" else _re.escape(c)
-                    for c in q.pattern
-                )
-            )
+            pat = _re.compile(_wildcard_regex(q.pattern))
             idxs = [i for i in range(rlo, rhi) if pat.fullmatch(r.terms[i][len(fp):])]
             docs = self._union_docs(r, idxs)
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, RegexpQuery):
             import re as _re
 
-            fp = self._fp(None)
+            fp = self._fp(q.field)
             rlo, rhi = r.term_range(fp) if fp else (0, r.n_terms)
             pat = _re.compile(q.pattern)
             idxs = [i for i in range(rlo, rhi) if pat.fullmatch(r.terms[i][len(fp):])]
             docs = self._union_docs(r, idxs)
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, TermRangeQuery):
-            fp = self._fp(None)
+            fp = self._fp(q.field)
             lo = 0 if q.lower is None else r.bisect(
                 fp + q.lower, side="left" if q.include_lower else "right"
             )
@@ -1303,7 +1317,7 @@ class IndexSearcher:
         when prefix_length > 0, else the whole (per-segment) dictionary —
         the automaton-intersection equivalent; fine for bounded vocabularies,
         range-prunable at scale."""
-        fp = self._fp(None)
+        fp = self._fp(q.field)
         if q.prefix_length > 0:
             prefix = q.term[: q.prefix_length]
             lo, hi = r.term_range(fp + prefix)
