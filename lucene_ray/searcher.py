@@ -700,10 +700,9 @@ class IndexSearcher:
         scores = np.concatenate([s.scores for s in subs])
         counts = np.concatenate([s.counts for s in subs])
         uniq, inv = np.unique(docs, return_inverse=True)
-        sum_scores = np.zeros(len(uniq), dtype=np.float64)
-        np.add.at(sum_scores, inv, scores)
-        sum_counts = np.zeros(len(uniq), dtype=np.int64)
-        np.add.at(sum_counts, inv, counts)
+        # bincount is the fast scatter-add (np.add.at is orders slower)
+        sum_scores = np.bincount(inv, weights=scores, minlength=len(uniq))
+        sum_counts = np.bincount(inv, weights=counts, minlength=len(uniq)).astype(np.int64)
         return _SparseScores(uniq.astype(np.int32), sum_scores, sum_counts)
 
     def _dismax(self, subs: list[_SparseScores], tie: float) -> _SparseScores:
@@ -715,8 +714,7 @@ class IndexSearcher:
         uniq, inv = np.unique(docs, return_inverse=True)
         mx = np.full(len(uniq), -np.inf)
         np.maximum.at(mx, inv, scores)
-        total = np.zeros(len(uniq))
-        np.add.at(total, inv, scores)
+        total = np.bincount(inv, weights=scores, minlength=len(uniq))
         # max + tieBreaker * (sum of the others)  (DisjunctionMaxQuery.java)
         out = mx + tie * (total - mx)
         return _SparseScores(uniq.astype(np.int32), out)
@@ -1850,54 +1848,106 @@ class IndexSearcher:
             stats["blocks_total"] += int(sum(len(bld) for _, _, bld, _ in infos))
             stats["intervals_total"] += len(boundaries)
         order = np.argsort(-ub_total)
-        best: list[ScoreDoc] = []
+        # running top-k as arrays (score desc, doc_key asc) — ScoreDoc
+        # objects are built only for the final k
+        best_scores = np.empty(0, dtype=np.float64)
+        best_keys = np.empty(0, dtype=object)
         nhits = 0
         visited_blocks: set[tuple[int, int]] = set()
-        for u in order.tolist():
-            if len(best) >= k and ub_total[u] < best[-1].score:
-                break
-            lo = int(boundaries[u - 1]) + 1 if u > 0 else 0
-            hi = int(boundaries[u])
+        # Visit intervals in CHUNKS of descending-bound order: the per-chunk
+        # score/union/heap work is vectorized across up to CHUNK intervals,
+        # amortizing the Python per-interval overhead ~CHUNK×. Exactness is
+        # unchanged — a chunk may *evaluate* a few intervals a strictly
+        # sequential WAND would have pruned (the threshold only tightens
+        # between chunks), never skip one it wouldn't.
+        CHUNK = 64
+        pos = 0
+        while pos < len(order):
+            chunk = order[pos : pos + CHUNK]
+            pos += CHUNK
+            exhausted = False
+            if len(best_scores) >= k:
+                thr = best_scores[-1]
+                keep = ub_total[chunk] >= thr  # descending ⇒ prefix mask
+                if not keep.all():
+                    chunk = chunk[keep]
+                    exhausted = True  # everything after this chunk is below thr
+                if not len(chunk):
+                    break
+            chunk = np.sort(chunk)  # doc order within the chunk
+            his_all = boundaries[chunk]
+            los_all = np.where(chunk > 0, boundaries[chunk - 1] + 1, 0)
             subs = []
             for t, i, bld, _ in infos:
-                if hi > int(bld[-1]):
-                    continue  # term exhausted before this interval
-                j = int(np.searchsorted(bld, hi))
-                # decode ONLY the covering 128-doc block (ImpactsDISI skip
-                # semantics: pruned blocks are never decoded)
-                docs_i, freqs_i = r.postings_block(int(i), j)
-                visited_blocks.add((int(i), j))
-                a = int(np.searchsorted(docs_i, lo))
-                b = int(np.searchsorted(docs_i, hi, side="right"))
-                if a == b:
+                sel = his_all <= bld[-1]  # term exhausted past its last block
+                if not sel.any():
                     continue
-                d = docs_i[a:b]
-                sc = self._score_arrays(r, scorers[t], d, freqs_i[a:b])
-                subs.append(_SparseScores(d, sc))
+                his = his_all[sel]
+                los = los_all[sel]
+                # one covering-block lookup for the whole chunk; group the
+                # (disjoint, doc-sorted) intervals by block so each block is
+                # decoded once and sliced with a vectorized range-gather
+                js = np.searchsorted(bld, his)
+                uj, starts_u = np.unique(js, return_index=True)
+                bounds_u = np.append(starts_u, len(js))
+                d_parts, f_parts = [], []
+                for g, j in enumerate(uj.tolist()):
+                    # decode ONLY the covering 128-doc block (ImpactsDISI
+                    # skip semantics: pruned blocks are never decoded)
+                    docs_i, freqs_i = r.postings_block(int(i), int(j))
+                    visited_blocks.add((int(i), int(j)))
+                    lo_g = los[bounds_u[g] : bounds_u[g + 1]]
+                    hi_g = his[bounds_u[g] : bounds_u[g + 1]]
+                    a = np.searchsorted(docs_i, lo_g)
+                    b = np.searchsorted(docs_i, hi_g, side="right")
+                    lens = b - a
+                    tot = int(lens.sum())
+                    if not tot:
+                        continue
+                    cs = np.cumsum(lens)
+                    idx = np.arange(tot) + np.repeat(
+                        a - np.concatenate([[0], cs[:-1]]), lens
+                    )
+                    d_parts.append(docs_i[idx])
+                    f_parts.append(freqs_i[idx])
+                if d_parts:
+                    d = np.concatenate(d_parts)
+                    sc = self._score_arrays(r, scorers[t], d, np.concatenate(f_parts))
+                    subs.append(_SparseScores(d, sc))
             if stats is not None:
-                stats["intervals_visited"] += 1
-            if not subs:
-                continue
-            sp = self._apply_live(r, self._union(subs))
-            if not len(sp.docs):
-                continue
-            nhits += len(sp.docs)
-            # only docs that can enter the top-k become Python objects
-            # (>= threshold: equal scores can still displace on doc_key ties)
-            if len(best) >= k:
-                thr = best[-1].score
-                m = sp.scores >= thr
-                docs_f, scores_f = sp.docs[m], sp.scores[m]
-            else:
-                docs_f, scores_f = sp.docs, sp.scores
-            if not len(docs_f):
-                continue
-            keys = r.doc_keys[docs_f]
-            cand = [ScoreDoc(keys[j], float(scores_f[j])) for j in range(len(docs_f))]
-            best = heapq.nsmallest(k, best + cand, key=ScoreDoc.sort_key)
+                stats["intervals_visited"] += len(chunk)
+            if subs:
+                sp = self._apply_live(r, self._union(subs))
+                if len(sp.docs):
+                    nhits += len(sp.docs)
+                    # candidate filter (>= threshold: equal scores can still
+                    # displace on doc_key ties), then tie-aware vectorized
+                    # top-k merge — no per-doc Python objects
+                    if len(best_scores) >= k:
+                        m = sp.scores >= best_scores[-1]
+                        docs_f, scores_f = sp.docs[m], sp.scores[m]
+                    else:
+                        docs_f, scores_f = sp.docs, sp.scores
+                    if len(docs_f):
+                        cs = np.concatenate([best_scores, scores_f])
+                        ck = np.concatenate([best_keys, r.doc_keys[docs_f]])
+                        if len(cs) > k:
+                            # prune to score >= kth-largest, then full sort of
+                            # that small tail by (-score, key)
+                            s_k = np.partition(cs, len(cs) - k)[len(cs) - k]
+                            keep_i = np.nonzero(cs >= s_k)[0]
+                            cs, ck = cs[keep_i], ck[keep_i]
+                        o = np.lexsort((ck, -cs))[:k]
+                        best_scores, best_keys = cs[o], ck[o]
+            if exhausted:
+                break
         stats = getattr(self, "last_wand_stats", None)
         if stats is not None:
             stats["blocks_visited"] += len(visited_blocks)
+        best = [
+            ScoreDoc(best_keys[j], float(best_scores[j]))
+            for j in range(len(best_scores))
+        ]
         if after is not None:
             a_score, a_key = after
             best = [sd for sd in best if (-sd.score, sd.doc_key) > (-a_score, a_key)]
