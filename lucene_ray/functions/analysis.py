@@ -314,7 +314,23 @@ class Analyzer:
 
 
 def get_analyzer(kind: str = "standard", **kw) -> Analyzer:
-    return Analyzer(kind=kind, **kw)
+    """Build an analyzer from a spec string. ``kind`` may carry ``+flag``
+    suffixes that survive the manifest round-trip as plain strings (the
+    index build persists the spec; the searcher reconstructs the identical
+    chain from it): ``standard+fold`` = StandardAnalyzer + ASCIIFolding,
+    ``english+fold`` etc. Recognized flags: fold/folding (ascii_folding),
+    stem (PorterStem), possessive (EnglishPossessiveFilter)."""
+    base, *flags = kind.split("+")
+    for f in flags:
+        if f in ("fold", "folding", "ascii_folding"):
+            kw.setdefault("ascii_folding", True)
+        elif f == "stem":
+            kw.setdefault("stem", True)
+        elif f == "possessive":
+            kw.setdefault("possessive", True)
+        else:
+            raise ValueError(f"unknown analyzer flag {f!r} in spec {kind!r}")
+    return Analyzer(kind=base, **kw)
 
 
 # --------------------------------------------------------- n-gram / shingle

@@ -157,12 +157,43 @@ def strip_possessive(w: str) -> str:
     return w
 
 
+# Latin letters with NO NFKD decomposition that the reference's switch maps
+# explicitly (analysis/miscellaneous/ASCIIFoldingFilter.java) — standard
+# Unicode romanizations, stroked/crossed/hooked letters and ligatures, plus
+# common punctuation folds. NFKD + mark-stripping covers everything else.
+_FOLD_MAP = str.maketrans({
+    "Æ": "AE", "æ": "ae", "Œ": "OE", "œ": "oe", "ß": "ss", "ẞ": "SS",
+    "Ð": "D", "ð": "d", "Þ": "TH", "þ": "th", "Đ": "D", "đ": "d",
+    "Ø": "O", "ø": "o", "Ł": "L", "ł": "l", "Ħ": "H", "ħ": "h",
+    "Ŋ": "NG", "ŋ": "ng", "Ŧ": "T", "ŧ": "t", "ĸ": "q",
+    "Ɓ": "B", "ɓ": "b", "Ƃ": "B", "ƃ": "b", "Ƈ": "C", "ƈ": "c",
+    "Ɗ": "D", "ɗ": "d", "Ƌ": "D", "ƌ": "d", "Ɛ": "E", "ɛ": "e",
+    "Ƒ": "F", "ƒ": "f", "Ɠ": "G", "ɠ": "g", "ǥ": "g", "Ǥ": "G",
+    "Ɨ": "I", "ɨ": "i", "Ƙ": "K", "ƙ": "k", "Ɯ": "M", "ɯ": "m",
+    "Ɲ": "N", "ɲ": "n", "Ɔ": "O", "ɔ": "o", "Ƥ": "P", "ƥ": "p",
+    "Ʀ": "R", "ʀ": "r", "Ƭ": "T", "ƭ": "t", "Ʈ": "T", "ʈ": "t",
+    "Ʊ": "U", "ʊ": "u", "Ʋ": "V", "ʋ": "v", "Ƴ": "Y", "ƴ": "y",
+    "Ƶ": "Z", "ƶ": "z", "Ʒ": "ZH", "ʒ": "zh", "ǝ": "e", "Ə": "E", "ə": "e",
+    "ƚ": "l", "Ƚ": "L", "ȴ": "l", "ȵ": "n", "ȶ": "t", "ȿ": "s", "ɀ": "z",
+    "Ȥ": "Z", "ȥ": "z", "Ƿ": "W", "ƿ": "w", "Ȝ": "G", "ȝ": "g",
+    "ſ": "s", "ƛ": "l", "ƍ": "d",
+    # quotes / dashes the reference folds to ASCII
+    "‘": "'", "’": "'", "‚": "'", "‛": "'", "“": '"', "”": '"', "„": '"',
+    "‟": '"', "«": '"', "»": '"', "‐": "-", "‑": "-", "‒": "-", "–": "-",
+    "—": "-", "―": "-", "⁄": "/",
+})
+
+
 def ascii_fold(w: str) -> str:
-    """ASCIIFoldingFilter-style best-effort fold: NFKD-decompose and drop
-    combining marks (covers the Latin-1/Latin-A accents the reference's
-    big switch handles; documented approximation)."""
+    """ASCIIFoldingFilter fold (analysis/miscellaneous/ASCIIFoldingFilter
+    .java): NFKD-decompose and drop combining marks, plus the explicit table
+    above for Latin letters NFKD cannot decompose (Æ→AE, ß→ss, Ø→O, Þ→TH,
+    stroked/hooked letters, typographic quotes/dashes)."""
     import unicodedata
 
-    return "".join(
+    if w.isascii():
+        return w
+    folded = "".join(
         c for c in unicodedata.normalize("NFKD", w) if not unicodedata.combining(c)
     )
+    return folded.translate(_FOLD_MAP)

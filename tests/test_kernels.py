@@ -311,6 +311,15 @@ def test_ascii_folding():
     assert ascii_fold("café") == "cafe"
     assert ascii_fold("über") == "uber"
     assert ascii_fold("naïve") == "naive"
+    # non-decomposable Latin letters from the reference's explicit switch
+    assert ascii_fold("Ærøskøbing") == "AEroskobing"
+    assert ascii_fold("straße") == "strasse"
+    assert ascii_fold("Þórður") == "THordur"
+    assert ascii_fold("Łódź") == "Lodz"
+    assert ascii_fold("œuvre") == "oeuvre"
+    assert ascii_fold("Đorđe") == "Dorde"
+    assert ascii_fold("ﬁle") == "file"  # ligature via NFKD
+    assert ascii_fold("“quote”") == '"quote"'
     a = Analyzer("standard", ascii_folding=True)
     assert [t for t, _ in a.tokenize_one("Café über naïve")] == ["cafe", "uber", "naive"]
 
