@@ -235,6 +235,14 @@ class MatchAllDocsQuery(Query):
 
 
 @dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    """Matches nothing (search/MatchNoDocsQuery.java) — e.g. what the simple
+    parser returns for an empty query string."""
+
+    reason: str = ""
+
+
+@dataclass(frozen=True)
 class JoinQuery(Query):
     """Query-time scored join (join/JoinUtil.createJoinQuery semantics):
     evaluate ``from_query``, project the matching docs' ``from_field``
@@ -530,12 +538,28 @@ class _Parser:
     from ``field:`` prefixes and field-scoped groups ``title:(a b)``
     propagates to atoms that don't carry their own field."""
 
-    def __init__(self, toks, normalize, default_field=None, numeric_fields=()):
+    def __init__(self, toks, normalize, default_field=None, numeric_fields=(),
+                 multi_fields=None):
         self.toks = toks
         self.i = 0
         self.normalize = normalize
         self.numeric_fields = frozenset(numeric_fields)
         self.fields = [default_field]  # field-context stack
+        # ((field, boost), ...) — MultiFieldQueryParser expansion for atoms
+        # with no explicit field
+        self.multi_fields = tuple(multi_fields) if multi_fields else None
+
+    def _fielded(self, mk, fieldname):
+        """Build ``mk(field)`` — expanded as a SHOULD-disjunction over
+        ``multi_fields`` when the atom has no explicit/context field
+        (queryparser/classic/MultiFieldQueryParser.java:98-118)."""
+        if fieldname is not None or not self.multi_fields:
+            return mk(fieldname)
+        parts = []
+        for f, w in self.multi_fields:
+            sub = mk(f)
+            parts.append(BoostQuery(sub, w) if w != 1.0 else sub)
+        return parts[0] if len(parts) == 1 else BooleanQuery(should=parts)
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -621,11 +645,12 @@ class _Parser:
             text, fuzz, boost = t.value
             terms = [self.normalize(w) for w in text.split()]
             slop = int(fuzz) if fuzz not in (None, -1.0) else 0
-            q: Query = (
-                TermQuery(terms[0], field=self.fields[-1])
+            mk = (
+                (lambda f: TermQuery(terms[0], field=f))
                 if len(terms) == 1
-                else PhraseQuery(terms, slop=slop, field=self.fields[-1])
+                else (lambda f: PhraseQuery(terms, slop=slop, field=f))
             )
+            q: Query = self._fielded(mk, self.fields[-1])
             return BoostQuery(q, boost) if boost is not None else q
         if t.kind == "RANGE":
             lo, hi, incl_lo, incl_hi, boost = t.value
@@ -639,17 +664,22 @@ class _Parser:
                     incl_hi,
                 )
             else:
-                q = TermRangeQuery(
-                    None if lo == "*" else self.normalize(lo),
-                    None if hi == "*" else self.normalize(hi),
-                    incl_lo,
-                    incl_hi,
-                    field=fieldname,
+                q = self._fielded(
+                    lambda f: TermRangeQuery(
+                        None if lo == "*" else self.normalize(lo),
+                        None if hi == "*" else self.normalize(hi),
+                        incl_lo,
+                        incl_hi,
+                        field=f,
+                    ),
+                    fieldname,
                 )
             return BoostQuery(q, boost) if boost is not None else q
         if t.kind == "REGEX":
             pattern, boost = t.value
-            q = RegexpQuery(pattern, field=self.fields[-1])
+            q = self._fielded(
+                lambda f: RegexpQuery(pattern, field=f), self.fields[-1]
+            )
             return BoostQuery(q, boost) if boost is not None else q
         if t.kind == "WORD":
             return self._word_query(t.value)
@@ -700,11 +730,11 @@ class _Parser:
         wild = [k for k, (ch, esc) in enumerate(pairs) if ch in "*?" and not esc]
         if fieldname == "*" and text == "*" and len(wild) == 1:
             return MatchAllDocsQuery()
-        q: Query
         if max_edits is not None:
-            q = FuzzyQuery(self.normalize(text), max_edits=max_edits, field=fieldname)
+            me = max_edits
+            mk = lambda f: FuzzyQuery(self.normalize(text), max_edits=me, field=f)
         elif len(wild) == 1 and wild[0] == len(pairs) - 1 and pairs[-1][0] == "*" and len(pairs) > 1:
-            q = PrefixQuery(self.normalize(text[:-1]), field=fieldname)
+            mk = lambda f: PrefixQuery(self.normalize(text[:-1]), field=f)
         elif wild:
             # lowercase (not stem) expanded terms, preserving \-escapes for
             # literal * / ? — QueryParserBase setLowercaseExpandedTerms
@@ -712,9 +742,10 @@ class _Parser:
                 ("\\" + ch if esc and ch in "*?\\" else ch.lower())
                 for ch, esc in pairs
             )
-            q = WildcardQuery(pat, field=fieldname)
+            mk = lambda f: WildcardQuery(pat, field=f)
         else:
-            q = TermQuery(self.normalize(text), field=fieldname)
+            mk = lambda f: TermQuery(self.normalize(text), field=f)
+        q = self._fielded(mk, fieldname)
         return BoostQuery(q, boost) if boost is not None else q
 
 
@@ -739,6 +770,254 @@ def parse_query(
     if not toks:
         return MatchAllDocsQuery()
     return _Parser(toks, normalize, default_field, numeric_fields).parse()
+
+
+def parse_multi_field_query(
+    s: str,
+    fields,
+    boosts: dict | None = None,
+    normalize=None,
+    numeric_fields=(),
+) -> Query:
+    """MultiFieldQueryParser (queryparser/classic/MultiFieldQueryParser
+    .java): classic syntax where every atom WITHOUT an explicit ``field:``
+    prefix expands to a SHOULD-disjunction over ``fields`` (optionally
+    boosted per field) — expansion happens per atom, so ``+term`` means
+    "term in at least one of the fields", exactly as in the reference."""
+    normalize = normalize or (lambda w: w.lower())
+    toks = _lex(s)
+    if not toks:
+        return MatchAllDocsQuery()
+    boosts = boosts or {}
+    mf = tuple((f, float(boosts.get(f, 1.0))) for f in fields)
+    return _Parser(toks, normalize, None, numeric_fields, multi_fields=mf).parse()
+
+
+def parse_simple_query(
+    s: str,
+    normalize=None,
+    fields=None,
+    boosts: dict | None = None,
+    default_operator: str = "should",
+) -> Query:
+    """SimpleQueryParser (queryparser/simple/SimpleQueryParser.java): a
+    lenient human-syntax parser that NEVER raises — syntax errors degrade to
+    the nearest sensible interpretation. Operators: ``+`` AND, ``|`` OR,
+    ``-`` NOT (prefix, doubles cancel), ``"..."`` phrase (``~N`` near),
+    ``term*`` prefix, ``term~N`` fuzzy, ``( )`` precedence, ``\\`` escape.
+    Unmatched ``(`` / ``"`` are treated as literal/extraneous, exactly like
+    the reference. Precedence is right-to-left via operation-change
+    re-wrapping (buildQueryTree). ``fields``/``boosts`` expand every token
+    over multiple fields (the weights map of the reference ctor)."""
+    normalize = normalize or (lambda w: w.lower())
+    boosts = boosts or {}
+    mf = tuple((f, float(boosts.get(f, 1.0))) for f in (fields or (None,)))
+
+    def fielded(mk):
+        parts = []
+        for f, w in mf:
+            sub = mk(f)
+            parts.append(BoostQuery(sub, w) if w != 1.0 else sub)
+        return parts[0] if len(parts) == 1 else BooleanQuery(should=parts)
+
+    OCCUR_DEFAULT = "must" if default_operator in ("must", "and") else "should"
+
+    class _St:
+        __slots__ = ("data", "i", "n", "top", "cur_op", "prev_op", "neg")
+
+        def __init__(self, data, i, n):
+            self.data, self.i, self.n = data, i, n
+            self.top = None
+            self.cur_op = None   # pending explicit operator
+            self.prev_op = None  # occur of the current top-level BooleanQuery
+            self.neg = 0
+
+    def add_clause(top, occur, branch):
+        """top is a BooleanQuery whose clauses all share ``occur``."""
+        if occur == "must":
+            return BooleanQuery(must=(*top.must, branch), should=top.should,
+                                must_not=top.must_not)
+        return BooleanQuery(must=top.must, should=(*top.should, branch),
+                            must_not=top.must_not)
+
+    def build(st, branch):
+        if branch is None:
+            return
+        if st.neg % 2 == 1:
+            branch = BooleanQuery(should=[MatchAllDocsQuery()], must_not=[branch])
+        if st.top is None:
+            st.top = branch
+        else:
+            op = st.cur_op if st.cur_op is not None else OCCUR_DEFAULT
+            if st.prev_op != op:
+                st.top = BooleanQuery(**{op: [st.top]})
+            st.top = add_clause(st.top, op, branch)
+            st.prev_op = op
+        st.cur_op = None
+
+    def fuzziness(st):
+        """Digits after ``~``; bare ``~`` = 2; garbage/negative = 0."""
+        buf = []
+        while st.i < st.n and not _sq_token_end(st.data[st.i]):
+            buf.append(st.data[st.i]); st.i += 1
+        txt = "".join(buf)
+        if txt == "":
+            return 2
+        try:
+            return max(0, int(txt))
+        except ValueError:
+            return 0
+
+    def _sq_token_end(c):
+        return c in ' \t\n\r"|+()'
+
+    def consume_token(st):
+        buf = []
+        esc = False
+        prefix = False
+        fuzzy = False
+        while st.i < st.n:
+            c = st.data[st.i]
+            if not esc:
+                if c == "\\":
+                    esc = True; prefix = False; st.i += 1
+                    continue
+                if _sq_token_end(c):
+                    break
+                if buf and c == "~":
+                    fuzzy = True
+                    break
+                prefix = bool(buf) and c == "*"
+            buf.append(c)
+            esc = False
+            st.i += 1
+        if not buf:
+            return
+        if fuzzy:
+            st.i += 1  # past '~'
+            fz = fuzziness(st)
+            tok = "".join(buf)
+            if fz == 0:
+                branch = fielded(lambda f: TermQuery(normalize(tok), field=f))
+            else:
+                me = min(fz, 2)
+                branch = fielded(
+                    lambda f: FuzzyQuery(normalize(tok), max_edits=me, field=f)
+                )
+        elif prefix:
+            tok = "".join(buf[:-1])
+            branch = fielded(lambda f: PrefixQuery(normalize(tok), field=f))
+        else:
+            tok = "".join(buf)
+            branch = fielded(lambda f: TermQuery(normalize(tok), field=f))
+        build(st, branch)
+
+    def consume_phrase(st):
+        start = st.i + 1
+        st.i += 1
+        buf = []
+        esc = False
+        closed = False
+        has_slop = False
+        while st.i < st.n:
+            c = st.data[st.i]
+            if not esc:
+                if c == "\\":
+                    esc = True; st.i += 1
+                    continue
+                if c == '"':
+                    closed = True
+                    if st.i + 1 < st.n and st.data[st.i + 1] == "~":
+                        st.i += 1
+                        has_slop = st.i + 1 < st.n
+                    break
+            buf.append(c)
+            esc = False
+            st.i += 1
+        if not closed:
+            st.i = start  # unmatched quote: treat the quote as extraneous
+            return
+        if not buf:
+            st.cur_op = None
+            st.i += 1
+            return
+        slop = 0
+        if has_slop:
+            st.i += 1  # past '~'
+            slop = fuzziness(st)
+        else:
+            st.i += 1  # past closing quote
+        terms = [normalize(w) for w in "".join(buf).split()]
+        if not terms:
+            st.cur_op = None
+            return
+        if len(terms) == 1:
+            branch = fielded(lambda f: TermQuery(terms[0], field=f))
+        else:
+            branch = fielded(lambda f: PhraseQuery(terms, slop=slop, field=f))
+        build(st, branch)
+
+    def consume_group(st):
+        start = st.i + 1
+        st.i += 1
+        depth = 1
+        esc = False
+        while st.i < st.n:
+            c = st.data[st.i]
+            if not esc:
+                if c == "\\":
+                    esc = True; st.i += 1
+                    continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            esc = False
+            st.i += 1
+        if st.i >= st.n:
+            st.i = start  # unmatched '(': extraneous
+            return
+        if st.i == start:
+            st.cur_op = None  # empty '()'
+            st.i += 1
+            return
+        sub = _St(st.data, start, st.i)
+        parse_sub(sub)
+        st.i += 1
+        build(st, sub.top)
+
+    def parse_sub(st):
+        while st.i < st.n:
+            c = st.data[st.i]
+            if c == "(":
+                consume_group(st)
+            elif c == ")":
+                st.i += 1  # extraneous
+            elif c == '"':
+                consume_phrase(st)
+            elif c == "+":
+                if st.cur_op is None and st.top is not None:
+                    st.cur_op = "must"
+                st.i += 1
+            elif c == "|":
+                if st.cur_op is None and st.top is not None:
+                    st.cur_op = "should"
+                st.i += 1
+            elif c == "-":
+                st.neg += 1
+                st.i += 1
+                continue  # keep the pending negation across this char only
+            elif c in " \t\n\r":
+                st.i += 1
+            else:
+                consume_token(st)
+            st.neg = 0
+
+    st = _St(s, 0, len(s))
+    parse_sub(st)
+    return st.top if st.top is not None else MatchNoDocsQuery("empty query")
 
 
 def extract_terms(q: Query) -> set[str]:

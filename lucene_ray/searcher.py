@@ -57,6 +57,7 @@ from lucene_ray.query import (
     IntervalQuery,
     JoinQuery,
     MatchAllDocsQuery,
+    MatchNoDocsQuery,
     MultiPhraseQuery,
     NumericRangeQuery,
     PhraseQuery,
@@ -534,6 +535,8 @@ class IndexSearcher:
         if isinstance(q, MatchAllDocsQuery):
             docs = np.arange(r.max_doc, dtype=np.int32)
             return _SparseScores(docs, np.full(r.max_doc, boost))
+        if isinstance(q, MatchNoDocsQuery):
+            return empty
         if isinstance(q, PrefixQuery):
             # MultiTermQuery CONSTANT_SCORE rewrite: matching docs score boost.
             lo, hi = r.term_range(self._fp(q.field) + q.prefix)
