@@ -1858,16 +1858,23 @@ class IndexSearcher:
         nhits = 0
         visited_blocks: set[tuple[int, int]] = set()
         # Visit intervals in CHUNKS of descending-bound order: the per-chunk
-        # score/union/heap work is vectorized across up to CHUNK intervals,
-        # amortizing the Python per-interval overhead ~CHUNK×. Exactness is
-        # unchanged — a chunk may *evaluate* a few intervals a strictly
-        # sequential WAND would have pruned (the threshold only tightens
-        # between chunks), never skip one it wouldn't.
-        CHUNK = 64
+        # score/union/heap work is vectorized across up to CHUNK_MAX
+        # intervals, amortizing the Python per-interval overhead. The chunk
+        # size ADAPTS: small (4) while the top-k is still filling — the
+        # threshold moves fastest there, and small chunks preserve the
+        # sequential WAND's block pruning — then doubles once the heap is
+        # full. Exactness is unchanged — a chunk may *evaluate* a few
+        # intervals a strictly sequential WAND would have pruned (the
+        # threshold only tightens between chunks), never skip one it
+        # wouldn't.
+        CHUNK_MAX = 64
+        chunk_size = 4
         pos = 0
         while pos < len(order):
-            chunk = order[pos : pos + CHUNK]
-            pos += CHUNK
+            chunk = order[pos : pos + chunk_size]
+            pos += chunk_size
+            if len(best_scores) >= k:
+                chunk_size = min(chunk_size * 2, CHUNK_MAX)
             exhausted = False
             if len(best_scores) >= k:
                 thr = best_scores[-1]
