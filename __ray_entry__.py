@@ -393,6 +393,69 @@ def _q_combined_field_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, qs)
 
 
+COMPLEX_PHRASES = ['"(merge join) so*"', '"merge so?t"']
+
+
+def _q_complex_phrase_topk(sf_dir: str) -> pa.Table:
+    """ComplexPhraseQueryParser gate: phrases with embedded alternatives,
+    prefixes and wildcards — slots are expanded against the GLOBAL term
+    dictionary (MultiTermQuery rewrite semantics) and matched/scored by the
+    MultiPhraseQuery kernel; the oracle expands the same patterns over the
+    df dictionary in SQL."""
+    from lucene_ray.query import parse_complex_phrase_query
+
+    s = _searcher(sf_dir)
+    qs = [(cp, parse_complex_phrase_query(cp)) for cp in COMPLEX_PHRASES]
+    return _ranked_topk(s, qs)
+
+
+def _sql_complex_phrase_topk(k=K) -> str:
+    """Oracle for COMPLEX_PHRASES: q1 = (merge|join) followed by any so*
+    term; q2 = merge followed by any so?t term. idf sums over every
+    dictionary term accepted by each slot (the global expansion)."""
+    q1, q2 = COMPLEX_PHRASES
+    return f"""
+WITH {_BASE},
+idf1 AS (
+  SELECT sum(ln(1 + (s.doc_count - df.df + 0.5)/(df.df + 0.5))) AS v
+  FROM df CROSS JOIN stats s
+  WHERE df.term IN ('merge', 'join') OR df.term LIKE 'so%'
+),
+pm1 AS (
+  SELECT doc_id, count(*)::DOUBLE AS freq
+  FROM base, unnest(range(1, len(toks))) AS t(i)
+  WHERE toks[i] IN ('merge', 'join') AND toks[i+1] LIKE 'so%'
+  GROUP BY doc_id
+),
+idf2 AS (
+  SELECT sum(ln(1 + (s.doc_count - df.df + 0.5)/(df.df + 0.5))) AS v
+  FROM df CROSS JOIN stats s
+  WHERE df.term = 'merge' OR regexp_full_match(df.term, 'so.t')
+),
+pm2 AS (
+  SELECT doc_id, count(*)::DOUBLE AS freq
+  FROM base, unnest(range(1, len(toks))) AS t(i)
+  WHERE toks[i] = 'merge' AND regexp_full_match(toks[i+1], 'so.t')
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT '{q1.replace("'", "''")}' AS query, pm1.doc_id,
+         idf1.v * (pm1.freq * 2.2) / (pm1.freq + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s2.sum_ttf / s2.doc_count))) AS score
+  FROM pm1 JOIN dl ON dl.doc_id = pm1.doc_id CROSS JOIN idf1 CROSS JOIN stats s2
+  UNION ALL
+  SELECT '{q2.replace("'", "''")}' AS query, pm2.doc_id,
+         idf2.v * (pm2.freq * 2.2) / (pm2.freq + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s2.sum_ttf / s2.doc_count))) AS score
+  FROM pm2 JOIN dl ON dl.doc_id = pm2.doc_id CROSS JOIN idf2 CROSS JOIN stats s2
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {k}
+"""
+
+
 PARSED_QUERIES = [
     "+merge -spark window",
     "me?ge OR wind*",
@@ -2474,6 +2537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_rescore_topk": _q_expr_rescore_topk,
         "dismax_topk": _q_dismax_topk,
         "parsed_query_topk": _q_parsed_query_topk,
+        "complex_phrase_topk": _q_complex_phrase_topk,
         "field_title_topk": _q_field_title_topk,
         "combined_field_topk": _q_combined_field_topk,
         "search_after": _q_search_after,
@@ -2547,6 +2611,7 @@ def oracle_sql() -> dict[str, str]:
         "min_should_match_topk": _sql_multi_term_topk([MSM_QUERY], "or", k=20, msm=2),
         "dismax_topk": _SQL_DISMAX,
         "parsed_query_topk": _sql_parsed_query_topk(),
+        "complex_phrase_topk": _sql_complex_phrase_topk(),
         "field_title_topk": _SQL_FIELD_TITLE,
         "combined_field_topk": _SQL_COMBINED_FIELD,
         "search_after": _sql_single_term_topk(["merge"], rank_lo=11, rank_hi=20),

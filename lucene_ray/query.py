@@ -154,6 +154,30 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class ComplexPhraseQuery(Query):
+    """Phrase whose slots may be multi-term expansions — the
+    ComplexPhraseQueryParser's query (queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java:60: "wildcard, fuzzy, range and group
+    syntax inside phrases"). Each slot is a tuple of atom specs:
+    ``("term", t)``, ``("prefix", p)``, ``("wildcard", pat)``,
+    ``("fuzzy", t, max_edits)``. The searcher expands every slot against the
+    per-segment term dictionary and delegates to the MultiPhraseQuery
+    matcher (the reference rewrites to spans the same way); a slot that
+    expands to nothing makes the query match nothing."""
+
+    positions: tuple  # tuple[tuple[spec, ...], ...]
+    slop: int = 0
+    field: str | None = None
+
+    def __init__(self, positions, slop: int = 0, field: str | None = None):
+        object.__setattr__(
+            self, "positions", tuple(tuple(slot) for slot in positions)
+        )
+        object.__setattr__(self, "slop", int(slop))
+        object.__setattr__(self, "field", field)
+
+
+@dataclass(frozen=True)
 class CoveringQuery(Query):
     """Matches docs where the number of matching sub-queries ≥ a PER-DOC
     minimum read from a numeric doc-values column — sandbox/search/
@@ -791,6 +815,79 @@ def parse_multi_field_query(
     boosts = boosts or {}
     mf = tuple((f, float(boosts.get(f, 1.0))) for f in fields)
     return _Parser(toks, normalize, None, numeric_fields, multi_fields=mf).parse()
+
+
+def _phrase_slot_spec(word: str, normalize):
+    """Classify one in-phrase token into a ComplexPhraseQuery atom spec."""
+    if "~" in word:
+        base, _, suf = word.rpartition("~")
+        if base and all(c.isdigit() or c == "." for c in suf):
+            edits = min(int(float(suf)), 2) if suf else 2
+            return ("fuzzy", normalize(base), edits)
+    if word.endswith("*") and len(word) > 1 and "*" not in word[:-1] and "?" not in word[:-1]:
+        return ("prefix", normalize(word[:-1]))
+    if "*" in word or "?" in word:
+        return ("wildcard", word.lower())
+    return ("term", normalize(word))
+
+
+def parse_complex_phrase_query(
+    s: str,
+    normalize=None,
+    default_field: str | None = None,
+    numeric_fields=(),
+) -> Query:
+    """ComplexPhraseQueryParser (queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java): classic syntax where QUOTED PHRASES may
+    embed wildcards, prefixes, fuzzies and parenthesized alternatives —
+    ``"(john jon) smith*"~2`` matches john|jon followed within slop 2 by any
+    smith-prefixed term. Phrases without embedded syntax parse exactly as in
+    ``parse_query``; everything outside phrases is the classic grammar."""
+    normalize = normalize or (lambda w: w.lower())
+    toks = _lex(s)
+    if not toks:
+        return MatchAllDocsQuery()
+
+    class _CPParser(_Parser):
+        def parse_atom(self) -> Query:
+            t = self.peek()
+            if t is not None and t.kind == "PHRASE" and any(
+                c in t.value[0] for c in "*?~("
+            ):
+                self.next()
+                text, fuzz, boost = t.value
+                slop = int(fuzz) if fuzz not in (None, -1.0) else 0
+                slots = []
+                i, n = 0, len(text)
+                while i < n:
+                    c = text[i]
+                    if c.isspace():
+                        i += 1
+                    elif c == "(":
+                        j = text.find(")", i + 1)
+                        if j < 0:
+                            raise QueryParseError(
+                                f"unbalanced ( inside phrase: {text!r}")
+                        slots.append(tuple(
+                            _phrase_slot_spec(w, self.normalize)
+                            for w in text[i + 1 : j].split()
+                        ))
+                        i = j + 1
+                    else:
+                        j = i
+                        while j < n and not text[j].isspace() and text[j] != "(":
+                            j += 1
+                        slots.append((_phrase_slot_spec(text[i:j], self.normalize),))
+                        i = j
+                slots = [sl for sl in slots if sl]
+                if not slots:
+                    raise QueryParseError(f"empty phrase: {text!r}")
+                q: Query = ComplexPhraseQuery(
+                    slots, slop=slop, field=self.fields[-1])
+                return BoostQuery(q, boost) if boost is not None else q
+            return super().parse_atom()
+
+    return _CPParser(toks, normalize, default_field, numeric_fields).parse()
 
 
 def parse_simple_query(

@@ -57,6 +57,7 @@ from lucene_ray.query import (
     IntervalQuery,
     JoinQuery,
     MatchAllDocsQuery,
+    ComplexPhraseQuery,
     MatchNoDocsQuery,
     MultiPhraseQuery,
     NumericRangeQuery,
@@ -655,6 +656,8 @@ class IndexSearcher:
             return self._eval_phrase(r, q, boost)
         if isinstance(q, MultiPhraseQuery):
             return self._eval_multi_phrase(r, q, boost)
+        if isinstance(q, ComplexPhraseQuery):
+            return self._eval_complex_phrase(r, q, boost)
         if isinstance(q, SpanNearQuery):
             return self._eval_span_near(r, q, boost)
         if isinstance(q, IntervalQuery):
@@ -1537,6 +1540,70 @@ class IndexSearcher:
         tstats = [self.term_statistics(fp + t) for t in terms]
         scorer = self.sim.scorer(self._field_cstats(q.field), tstats, boost=boost)
         return _SparseScores(docs, self._score_arrays(r, scorer, docs, freqs, q.field))
+
+    def _expand_complex_phrase(self, q: "ComplexPhraseQuery"):
+        """Expand slot atom specs against the UNION of all segment
+        dictionaries, once per query (cached) — the reference rewrites
+        MultiTermQueries against the top-level reader, so the accepted term
+        set (and hence the idf sum) is identical in every segment. Returns
+        the slot term tuples, or None if some slot matches nothing."""
+        import re as _re
+
+        cache = getattr(self, "_cpq_cache", None)
+        if cache is None:
+            cache = self._cpq_cache = {}
+        hit = cache.get(q)
+        if hit is not None or q in cache:
+            return hit
+        fp = self._fp(q.field)
+        positions = []
+        for slot in q.positions:
+            terms: list[str] = []
+            for spec in slot:
+                kind = spec[0]
+                if kind == "term":
+                    if any(r.term_index(fp + spec[1]) >= 0 for r in self.readers):
+                        terms.append(spec[1])
+                elif kind == "prefix":
+                    for r in self.readers:
+                        lo, hi = r.term_range(fp + spec[1])
+                        terms.extend(r.terms[i][len(fp):] for i in range(lo, hi))
+                elif kind in ("wildcard", "fuzzy"):
+                    if kind == "wildcard":
+                        pat = _re.compile(_wildcard_regex(spec[1]))
+                        ok = pat.fullmatch
+                    else:
+                        base, max_edits = spec[1], spec[2]
+                        ok = lambda c: _bounded_edit_distance(base, c, max_edits) >= 0
+                    for r in self.readers:
+                        rlo, rhi = r.term_range(fp) if fp else (0, r.n_terms)
+                        terms.extend(
+                            c for i in range(rlo, rhi)
+                            if ok(c := r.terms[i][len(fp):])
+                        )
+                else:
+                    raise TypeError(f"unknown phrase slot spec {spec!r}")
+            if not terms:
+                cache[q] = None
+                return None
+            positions.append(tuple(dict.fromkeys(sorted(terms))))
+        cache[q] = tuple(positions)
+        return cache[q]
+
+    def _eval_complex_phrase(
+        self, r: SegmentReader, q: "ComplexPhraseQuery", boost: float
+    ) -> _SparseScores:
+        """ComplexPhraseQueryParser query: global slot expansion (above),
+        then the MultiPhraseQuery matcher on this segment. A slot that
+        expands to nothing kills the phrase (rewrite-to-no-match)."""
+        positions = self._expand_complex_phrase(q)
+        if positions is None:
+            return _SparseScores(
+                np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64)
+            )
+        return self._eval_multi_phrase(
+            r, MultiPhraseQuery(positions, slop=q.slop, field=q.field), boost
+        )
 
     def _eval_multi_phrase(
         self, r: SegmentReader, q: MultiPhraseQuery, boost: float
