@@ -286,14 +286,25 @@ class SpanNearQuery(Query):
     .java:42 ordered/unordered; queries/.../intervals/IntervalQuery.java:59
     Intervals.ordered/unordered): matches docs where all terms occur within
     ``slop`` slack positions, optionally in order; freq = Σ 1/(1+width) over
-    minimal intervals (SpanScorer sloppyFreq)."""
+    minimal intervals (SpanScorer sloppyFreq).
+
+    Each element of ``terms`` is either a single term (str) or a SLOT of
+    alternatives — a tuple whose items are terms or expansion specs
+    ``("prefix", p)`` / ``("wildcard", pat)`` (the SpanOr +
+    SpanMultiTermQueryWrapper combination, used by the surround parser's
+    distance operators): the slot's positions are the union of its
+    expanded terms' positions."""
 
     terms: tuple
     slop: int = 0
     in_order: bool = False
 
     def __init__(self, terms, slop: int = 0, in_order: bool = False):
-        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(
+            self,
+            "terms",
+            tuple(t if isinstance(t, str) else tuple(t) for t in terms),
+        )
         object.__setattr__(self, "slop", int(slop))
         object.__setattr__(self, "in_order", bool(in_order))
 

@@ -1682,36 +1682,102 @@ class IndexSearcher:
             match_docs, self._score_arrays(r, scorer, match_docs, match_freqs, q.field)
         )
 
+    def _expand_span_slots(self, q: SpanNearQuery):
+        """Normalize q.terms into slots of concrete terms: strings pass
+        through, ``("prefix", p)`` / ``("wildcard", pat)`` specs expand
+        against the UNION of all segment dictionaries (SpanMultiTermQuery
+        Wrapper rewrite — global, so stats are segment-independent).
+        Returns tuple of term tuples, or None if some spec slot expands to
+        nothing (an empty SpanOr matches nothing)."""
+        import re as _re
+
+        cache = getattr(self, "_span_slot_cache", None)
+        if cache is None:
+            cache = self._span_slot_cache = {}
+        if q.terms in cache:
+            return cache[q.terms]
+        fp = self._fp(None)
+        slots = []
+        out = None
+        for slot in q.terms:
+            if isinstance(slot, str):
+                slots.append((slot,))
+                continue
+            terms: list[str] = []
+            for item in slot:
+                if isinstance(item, str):
+                    terms.append(item)
+                    continue
+                kind, val = item[0], item[1]
+                if kind == "prefix":
+                    for r in self.readers:
+                        lo, hi = r.term_range(fp + val)
+                        terms.extend(r.terms[i][len(fp):] for i in range(lo, hi))
+                elif kind == "wildcard":
+                    pat = _re.compile(_wildcard_regex(val))
+                    for r in self.readers:
+                        rlo, rhi = r.term_range(fp) if fp else (0, r.n_terms)
+                        terms.extend(
+                            c for i in range(rlo, rhi)
+                            if pat.fullmatch(c := r.terms[i][len(fp):])
+                        )
+                else:
+                    raise TypeError(f"unknown span slot spec {item!r}")
+            if not terms:
+                break
+            slots.append(tuple(dict.fromkeys(sorted(terms))))
+        else:
+            out = tuple(slots)
+        cache[q.terms] = out
+        return out
+
     def _eval_span_near(self, r: SegmentReader, q: SpanNearQuery, boost: float) -> _SparseScores:
         """SpanNearQuery: docID conjunction, then the per-doc minimal-interval
         matcher (functions/intervals.py); scored like a phrase (multi-term
-        idf sum through BM25 with the span freq)."""
+        idf sum through BM25 with the span freq). Slots with alternatives
+        behave as SpanOr: the slot's positions are the union over its
+        terms present in this segment."""
         from lucene_ray.functions.intervals import span_near_freq
 
         empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
         fp = self._fp(None)
-        terms = list(q.terms)
-        idxs = [r.term_index(fp + t) for t in terms]
-        if any(i < 0 for i in idxs):
+        slots = self._expand_span_slots(q)
+        if slots is None:
             return empty
-        post = [r.postings(int(i)) for i in idxs]
-        pos_arrays = [r.positions(int(i)) for i in idxs]
-        cand = post[0][0]
-        for docs_i, _ in post[1:]:
-            cand, _, _ = _intersect_sorted(cand, docs_i)
+        slot_posts = []  # per slot: list of (docs, starts, positions)
+        for slot in slots:
+            idxs = [i for i in (r.term_index(fp + t) for t in slot) if i >= 0]
+            if not idxs:
+                return empty  # no term of this slot exists in this segment
+            entries = []
+            for i in idxs:
+                docs_i, freqs_i = r.postings(int(i))
+                starts = np.concatenate([[0], np.cumsum(freqs_i)])
+                entries.append((docs_i, starts, r.positions(int(i))))
+            slot_posts.append(entries)
+        cand = None
+        for entries in slot_posts:
+            sd = (
+                entries[0][0]
+                if len(entries) == 1
+                else np.unique(np.concatenate([e[0] for e in entries]))
+            )
+            cand = sd if cand is None else _intersect_sorted(cand, sd)[0]
             if not len(cand):
                 return empty
-        offsets = []
-        for docs_i, freqs_i in post:
-            starts = np.concatenate([[0], np.cumsum(freqs_i)])
-            offsets.append((docs_i, starts))
         match_docs, match_freqs = [], []
         for d in cand.tolist():
             sets = []
-            for t_i in range(len(terms)):
-                docs_i, starts = offsets[t_i]
-                j = int(np.searchsorted(docs_i, d))
-                sets.append(pos_arrays[t_i][starts[j] : starts[j + 1]])
+            for entries in slot_posts:
+                parts = []
+                for docs_i, starts, pos_i in entries:
+                    j = int(np.searchsorted(docs_i, d))
+                    if j < len(docs_i) and docs_i[j] == d:
+                        parts.append(pos_i[starts[j] : starts[j + 1]])
+                if len(parts) == 1:
+                    sets.append(parts[0])
+                else:
+                    sets.append(np.sort(np.concatenate(parts)))
             freq = span_near_freq(sets, q.slop, q.in_order)
             if freq > 0:
                 match_docs.append(d)
@@ -1720,7 +1786,7 @@ class IndexSearcher:
             return empty
         docs = np.array(match_docs, dtype=np.int32)
         freqs = np.array(match_freqs, dtype=np.float64)
-        tstats = [self.term_statistics(fp + t) for t in terms]
+        tstats = [self.term_statistics(fp + t) for slot in slots for t in slot]
         scorer = self.sim.scorer(self._field_cstats(None), tstats, boost=boost)
         return _SparseScores(docs, self._score_arrays(r, scorer, docs, freqs))
 
