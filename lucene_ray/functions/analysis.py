@@ -62,7 +62,7 @@ _EMOJI_BASE = "[\U0001F000-\U0001FAFF\u2600-\u27BF\u2B00-\u2BFF\u2764\u2B50]"
 _EMOJI_MOD = "[\U0001F3FB-\U0001F3FF\uFE0F]"
 _EMOJI_SEG = f"{_EMOJI_BASE}{_EMOJI_MOD}*(?:\u200D{_EMOJI_BASE}{_EMOJI_MOD}*)*"
 _IDEO_HIRA = "⺀-⻿぀-ゟ㐀-䶿一-鿿豈-﫿"
-_KATA = "ァ-ヺー-ヿㇰ-ㇿ"
+_KATA = "ァ-ヺー-ヿㇰ-ㇿｦ-ﾟ"  # incl. half-width forms (KATAKANA type)
 _L = rf"[^\W\d_{_IDEO_HIRA}{_KATA}]"  # unicode letter, CJK handled separately
 # Hebrew-quote word-break rules (WB7a/b/c of the UAX#29 grammar the
 # reference compiles): gershayim/double-quote BETWEEN Hebrew letters

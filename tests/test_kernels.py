@@ -221,6 +221,15 @@ def test_cjk_single_codepoint_tokens():
     assert toks == ["日", "本", "語", "abc"]
 
 
+def test_katakana_runs_split_from_latin():
+    # KATAKANA is its own token type (WB13 keeps runs together, any-break
+    # separates it from ALetter) — including the HALF-WIDTH forms block
+    a = Analyzer("standard")
+    assert [t for t, _ in a.tokenize_one("カタカナtest")] == ["カタカナ", "test"]
+    assert [t for t, _ in a.tokenize_one("ﾃｽﾄtest")] == ["ﾃｽﾄ", "test"]
+    assert [t for t, _ in a.tokenize_one("ｶﾀｶﾅ ｶﾞｷﾞ")] == ["ｶﾀｶﾅ", "ｶﾞｷﾞ"]
+
+
 # ---------------------------------------------------------------- postings
 
 
