@@ -26,9 +26,12 @@ encoding ALL blocks of a term at once via a grouped pack.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 
 BLOCK_SIZE = 128  # ForUtil.java:32
+_ENDIAN = sys.byteorder  # u16 block counts are written in native order
 
 
 def _pack_bits(values: np.ndarray, bits: int) -> bytes:
@@ -88,8 +91,21 @@ def _bits_needed(values: np.ndarray) -> int:
     return 32
 
 
+_WIDTH_BYTES = {0: 0, 8: 1, 16: 2, 32: 4}
+_PACK_DTYPE = {8: np.dtype(np.uint8), 16: np.dtype(">u2"), 32: np.dtype(">u4")}
+
+
 def encode_postings(docs: np.ndarray, freqs: np.ndarray) -> bytes:
-    """Encode one term's (sorted docIDs, freqs) into the packed stream."""
+    """Encode one term's (sorted docIDs, freqs) into the packed stream.
+
+    Fast path: ALL full blocks are written with one (bits_doc, bits_freq)
+    width pair — the max width class over the full blocks — so the whole
+    header+payload region is assembled with a handful of numpy ops instead
+    of a per-block Python loop. Width PROMOTION (e.g. an all-freq-1 block
+    next to a freq-2 block both take 8-bit freqs) costs a few percent of
+    space in mixed streams; the stream stays self-describing and any
+    decoder, including the per-block fallback, reads it unchanged. The
+    short tail block keeps its tight per-block widths."""
     docs = np.asarray(docs, dtype=np.int64)
     freqs = np.asarray(freqs, dtype=np.int64)
     n = len(docs)
@@ -99,8 +115,34 @@ def encode_postings(docs: np.ndarray, freqs: np.ndarray) -> bytes:
     np.subtract(docs[1:], docs[:-1], out=deltas[1:], casting="unsafe")
     fm1 = (freqs - 1).astype(np.uint32)
 
+    nfull = n // BLOCK_SIZE
     out = [np.uint32(n).tobytes()]
-    for start in range(0, n, BLOCK_SIZE):
+    tail_start = 0
+    if nfull >= 2:
+        m = nfull * BLOCK_SIZE
+        bd = _bits_needed(deltas[:m])
+        bf = _bits_needed(fm1[:m])
+        if bd > 0:
+            dsz = BLOCK_SIZE * _WIDTH_BYTES[bd]
+            fsz = BLOCK_SIZE * _WIDTH_BYTES[bf]
+            chunk = 4 + dsz + fsz
+            region = np.empty((nfull, chunk), dtype=np.uint8)
+            region[:, 0] = bd
+            region[:, 1] = bf
+            hdr_n = np.uint16(BLOCK_SIZE).tobytes()  # native order, as the loop
+            region[:, 2] = hdr_n[0]
+            region[:, 3] = hdr_n[1]
+            region[:, 4 : 4 + dsz] = (
+                deltas[:m].astype(_PACK_DTYPE[bd]).view(np.uint8).reshape(nfull, dsz)
+            )
+            if fsz:
+                region[:, 4 + dsz :] = (
+                    fm1[:m].astype(_PACK_DTYPE[bf]).view(np.uint8).reshape(nfull, fsz)
+                )
+            out.append(region.tobytes())
+            tail_start = m
+
+    for start in range(tail_start, n, BLOCK_SIZE):
         d = deltas[start : start + BLOCK_SIZE]
         f = fm1[start : start + BLOCK_SIZE]
         bd, bf = _bits_needed(d), _bits_needed(f)
@@ -114,22 +156,76 @@ def encode_postings(docs: np.ndarray, freqs: np.ndarray) -> bytes:
 
 
 def decode_postings(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
-    """Decode the packed stream → (docIDs int32, freqs int32)."""
+    """Decode the packed stream → (docIDs int32, freqs int32).
+
+    Fast path mirrors the encoder's: when the leading FULL blocks share one
+    byte-aligned width pair (verified against the stored headers), the whole
+    region decodes with a few strided numpy views instead of a per-block
+    Python loop."""
     mv = memoryview(buf)
     n = int(np.frombuffer(mv[:4], dtype=np.uint32)[0])
-    off = 4
     deltas = np.empty(n, dtype=np.uint32)
     fm1 = np.empty(n, dtype=np.uint32)
-    pos = 0
+
+    # header walk first (pure-int arithmetic, exact for ANY stream): collect
+    # (payload_off, bits_doc, bits_freq, count) per block
+    blocks = []
+    off, pos = 4, 0
     while pos < n:
         bd, bf = mv[off], mv[off + 1]
-        cnt = int(np.frombuffer(mv[off + 2 : off + 4], dtype=np.uint16)[0])
+        cnt = int.from_bytes(mv[off + 2 : off + 4], _ENDIAN)
         off += 4
-        deltas[pos : pos + cnt] = _unpack_bits(mv[off:], cnt, bd)
-        off += (cnt * bd + 7) // 8
-        fm1[pos : pos + cnt] = _unpack_bits(mv[off:], cnt, bf)
-        off += (cnt * bf + 7) // 8
+        blocks.append((off, bd, bf, cnt))
+        off += (cnt * bd + 7) // 8 + (cnt * bf + 7) // 8
         pos += cnt
+
+    pos, i = 0, 0
+    nb = len(blocks)
+    while i < nb:
+        o, bd, bf, cnt = blocks[i]
+        if cnt == BLOCK_SIZE and bd in _WIDTH_BYTES and bf in _WIDTH_BYTES:
+            j = i + 1
+            while (
+                j < nb
+                and blocks[j][3] == BLOCK_SIZE
+                and blocks[j][1] == bd
+                and blocks[j][2] == bf
+            ):
+                j += 1
+            k = j - i
+            if k >= 2:
+                # uniform full-block run → one strided bulk decode
+                dsz = BLOCK_SIZE * _WIDTH_BYTES[bd]
+                fsz = BLOCK_SIZE * _WIDTH_BYTES[bf]
+                chunk = 4 + dsz + fsz
+                start = o - 4
+                region = np.frombuffer(
+                    mv[start : start + k * chunk], dtype=np.uint8
+                ).reshape(k, chunk)
+                m = k * BLOCK_SIZE
+                if dsz:
+                    deltas[pos : pos + m] = (
+                        np.ascontiguousarray(region[:, 4 : 4 + dsz])
+                        .view(_PACK_DTYPE[bd])
+                        .ravel()
+                    )
+                else:
+                    deltas[pos : pos + m] = 0
+                if fsz:
+                    fm1[pos : pos + m] = (
+                        np.ascontiguousarray(region[:, 4 + dsz :])
+                        .view(_PACK_DTYPE[bf])
+                        .ravel()
+                    )
+                else:
+                    fm1[pos : pos + m] = 0
+                pos += m
+                i = j
+                continue
+        deltas[pos : pos + cnt] = _unpack_bits(mv[o:], cnt, bd)
+        fm1[pos : pos + cnt] = _unpack_bits(mv[o + (cnt * bd + 7) // 8 :], cnt, bf)
+        pos += cnt
+        i += 1
     docs = np.cumsum(deltas.astype(np.int64)).astype(np.int32)
     return docs, (fm1 + 1).astype(np.int32)
 
