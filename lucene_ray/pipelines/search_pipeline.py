@@ -102,7 +102,7 @@ def search_distributed(
     mode: str = "lucene",
     algo: str = "auto",
     concurrency: int = 4,
-    shards_per_actor_segments: int = 4,
+    shards_per_actor_segments: int | None = None,
     queries_per_chunk: int = 256,
 ):
     """Run the fixed query set against the index through an actor pool.
@@ -116,6 +116,13 @@ def search_distributed(
 
     manifest = Manifest.load(index_dir)
     names = [s["name"] for s in manifest.segments]
+    if shards_per_actor_segments is None:
+        # size shards so the (chunk x shard) work rows keep the whole pool
+        # busy (~2 rows per actor) — with few big merged segments a fixed
+        # shard size would collapse the stage to one or two tasks
+        shards_per_actor_segments = max(
+            1, -(-len(names) // (2 * max(1, concurrency)))
+        )
     shards = [
         names[i : i + shards_per_actor_segments]
         for i in range(0, len(names), shards_per_actor_segments)
