@@ -142,10 +142,16 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
     cs = np.concatenate([[0], np.cumsum(ff, dtype=np.int64)])
     total_tf = cs[t_ends] - cs[t_starts]
 
-    packed_col, bld_col, blf_col, blm_col = [], [], [], []
-    impf_col, impl_col, pos_col = [], [], []
+    # per-term skip/impact metadata accumulated as FLAT arrays + counts, then
+    # assembled into Arrow list columns via offsets — no per-term Python
+    # lists (the old tolist()/np.split per term dominated at large vocab)
+    packed_col, pos_col = [], []
+    ld_parts, mf_parts, ml_parts = [], [], []
+    icnt_parts, iff_parts, ill_parts = [], [], []
+    nblocks = np.empty(n_out, dtype=np.int64)
     sdoc = np.full(n_out, -1, dtype=np.int32)
     sfreq = np.zeros(n_out, dtype=np.int32)
+    one = np.ones(1, dtype=np.int64)
     for ti in range(n_out):
         s, e = int(t_starts[ti]), int(t_ends[ti])
         docs = dd[s:e]
@@ -154,21 +160,24 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             sdoc[ti] = docs[0]
             sfreq[ti] = freqs[0]
             packed_col.append(b"")
-            bld_col.append([int(docs[0])])
-            blf_col.append([int(freqs[0])])
-            blm_col.append([int(dls[docs[0]])])
-            impf_col.append([[int(freqs[0])]])
-            impl_col.append([[int(dls[docs[0]])]])
+            ld_parts.append(docs)
+            mf_parts.append(freqs)
+            ml_parts.append(dls[docs])
+            nblocks[ti] = 1
+            icnt_parts.append(one)
+            iff_parts.append(freqs)
+            ill_parts.append(dls[docs])
         else:
             packed_col.append(encode_postings(docs, freqs))
             ld, mf, ml = block_skip_metadata(docs, freqs, dls[docs])
-            bld_col.append(ld.tolist())
-            blf_col.append(mf.tolist())
-            blm_col.append(ml.tolist())
+            ld_parts.append(ld)
+            mf_parts.append(mf)
+            ml_parts.append(ml)
+            nblocks[ti] = len(ld)
             icnt, iff, ill = competitive_impacts(freqs, dls[docs])
-            isplit = np.cumsum(icnt)[:-1]
-            impf_col.append([a.tolist() for a in np.split(iff, isplit)])
-            impl_col.append([a.tolist() for a in np.split(ill, isplit)])
+            icnt_parts.append(np.asarray(icnt, dtype=np.int64))
+            iff_parts.append(iff)
+            ill_parts.append(ill)
         if store_positions:
             parts = pos_by_code.get(int(tc[s]), ())
             pos_col.append(
@@ -179,6 +188,23 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
         else:
             pos_col.append(b"")
 
+    def _list_col(parts, counts):
+        values = (
+            np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        ).astype(np.int32)
+        offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                        pa.array(values, type=pa.int32()))
+
+    icnt_all = (
+        np.concatenate(icnt_parts) if icnt_parts else np.empty(0, dtype=np.int64)
+    )
+    inner_imp_f = _list_col(iff_parts, icnt_all)
+    inner_imp_l = _list_col(ill_parts, icnt_all)
+    outer_off = np.zeros(n_out + 1, dtype=np.int32)
+    np.cumsum(nblocks, out=outer_off[1:])
+    outer_off_arr = pa.array(outer_off, type=pa.int32())
     postings_tbl = pa.table(
         {
             "term": pa.array(out_terms.tolist(), type=pa.string()),
@@ -187,11 +213,11 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             "singleton_doc": pa.array(sdoc, type=pa.int32()),
             "singleton_freq": pa.array(sfreq, type=pa.int32()),
             "packed": pa.array(packed_col, type=pa.binary()),
-            "block_last_docs": pa.array(bld_col, type=pa.list_(pa.int32())),
-            "block_max_freqs": pa.array(blf_col, type=pa.list_(pa.int32())),
-            "block_min_lens": pa.array(blm_col, type=pa.list_(pa.int32())),
-            "imp_freqs": pa.array(impf_col, type=pa.list_(pa.list_(pa.int32()))),
-            "imp_lens": pa.array(impl_col, type=pa.list_(pa.list_(pa.int32()))),
+            "block_last_docs": _list_col(ld_parts, nblocks),
+            "block_max_freqs": _list_col(mf_parts, nblocks),
+            "block_min_lens": _list_col(ml_parts, nblocks),
+            "imp_freqs": pa.ListArray.from_arrays(outer_off_arr, inner_imp_f),
+            "imp_lens": pa.ListArray.from_arrays(outer_off_arr, inner_imp_l),
             "positions": pa.array(pos_col, type=pa.binary()),
         }
     )

@@ -259,6 +259,35 @@ def test_postings_roundtrip_property(pairs):
     assert f.tolist() == freqs.tolist()
 
 
+def test_decode_reads_tight_width_streams():
+    """Pre-promotion streams (per-block tight widths, possibly DIFFERENT
+    across blocks) must decode exactly — the decoder groups uniform runs and
+    falls back per block on width changes."""
+    from lucene_ray.functions.postings import _bits_needed, _pack_bits
+
+    rng = np.random.default_rng(11)
+    n = 128 * 5 + 17
+    docs = np.cumsum(rng.integers(1, 300, size=n)) - 1
+    freqs = np.ones(n, dtype=np.int64)
+    freqs[128 * 2 : 128 * 3] = rng.integers(1, 200, size=128)  # one wide block
+    deltas = np.empty(n, dtype=np.uint32)
+    deltas[0] = docs[0]
+    np.subtract(docs[1:], docs[:-1], out=deltas[1:], casting="unsafe")
+    fm1 = (freqs - 1).astype(np.uint32)
+    out = [np.uint32(n).tobytes()]
+    for start in range(0, n, BLOCK_SIZE):
+        d = deltas[start : start + BLOCK_SIZE]
+        f = fm1[start : start + BLOCK_SIZE]
+        bd, bf = _bits_needed(d), _bits_needed(f)
+        out.append(np.array([bd, bf], dtype=np.uint8).tobytes()
+                   + np.uint16(len(d)).tobytes())
+        out.append(_pack_bits(d, bd))
+        out.append(_pack_bits(f, bf))
+    d2, f2 = decode_postings(b"".join(out))
+    assert d2.tolist() == docs.tolist()
+    assert f2.tolist() == freqs.tolist()
+
+
 def test_postings_block_range_decode():
     n = 1000
     rng = np.random.default_rng(7)
