@@ -113,7 +113,8 @@ class _BuildSegment:
 
         return pa.table({"meta": pa.array([json.dumps(meta)], type=pa.string())})
 
-    def build(self, group: pa.Table, part_id: int, lineage: dict | None = None) -> dict:
+    def build(self, group: pa.Table, part_id: int, lineage: dict | None = None,
+              sub: int | None = None, num_subs: int = 1) -> dict:
         import time as _time
 
         t0 = _time.time()
@@ -156,7 +157,10 @@ class _BuildSegment:
             )
         for c in self.docvalue_cols:  # doc-values columns ride the docs table
             docs_tbl = docs_tbl.append_column(c, group.column(c))
-        name = f"seg{part_id:06d}-g0"
+        name = (
+            f"seg{part_id:06d}-g0" if sub is None
+            else f"seg{part_id:06d}p{sub:02d}-g0"
+        )
         meta = write_segment(
             self.index_dir,
             name,
@@ -166,6 +170,8 @@ class _BuildSegment:
             extra_meta={
                 "part_id": part_id,
                 "num_partitions": self.num_partitions,
+                "sub": sub,
+                "num_subs": num_subs,
                 "gen": 0,
                 "analyzer": self.analyzer_kind,
                 "key_col": self.key_col,
@@ -313,8 +319,16 @@ def build_index_by_file(
     text_cols: tuple = (),
     max_in_flight: int | None = None,
     index_sort: tuple | None = None,
+    max_docs_per_segment: int = 4_000_000,
 ) -> Manifest:
     """Shuffle-free index build: ONE INPUT FILE → ONE SEGMENT.
+
+    ``max_docs_per_segment`` is the shard-size guard: an input file larger
+    than this is split into that many-row sub-segments INSIDE its task
+    (names ``seg<part>pNN-g0``), so one oversized shard can neither blow the
+    task's heap nor exceed the docID space; resume treats a part as done
+    only when all of its sub-segments are durable. Upstream sharding is
+    still the right tool at 100 TB — the guard bounds the damage of skew.
 
     The natural layout at 100 TB: input shards are already the partition
     (exactly a Lucene DWPT — DocumentsWriter.java:54 needs no cross-doc
@@ -346,9 +360,16 @@ def build_index_by_file(
                        [key_col, text_col])
     cols = list(dict.fromkeys(list(cols) + list(docvalue_cols) + list(text_cols)))
 
-    done = completed_part_ids(index_dir) if resume else {}
-    done = {p: m for p, m in done.items()
-            if m.get("gen", 0) == 0 and m.get("num_partitions") == n}
+    from lucene_ray.state.manifest import completed_part_metas
+
+    done_groups = completed_part_metas(index_dir) if resume else {}
+    done: dict[int, list[dict]] = {}
+    for p, ms in done_groups.items():
+        ms = [m for m in ms
+              if m.get("gen", 0) == 0 and m.get("num_partitions") == n]
+        if ms and len({m.get("sub") for m in ms}) == len(ms) \
+                and len(ms) == (ms[0].get("num_subs") or 1):
+            done[p] = sorted(ms, key=lambda m: m.get("sub") or 0)
 
     builder = _BuildSegment(index_dir, key_col, text_col, analyzer,
                             store_positions, n, docvalue_cols, text_cols, index_sort)
@@ -362,10 +383,21 @@ def build_index_by_file(
             from lucene_ray.sources.corpus import extract_batch
 
             tbl = extract_batch(tbl, include_title="title" in (text_cols or ()))
-        meta = builder.build(tbl, part_id, lineage={"source_file": path})
-        return json.dumps(meta)
+        lineage = {"source_file": path}
+        if tbl.num_rows <= max_docs_per_segment:
+            metas = [builder.build(tbl, part_id, lineage=lineage)]
+        else:
+            # shard-size guard: split the oversized file into sub-segments
+            num_subs = -(-tbl.num_rows // max_docs_per_segment)
+            step = -(-tbl.num_rows // num_subs)
+            metas = [
+                builder.build(tbl.slice(j * step, step), part_id,
+                              lineage=lineage, sub=j, num_subs=num_subs)
+                for j in range(num_subs)
+            ]
+        return json.dumps(metas)
 
-    metas: list[dict] = list(done.values())
+    metas: list[dict] = [m for ms in done.values() for m in ms]
     pending = [(f, i) for i, f in enumerate(files) if i not in done]
     window = max_in_flight or int(ray.cluster_resources().get("CPU", 8)) * 2
     in_flight: list = []
@@ -377,9 +409,9 @@ def build_index_by_file(
             idx += 1
         ready, in_flight = ray.wait(in_flight, num_returns=1)
         for ref in ready:
-            metas.append(json.loads(ray.get(ref)))
+            metas.extend(json.loads(ray.get(ref)))
 
-    metas.sort(key=lambda m: m["part_id"])
+    metas.sort(key=lambda m: (m["part_id"], m.get("sub") or 0))
     prev_gen = Manifest.latest_gen(index_dir)
     import time as _time
 

@@ -227,3 +227,21 @@ def completed_part_ids(index_dir: str) -> dict[int, dict]:
         if pid is not None:
             out[int(pid)] = meta
     return out
+
+
+def completed_part_metas(index_dir: str) -> dict[int, list[dict]]:
+    """Like completed_part_ids, but keeps EVERY durable segment per part —
+    needed when a part (input file) was split into sub-segments by the
+    max-docs-per-segment guard. A part is complete only when all
+    ``num_subs`` sub-segments are present."""
+    out: dict[int, list[dict]] = {}
+    for meta_path in glob.glob(os.path.join(index_dir, "segments", "*", "meta.json")):
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        pid = meta.get("part_id")
+        if pid is not None:
+            out.setdefault(int(pid), []).append(meta)
+    return out

@@ -280,6 +280,40 @@ def test_resume_skips_completed_partitions(ray_session, tmp_path, corpus):
     ]
 
 
+def test_max_docs_per_segment_guard(ray_session, tmp_path):
+    """Shard-size guard: an oversized input file splits into sub-segments
+    (seg<part>pNN), all docs searchable, and resume treats the part as done
+    only when every sub-segment is durable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.index_pipeline import build_index_by_file
+    from lucene_ray.query import TermQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    n = 500
+    src = str(tmp_path / "big.parquet")
+    pq.write_table(
+        pa.table({"url": [f"u{i:04d}" for i in range(n)],
+                  "text": [f"doc {i} guard term" for i in range(n)]}),
+        src,
+    )
+    d = str(tmp_path / "guard_idx")
+    m = build_index_by_file(src, d, key_col="url", text_col="text",
+                            max_docs_per_segment=200)
+    assert len(m.segments) == 3
+    assert sum(s["max_doc"] for s in m.segments) == n
+    assert all("p0" in s["name"] for s in m.segments)
+    s = IndexSearcher(d)
+    assert s.search(TermQuery("guard"), 5).total_hits == n
+    # lose one sub-segment: the part is incomplete, rebuild restores it
+    shutil.rmtree(os.path.join(d, "segments", m.segments[1]["name"]))
+    m2 = build_index_by_file(src, d, key_col="url", text_col="text",
+                             max_docs_per_segment=200)
+    assert len(m2.segments) == 3
+    assert IndexSearcher(d).search(TermQuery("guard"), 5).total_hits == n
+
+
 def test_partition_count_invariance(ray_session, tmp_path, corpus):
     """1-partition pipeline output rank-identical to P-partition output."""
     from lucene_ray.pipelines.index_pipeline import build_index
