@@ -310,6 +310,36 @@ class SpanNearQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanPositionRangeQuery(Query):
+    """Match spans whose positions lie entirely within [start, end)
+    (spans/SpanPositionRangeQuery.java; SpanFirstQuery.java is the
+    start=0 special case). ``match`` is a SpanNearQuery (a bare term wraps
+    as a 1-slot span); freq = Σ 1/(1+slack) over qualifying minimal
+    intervals, scored like SpanNear."""
+
+    match: Query
+    start: int = 0
+    end: int = 2**31 - 1
+
+
+def SpanFirstQuery(match: Query, end: int) -> SpanPositionRangeQuery:
+    """spans/SpanFirstQuery.java — spans ending within the first ``end``
+    positions."""
+    return SpanPositionRangeQuery(match, 0, end)
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    """Spans of ``include`` that do NOT overlap a span of ``exclude``,
+    with ``pre``/``post`` slack positions (spans/SpanNotQuery.java)."""
+
+    include: Query
+    exclude: Query
+    pre: int = 0
+    post: int = 0
+
+
+@dataclass(frozen=True)
 class IntervalQuery(Query):
     """Minimal-interval algebra query (queries/.../intervals/IntervalQuery
     .java:59): matches docs where ``source`` (built with the factories in

@@ -70,6 +70,8 @@ from lucene_ray.query import (
     TermInSetQuery,
     TermQuery,
     SpanNearQuery,
+    SpanNotQuery,
+    SpanPositionRangeQuery,
     TermRangeQuery,
     ToChildBlockJoinQuery,
     ToParentBlockJoinQuery,
@@ -660,6 +662,10 @@ class IndexSearcher:
             return self._eval_complex_phrase(r, q, boost)
         if isinstance(q, SpanNearQuery):
             return self._eval_span_near(r, q, boost)
+        if isinstance(q, SpanPositionRangeQuery):
+            return self._eval_span_position_range(r, q, boost)
+        if isinstance(q, SpanNotQuery):
+            return self._eval_span_not(r, q, boost)
         if isinstance(q, IntervalQuery):
             return self._eval_interval(r, q, boost)
         if isinstance(q, DisjunctionMaxQuery):
@@ -1731,24 +1737,20 @@ class IndexSearcher:
         cache[q.terms] = out
         return out
 
-    def _eval_span_near(self, r: SegmentReader, q: SpanNearQuery, boost: float) -> _SparseScores:
-        """SpanNearQuery: docID conjunction, then the per-doc minimal-interval
-        matcher (functions/intervals.py); scored like a phrase (multi-term
-        idf sum through BM25 with the span freq). Slots with alternatives
-        behave as SpanOr: the slot's positions are the union over its
-        terms present in this segment."""
-        from lucene_ray.functions.intervals import span_near_freq
-
-        empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+    def _span_doc_sets(self, r: SegmentReader, q: SpanNearQuery):
+        """Shared span machinery: expanded slots, candidate docIDs (docID
+        conjunction over per-slot union postings) and a per-doc position-set
+        fetcher. Returns (slots, cand, sets_of) or None when some slot has
+        no term in this segment."""
         fp = self._fp(None)
         slots = self._expand_span_slots(q)
         if slots is None:
-            return empty
+            return None
         slot_posts = []  # per slot: list of (docs, starts, positions)
         for slot in slots:
             idxs = [i for i in (r.term_index(fp + t) for t in slot) if i >= 0]
             if not idxs:
-                return empty  # no term of this slot exists in this segment
+                return None  # no term of this slot exists in this segment
             entries = []
             for i in idxs:
                 docs_i, freqs_i = r.postings(int(i))
@@ -1764,9 +1766,9 @@ class IndexSearcher:
             )
             cand = sd if cand is None else _intersect_sorted(cand, sd)[0]
             if not len(cand):
-                return empty
-        match_docs, match_freqs = [], []
-        for d in cand.tolist():
+                return None
+
+        def sets_of(d: int) -> list[np.ndarray]:
             sets = []
             for entries in slot_posts:
                 parts = []
@@ -1778,17 +1780,136 @@ class IndexSearcher:
                     sets.append(parts[0])
                 else:
                     sets.append(np.sort(np.concatenate(parts)))
-            freq = span_near_freq(sets, q.slop, q.in_order)
-            if freq > 0:
-                match_docs.append(d)
-                match_freqs.append(freq)
+            return sets
+
+        return slots, cand, sets_of
+
+    @staticmethod
+    def _span_intervals(sets, slop: int, in_order: bool):
+        """Minimal intervals of the slot position sets with slack ≤ slop, as
+        (start, end, slack) triples — freq contribution 1/(1+slack) each."""
+        from lucene_ray.functions.intervals import (
+            minimal_intervals_ordered,
+            minimal_intervals_unordered,
+        )
+
+        iv = (
+            minimal_intervals_ordered(sets)
+            if in_order
+            else minimal_intervals_unordered(sets)
+        )
+        n = len(sets)
+        out = []
+        for s, e in iv:
+            w = max(0, (e - s) - (n - 1))
+            if w <= slop:
+                out.append((s, e, w))
+        return out
+
+    def _score_span_matches(self, r, slots, match_docs, match_freqs, boost):
         if not match_docs:
-            return empty
+            return _SparseScores(
+                np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64)
+            )
+        fp = self._fp(None)
         docs = np.array(match_docs, dtype=np.int32)
         freqs = np.array(match_freqs, dtype=np.float64)
         tstats = [self.term_statistics(fp + t) for slot in slots for t in slot]
         scorer = self.sim.scorer(self._field_cstats(None), tstats, boost=boost)
         return _SparseScores(docs, self._score_arrays(r, scorer, docs, freqs))
+
+    def _eval_span_near(self, r: SegmentReader, q: SpanNearQuery, boost: float) -> _SparseScores:
+        """SpanNearQuery: docID conjunction, then the per-doc minimal-interval
+        matcher (functions/intervals.py); scored like a phrase (multi-term
+        idf sum through BM25 with the span freq). Slots with alternatives
+        behave as SpanOr: the slot's positions are the union over its
+        terms present in this segment."""
+        empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        got = self._span_doc_sets(r, q)
+        if got is None:
+            return empty
+        slots, cand, sets_of = got
+        match_docs, match_freqs = [], []
+        for d in cand.tolist():
+            ivs = self._span_intervals(sets_of(d), q.slop, q.in_order)
+            freq = sum(1.0 / (1.0 + w) for _, _, w in ivs)
+            if freq > 0:
+                match_docs.append(d)
+                match_freqs.append(freq)
+        return self._score_span_matches(r, slots, match_docs, match_freqs, boost)
+
+    @staticmethod
+    def _as_span(q: Query) -> SpanNearQuery:
+        """Wrap a bare TermQuery as a 1-slot span (SpanTermQuery)."""
+        if isinstance(q, SpanNearQuery):
+            return q
+        if isinstance(q, TermQuery):
+            return SpanNearQuery([(q.term,)], slop=0, in_order=True)
+        raise TypeError(f"not a span query: {q!r}")
+
+    def _eval_span_position_range(
+        self, r: SegmentReader, q: "SpanPositionRangeQuery", boost: float
+    ) -> _SparseScores:
+        """SpanPositionRangeQuery / SpanFirstQuery: keep only the match's
+        minimal intervals lying entirely within [start, end) (spans/
+        SpanPositionRangeQuery.java accepts start <= spans.start and
+        spans.end <= end, with the reference's exclusive endPosition =
+        inclusive end + 1)."""
+        empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        m = self._as_span(q.match)
+        got = self._span_doc_sets(r, m)
+        if got is None:
+            return empty
+        slots, cand, sets_of = got
+        match_docs, match_freqs = [], []
+        for d in cand.tolist():
+            ivs = self._span_intervals(sets_of(d), m.slop, m.in_order)
+            freq = sum(
+                1.0 / (1.0 + w)
+                for s, e, w in ivs
+                if s >= q.start and e < q.end
+            )
+            if freq > 0:
+                match_docs.append(d)
+                match_freqs.append(freq)
+        return self._score_span_matches(r, slots, match_docs, match_freqs, boost)
+
+    def _eval_span_not(
+        self, r: SegmentReader, q: "SpanNotQuery", boost: float
+    ) -> _SparseScores:
+        """SpanNotQuery: include spans with no exclude span within ``pre``
+        positions before / ``post`` after (spans/SpanNotQuery.java overlap
+        test on the candidate's extended window)."""
+        empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        inc = self._as_span(q.include)
+        got = self._span_doc_sets(r, inc)
+        if got is None:
+            return empty
+        slots, cand, sets_of = got
+        exc = self._as_span(q.exclude)
+        got_exc = self._span_doc_sets(r, exc)
+        exc_cand = got_exc[1] if got_exc is not None else None
+        match_docs, match_freqs = [], []
+        for d in cand.tolist():
+            ivs = self._span_intervals(sets_of(d), inc.slop, inc.in_order)
+            eivs = []
+            if got_exc is not None and exc_cand is not None:
+                j = int(np.searchsorted(exc_cand, d))
+                if j < len(exc_cand) and exc_cand[j] == d:
+                    eivs = self._span_intervals(
+                        got_exc[2](d), exc.slop, exc.in_order
+                    )
+            freq = sum(
+                1.0 / (1.0 + w)
+                for s, e, w in ivs
+                if not any(
+                    s2 <= e + q.post and e2 >= s - q.pre for s2, e2, _ in eivs
+                )
+            )
+            if freq > 0:
+                match_docs.append(d)
+                match_freqs.append(freq)
+        return self._score_span_matches(r, slots, match_docs, match_freqs, boost)
 
     def _eval_interval(self, r: SegmentReader, q: IntervalQuery, boost: float) -> _SparseScores:
         """IntervalQuery: two-phase evaluation (IntervalQuery.java:59,

@@ -6,14 +6,16 @@ Supported elements (CoreParser.java:72-115 builder registrations):
 ``Clause occurs=must|should|mustNot|filter``, ``RangeQuery``,
 ``PointRangeQuery``, ``DisjunctionMaxQuery``, ``ConstantScoreQuery``,
 ``UserQuery`` (classic syntax), ``BoostingTermQuery``, ``SpanTerm``,
-``SpanOr``, ``SpanOrTerms``, ``SpanNear``. Attribute conventions follow the
-reference builders: ``fieldName`` (inherited from the enclosing element),
-``boost``, ``lowerTerm``/``upperTerm`` + ``includeLower``/``includeUpper``,
-``minimumNumberShouldMatch``, ``tieBreaker``, ``slop``/``inOrder``.
+``SpanOr``, ``SpanOrTerms``, ``SpanNear``, ``SpanFirst``,
+``SpanPositionRange``, ``SpanNot`` (with ``Include``/``Exclude`` children).
+Attribute conventions follow the reference builders: ``fieldName``
+(inherited from the enclosing element), ``boost``, ``lowerTerm``/
+``upperTerm`` + ``includeLower``/``includeUpper``,
+``minimumNumberShouldMatch``, ``tieBreaker``, ``slop``/``inOrder``,
+``start``/``end``.
 
-Not carried over: SpanFirst / SpanNot / SpanPositionRange (position-anchored
-spans this engine does not expose) and the LikeThis/FuzzyLikeThis builders —
-MoreLikeThis is available programmatically on the searcher.
+Not carried over: the LikeThis/FuzzyLikeThis builders — MoreLikeThis is
+available programmatically on the searcher.
 """
 
 from __future__ import annotations
@@ -30,6 +32,8 @@ from lucene_ray.query import (
     Query,
     QueryParseError,
     SpanNearQuery,
+    SpanNotQuery,
+    SpanPositionRangeQuery,
     TermInSetQuery,
     TermQuery,
     TermRangeQuery,
@@ -149,7 +153,33 @@ class _Builder:
         if tag in ("SpanOr", "SpanOrTerms"):
             # standalone span disjunction = 1-slot near query
             return SpanNearQuery([self._span_slot(el)], slop=0, in_order=False)
+        if tag in ("SpanFirst", "SpanPositionRange"):
+            subs = self._children(el)
+            if len(subs) != 1:
+                raise QueryParseError(f"{tag} holds exactly one span query")
+            match = self._span_query(subs[0], field)
+            start = 0 if tag == "SpanFirst" else int(el.get("start", 1))
+            return SpanPositionRangeQuery(match, start, int(el.get("end", 1)))
+        if tag == "SpanNot":
+            inc = [c for c in self._children(el) if c.tag == "Include"]
+            exc = [c for c in self._children(el) if c.tag == "Exclude"]
+            if len(inc) != 1 or len(exc) != 1:
+                raise QueryParseError("SpanNot needs Include and Exclude")
+            return SpanNotQuery(
+                self._span_query(self._children(inc[0])[0], field),
+                self._span_query(self._children(exc[0])[0], field),
+            )
         raise QueryParseError(f"unsupported query element <{tag}>")
+
+    def _span_query(self, el: ET.Element, field) -> Query:
+        """A child element as a span query (SpanNear passes through, span
+        leaves become 1-slot near queries)."""
+        q = self._dispatch(el, el.get("fieldName", field))
+        if isinstance(q, SpanNearQuery):
+            return q
+        if isinstance(q, TermQuery):
+            return SpanNearQuery([(q.term,)], slop=0, in_order=True)
+        raise QueryParseError(f"<{el.tag}> is not a span query")
 
     def _span_slot(self, el: ET.Element):
         """A span child as one SpanNearQuery slot (tuple of terms)."""
