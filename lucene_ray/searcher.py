@@ -379,6 +379,30 @@ class IndexSearcher:
 
     # ---------------------------------------------------------------- search
 
+    def parse(self, s: str) -> Query:
+        """Parse a classic-syntax query string AGAINST THIS INDEX: query
+        terms run through the index's own analyzer normalize chain (so a
+        stemmed/folded index meets stemmed/folded query terms —
+        QueryParser(analyzer) in the reference) and numeric doc-values
+        columns get NumericRangeQuery range syntax (the points-config
+        analogue)."""
+        an = getattr(self, "_parse_analyzer", None)
+        if an is None:
+            from lucene_ray.functions.analysis import get_analyzer
+
+            spec = (self.manifest.config or {}).get("analyzer", "standard") \
+                if self.manifest else "standard"
+            an = self._parse_analyzer = get_analyzer(spec)
+        numeric = getattr(self, "_numeric_dv_fields", None)
+        if numeric is None:
+            numeric = set()
+            for r in self.readers[:1]:
+                for f, arr in r.doc_values.items():
+                    if np.issubdtype(np.asarray(arr).dtype, np.number):
+                        numeric.add(f)
+            self._numeric_dv_fields = numeric
+        return parse_query(s, normalize=an.normalize, numeric_fields=numeric)
+
     def search(
         self,
         query: Query | str,
@@ -388,7 +412,7 @@ class IndexSearcher:
         search_after: tuple | None = None,
     ) -> TopDocs:
         if isinstance(query, str):
-            query = parse_query(query)
+            query = self.parse(query)
         use_wand = (
             search_after is None
             and self._wand_eligible(query)
@@ -412,7 +436,7 @@ class IndexSearcher:
 
     def count(self, query: Query | str) -> int:
         if isinstance(query, str):
-            query = parse_query(query)
+            query = self.parse(query)
         return sum(
             len(self._apply_live(r, self._eval(r, query)).docs) for r in self.readers
         )
