@@ -123,6 +123,49 @@ def minimal_intervals_ordered(pos_lists: list[np.ndarray]) -> list[tuple[int, in
     return out
 
 
+def minimal_extent_chains_ordered(
+    extent_lists: list[list[tuple[int, int]]],
+) -> list[tuple[int, int, int]]:
+    """Ordered chains over EXTENT clauses — the NearSpansOrdered matcher for
+    nested spans (spans/NearSpansOrdered.java): each clause's matches are
+    (start, end) extents sorted by start; a chain takes one extent per
+    clause with ``next.start > prev.end`` (non-overlapping, in clause
+    order), accumulating ``gaps += next.start - prev.end - 1``. For each
+    first-clause extent the chain is greedy-minimal (first acceptable
+    extent of every later clause); nested chains are filtered like the
+    position case. Returns (start, end, total_gaps) triples — point extents
+    (p, p) reduce exactly to minimal_intervals_ordered with
+    gaps = (end - start) - (n - 1)."""
+    n = len(extent_lists)
+    if n == 0 or any(len(x) == 0 for x in extent_lists):
+        return []
+    if n == 1:
+        return [(s, e, 0) for s, e in extent_lists[0]]
+    starts = [np.asarray([s for s, _ in xs], dtype=np.int64) for xs in extent_lists]
+    cand: list[tuple[int, int, int]] = []
+    for s0, e0 in extent_lists[0]:
+        prev_end = e0
+        gaps = 0
+        ok = True
+        for k in range(1, n):
+            j = int(np.searchsorted(starts[k], prev_end, side="right"))
+            if j >= len(starts[k]):
+                ok = False
+                break
+            s_k, e_k = extent_lists[k][j]
+            gaps += s_k - prev_end - 1
+            prev_end = max(prev_end, e_k)
+        if ok:
+            cand.append((int(s0), int(prev_end), int(gaps)))
+    out = []
+    for i, (s, e, g) in enumerate(cand):
+        nxt = cand[i + 1] if i + 1 < len(cand) else None
+        if nxt is not None and nxt[1] <= e:
+            continue  # a later (greater-start) chain ends no later: nested
+        out.append((s, e, g))
+    return out
+
+
 def span_near_freq(pos_lists: list[np.ndarray], slop: int, in_order: bool) -> float:
     """SpanNearQuery freq for one doc: Σ 1/(1+width) over minimal intervals
     with slack width = end - start - (n-1) ≤ slop."""

@@ -288,12 +288,15 @@ class SpanNearQuery(Query):
     ``slop`` slack positions, optionally in order; freq = Σ 1/(1+width) over
     minimal intervals (SpanScorer sloppyFreq).
 
-    Each element of ``terms`` is either a single term (str) or a SLOT of
-    alternatives — a tuple whose items are terms or expansion specs
-    ``("prefix", p)`` / ``("wildcard", pat)`` (the SpanOr +
-    SpanMultiTermQueryWrapper combination, used by the surround parser's
-    distance operators): the slot's positions are the union of its
-    expanded terms' positions."""
+    Each element of ``terms`` is one of:
+    - a single term (str);
+    - a SLOT of alternatives — a tuple whose items are terms or expansion
+      specs ``("prefix", p)`` / ``("wildcard", pat)`` (the SpanOr +
+      SpanMultiTermQueryWrapper combination, used by the surround parser's
+      distance operators): the slot's positions are the union of its
+      expanded terms' positions;
+    - a nested SpanNearQuery (spans inside spans, NearSpansOrdered with
+      sub-span extents) — allowed only when THIS query is ordered."""
 
     terms: tuple
     slop: int = 0
@@ -303,7 +306,10 @@ class SpanNearQuery(Query):
         object.__setattr__(
             self,
             "terms",
-            tuple(t if isinstance(t, str) else tuple(t) for t in terms),
+            tuple(
+                t if isinstance(t, (str, SpanNearQuery)) else tuple(t)
+                for t in terms
+            ),
         )
         object.__setattr__(self, "slop", int(slop))
         object.__setattr__(self, "in_order", bool(in_order))

@@ -1733,6 +1733,10 @@ class IndexSearcher:
             if isinstance(slot, str):
                 slots.append((slot,))
                 continue
+            if isinstance(slot, SpanNearQuery):
+                # nested span — resolved recursively at match time
+                slots.append(slot)
+                continue
             terms: list[str] = []
             for item in slot:
                 if isinstance(item, str):
@@ -1761,76 +1765,105 @@ class IndexSearcher:
         cache[q.terms] = out
         return out
 
-    def _span_doc_sets(self, r: SegmentReader, q: SpanNearQuery):
-        """Shared span machinery: expanded slots, candidate docIDs (docID
-        conjunction over per-slot union postings) and a per-doc position-set
-        fetcher. Returns (slots, cand, sets_of) or None when some slot has
-        no term in this segment."""
+    def _span_resolve(self, r: SegmentReader, q: SpanNearQuery):
+        """Recursive span resolution (spans inside spans — the
+        NearSpansOrdered nesting of the reference). Returns
+        ``(stats_terms, cand, extents_of)`` or None when some slot matches
+        nothing in this segment:
+
+        - ``stats_terms``: every leaf term in the tree (for idf);
+        - ``cand``: sorted candidate docIDs (conjunction of slot docs);
+        - ``extents_of(d)``: this query's minimal matches in doc ``d`` as
+          (start, end, gaps) triples, already filtered by ``q.slop``.
+
+        Nested sub-spans are allowed only under an ORDERED parent (extent
+        chaining); an unordered parent requires leaf slots — the flat
+        position-list matcher."""
+        from lucene_ray.functions.intervals import (
+            minimal_extent_chains_ordered,
+            minimal_intervals_unordered,
+        )
+
         fp = self._fp(None)
         slots = self._expand_span_slots(q)
         if slots is None:
             return None
-        slot_posts = []  # per slot: list of (docs, starts, positions)
-        for slot in slots:
-            idxs = [i for i in (r.term_index(fp + t) for t in slot) if i >= 0]
-            if not idxs:
-                return None  # no term of this slot exists in this segment
-            entries = []
-            for i in idxs:
-                docs_i, freqs_i = r.postings(int(i))
-                starts = np.concatenate([[0], np.cumsum(freqs_i)])
-                entries.append((docs_i, starts, r.positions(int(i))))
-            slot_posts.append(entries)
+        stats_terms: list[str] = []
+        resolved = []  # per slot: ("leaf", entries) | ("sub", extents_of)
         cand = None
-        for entries in slot_posts:
-            sd = (
-                entries[0][0]
-                if len(entries) == 1
-                else np.unique(np.concatenate([e[0] for e in entries]))
-            )
+        for slot in slots:
+            if isinstance(slot, SpanNearQuery):
+                if not q.in_order:
+                    raise TypeError(
+                        "nested span clauses require an ordered parent "
+                        "(NearSpansUnordered extent nesting not supported)")
+                sub = self._span_resolve(r, slot)
+                if sub is None:
+                    return None
+                sub_terms, sub_cand, sub_extents = sub
+                stats_terms.extend(sub_terms)
+                resolved.append(("sub", sub_extents))
+                sd = sub_cand
+            else:
+                idxs = [i for i in (r.term_index(fp + t) for t in slot) if i >= 0]
+                if not idxs:
+                    return None  # no term of this slot exists here
+                stats_terms.extend(slot)
+                entries = []
+                for i in idxs:
+                    docs_i, freqs_i = r.postings(int(i))
+                    starts = np.concatenate([[0], np.cumsum(freqs_i)])
+                    entries.append((docs_i, starts, r.positions(int(i))))
+                resolved.append(("leaf", entries))
+                sd = (
+                    entries[0][0]
+                    if len(entries) == 1
+                    else np.unique(np.concatenate([e[0] for e in entries]))
+                )
             cand = sd if cand is None else _intersect_sorted(cand, sd)[0]
             if not len(cand):
                 return None
 
-        def sets_of(d: int) -> list[np.ndarray]:
-            sets = []
-            for entries in slot_posts:
-                parts = []
-                for docs_i, starts, pos_i in entries:
-                    j = int(np.searchsorted(docs_i, d))
-                    if j < len(docs_i) and docs_i[j] == d:
-                        parts.append(pos_i[starts[j] : starts[j + 1]])
-                if len(parts) == 1:
-                    sets.append(parts[0])
-                else:
-                    sets.append(np.sort(np.concatenate(parts)))
-            return sets
+        def leaf_positions(entries, d: int) -> np.ndarray:
+            parts = []
+            for docs_i, starts, pos_i in entries:
+                j = int(np.searchsorted(docs_i, d))
+                if j < len(docs_i) and docs_i[j] == d:
+                    parts.append(pos_i[starts[j] : starts[j + 1]])
+            if len(parts) == 1:
+                return parts[0]
+            return np.sort(np.concatenate(parts))
 
-        return slots, cand, sets_of
+        n = len(resolved)
 
-    @staticmethod
-    def _span_intervals(sets, slop: int, in_order: bool):
-        """Minimal intervals of the slot position sets with slack ≤ slop, as
-        (start, end, slack) triples — freq contribution 1/(1+slack) each."""
-        from lucene_ray.functions.intervals import (
-            minimal_intervals_ordered,
-            minimal_intervals_unordered,
-        )
+        def extents_of(d: int):
+            if q.in_order and any(kind == "sub" for kind, _ in resolved):
+                ext_lists = []
+                for kind, payload in resolved:
+                    if kind == "leaf":
+                        ext_lists.append(
+                            [(int(p), int(p)) for p in leaf_positions(payload, d)]
+                        )
+                    else:
+                        ext_lists.append([(s, e) for s, e, _ in payload(d)])
+                chains = minimal_extent_chains_ordered(ext_lists)
+                return [(s, e, g) for s, e, g in chains if g <= q.slop]
+            sets = [leaf_positions(p, d) for _, p in resolved]
+            if q.in_order:
+                chains = minimal_extent_chains_ordered(
+                    [[(int(p), int(p)) for p in s] for s in sets]
+                )
+                return [(s, e, g) for s, e, g in chains if g <= q.slop]
+            out = []
+            for s, e in minimal_intervals_unordered(sets):
+                w = max(0, (e - s) - (n - 1))
+                if w <= q.slop:
+                    out.append((s, e, w))
+            return out
 
-        iv = (
-            minimal_intervals_ordered(sets)
-            if in_order
-            else minimal_intervals_unordered(sets)
-        )
-        n = len(sets)
-        out = []
-        for s, e in iv:
-            w = max(0, (e - s) - (n - 1))
-            if w <= slop:
-                out.append((s, e, w))
-        return out
+        return stats_terms, cand, extents_of
 
-    def _score_span_matches(self, r, slots, match_docs, match_freqs, boost):
+    def _score_span_matches(self, r, stats_terms, match_docs, match_freqs, boost):
         if not match_docs:
             return _SparseScores(
                 np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64)
@@ -1838,7 +1871,7 @@ class IndexSearcher:
         fp = self._fp(None)
         docs = np.array(match_docs, dtype=np.int32)
         freqs = np.array(match_freqs, dtype=np.float64)
-        tstats = [self.term_statistics(fp + t) for slot in slots for t in slot]
+        tstats = [self.term_statistics(fp + t) for t in stats_terms]
         scorer = self.sim.scorer(self._field_cstats(None), tstats, boost=boost)
         return _SparseScores(docs, self._score_arrays(r, scorer, docs, freqs))
 
@@ -1846,21 +1879,19 @@ class IndexSearcher:
         """SpanNearQuery: docID conjunction, then the per-doc minimal-interval
         matcher (functions/intervals.py); scored like a phrase (multi-term
         idf sum through BM25 with the span freq). Slots with alternatives
-        behave as SpanOr: the slot's positions are the union over its
-        terms present in this segment."""
+        behave as SpanOr; nested SpanNearQuery slots chain by extents."""
         empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
-        got = self._span_doc_sets(r, q)
+        got = self._span_resolve(r, q)
         if got is None:
             return empty
-        slots, cand, sets_of = got
+        stats_terms, cand, extents_of = got
         match_docs, match_freqs = [], []
         for d in cand.tolist():
-            ivs = self._span_intervals(sets_of(d), q.slop, q.in_order)
-            freq = sum(1.0 / (1.0 + w) for _, _, w in ivs)
+            freq = sum(1.0 / (1.0 + g) for _, _, g in extents_of(d))
             if freq > 0:
                 match_docs.append(d)
                 match_freqs.append(freq)
-        return self._score_span_matches(r, slots, match_docs, match_freqs, boost)
+        return self._score_span_matches(r, stats_terms, match_docs, match_freqs, boost)
 
     @staticmethod
     def _as_span(q: Query) -> SpanNearQuery:
@@ -1881,22 +1912,21 @@ class IndexSearcher:
         inclusive end + 1)."""
         empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
         m = self._as_span(q.match)
-        got = self._span_doc_sets(r, m)
+        got = self._span_resolve(r, m)
         if got is None:
             return empty
-        slots, cand, sets_of = got
+        stats_terms, cand, extents_of = got
         match_docs, match_freqs = [], []
         for d in cand.tolist():
-            ivs = self._span_intervals(sets_of(d), m.slop, m.in_order)
             freq = sum(
                 1.0 / (1.0 + w)
-                for s, e, w in ivs
+                for s, e, w in extents_of(d)
                 if s >= q.start and e < q.end
             )
             if freq > 0:
                 match_docs.append(d)
                 match_freqs.append(freq)
-        return self._score_span_matches(r, slots, match_docs, match_freqs, boost)
+        return self._score_span_matches(r, stats_terms, match_docs, match_freqs, boost)
 
     def _eval_span_not(
         self, r: SegmentReader, q: "SpanNotQuery", boost: float
@@ -1906,26 +1936,22 @@ class IndexSearcher:
         test on the candidate's extended window)."""
         empty = _SparseScores(np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
         inc = self._as_span(q.include)
-        got = self._span_doc_sets(r, inc)
+        got = self._span_resolve(r, inc)
         if got is None:
             return empty
-        slots, cand, sets_of = got
-        exc = self._as_span(q.exclude)
-        got_exc = self._span_doc_sets(r, exc)
+        stats_terms, cand, extents_of = got
+        got_exc = self._span_resolve(r, self._as_span(q.exclude))
         exc_cand = got_exc[1] if got_exc is not None else None
         match_docs, match_freqs = [], []
         for d in cand.tolist():
-            ivs = self._span_intervals(sets_of(d), inc.slop, inc.in_order)
             eivs = []
             if got_exc is not None and exc_cand is not None:
                 j = int(np.searchsorted(exc_cand, d))
                 if j < len(exc_cand) and exc_cand[j] == d:
-                    eivs = self._span_intervals(
-                        got_exc[2](d), exc.slop, exc.in_order
-                    )
+                    eivs = got_exc[2](d)
             freq = sum(
                 1.0 / (1.0 + w)
-                for s, e, w in ivs
+                for s, e, w in extents_of(d)
                 if not any(
                     s2 <= e + q.post and e2 >= s - q.pre for s2, e2, _ in eivs
                 )
@@ -1933,7 +1959,7 @@ class IndexSearcher:
             if freq > 0:
                 match_docs.append(d)
                 match_freqs.append(freq)
-        return self._score_span_matches(r, slots, match_docs, match_freqs, boost)
+        return self._score_span_matches(r, stats_terms, match_docs, match_freqs, boost)
 
     def _eval_interval(self, r: SegmentReader, q: IntervalQuery, boost: float) -> _SparseScores:
         """IntervalQuery: two-phase evaluation (IntervalQuery.java:59,

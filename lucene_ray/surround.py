@@ -9,14 +9,15 @@ prefix form ``OP(a, b, c)``. ``W`` (ordered) and ``N`` (unordered) accept a
 adjacent. Terms support ``*`` / ``?`` truncation (SrndPrefixQuery /
 SrndTruncQuery) and ``"quoted"`` literals; any primary takes ``^boost``.
 
-Distance operands may be terms, truncations, or OR-groups of those —
-the SpanOr + SpanMultiTermQueryWrapper combinations the reference's
-SpanNearClauseFactory accepts. Same-order/same-distance chains splice into
-one span query (left association); OTHER nested distance operators (a W b
-N c — spans inside spans) are rejected with a parse error, a documented
-narrowing of the reference, which nests SpanNearQuery clauses. Distance
-queries map onto SpanNearQuery slots (alternatives + expansion specs);
-boolean operators map onto BooleanQuery.
+Distance operands may be terms, truncations, OR-groups of those (the
+SpanOr + SpanMultiTermQueryWrapper combinations the reference's
+SpanNearClauseFactory accepts), or — under an ORDERED operator — a nested
+distance query (spans inside spans, matched by extent chaining).
+Same-order/same-distance chains splice into one span query (left
+association). A nested distance under N (unordered parent) is rejected
+with a parse error — a documented narrowing of the reference. Distance
+queries map onto SpanNearQuery slots; boolean operators map onto
+BooleanQuery.
 """
 
 from __future__ import annotations
@@ -191,13 +192,21 @@ class _SurroundParser:
     def _distance(self, operands, d, in_order) -> Query:
         slots = []
         for op in operands:
-            if isinstance(op, SpanNearQuery) and op.in_order == in_order \
-                    and op.slop == d - 1:
-                # left-associative chain: (a W b) W c keeps one span query
-                slots.extend(op.terms)
+            if isinstance(op, SpanNearQuery):
+                if op.in_order == in_order and op.slop == d - 1:
+                    # left-associative chain: (a W b) W c keeps one span query
+                    slots.extend(op.terms)
+                elif in_order:
+                    # spans inside spans — extent chaining under an ordered
+                    # parent (NearSpansOrdered nesting)
+                    slots.append(op)
+                else:
+                    raise QueryParseError(
+                        "a nested distance operator under N (unordered) is "
+                        "not supported; nest under W instead")
             else:
                 slots.append(self._to_slot(op))
-        norm = [s if isinstance(s, tuple) else (s,) for s in slots]
+        norm = [s if isinstance(s, (tuple, SpanNearQuery)) else (s,) for s in slots]
         return SpanNearQuery(norm, slop=d - 1, in_order=in_order)
 
     def parse_primary(self) -> Query:

@@ -92,6 +92,22 @@ def test_span_not_pre_post(idx):
     assert _hits(idx, q_strict) == ["d0", "d2"]
 
 
+def test_nested_span_extent_chaining(idx):
+    """(apple W banana) 2W cherry: the inner adjacent span's extents chain
+    under the ordered parent — d0 matches via (0,1)->cherry@2 (gap 0);
+    d1's cherry precedes the inner span; d3 has no adjacent apple banana."""
+    from lucene_ray.surround import parse_surround_query as P
+
+    q = P("(apple W banana) 2W cherry")
+    inner = SpanNearQuery([("apple",), ("banana",)], slop=0, in_order=True)
+    assert q == SpanNearQuery([inner, ("cherry",)], slop=1, in_order=True)
+    assert _hits(idx, q) == ["d0"]
+    # nested unordered inner under ordered parent
+    q2 = P("2W(N(banana, apple), cherry)")
+    # d0: unordered {apple,banana} minimal extents (0,1),(3,4); (0,1)->cherry@2 ok
+    assert _hits(idx, q2) == ["d0"]
+
+
 def test_xml_span_builders(idx):
     q = X("""<SpanFirst end="2"><SpanTerm>apple</SpanTerm></SpanFirst>""")
     assert q == SpanFirstQuery(

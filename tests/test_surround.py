@@ -61,11 +61,21 @@ def test_parse_errors():
     with pytest.raises(QueryParseError):
         P("a W (b AND c)")  # boolean operand inside distance op
     with pytest.raises(QueryParseError):
-        P("a W b N c")  # nested distance (documented narrowing)
+        P("a W b N c")  # nested distance under N (documented narrowing)
     with pytest.raises(QueryParseError):
         P("100W(a, b)")  # distance out of range
     with pytest.raises(QueryParseError):
         P("W(a)")  # prefix op needs >= 2 args
+
+
+def test_nested_distance_under_ordered():
+    # different inner distance nests as a sub-span under the ordered parent
+    q = P("a W b 3W c")
+    inner = SpanNearQuery([("a",), ("b",)], slop=0, in_order=True)
+    assert q == SpanNearQuery([inner, ("c",)], slop=2, in_order=True)
+    q = P("3W(a W b, N(x, y))")
+    assert q.terms[0] == SpanNearQuery([("a",), ("b",)], slop=0, in_order=True)
+    assert q.terms[1] == SpanNearQuery([("x",), ("y",)], slop=0, in_order=False)
 
 
 def _hits(idx, qs):
