@@ -393,6 +393,52 @@ def _q_combined_field_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, qs)
 
 
+SPAN_FIRST = [("merge", 20), ("window", 50)]
+
+
+def _q_span_first_topk(sf_dir: str) -> pa.Table:
+    """SpanFirstQuery gate (spans/SpanFirstQuery.java): term occurrences
+    entirely within the first N positions; freq = the count of qualifying
+    occurrences, scored through BM25 like any span."""
+    from lucene_ray.query import SpanFirstQuery, TermQuery
+
+    s = _searcher(sf_dir)
+    qs = [(f"first({t},{n})", SpanFirstQuery(TermQuery(t), n))
+          for t, n in SPAN_FIRST]
+    return _ranked_topk(s, qs)
+
+
+def _sql_span_first_topk(k=K) -> str:
+    parts = []
+    for t, n in SPAN_FIRST:
+        parts.append(f"""
+  SELECT 'first({t},{n})' AS query, pm.doc_id,
+         ln(1 + (s.doc_count - df.df + 0.5)/(df.df + 0.5))
+         * (pm.freq * 2.2) / (pm.freq + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.sum_ttf / s.doc_count))) AS score
+  FROM (
+    SELECT doc_id, count(*)::DOUBLE AS freq
+    FROM base, unnest(range(1, len(toks)+1)) AS u(i)
+    WHERE toks[i] = '{t}' AND i <= {n}
+    GROUP BY doc_id
+  ) pm
+  JOIN dl ON dl.doc_id = pm.doc_id
+  JOIN df ON df.term = '{t}'
+  CROSS JOIN stats s""")
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH {_BASE},
+scored AS (
+{union}
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {k}
+"""
+
+
 COMPLEX_PHRASES = ['"(merge join) so*"', '"merge so?t"']
 
 
@@ -2538,6 +2584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dismax_topk": _q_dismax_topk,
         "parsed_query_topk": _q_parsed_query_topk,
         "complex_phrase_topk": _q_complex_phrase_topk,
+        "span_first_topk": _q_span_first_topk,
         "field_title_topk": _q_field_title_topk,
         "combined_field_topk": _q_combined_field_topk,
         "search_after": _q_search_after,
@@ -2612,6 +2659,7 @@ def oracle_sql() -> dict[str, str]:
         "dismax_topk": _SQL_DISMAX,
         "parsed_query_topk": _sql_parsed_query_topk(),
         "complex_phrase_topk": _sql_complex_phrase_topk(),
+        "span_first_topk": _sql_span_first_topk(),
         "field_title_topk": _SQL_FIELD_TITLE,
         "combined_field_topk": _SQL_COMBINED_FIELD,
         "search_after": _sql_single_term_topk(["merge"], rank_lo=11, rank_hi=20),
