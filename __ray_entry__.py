@@ -1907,6 +1907,42 @@ FROM p LEFT JOIN toks t ON t.term LIKE p.prefix || '%'
 GROUP BY p.prefix
 """
 
+def _q_corpus_curation(sf_dir: str):
+    """Composite training-data curation pipeline (quality filter → language
+    filter → exact dedup) as ONE streaming Dataset — the canonical corpus
+    prep flow; thresholds integer-exact so SQL reproduces it bit-for-bit."""
+    from lucene_ray.pipelines.curation import curate_corpus
+
+    return curate_corpus(_docs_ds(sf_dir), langs=("en",),
+                         min_tokens=10, max_stop_pct=60)
+
+
+_SQL_CURATION = f"""
+WITH base AS (SELECT doc_id, text, lang, {_TOK} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+s AS (
+  SELECT b.doc_id, b.text, b.lang,
+         len(b.toks)::BIGINT AS n_tokens,
+         length(b.text)::BIGINT AS n_chars,
+         coalesce(sum(CASE WHEN t.term IN ({_STOPS}) THEN 1 ELSE 0 END), 0)::BIGINT AS n_stopwords,
+         coalesce(sum(length(t.term)), 0)::BIGINT AS token_chars
+  FROM base b LEFT JOIN toks t ON t.doc_id = b.doc_id
+  GROUP BY b.doc_id, b.toks, b.text, b.lang
+),
+sel AS (
+  SELECT doc_id, md5(text) AS content_hash, n_tokens
+  FROM s
+  WHERE n_tokens >= 5 AND token_chars >= 2 * n_tokens
+    AND token_chars <= 12 * n_tokens AND 2 * token_chars >= n_chars
+    AND n_tokens >= 10 AND n_stopwords * 100 <= n_tokens * 60
+    AND lang = 'en'
+),
+dd AS (SELECT content_hash, min(doc_id) AS doc_id FROM sel GROUP BY content_hash)
+SELECT dd.doc_id, dd.content_hash, sel.n_tokens
+FROM dd JOIN sel ON sel.doc_id = dd.doc_id AND sel.content_hash = dd.content_hash
+"""
+
+
 _SQL_DEDUP = """
 SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
 FROM documents GROUP BY md5(text)
@@ -2624,6 +2660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         # dedup family (§2.9 + extensions)
         "dedup_exact": _q_dedup_exact,
+        "corpus_curation": _q_corpus_curation,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_pairs": _q_minhash_pairs,  # rows-only
         "embedding_neardup": _q_embedding_neardup,  # planted pairs, full oracle
@@ -2693,6 +2730,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _SQL_QUALITY,
         "fingerprint": _SQL_FINGERPRINT,
         "dedup_exact": _SQL_DEDUP,
+        "corpus_curation": _SQL_CURATION,
         "jaccard_pairs": _SQL_JACCARD,
         "embedding_neardup": _SQL_EMB_NEARDUP,
         "knn_topk": _SQL_KNN,
