@@ -1032,6 +1032,43 @@ def _q_langid_counts(sf_dir: str):
     return lang_id(_docs_ds(sf_dir)).groupby("pred_lang").aggregate(Count(alias_name="n"))
 
 
+_SQL_LANGID = """
+WITH profiles(lang, profile) AS (VALUES
+  ('de', ['der','die','und','das','in','von','zu','mit','den','ist']),
+  ('en', ['the','and','of','to','a','in','is','it','that','for']),
+  ('es', ['el','la','de','que','y','en','un','los','se','no']),
+  ('fr', ['le','la','de','et','les','des','un','en','que','dans'])
+),
+c AS (
+  SELECT doc_id,
+         unicode(regexp_extract(substr(text, 1, 200),
+           '[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}]')) AS cp,
+         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')[1:500]) AS toks
+  FROM documents
+),
+votes AS (
+  SELECT c.doc_id, p.lang,
+         len(list_filter(c.toks, t -> list_contains(p.profile, t))) AS n
+  FROM c, profiles p
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rk
+  FROM votes
+),
+pred AS (
+  SELECT c.doc_id, CASE
+    WHEN c.cp BETWEEN 13312 AND 19903 THEN 'zh'
+    WHEN c.cp BETWEEN 19968 AND 40959 THEN 'zh'
+    WHEN c.cp BETWEEN 12352 AND 12543 THEN 'ja'
+    WHEN c.cp BETWEEN 44032 AND 55215 THEN 'ko'
+    ELSE b.lang END AS pred_lang
+  FROM c JOIN best b ON b.doc_id = c.doc_id AND b.rk = 1
+)
+SELECT pred_lang, count(*) AS n FROM pred GROUP BY pred_lang
+"""
+
+
 def _q_knn_ivf(sf_dir: str):
     """IVF over a MATERIALIZED per-centroid bucket layout (built once,
     cached): probing prunes read I/O, not just compute — the 100-TB shape."""
@@ -2731,6 +2768,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _SQL_FINGERPRINT,
         "dedup_exact": _SQL_DEDUP,
         "corpus_curation": _SQL_CURATION,
+        "langid_counts": _SQL_LANGID,
         "jaccard_pairs": _SQL_JACCARD,
         "embedding_neardup": _SQL_EMB_NEARDUP,
         "knn_topk": _SQL_KNN,
