@@ -1526,6 +1526,46 @@ def _q_dv_stats(sf_dir: str) -> pa.Table:
     )
 
 
+DRILL = {"lang": "en", "source": "src1"}
+
+
+def _q_drill_sideways(sf_dir: str) -> pa.Table:
+    """DrillSideways gate (facet/DrillSideways.java): for base query
+    'merge' with drill-downs lang=en AND source=src1, each dimension's
+    sideways counts apply every OTHER dimension's filter but not its own."""
+    from lucene_ray.query import TermQuery
+
+    s = _searcher(sf_dir)
+    out = s.drill_sideways(TermQuery("merge"), DRILL, k=K)
+    dims, vals, ns = [], [], []
+    for dim in sorted(out["facets"]):
+        fc = out["facets"][dim]
+        for v in sorted(fc):
+            dims.append(dim)
+            vals.append(str(v))
+            ns.append(fc[v])
+    return pa.table({
+        "dim": pa.array(dims, type=pa.string()),
+        "value": pa.array(vals, type=pa.string()),
+        "n": pa.array(ns, type=pa.int64()),
+    })
+
+
+_SQL_DRILL = f"""
+WITH m AS (
+  SELECT DISTINCT b.doc_id
+  FROM (SELECT doc_id, {_TOK} AS toks FROM documents) b, unnest(b.toks) AS t(term)
+  WHERE t.term = 'merge'
+),
+d AS (SELECT doc_id, lang, source FROM documents WHERE doc_id IN (SELECT doc_id FROM m))
+SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS n
+FROM d WHERE source = 'src1' GROUP BY lang
+UNION ALL
+SELECT 'source' AS dim, source AS value, count(*)::BIGINT AS n
+FROM d WHERE lang = 'en' GROUP BY source
+"""
+
+
 def _q_facet_lang(sf_dir: str) -> pa.Table:
     from lucene_ray.query import TermQuery
 
@@ -2684,6 +2724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field": _q_sort_by_field,
         "sorted_index_topk": _q_sorted_index_topk,
         "facet_lang": _q_facet_lang,
+        "drill_sideways": _q_drill_sideways,
         "taxonomy_facets": _q_taxonomy_facets,
         # percolation (Monitor / MemoryIndex, SURVEY §2.9 extension surface)
         "percolate_counts": _q_percolate_counts,
@@ -2758,6 +2799,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_field": _SQL_SORT_BY_FIELD,
         "sorted_index_topk": _SQL_SORT_BY_FIELD,
         "facet_lang": _SQL_FACET_LANG,
+        "drill_sideways": _SQL_DRILL,
         "taxonomy_facets": _SQL_TAXONOMY,
         "percolate_counts": _SQL_PERCOLATE,
         "grouped_topk": _SQL_GROUPED_TOPK,

@@ -118,6 +118,18 @@ class NumericRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class DocValuesTermQuery(Query):
+    """Docs whose doc-values column equals ``value`` — the
+    SortedDocValuesField.newSlowExactQuery / DocValuesTermsQuery analogue
+    (queries/.../DocValuesTermsQuery.java): an O(maxDoc) doc-values scan,
+    non-scoring (constant score), composes as FILTER/MUST. The drill-down
+    filter primitive of the facet module."""
+
+    field: str
+    value: object
+
+
+@dataclass(frozen=True)
 class PointBoxQuery(Query):
     """2-D box over two numeric doc-values columns, served by the BKD-style
     k-d index (util/bkd/BKDWriter.java:76 + PointRangeQuery 2-dim case).

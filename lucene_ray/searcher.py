@@ -51,6 +51,7 @@ from lucene_ray.query import (
     ConstantScoreQuery,
     CoveringQuery,
     DisjunctionMaxQuery,
+    DocValuesTermQuery,
     FunctionScoreQuery,
     FuzzyQuery,
     GeoDistanceQuery,
@@ -613,6 +614,10 @@ class IndexSearcher:
             dv = {name: arr[sub.docs] for name, arr in r.doc_values.items()}
             new_scores = np.asarray(q.fn(sub.scores, dv), dtype=np.float64)
             return _SparseScores(sub.docs, new_scores, sub.counts)
+        if isinstance(q, DocValuesTermQuery):
+            vals = r.doc_values[q.field]
+            docs = np.flatnonzero(vals == q.value).astype(np.int32)
+            return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, NumericRangeQuery):
             # BKD-style pruning: binary search the per-reader sorted column
             # (PointRangeQuery over Lucene90PointsFormat semantics) — only
@@ -1036,6 +1041,30 @@ class IndexSearcher:
             for v, c in zip(vals.tolist(), counts.tolist()):
                 out[v] = out.get(v, 0) + c
         return out
+
+    def drill_sideways(self, base: Query | str, drill_downs: dict, k: int = 10):
+        """DrillSideways (facet/DrillSideways.java): drill-down hits = base
+        query filtered by EVERY selected dimension value; per-dimension
+        sideways facet counts are computed with all OTHER dimensions'
+        filters applied but NOT the dimension's own — so the UI can show
+        what the counts would be if that one selection were lifted.
+
+        ``drill_downs``: {dv_field: selected_value}. Returns
+        ``{"hits": TopDocs, "facets": {field: {value: count}}}``. Executed
+        as one filtered search plus one facet count per dimension (the
+        reference folds these into a single collector pass; same results)."""
+        if isinstance(base, str):
+            base = self.parse(base)
+        filters = {f: DocValuesTermQuery(f, v) for f, v in drill_downs.items()}
+        hits = self.search(
+            BooleanQuery(must=[base], filter=list(filters.values())), k
+        )
+        facets = {}
+        for dim in drill_downs:
+            others = [fq for f, fq in filters.items() if f != dim]
+            q = BooleanQuery(must=[base], filter=others) if others else base
+            facets[dim] = self.facet_counts(q, dim)
+        return {"hits": hits, "facets": facets}
 
     def dv_stats(self, query: Query | str, field: str) -> dict:
         """Aggregate statistics of a numeric doc-values column over matching
