@@ -1170,6 +1170,19 @@ def _q_tfidf_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, _sim_queries())
 
 
+SWEET = dict(ln_min=20, ln_max=80, steepness=0.5, tf_base=1.0, tf_min=2.0)
+
+
+def _q_sweetspot_topk(sf_dir: str) -> pa.Table:
+    """SweetSpotSimilarity (misc/SweetSpotSimilarity.java): TF-IDF with a
+    plateau length norm (lengths 20..80 norm to 1.0) and a baseline tf."""
+    from lucene_ray.functions.similarity import SweetSpotSimilarity
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(_gate_index(sf_dir), similarity=SweetSpotSimilarity(**SWEET))
+    return _ranked_topk(s, _sim_queries())
+
+
 def _q_lm_dirichlet_topk(sf_dir: str) -> pa.Table:
     """LMDirichletSimilarity (mu=2000, search/similarities/
     LMDirichletSimilarity.java:70-77) over the same query shapes."""
@@ -2252,6 +2265,31 @@ ranked AS (
 SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
 """
 
+# SweetSpotSimilarity: idf as Classic; tf = baselineTf(base=1, min=2);
+# lengthNorm = plateau over [20, 80] with steepness 0.5
+_SQL_SWEETSPOT = f"""
+WITH {_BASE},
+q(query, term) AS (VALUES {_SIM_Q_VALUES}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum((ln((stats.doc_count + 1) / (df.df + 1)) + 1)
+             * (CASE WHEN tf.tf <= 2.0 THEN 1.0
+                     ELSE sqrt(tf.tf + 1.0 - 2.0) END)
+             * (1.0 / sqrt(0.5 * (abs(dl.dl - 20) + abs(dl.dl - 80) - 60) + 1.0))) AS score
+  FROM q JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats
+  GROUP BY q.query, tf.doc_id
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
+"""
+
 # LMDirichlet (mu=2000): per-term max(0, ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)))
 # with p = (ttf+1)/(sumTtf+1), summed over query terms.
 _SQL_LM_DIRICHLET = f"""
@@ -2715,6 +2753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regexp_count": _q_regexp_count,
         # pluggable similarities (setSimilarity analogue, SURVEY §2.8)
         "tfidf_topk": _q_tfidf_topk,
+        "sweetspot_topk": _q_sweetspot_topk,
         "lm_dirichlet_topk": _q_lm_dirichlet_topk,
         # deterministic hash sampling (resumable 100-TB sample)
         "sample_docs": _q_sample_docs,
@@ -2791,6 +2830,7 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_count": _SQL_WILDCARD,
         "regexp_count": _SQL_REGEXP,
         "tfidf_topk": _SQL_TFIDF,
+        "sweetspot_topk": _SQL_SWEETSPOT,
         "lm_dirichlet_topk": _SQL_LM_DIRICHLET,
         "sample_docs": _SQL_SAMPLE_DOCS,
         "term_range_count": _SQL_TERM_RANGE,

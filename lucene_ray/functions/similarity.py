@@ -196,6 +196,68 @@ class ClassicScorer:
         return float(self.weight * np.sqrt(max_freq) / np.sqrt(max(1, min_dl)))
 
 
+class SweetSpotSimilarity(ClassicSimilarity):
+    """misc/SweetSpotSimilarity.java — ClassicSimilarity with a PLATEAU
+    length norm and a baseline tf:
+
+    - lengthNorm(dl) = 1/sqrt(steepness*(|dl-min| + |dl-max| - (max-min)) + 1)
+      (== 1.0 for min <= dl <= max — the "sweet spot");
+    - baselineTf(freq) = 0 if freq==0; tf_base if freq <= tf_min;
+      sqrt(freq + tf_base² - tf_min) otherwise.
+
+    Defaults (ln 1/1/0.5, tf 0/0) degrade to ClassicSimilarity exactly."""
+
+    def __init__(self, ln_min: int = 1, ln_max: int = 1, steepness: float = 0.5,
+                 tf_base: float = 0.0, tf_min: float = 0.0):
+        if ln_max < ln_min:
+            raise ValueError("ln_max must be >= ln_min")
+        self.ln_min = int(ln_min)
+        self.ln_max = int(ln_max)
+        self.steepness = float(steepness)
+        self.tf_base = float(tf_base)
+        self.tf_min = float(tf_min)
+
+    def scorer(self, collection_stats, term_stats, boost: float = 1.0) -> "SweetSpotScorer":
+        if isinstance(term_stats, TermStatistics):
+            idf = self.idf(term_stats.doc_freq, collection_stats.doc_count)
+        else:
+            idf = sum(self.idf(ts.doc_freq, collection_stats.doc_count) for ts in term_stats)
+        return SweetSpotScorer(float(boost) * idf, self)
+
+
+class SweetSpotScorer:
+    __slots__ = ("weight", "sim")
+
+    def __init__(self, weight: float, sim: SweetSpotSimilarity):
+        self.weight = weight
+        self.sim = sim
+
+    def _tf(self, freqs: np.ndarray) -> np.ndarray:
+        s = self.sim
+        out = np.where(
+            freqs <= s.tf_min,
+            s.tf_base,
+            np.sqrt(np.maximum(freqs + s.tf_base * s.tf_base - s.tf_min, 0.0)),
+        )
+        return np.where(freqs == 0.0, 0.0, out)
+
+    def _length_norm(self, dl: np.ndarray) -> np.ndarray:
+        s = self.sim
+        spread = (
+            np.abs(dl - s.ln_min) + np.abs(dl - s.ln_max) - (s.ln_max - s.ln_min)
+        )
+        return 1.0 / np.sqrt(s.steepness * spread + 1.0)
+
+    def score(self, freqs: np.ndarray, doc_lengths: np.ndarray) -> np.ndarray:
+        freqs = np.asarray(freqs, dtype=np.float64)
+        dl = np.asarray(doc_lengths, dtype=np.float64)
+        return self.weight * self._tf(freqs) * self._length_norm(dl)
+
+    def max_score(self, max_freq: float, min_dl: int) -> float:
+        # tf is monotone ↑; lengthNorm is maximal (== 1) on the plateau
+        return float(self.weight * self._tf(np.array([max_freq]))[0])
+
+
 class LMDirichletSimilarity:
     """Dirichlet-smoothed query-likelihood LM, exact-length variant.
 
