@@ -1183,6 +1183,17 @@ def _q_sweetspot_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, _sim_queries())
 
 
+def _q_dfi_topk(sf_dir: str) -> pa.Table:
+    """DFISimilarity (standardized independence, search/similarities/
+    DFISimilarity.java): zero below the expected frequency, else
+    log2((f-e)/sqrt(e) + 1)."""
+    from lucene_ray.functions.similarity import DFISimilarity
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(_gate_index(sf_dir), similarity=DFISimilarity())
+    return _ranked_topk(s, _sim_queries())
+
+
 def _q_lm_dirichlet_topk(sf_dir: str) -> pa.Table:
     """LMDirichletSimilarity (mu=2000, search/similarities/
     LMDirichletSimilarity.java:70-77) over the same query shapes."""
@@ -2290,6 +2301,31 @@ ranked AS (
 SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
 """
 
+# DFI (standardized): e = (ttf+1)*dl/(sumTtf+1); 0 when tf <= e, else
+# log2((tf-e)/sqrt(e) + 1); summed over query terms.
+_SQL_DFI = f"""
+WITH {_BASE},
+ttf AS (SELECT term, sum(tf) AS ttf FROM tf GROUP BY term),
+q(query, term) AS (VALUES {_SIM_Q_VALUES}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(CASE WHEN tf.tf <= (ttf.ttf + 1) * dl.dl / (stats.sum_ttf + 1) THEN 0.0
+                  ELSE ln((tf.tf - (ttf.ttf + 1) * dl.dl / (stats.sum_ttf + 1))
+                          / sqrt((ttf.ttf + 1) * dl.dl / (stats.sum_ttf + 1)) + 1) / ln(2) END) AS score
+  FROM q JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN ttf ON ttf.term = q.term
+  CROSS JOIN stats
+  GROUP BY q.query, tf.doc_id
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
+"""
+
 # LMDirichlet (mu=2000): per-term max(0, ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)))
 # with p = (ttf+1)/(sumTtf+1), summed over query terms.
 _SQL_LM_DIRICHLET = f"""
@@ -2753,6 +2789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regexp_count": _q_regexp_count,
         # pluggable similarities (setSimilarity analogue, SURVEY §2.8)
         "tfidf_topk": _q_tfidf_topk,
+        "dfi_topk": _q_dfi_topk,
         "sweetspot_topk": _q_sweetspot_topk,
         "lm_dirichlet_topk": _q_lm_dirichlet_topk,
         # deterministic hash sampling (resumable 100-TB sample)
@@ -2830,6 +2867,7 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_count": _SQL_WILDCARD,
         "regexp_count": _SQL_REGEXP,
         "tfidf_topk": _SQL_TFIDF,
+        "dfi_topk": _SQL_DFI,
         "sweetspot_topk": _SQL_SWEETSPOT,
         "lm_dirichlet_topk": _SQL_LM_DIRICHLET,
         "sample_docs": _SQL_SAMPLE_DOCS,

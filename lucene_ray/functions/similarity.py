@@ -258,6 +258,63 @@ class SweetSpotScorer:
         return float(self.weight * self._tf(np.array([max_freq]))[0])
 
 
+class DFISimilarity:
+    """Divergence From Independence (search/similarities/DFISimilarity
+    .java:58-69): expected = (ttf+1)·dl/(sumTtf+1); score 0 when
+    freq <= expected, else boost · log2(measure + 1) with the chosen
+    independence measure (IndependenceStandardized (f−e)/√e,
+    IndependenceSaturated (f−e)/e, IndependenceChiSquared (f−e)²/e)."""
+
+    def __init__(self, measure: str = "standardized"):
+        if measure not in ("standardized", "saturated", "chisquared"):
+            raise ValueError(f"unknown independence measure {measure!r}")
+        self.measure = measure
+
+    def scorer(self, collection_stats, term_stats, boost: float = 1.0) -> "DFIScorer":
+        ts_list = [term_stats] if isinstance(term_stats, TermStatistics) else list(term_stats)
+        ttf = sum(ts.total_term_freq for ts in ts_list)
+        return DFIScorer(
+            float(boost),
+            float(ttf + 1.0),
+            float(collection_stats.sum_total_term_freq + 1.0),
+            self.measure,
+        )
+
+
+class DFIScorer:
+    __slots__ = ("boost", "ttf1", "sum1", "measure")
+
+    def __init__(self, boost, ttf1, sum1, measure):
+        self.boost = boost
+        self.ttf1 = ttf1
+        self.sum1 = sum1
+        self.measure = measure
+
+    def _measure(self, f, e):
+        if self.measure == "standardized":
+            return (f - e) / np.sqrt(e)
+        if self.measure == "saturated":
+            return (f - e) / e
+        return (f - e) * (f - e) / e
+
+    def score(self, freqs: np.ndarray, doc_lengths: np.ndarray) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        dl = np.asarray(doc_lengths, dtype=np.float64)
+        e = self.ttf1 * dl / self.sum1
+        out = np.zeros(len(f), dtype=np.float64)
+        pos = f > e
+        if pos.any():
+            m = self._measure(f[pos], e[pos])
+            out[pos] = self.boost * np.log2(m + 1.0)
+        return out
+
+    def max_score(self, max_freq: float, min_dl: int) -> float:
+        e = self.ttf1 * max(1.0, float(min_dl)) / self.sum1
+        if max_freq <= e:
+            return 0.0
+        return float(self.boost * np.log2(self._measure(float(max_freq), e) + 1.0))
+
+
 class LMDirichletSimilarity:
     """Dirichlet-smoothed query-likelihood LM, exact-length variant.
 
