@@ -231,6 +231,12 @@ def run_bench() -> dict:
     token_stats(docs).count()
     timings["token_stats"] = time.time() - t0
 
+    from lucene_ray.pipelines.curation import curate_corpus
+
+    t0 = time.time()
+    curate_corpus(docs, langs=("en",), min_tokens=10).count()
+    timings["curation"] = time.time() - t0
+
     import pyarrow.parquet as pq
 
     emb_pdf = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
@@ -245,7 +251,8 @@ def run_bench() -> dict:
 
     total = sum(timings[k] for k in
                 ["index_build", "merge", "query_wall", "search_pipeline",
-                 "dedup_exact", "minhash_signatures", "token_stats", "knn_brute_force"])
+                 "dedup_exact", "minhash_signatures", "token_stats", "curation",
+                 "knn_brute_force"])
     result = {
         "metric": "index-build + BM25 query + data-prep wall time",
         "value": round(total, 3),
