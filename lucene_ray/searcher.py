@@ -127,6 +127,34 @@ def _wildcard_regex(pattern: str) -> str:
     return "".join(out)
 
 
+def _prefix_edit_distance(typed: str, term: str, max_edits: int) -> int:
+    """min over term prefixes of ED(typed, term[:j]) if <= max_edits else -1
+    — the Levenshtein-automaton prefix acceptance of FuzzySuggester."""
+    if term.startswith(typed):
+        return 0
+    n = len(typed)
+    prev = list(range(n + 1))
+    best = -1
+    limit = min(len(term), n + max_edits)
+    for j in range(1, limit + 1):
+        c = term[j - 1]
+        cur = [j] + [0] * n
+        row_min = j
+        for i in range(1, n + 1):
+            cur[i] = min(
+                prev[i] + 1,
+                cur[i - 1] + 1,
+                prev[i - 1] + (typed[i - 1] != c),
+            )
+            row_min = min(row_min, cur[i])
+        if cur[n] <= max_edits and (best < 0 or cur[n] < best):
+            best = cur[n]
+        if row_min > max_edits and (best < 0):
+            return best
+        prev = cur
+    return best
+
+
 def _bounded_edit_distance(a: str, b: str, max_edits: int) -> int:
     """Levenshtein distance if ≤ max_edits else -1 (banded DP, early exit)."""
     if a == b:
@@ -868,6 +896,47 @@ class IndexSearcher:
         cand.sort(key=lambda x: (-x[0], x[1]))
         out = [(t, c) for c, t in cand[:k]]
         return out
+
+    def fuzzy_suggest_terms(
+        self,
+        prefix: str,
+        k: int = 5,
+        *,
+        max_edits: int = 1,
+        non_fuzzy_prefix: int = 1,
+        min_fuzzy_length: int = 3,
+    ) -> list[tuple[str, int]]:
+        """Typo-tolerant autocomplete (suggest/.../analyzing/FuzzySuggester
+        .java defaults: maxEdits=1 after an exact 1-char prefix, fuzziness
+        only for inputs >= 3 chars): dictionary terms whose PREFIX is within
+        ``max_edits`` of the typed prefix, weighted by total term frequency,
+        ranked (edits asc, ttf desc, term asc) so exact-prefix completions
+        beat fuzzy ones like the reference's automaton weights."""
+        if len(prefix) < min_fuzzy_length or max_edits == 0:
+            return self.suggest_terms(prefix, k)
+        exact = prefix[:non_fuzzy_prefix]
+        if self.global_term_stats is not None:
+            from lucene_ray.state.segment import prefix_successor
+
+            g = self.global_term_stats
+            lo = int(np.searchsorted(g.terms, exact))
+            succ = prefix_successor(exact)
+            hi = int(np.searchsorted(g.terms, succ)) if succ is not None else len(g.terms)
+            pool = [(str(g.terms[i]), int(g.total_tf[i])) for i in range(lo, hi)]
+        else:
+            agg: dict[str, int] = {}
+            for r in self.readers:
+                lo, hi = r.term_range(exact)
+                for i in range(lo, hi):
+                    agg[r.terms[i]] = agg.get(r.terms[i], 0) + int(r.total_tf[i])
+            pool = list(agg.items())
+        cand = []
+        for term, w in pool:
+            ed = _prefix_edit_distance(prefix, term, max_edits)
+            if ed >= 0:
+                cand.append((ed, -w, term))
+        cand.sort()
+        return [(t, -nw) for _, nw, t in cand[:k]]
 
     def spell_suggest(self, term: str, k: int = 3, max_edits: int = 2) -> list[str]:
         """Did-you-mean (suggest/spell/DirectSpellChecker analogue): dictionary

@@ -34,6 +34,27 @@ def test_suggest_terms(idx):
     assert out[0][1] == s.term_statistics(out[0][0]).total_term_freq
 
 
+def test_fuzzy_suggest(idx):
+    """FuzzySuggester semantics: typo-tolerant prefix completion, exact
+    prefix ranked ahead of fuzzy, 1-char exact head, short inputs exact."""
+    s = IndexSearcher(idx)
+    exact = s.suggest_terms("str", k=5)
+    assert exact
+    # typo inside the prefix ("srt" ~ "str") still completes str* terms
+    fuzzy = s.fuzzy_suggest_terms("srt", k=5, max_edits=2)
+    assert any(t.startswith("str") for t, _ in fuzzy), fuzzy
+    # exact-prefix candidates come FIRST (edits ascending)
+    both = s.fuzzy_suggest_terms("str", k=5, max_edits=1)
+    assert [t for t, _ in both][: len(exact)] == [t for t, _ in exact][: len(both)]
+    # below min_fuzzy_length -> exact behavior
+    assert s.fuzzy_suggest_terms("st", k=3) == s.suggest_terms("st", k=3)
+    from lucene_ray.searcher import _prefix_edit_distance
+
+    assert _prefix_edit_distance("wind", "window", 1) == 0
+    assert _prefix_edit_distance("wnd", "window", 1) == 1
+    assert _prefix_edit_distance("zzzz", "window", 1) == -1
+
+
 def test_spell_suggest(idx):
     s = IndexSearcher(idx)
     out = s.spell_suggest("scam", k=3, max_edits=1)
