@@ -13,32 +13,72 @@ Layout:
   pipelines/   end-to-end drivers (index build, search, dedup, knn, textstats)
 """
 
-from lucene_ray.functions.similarity import BM25Similarity
+from lucene_ray.functions.similarity import (
+    BM25Similarity,
+    ClassicSimilarity,
+    DFISimilarity,
+    LMDirichletSimilarity,
+    SweetSpotSimilarity,
+)
 from lucene_ray.query import (
     BooleanQuery,
     BoostQuery,
+    ComplexPhraseQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FuzzyQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
+    RegexpQuery,
+    SpanFirstQuery,
+    SpanNearQuery,
+    SpanNotQuery,
+    SpanPositionRangeQuery,
     TermInSetQuery,
     TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    parse_complex_phrase_query,
+    parse_multi_field_query,
     parse_query,
+    parse_simple_query,
 )
+from lucene_ray.surround import parse_surround_query
+from lucene_ray.xmlparser import parse_xml_query
 
 __all__ = [
     "BM25Similarity",
+    "ClassicSimilarity",
+    "DFISimilarity",
+    "LMDirichletSimilarity",
+    "SweetSpotSimilarity",
     "TermQuery",
     "BooleanQuery",
     "PhraseQuery",
+    "MultiPhraseQuery",
+    "ComplexPhraseQuery",
     "PrefixQuery",
+    "WildcardQuery",
+    "RegexpQuery",
+    "FuzzyQuery",
+    "TermRangeQuery",
     "TermInSetQuery",
     "MatchAllDocsQuery",
     "ConstantScoreQuery",
     "BoostQuery",
     "DisjunctionMaxQuery",
+    "SpanNearQuery",
+    "SpanFirstQuery",
+    "SpanPositionRangeQuery",
+    "SpanNotQuery",
     "parse_query",
+    "parse_simple_query",
+    "parse_multi_field_query",
+    "parse_complex_phrase_query",
+    "parse_surround_query",
+    "parse_xml_query",
 ]
 
 __version__ = "0.1.0"
