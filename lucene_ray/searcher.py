@@ -1683,6 +1683,8 @@ class IndexSearcher:
         hit = cache.get(q)
         if hit is not None or q in cache:
             return hit
+        if len(cache) >= 4096:  # bound a long-lived actor's footprint
+            cache.clear()
         fp = self._fp(q.field)
         positions = []
         for slot in q.positions:
@@ -1824,6 +1826,8 @@ class IndexSearcher:
             cache = self._span_slot_cache = {}
         if q.terms in cache:
             return cache[q.terms]
+        if len(cache) >= 4096:  # bound a long-lived actor's footprint
+            cache.clear()
         fp = self._fp(None)
         slots = []
         out = None
