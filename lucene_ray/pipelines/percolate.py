@@ -70,6 +70,11 @@ def query_prefilter(q):
         req = frozenset().union(*[t for k, *r in must if k == "all" for t in r])
         if req:
             return ("all", req)
+        if must:
+            # required clauses exist but none yields a safe term set
+            # (wildcards/ranges) — should clauses are OPTIONAL then, so no
+            # 'any' filter may be derived from them
+            return ("always",)
         if q.should:
             subs = [query_prefilter(s) for s in q.should]
             if any(s[0] == "always" for s in subs):
@@ -120,7 +125,11 @@ class Percolator:
         )
         reader = SegmentReader.from_tables(p, d, {"name": "mem", **stats})
         searcher = IndexSearcher.from_readers([reader])
-        present = {reader.terms[i] for i in range(reader.n_terms)}
+        present = (
+            {reader.terms[i] for i in range(reader.n_terms)}
+            if any(pf[0] != "always" for pf in self.prefilters.values())
+            else frozenset()
+        )
         out_doc, out_q = [], []
         for qid, q in self.queries.items():
             pf = self.prefilters[qid]

@@ -1669,14 +1669,41 @@ class IndexSearcher:
         scorer = self.sim.scorer(self._field_cstats(q.field), tstats, boost=boost)
         return _SparseScores(docs, self._score_arrays(r, scorer, docs, freqs, q.field))
 
-    def _expand_complex_phrase(self, q: "ComplexPhraseQuery"):
-        """Expand slot atom specs against the UNION of all segment
-        dictionaries, once per query (cached) — the reference rewrites
-        MultiTermQueries against the top-level reader, so the accepted term
-        set (and hence the idf sum) is identical in every segment. Returns
-        the slot term tuples, or None if some slot matches nothing."""
+    def _expand_dict_spec(self, fp: str, spec) -> list[str]:
+        """All dictionary terms (UNION over every segment — MultiTermQuery's
+        top-level-reader rewrite, so stats are segment-independent) accepted
+        by one expansion spec: ``("term", t)``, ``("prefix", p)``,
+        ``("wildcard", pat)`` or ``("fuzzy", t, max_edits)``."""
         import re as _re
 
+        kind = spec[0]
+        if kind == "term":
+            return [spec[1]] if any(
+                r.term_index(fp + spec[1]) >= 0 for r in self.readers
+            ) else []
+        if kind == "prefix":
+            out: list[str] = []
+            for r in self.readers:
+                lo, hi = r.term_range(fp + spec[1])
+                out.extend(r.terms[i][len(fp):] for i in range(lo, hi))
+            return out
+        if kind == "wildcard":
+            ok = _re.compile(_wildcard_regex(spec[1])).fullmatch
+        elif kind == "fuzzy":
+            base, max_edits = spec[1], spec[2]
+            ok = lambda c: _bounded_edit_distance(base, c, max_edits) >= 0
+        else:
+            raise TypeError(f"unknown expansion spec {spec!r}")
+        out = []
+        for r in self.readers:
+            rlo, rhi = r.term_range(fp) if fp else (0, r.n_terms)
+            out.extend(c for i in range(rlo, rhi) if ok(c := r.terms[i][len(fp):]))
+        return out
+
+    def _expand_complex_phrase(self, q: "ComplexPhraseQuery"):
+        """Expand slot atom specs against the union dictionary, once per
+        query (cached). Returns the slot term tuples, or None if some slot
+        matches nothing."""
         cache = getattr(self, "_cpq_cache", None)
         if cache is None:
             cache = self._cpq_cache = {}
@@ -1690,29 +1717,7 @@ class IndexSearcher:
         for slot in q.positions:
             terms: list[str] = []
             for spec in slot:
-                kind = spec[0]
-                if kind == "term":
-                    if any(r.term_index(fp + spec[1]) >= 0 for r in self.readers):
-                        terms.append(spec[1])
-                elif kind == "prefix":
-                    for r in self.readers:
-                        lo, hi = r.term_range(fp + spec[1])
-                        terms.extend(r.terms[i][len(fp):] for i in range(lo, hi))
-                elif kind in ("wildcard", "fuzzy"):
-                    if kind == "wildcard":
-                        pat = _re.compile(_wildcard_regex(spec[1]))
-                        ok = pat.fullmatch
-                    else:
-                        base, max_edits = spec[1], spec[2]
-                        ok = lambda c: _bounded_edit_distance(base, c, max_edits) >= 0
-                    for r in self.readers:
-                        rlo, rhi = r.term_range(fp) if fp else (0, r.n_terms)
-                        terms.extend(
-                            c for i in range(rlo, rhi)
-                            if ok(c := r.terms[i][len(fp):])
-                        )
-                else:
-                    raise TypeError(f"unknown phrase slot spec {spec!r}")
+                terms.extend(self._expand_dict_spec(fp, spec))
             if not terms:
                 cache[q] = None
                 return None
@@ -1819,8 +1824,6 @@ class IndexSearcher:
         Wrapper rewrite — global, so stats are segment-independent).
         Returns tuple of term tuples, or None if some spec slot expands to
         nothing (an empty SpanOr matches nothing)."""
-        import re as _re
-
         cache = getattr(self, "_span_slot_cache", None)
         if cache is None:
             cache = self._span_slot_cache = {}
@@ -1844,19 +1847,9 @@ class IndexSearcher:
                 if isinstance(item, str):
                     terms.append(item)
                     continue
-                kind, val = item[0], item[1]
-                if kind == "prefix":
-                    for r in self.readers:
-                        lo, hi = r.term_range(fp + val)
-                        terms.extend(r.terms[i][len(fp):] for i in range(lo, hi))
-                elif kind == "wildcard":
-                    pat = _re.compile(_wildcard_regex(val))
-                    for r in self.readers:
-                        rlo, rhi = r.term_range(fp) if fp else (0, r.n_terms)
-                        terms.extend(
-                            c for i in range(rlo, rhi)
-                            if pat.fullmatch(c := r.terms[i][len(fp):])
-                        )
+                kind = item[0]
+                if kind in ("prefix", "wildcard"):
+                    terms.extend(self._expand_dict_spec(fp, item))
                 else:
                     raise TypeError(f"unknown span slot spec {item!r}")
             if not terms:

@@ -214,26 +214,11 @@ def rollback(index_dir: str, gen: int) -> "Manifest":
     return m
 
 
-def completed_part_ids(index_dir: str) -> dict[int, dict]:
-    """Scan durable segment directories → {part_id: meta}. The resume set."""
-    out: dict[int, dict] = {}
-    for meta_path in glob.glob(os.path.join(index_dir, "segments", "*", "meta.json")):
-        try:
-            with open(meta_path) as f:
-                meta = json.load(f)
-        except (OSError, json.JSONDecodeError):
-            continue
-        pid = meta.get("part_id")
-        if pid is not None:
-            out[int(pid)] = meta
-    return out
-
-
 def completed_part_metas(index_dir: str) -> dict[int, list[dict]]:
-    """Like completed_part_ids, but keeps EVERY durable segment per part —
-    needed when a part (input file) was split into sub-segments by the
-    max-docs-per-segment guard. A part is complete only when all
-    ``num_subs`` sub-segments are present."""
+    """Scan durable segment directories → {part_id: [metas]}, keeping EVERY
+    segment per part — a part split into sub-segments by the
+    max-docs-per-segment guard is complete only when all ``num_subs``
+    sub-segments are present."""
     out: dict[int, list[dict]] = {}
     for meta_path in glob.glob(os.path.join(index_dir, "segments", "*", "meta.json")):
         try:
@@ -245,3 +230,9 @@ def completed_part_metas(index_dir: str) -> dict[int, list[dict]]:
         if pid is not None:
             out.setdefault(int(pid), []).append(meta)
     return out
+
+
+def completed_part_ids(index_dir: str) -> dict[int, dict]:
+    """{part_id: meta} view of completed_part_metas (one meta per part —
+    the unsplit-build resume set)."""
+    return {p: ms[-1] for p, ms in completed_part_metas(index_dir).items()}

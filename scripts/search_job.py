@@ -55,10 +55,14 @@ def main(argv=None) -> int:
             from lucene_ray.surround import parse_surround_query
 
             s = IndexSearcher(args.index_dir)
+            # all flavors normalize query terms through the INDEX's analyzer
+            # chain (a stemmed/folded index must meet stemmed/folded terms)
+            s.parse("warmup")  # builds s._parse_analyzer
+            norm = s._parse_analyzer.normalize
             if args.syntax == "simple":
-                q = parse_simple_query(args.query)
+                q = parse_simple_query(args.query, normalize=norm)
             elif args.syntax == "surround":
-                q = parse_surround_query(args.query)
+                q = parse_surround_query(args.query, normalize=norm)
             else:
                 q = s.parse(args.query)
             t0 = time.time()

@@ -31,6 +31,18 @@ def test_prefilter_shapes():
     # a should-clause with no safe terms poisons the any-filter
     q = BooleanQuery(should=[TermQuery("a"), PrefixQuery("x")])
     assert query_prefilter(q) == ("always",)
+    # unsafe MUST + optional should: the should terms are NOT required, so
+    # no 'any' filter may be derived from them (regression: '+eps* gamma'
+    # must still match docs without 'gamma')
+    q = BooleanQuery(must=[PrefixQuery("eps")], should=[TermQuery("gamma")])
+    assert query_prefilter(q) == ("always",)
+
+
+def test_unsafe_must_with_optional_should_not_skipped():
+    queries = {"q": "+eps* gamma"}
+    with_pf, _ = _run(queries, ["epsilon rocket launch"], presearch=True)
+    without_pf, _ = _run(queries, ["epsilon rocket launch"], presearch=False)
+    assert with_pf == without_pf == [(0, "q")]
 
 
 def _run(queries, texts, presearch):
