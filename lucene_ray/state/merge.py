@@ -400,3 +400,31 @@ def merge_index(index_dir: str, *, merge_factor: int = 10,
         for n in consumed:
             shutil.rmtree(os.path.join(index_dir, "segments", n), ignore_errors=True)
     return new_manifest
+
+
+def force_merge(index_dir: str, max_segments: int = 1, *,
+                use_ray: bool = True) -> Manifest:
+    """IndexWriter.forceMerge analogue (index/IndexWriter.java:1973): run
+    merge rounds until at most ``max_segments`` live segments remain. Each
+    round groups the smallest segments first (no per-round doc cap — a
+    forced merge must be able to produce one big segment), committing one
+    manifest generation per round; a crash leaves a valid intermediate
+    state that a rerun simply continues from."""
+    if max_segments < 1:
+        raise ValueError("max_segments must be >= 1")
+    manifest = Manifest.load(index_dir)
+    while len(manifest.segments) > max_segments:
+        n = len(manifest.segments)
+        # shrink toward the target: merge enough smallest segments that one
+        # round makes progress even when n is barely above the target
+        factor = max(2, n - max_segments + 1)
+        new_manifest = merge_index(
+            index_dir,
+            merge_factor=factor,
+            max_merged_docs=2**62,
+            use_ray=use_ray,
+        )
+        if len(new_manifest.segments) >= n:
+            break  # nothing qualified — avoid spinning
+        manifest = new_manifest
+    return manifest

@@ -119,3 +119,27 @@ def test_write_segment_retry_idempotent(tmp_path):
     import os
 
     assert sorted(os.listdir(f"{d}/segments")) == ["seg-x"]
+
+
+def test_force_merge(ray_session, tmp_path):
+    """forceMerge analogue: rounds until <= max_segments; results
+    rank-identical before and after."""
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import TermQuery
+    from lucene_ray.searcher import IndexSearcher
+    from lucene_ray.state.merge import force_merge
+
+    d = str(tmp_path / "fm")
+    build_index("/root/testdata/sf0.001/documents.parquet", d, key_col="doc_id",
+                text_col="text", num_partitions=6, columns=["doc_id", "text"])
+    before = [
+        (sd.doc_key, round(sd.score, 6))
+        for sd in IndexSearcher(d).search(TermQuery("merge"), 10).score_docs
+    ]
+    m = force_merge(d, max_segments=1, use_ray=False)
+    assert len(m.segments) == 1
+    after = [
+        (sd.doc_key, round(sd.score, 6))
+        for sd in IndexSearcher(d).search(TermQuery("merge"), 10).score_docs
+    ]
+    assert before == after
