@@ -107,12 +107,16 @@ def _searcher(sf_dir: str):
     return IndexSearcher(_gate_index(sf_dir), mode="exact")
 
 
-def _docs_ds(sf_dir: str):
+def _docs_ds(sf_dir: str, columns=("doc_id", "text", "lang")):
+    """Documents table with column pruning at the read — every dedup /
+    textstats consumer works on (doc_id, text[, lang]); `source`/`n_chars`
+    would otherwise ride through each downstream shuffle unused."""
     import ray.data
 
     from lucene_ray.sources.io import read_parquet_clean
 
-    return read_parquet_clean(f"{sf_dir}/documents.parquet")
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=list(columns))
 
 
 def _ranked_topk(searcher, named_queries, k: int = K, rank_lo: int = 1) -> pa.Table:

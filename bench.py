@@ -215,7 +215,8 @@ def run_bench() -> dict:
     # 5. data-prep stages on the raw documents table
     from lucene_ray.sources.io import read_parquet_clean
 
-    docs = read_parquet_clean(f"{SF_DIR}/documents.parquet")
+    docs = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
     t0 = time.time()
     dedup_exact_content(docs).count()
     timings["dedup_exact"] = time.time() - t0

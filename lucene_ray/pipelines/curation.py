@@ -70,15 +70,24 @@ def curate_corpus(ds, *, text_col: str = "text", id_col: str = "doc_id",
                   min_tokens: int = 5, max_stop_pct: int = 60,
                   concurrency=None):
     """Streaming curation; returns the surviving (id, content_hash,
-    n_tokens) rows, one per distinct content, smallest id wins."""
-    import pandas as pd
+    n_tokens) rows, one per distinct content, smallest id wins.
+
+    The dedup tail is the vectorized hash-partitioned reduce (one Arrow
+    ``group_by`` per partition — see dedup.partition_reduce), never one
+    Python call per distinct document. n_tokens is a pure function of the
+    content (equal hash ⇒ equal text ⇒ equal count), so min-aggregating it
+    alongside the id is exact."""
+    from lucene_ray.pipelines.dedup import partition_reduce
 
     stage = CurationStage(text_col, id_col, lang_col, langs,
                           min_tokens, max_stop_pct)
     kw = {} if concurrency is None else {"concurrency": concurrency}
     out = ds.map_batches(stage, batch_format="pyarrow", **kw)
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def reduce_min(t: pa.Table) -> pa.Table:
+        agg = t.group_by("content_hash").aggregate(
+            [(id_col, "min"), ("n_tokens", "min")])
+        agg = agg.rename_columns(["content_hash", id_col, "n_tokens"])
+        return agg.select([id_col, "content_hash", "n_tokens"])
 
-    return out.groupby("content_hash").map_groups(keep_min, batch_format="pandas")
+    return partition_reduce(out, ["content_hash"], reduce_min)

@@ -87,22 +87,98 @@ def _shingles(tokens: list[str], n: int) -> list[str]:
     return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
 
 
+# ------------------------------------------- vectorized partition reduce
+
+
+def _col_hash_u64(batch: pa.Table, cols) -> np.ndarray:
+    """Deterministic 64-bit row hash over one or more key columns
+    (splitmix64 for ints, the self-contained polynomial hash for strings) —
+    the partitioner for the vectorized reduces below."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for c in cols:
+        col = batch.column(c)
+        if pa.types.is_integer(col.type):
+            k = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            k = (k ^ (k >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            k = (k ^ (k >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            k ^= k >> np.uint64(31)
+        else:
+            k = _hash_tokens_u64(col.to_pylist())
+        h = h * np.uint64(0x100000001B3) + k
+    return h
+
+
+def partition_reduce(ds, key_cols, fn, *, num_partitions: int = 64,
+                     pre_partitioned: bool = False):
+    """Hash-partitioned VECTORIZED reduce — the scale-safe replacement for
+    ``groupby(key).map_groups(tiny-pandas-fn)``.
+
+    Ray's per-key aggregate paths (builtin ``AggregateFnV2`` included) invoke
+    Python once per distinct key, which is O(n_docs) interpreter calls for a
+    dedup where nearly every key is unique. Instead: add ``__p =
+    hash(key) % P`` per batch (vectorized), shuffle on the SMALL partition id,
+    and run ``fn`` once per partition — ``fn`` is an Arrow/pandas kernel that
+    reduces ALL keys in its partition in one vectorized call. Python call
+    count: P (cluster-sized), not n_keys (corpus-sized). Key-hash
+    partitioning keeps every occurrence of a key in one partition, so the
+    per-partition reduce is exact.
+    """
+    def run(t: pa.Table) -> pa.Table:
+        return fn(t.drop_columns(["__p"]))
+
+    if not pre_partitioned:
+        def add_p(batch: pa.Table) -> pa.Table:
+            p = (_col_hash_u64(batch, key_cols) % np.uint64(num_partitions)).astype(np.int32)
+            return batch.append_column("__p", pa.array(p, type=pa.int32()))
+
+        ds = ds.map_batches(add_p, batch_format="pyarrow")
+    return ds.groupby("__p").map_groups(run, batch_format="pyarrow")
+
+
+def add_partition_col(batch: pa.Table, key_cols, num_partitions: int = 64) -> pa.Table:
+    """``__p`` column for ``partition_reduce(..., pre_partitioned=True)`` —
+    lets a producing map stage fuse the partitioner into its own pass."""
+    p = (_col_hash_u64(batch, key_cols) % np.uint64(num_partitions)).astype(np.int32)
+    return batch.append_column("__p", pa.array(p, type=pa.int32()))
+
+
+def distinct_rows(ds, key_cols, *, num_partitions: int = 64):
+    """Distributed DISTINCT over the key columns (vectorized per partition)."""
+    cols = list(key_cols)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.select(cols).group_by(cols).aggregate([])
+
+    return partition_reduce(ds, cols, fn, num_partitions=num_partitions)
+
+
 # ----------------------------------------------------------------- exact
 
 
-def dedup_exact_by_key(ds, *, key_col: str = "url", ts_col: str | None = None):
-    """Last-writer-wins per key (updateDocument semantics). With no ``ts_col``
-    keeps the first row by key order. Hash-partition + per-group first —
-    the groupby IS the hash partition, no extra shuffle."""
-    import pandas as pd
+def dedup_exact_by_key(ds, *, key_col: str = "url", ts_col: str | None = None,
+                       num_partitions: int = 64):
+    """Last-writer-wins per key (updateDocument semantics,
+    index/IndexWriter.java:1815). With ``ts_col``, the max-ts row per key
+    survives; without, one row per key (first in key-partition order).
 
-    def keep_one(g: pd.DataFrame) -> pd.DataFrame:
+    Vectorized end-to-end: per-batch pre-reduce (duplicates that share a
+    batch collapse before the shuffle) → hash-partitioned per-partition
+    pandas ``drop_duplicates`` — one vectorized call per PARTITION, never one
+    per key."""
+
+    def lww(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
         if ts_col is not None:
-            g = g.sort_values([ts_col, key_col])
-            return g.tail(1)
-        return g.sort_values(key_col).head(1)
+            df = df.sort_values([ts_col, key_col], kind="stable")
+            df = df.drop_duplicates(subset=[key_col], keep="last")
+        else:
+            df = df.drop_duplicates(subset=[key_col], keep="first")
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False).cast(t.schema)
 
-    return ds.groupby(key_col).map_groups(keep_one, batch_format="pandas")
+    # map-side combine: batch-local LWW cuts shuffle bytes when dupes cluster
+    pre = ds.map_batches(lww, batch_format="pyarrow")
+    return partition_reduce(pre, [key_col], lww, num_partitions=num_partitions)
 
 
 def content_hash_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
@@ -111,19 +187,27 @@ def content_hash_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(hashes, type=pa.string()))
 
 
-def dedup_exact_content(ds, *, text_col: str = "text", id_col: str = "doc_id"):
-    """Exact content dedup: md5(text) → hash-partitioned groupby → keep the
-    smallest id per group. Returns the surviving rows' ids + hashes."""
-    import pandas as pd
+def dedup_exact_content(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                        num_partitions: int = 64):
+    """Exact content dedup: md5(text) → batch-local min-id pre-aggregate →
+    hash-partitioned per-partition Arrow ``group_by(...).aggregate(min)`` —
+    fully vectorized (one C++ group_by per partition / per batch; zero
+    per-key Python). Returns the surviving (content_hash, id) rows."""
 
-    ds = ds.map_batches(content_hash_batch, batch_format="pyarrow",
-                        fn_kwargs={"text_col": text_col})
-    ds = ds.select_columns(["content_hash", id_col])
+    def hash_and_combine(batch: pa.Table) -> pa.Table:
+        t = content_hash_batch(batch, text_col=text_col).select(
+            ["content_hash", id_col])
+        out = t.group_by("content_hash").aggregate([(id_col, "min")])
+        out = out.rename_columns(["content_hash", id_col])
+        return add_partition_col(out, ["content_hash"], num_partitions)
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def reduce_min(t: pa.Table) -> pa.Table:
+        out = t.group_by("content_hash").aggregate([(id_col, "min")])
+        return out.rename_columns(["content_hash", id_col])
 
-    return ds.groupby("content_hash").map_groups(keep_min, batch_format="pandas")
+    pre = ds.map_batches(hash_and_combine, batch_format="pyarrow")
+    return partition_reduce(pre, ["content_hash"], reduce_min,
+                            num_partitions=num_partitions, pre_partitioned=True)
 
 
 # ----------------------------------------------------------------- minhash
@@ -283,14 +367,10 @@ def minhash_lsh_pairs(
 
 
 def _dedup_pairs(cand):
-    """Distributed (id_a, id_b) dedup: hash-partitioned groupby, keep one row
-    per pair. Returns the materialized (small, output-sized) candidate set,
-    or None when empty."""
-    import pandas as pd
-
-    cand = cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    ).materialize()
+    """Distributed (id_a, id_b) dedup — vectorized distinct (one Arrow
+    group_by per partition, no per-pair Python). Returns the materialized
+    (small, output-sized) candidate set, or None when empty."""
+    cand = distinct_rows(cand, ["id_a", "id_b"]).materialize()
     return cand if cand.count() else None
 
 
@@ -423,10 +503,13 @@ def simhash_signatures(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def simhash_near_pairs(ds, *, max_hamming: int = 3, text_col: str = "text",
-                       id_col: str = "doc_id"):
+                       id_col: str = "doc_id", max_bucket: int = 500):
     """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
     (any pair within hamming distance 3 shares ≥1 exact chunk), groupby
-    chunk value for candidates, verify hamming distance."""
+    chunk value for candidates, verify hamming distance. Buckets above
+    ``max_bucket`` (degenerate: boilerplate/empty docs hashing alike) are
+    dropped rather than exploded O(bucket²) — same guard as the MinHash
+    path."""
     import pandas as pd
     import ray
 
@@ -448,6 +531,11 @@ def simhash_near_pairs(ds, *, max_hamming: int = 3, text_col: str = "text",
         )
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})
+        if len(g) > max_bucket:
+            return empty
         rows = g.sort_values(id_col)[[id_col, "simhash"]].values
         out = []
         for i in range(len(rows)):
@@ -455,6 +543,8 @@ def simhash_near_pairs(ds, *, max_hamming: int = 3, text_col: str = "text",
                 d = int(bin(int(rows[i][1]) ^ int(rows[j][1])).count("1"))
                 if d <= max_hamming:
                     out.append((int(rows[i][0]), int(rows[j][0]), d))
+        if not out:
+            return empty
         return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
 
     pairs = (
@@ -463,11 +553,13 @@ def simhash_near_pairs(ds, *, max_hamming: int = 3, text_col: str = "text",
         .map_groups(emit, batch_format="pandas")
     )
     # chunks already verified hamming inside the bucket groupby; pairs found
-    # by multiple chunks are deduped by a second hash-partitioned groupby —
-    # no driver materialization anywhere
-    deduped = pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # by multiple chunks collapse in a vectorized distributed distinct —
+    # no driver materialization, no per-pair Python
+    def reduce_min(t: pa.Table) -> pa.Table:
+        out = t.group_by(["id_a", "id_b"]).aggregate([("hamming", "min")])
+        return out.rename_columns(["id_a", "id_b", "hamming"])
+
+    deduped = partition_reduce(pairs, ["id_a", "id_b"], reduce_min)
     return deduped.sort(["id_a", "id_b"])
 
 
@@ -478,11 +570,12 @@ def embedding_near_dup_pairs(
     ds,
     *,
     threshold: float = 0.95,
-    n_bits: int = 32,
-    bands: int = 4,
+    n_bits: int = 128,
+    bands: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    max_bucket: int = 500,
 ):
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
 
@@ -493,6 +586,12 @@ def embedding_near_dup_pairs(
     pairs to vector payloads + vectorized cosine inside map_batches; nothing
     corpus-sized ever reaches the driver). Returns (id_a, id_b, cosine) with
     cosine ≥ threshold, id_a < id_b.
+
+    Scale guards: 16-bit band hashes (65 536 buckets per band — 8-bit bands
+    collapse a large corpus into 256 buckets and the candidate stage decays
+    toward all-pairs) and a ``max_bucket`` cap that drops degenerate buckets
+    instead of emitting O(bucket²) pairs; recall for genuinely-near pairs is
+    preserved by using MORE bands (8×16 bits) rather than fewer wide ones.
     """
     import pandas as pd
     import ray
@@ -530,6 +629,12 @@ def embedding_near_dup_pairs(
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g[id_col].tolist())
+        if len(ids) > max_bucket:
+            # degenerate bucket (e.g. zero vectors): emitting O(g²) pairs is
+            # the all-pairs blowup this LSH exists to avoid — drop it; other
+            # bands still pair the genuinely-near vectors
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
         pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
         return pd.DataFrame(pairs, columns=["id_a", "id_b"]).astype("int64")
 
