@@ -94,6 +94,7 @@ def run_bench() -> dict:
     # warm the page cache so we measure compute + shuffle, not first disk read
     ray.data.read_parquet(corpus_dir, columns=["url"]).count()
 
+
     # 1. index build (the headline): one input shard → one segment, the
     # shuffle-free 100 TB layout (read file → extract html → invert →
     # segment; the only all-to-all left is the metadata-sized term-stats
@@ -135,8 +136,15 @@ def run_bench() -> dict:
 
     # 2. merge round
     t0 = time.time()
-    merge_index(index_dir, merge_factor=8)
+    merged_manifest = merge_index(index_dir, merge_factor=8)
     timings["merge"] = time.time() - t0
+    # per-stage breakdown (sum of task-side seconds across parallel merge
+    # tasks — adds to more than the wall when tasks overlap): lets a merge
+    # wall-time regression adjudicate itself (impacts vs gather vs write)
+    merge_breakdown: dict[str, float] = {}
+    for s in merged_manifest.segments:
+        for k, v in (s.get("merge_timings") or {}).items():
+            merge_breakdown[k] = round(merge_breakdown.get(k, 0.0) + v, 4)
 
     # 3. warm actor-pool latency: dedicated searcher actors, per-query timing
     @ray.remote(num_cpus=1)
@@ -183,6 +191,7 @@ def run_bench() -> dict:
             "mean_task_build_sec": round(
                 manifest.config["metrics"]["sum_partition_build_sec"]
                 / max(1, manifest.config["metrics"]["n_partitions"]), 4),
+            "merge_breakdown": merge_breakdown,
         }
         ray.shutdown()
         return result
@@ -270,6 +279,7 @@ def run_bench() -> dict:
         "mean_task_build_sec": round(
             manifest.config["metrics"]["sum_partition_build_sec"]
             / max(1, manifest.config["metrics"]["n_partitions"]), 4),
+        "merge_breakdown": merge_breakdown,
         "wand_blocks_total": wand_tot["blocks_total"],
         "wand_blocks_visited": wand_tot["blocks_visited"],
         "wand_blocks_skipped_pct": round(

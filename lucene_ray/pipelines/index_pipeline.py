@@ -46,12 +46,18 @@ _threads_limited = False
 def _limit_worker_threads() -> None:
     """One Ray worker == one CPU slot: pin Arrow's internal pools so N
     concurrent invert/merge tasks don't each spin up a machine-wide thread
-    pool (heavy per-task slowdown from oversubscription otherwise).
+    pool (heavy per-task slowdown from oversubscription otherwise), and tune
+    glibc so large scratch buffers stay on the reusable heap (see
+    state/merge._tune_malloc — faulting fresh pages is slow on virtualized
+    hosts, so a worker's later tasks should reuse its earlier tasks' pages).
     Runs inside the worker process, once."""
     global _threads_limited
     if not _threads_limited:
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
+        from lucene_ray.state.merge import _tune_malloc
+
+        _tune_malloc()
         _threads_limited = True
 
 
@@ -528,18 +534,20 @@ def build_term_stats(index_dir: str, manifest: Manifest | None = None, *,
         )
         tbl = agg_t.rename_columns(["term", "doc_freq", "total_tf"]).sort_by("term")
     else:
+        import shutil
+
         from lucene_ray.sources.io import read_parquet_clean
 
         ds = read_parquet_clean(paths, columns=["term", "doc_freq", "total_tf"])
 
         def add_salt(batch: pa.Table) -> pa.Table:
-            terms = batch.column("term").to_pylist()
-            salts = np.array(
-                [zlib.crc32(t.encode()) % salt_buckets for t in terms], dtype=np.int32
-            )
-            # crc32(term) spreads a hot term's partials deterministically —
+            from lucene_ray.pipelines.dedup import _hash_tokens_u64
+
+            # hash(term) spreads a hot term's partials deterministically —
             # combined with the per-batch origin this bounds stage-1 fan-in
-            rnd = np.arange(len(terms), dtype=np.int32) % salt_buckets
+            salts = (_hash_tokens_u64(batch.column("term").to_pylist())
+                     % np.uint64(salt_buckets)).astype(np.int32)
+            rnd = np.arange(batch.num_rows, dtype=np.int32) % salt_buckets
             return batch.append_column(
                 "__salt", pa.array((salts + rnd) % salt_buckets, type=pa.int32())
             )
@@ -555,11 +563,24 @@ def build_term_stats(index_dir: str, manifest: Manifest | None = None, *,
         agg = stage1.groupby("term").aggregate(
             Sum("doc_freq", alias_name="doc_freq"), Sum("total_tf", alias_name="total_tf")
         )
-        # term-range-sorted dictionary (range partitioning = Ray's sort
-        # boundaries; we concatenate the sorted ranges into the manifest file)
-        tbl = pa.Table.from_pandas(
-            agg.sort("term").to_pandas().reset_index(drop=True)
-        ).select(["term", "doc_freq", "total_tf"])
+
+        def order_cols(batch: pa.Table) -> pa.Table:
+            return batch.select(["term", "doc_freq", "total_tf"])
+
+        # DISTRIBUTED finalization: the sorted dictionary is written straight
+        # from the sort's range-partitioned workers as a DIRECTORY of
+        # term-range parquet files — the driver never holds the vocabulary
+        # (at web scale it is 10⁸–10⁹ terms). Readers open the path with
+        # pyarrow's dataset reader (a directory reads like one table);
+        # GlobalTermStats re-establishes global order from the per-file
+        # ranges. Atomic via write-temp-then-rename, like segments.
+        tmp_dir = out_path + ".tmpd"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        agg.sort("term").map_batches(
+            order_cols, batch_format="pyarrow"
+        ).write_parquet(tmp_dir)
+        os.rename(tmp_dir, out_path)
+        return out_path
     import pyarrow.parquet as pq
 
     tmp = out_path + ".tmp"

@@ -219,10 +219,20 @@ class GlobalTermStats:
     def __init__(self, path: str):
         import pyarrow.parquet as pq
 
+        # path is a single parquet file (small dictionaries) or a DIRECTORY
+        # of term-range files written distributed by build_term_stats — the
+        # dataset reader handles both. Concatenation order across range
+        # files is not guaranteed, so re-sort when needed (vectorized, and
+        # a no-op for the single-file layout which is written sorted).
         t = pq.read_table(path)
         self.terms = np.asarray(t.column("term").to_pylist(), dtype=object)
         self.doc_freq = t.column("doc_freq").to_numpy()
         self.total_tf = t.column("total_tf").to_numpy()
+        if len(self.terms) > 1 and not np.all(self.terms[:-1] <= self.terms[1:]):
+            order = np.argsort(self.terms)
+            self.terms = self.terms[order]
+            self.doc_freq = self.doc_freq[order]
+            self.total_tf = self.total_tf[order]
 
     def lookup(self, term: str) -> tuple[int, int]:
         i = np.searchsorted(self.terms, term)
@@ -243,6 +253,10 @@ class IndexSearcher:
         import os
 
         self.index_dir = index_dir
+        # unique per-searcher cache token: reader-attached caches key on this
+        # OBJECT (identity; strong ref prevents id-recycling aliasing across
+        # searchers that share readers via from_readers)
+        self._cache_token = object()
         manifest = Manifest.load(index_dir)
         self.manifest = manifest
         dirs = manifest.segment_dirs()
@@ -300,6 +314,7 @@ class IndexSearcher:
 
         s = cls.__new__(cls)
         s.index_dir = None
+        s._cache_token = object()
         s.manifest = None
         s.readers = list(readers)
         s.global_term_stats = None
@@ -408,13 +423,11 @@ class IndexSearcher:
 
     # ---------------------------------------------------------------- search
 
-    def parse(self, s: str) -> Query:
-        """Parse a classic-syntax query string AGAINST THIS INDEX: query
-        terms run through the index's own analyzer normalize chain (so a
-        stemmed/folded index meets stemmed/folded query terms —
-        QueryParser(analyzer) in the reference) and numeric doc-values
-        columns get NumericRangeQuery range syntax (the points-config
-        analogue)."""
+    def query_analyzer(self):
+        """The analyzer queries against this index must normalize through
+        (the index's own chain — QueryParser(analyzer) in the reference).
+        Public accessor for CLI/pipeline callers that parse with their own
+        syntax but still need index-consistent term normalization."""
         an = getattr(self, "_parse_analyzer", None)
         if an is None:
             from lucene_ray.functions.analysis import get_analyzer
@@ -422,6 +435,16 @@ class IndexSearcher:
             spec = (self.manifest.config or {}).get("analyzer", "standard") \
                 if self.manifest else "standard"
             an = self._parse_analyzer = get_analyzer(spec)
+        return an
+
+    def parse(self, s: str) -> Query:
+        """Parse a classic-syntax query string AGAINST THIS INDEX: query
+        terms run through the index's own analyzer normalize chain (so a
+        stemmed/folded index meets stemmed/folded query terms —
+        QueryParser(analyzer) in the reference) and numeric doc-values
+        columns get NumericRangeQuery range syntax (the points-config
+        analogue)."""
+        an = self.query_analyzer()
         numeric = getattr(self, "_numeric_dv_fields", None)
         if numeric is None:
             numeric = set()
@@ -564,8 +587,11 @@ class IndexSearcher:
                 return empty
             # per-(segment, term, boost) score cache: BM25 term scores are a
             # pure function of the (fixed) global stats + per-doc norms, so a
-            # warm searcher serves repeated terms without re-scoring
-            ckey = (ti, float(boost), self.mode, id(self))
+            # warm searcher serves repeated terms without re-scoring. The
+            # key carries the LIVE searcher + similarity objects (not id()s —
+            # a recycled id after GC could alias a different searcher whose
+            # plugged similarity scores differently)
+            ckey = (ti, float(boost), self.mode, self._cache_token)
             cache = getattr(r, "_term_score_cache", None)
             if cache is None:
                 cache = r._term_score_cache = {}
@@ -760,10 +786,15 @@ class IndexSearcher:
             # of a big sort-unique (DisjunctionSumScorer for dense terms)
             dense_s = np.zeros(max_doc, dtype=np.float64)
             dense_c = np.zeros(max_doc, dtype=np.int64)
+            present = np.zeros(max_doc, dtype=bool)
             for s in subs:
                 dense_s[s.docs] += s.scores
                 dense_c[s.docs] += s.counts
-            docs = np.flatnonzero(dense_c).astype(np.int32)
+                present[s.docs] = True
+            # explicit presence mask (not dense_c > 0): a sub-result with
+            # legitimate zero counts must survive the union exactly like it
+            # does on the sparse path
+            docs = np.flatnonzero(present).astype(np.int32)
             return _SparseScores(docs, dense_s[docs], dense_c[docs])
         docs = np.concatenate([s.docs for s in subs])
         scores = np.concatenate([s.scores for s in subs])

@@ -28,13 +28,32 @@ import shutil
 import numpy as np
 import pyarrow as pa
 
-from lucene_ray.functions.postings import (
-    block_skip_metadata,
-    competitive_impacts,
-    encode_postings,
-)
+from lucene_ray.functions.postings import encode_postings
 from lucene_ray.state.manifest import Manifest
 from lucene_ray.state.segment import SegmentReader, write_segment
+
+_malloc_tuned = False
+
+
+def _tune_malloc() -> None:
+    """Keep large scratch buffers on the process heap for REUSE instead of
+    per-allocation mmap/munmap (glibc returns >32MB blocks to the OS on
+    free). Merge tasks allocate a few hundred MB of transient numpy arrays;
+    on hosts where faulting fresh pages is expensive (virtualized memory,
+    proactive reclaim), re-faulting those per task dominates the merge wall.
+    Idempotent, per worker process; silently a no-op off glibc."""
+    global _malloc_tuned
+    if _malloc_tuned:
+        return
+    _malloc_tuned = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
 
 
 def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
@@ -45,8 +64,13 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
     function of its inputs; safe to retry. When a segment carries a
     live-docs generation (deletes.py), its dead docs are dropped and docIDs
     compacted — the DocIDMerger behavior that reclaims deletes."""
+    import time as _time
+
     from lucene_ray.state.deletes import load_livedocs
 
+    _tune_malloc()
+    _t: dict[str, float] = {}
+    _t0 = _time.time()
     readers = [SegmentReader(os.path.join(index_dir, "segments", n)) for n in seg_names]
     del_gens = del_gens or {}
     lives = []
@@ -57,18 +81,20 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
         if live is None:
             live = np.ones(r.max_doc, dtype=bool)
         lives.append(live)
-        remap = np.full(r.max_doc, -1, dtype=np.int64)
-        remap[live] = np.arange(int(live.sum()))
+        remap = np.full(r.max_doc, -1, dtype=np.int32)
+        remap[live] = np.arange(int(live.sum()), dtype=np.int32)
         remaps.append(remap)
         live_counts.append(int(live.sum()))
-    bases = np.cumsum([0] + live_counts[:-1]).astype(np.int64)
+    bases = np.cumsum([0] + live_counts[:-1]).astype(np.int32)
 
     # term-sorted union of the per-segment dictionaries (vectorized — the
     # old per-term Python k-way cursor walk dominated merge time at web
     # vocabulary sizes; grouping is now ONE lexsort over the concatenated
     # posting-level arrays, the same shape as the invert kernel)
     all_terms = np.unique(np.concatenate([r.terms for r in readers]))
-    dls = np.concatenate([r.dls[lv] for r, lv in zip(readers, lives)])
+    dls = np.concatenate(
+        [r.dls[lv] for r, lv in zip(readers, lives)]
+    ).astype(np.int32, copy=False)
 
     # Posting-level flattening: per reader, decode each term's postings once
     # (decode is inherently per packed stream), remap docIDs, emit flat
@@ -77,6 +103,8 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
     # postings within one reader are already doc-ordered, so per-out-term
     # concatenation of those runs IS the merged doc-major position stream
     # (no per-posting indirection; a per-element gather only under deletes).
+    _t["open_sec"] = _time.time() - _t0
+    _t0 = _time.time()
     doc_parts, freq_parts = [], []
     run_codes: list[int] = []
     run_lens: list[int] = []
@@ -97,8 +125,8 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             if not len(d):
                 continue
             code = int(gcodes[i])
-            doc_parts.append(remap[d] + base)
-            freq_parts.append(f.astype(np.int64))
+            doc_parts.append((remap[d] + base).astype(np.int32, copy=False))
+            freq_parts.append(f.astype(np.int32, copy=False))
             run_codes.append(code)
             run_lens.append(len(d))
             if store_positions:
@@ -109,7 +137,9 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
         # visited in ascending doc-base order — so the merged (term, doc)
         # order is just the runs STABLY reordered by term code. One tiny
         # run-level sort + one O(total) gather replaces a full posting-level
-        # lexsort (DocIDMerger's mapped-docID order, for free).
+        # lexsort (DocIDMerger's mapped-docID order, for free). int32
+        # throughout: this VM demand-pages fresh allocations slowly, so the
+        # working set is kept as tight as the value ranges allow.
         dd0 = np.concatenate(doc_parts)
         ff0 = np.concatenate(freq_parts)
         rc = np.asarray(run_codes, dtype=np.int64)
@@ -118,14 +148,16 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
         ro = np.lexsort((np.arange(len(rc)), rc))  # stable: reader order kept
         lens_o = rl[ro]
         cum = np.concatenate([[0], np.cumsum(lens_o)[:-1]])
-        idx = np.repeat(rstart[ro] - cum, lens_o) + np.arange(int(lens_o.sum()))
-        tc = np.repeat(rc[ro], lens_o)
+        idx = (np.repeat(rstart[ro] - cum, lens_o)
+               + np.arange(int(lens_o.sum()), dtype=np.int64)).astype(np.int32)
+        tc = np.repeat(rc[ro].astype(np.int32), lens_o)
         dd = dd0[idx]
         ff = ff0[idx]
+        del doc_parts, freq_parts, dd0, ff0, idx
     else:
-        tc = np.empty(0, dtype=np.int64)
-        dd = np.empty(0, dtype=np.int64)
-        ff = np.empty(0, dtype=np.int64)
+        tc = np.empty(0, dtype=np.int32)
+        dd = np.empty(0, dtype=np.int32)
+        ff = np.empty(0, dtype=np.int32)
 
     # per-term ranges via run-length over the sorted term codes (terms whose
     # postings were fully reclaimed by deletes simply never appear)
@@ -141,67 +173,125 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
     doc_freq = (t_ends - t_starts).astype(np.int64)
     cs = np.concatenate([[0], np.cumsum(ff, dtype=np.int64)])
     total_tf = cs[t_ends] - cs[t_starts]
+    _t["gather_sec"] = _time.time() - _t0
 
-    # per-term skip/impact metadata accumulated as FLAT arrays + counts, then
-    # assembled into Arrow list columns via offsets — no per-term Python
-    # lists (the old tolist()/np.split per term dominated at large vocab)
-    packed_col, pos_col = [], []
-    ld_parts, mf_parts, ml_parts = [], [], []
-    icnt_parts, iff_parts, ill_parts = [], [], []
-    nblocks = np.empty(n_out, dtype=np.int64)
+    # skip + impact metadata for ALL terms in one global vectorized pass —
+    # per-term calls to block_skip_metadata/competitive_impacts cost a fixed
+    # ~15 numpy dispatches per term, which dominates merge time at web
+    # vocabulary sizes. Blocks are 128-posting runs that RESTART at each
+    # term: within-term offsets `intra` reset at t_starts, so every block
+    # boundary (intra % 128 == 0) respects term boundaries and one global
+    # reduceat covers every (term, block) pair.
+    _t0 = _time.time()
+    N = len(tc)
+    from lucene_ray.functions.postings import BLOCK_SIZE as _BS
+
+    lens_all = dls[dd] if N else np.empty(0, dtype=np.int64)
+    if N:
+        intra = np.arange(N, dtype=np.int64) - np.repeat(t_starts, doc_freq)
+        bstart = (intra % _BS) == 0
+        starts = np.flatnonzero(bstart)
+        last_idx = np.append(starts[1:], N) - 1
+        ld_all = dd[last_idx].astype(np.int32)
+        mf_all = np.maximum.reduceat(ff, starts).astype(np.int32)
+        ml_all = np.minimum.reduceat(lens_all, starts).astype(np.int32)
+        # per-term block counts (reduceat over the boundary mask)
+        nblocks = np.add.reduceat(bstart.astype(np.int64), t_starts)
+        n_blocks_total = len(starts)
+        # competitive impacts (Pareto frontier per block), globally: sort
+        # (block, length asc, freq desc); within each block a pair survives
+        # iff its freq strictly exceeds the running max — computed by
+        # scattering the sorted freqs into a padded (blocks × 128) matrix
+        # and taking a row-wise cumulative max (no per-block Python).
+        gb = np.cumsum(bstart) - 1  # global block id, term-major
+        _CL = np.int64((1 << 20) - 1)
+        if int(ff.max()) < _CL and int(lens_all.max()) < _CL:
+            # fast path: ONE int64 argsort of a composite (block, len,
+            # inverted-freq) key — ~4× cheaper than the 3-key lexsort at
+            # merge-task posting counts (radix-friendly single key, one
+            # gather instead of three)
+            comp = (
+                (gb.astype(np.int64) << np.int64(40))
+                | (lens_all << np.int64(20))
+                | (_CL - ff)
+            )
+            ks = comp[np.argsort(comp)]
+            gbs = (ks >> np.int64(40)).astype(np.int64)
+            ls = (ks >> np.int64(20)) & _CL
+            fs = _CL - (ks & _CL)
+        else:
+            order = np.lexsort((-ff, lens_all, gb))
+            fs, ls, gbs = ff[order], lens_all[order], gb[order]
+        within = np.arange(N, dtype=np.int64) - starts[gbs]
+        # `within` restarts per block because the sort's primary key is gb and
+        # each block's elements occupy positions [starts[b], starts[b]+size)
+        pad = np.full((n_blocks_total, _BS), -1, dtype=np.int32)
+        pad[gbs, within] = fs
+        cm = np.maximum.accumulate(pad, axis=1)
+        keep_pad = np.empty_like(pad, dtype=bool)
+        keep_pad[:, 0] = pad[:, 0] >= 0
+        keep_pad[:, 1:] = pad[:, 1:] > cm[:, :-1]
+        keep = keep_pad[gbs, within]
+        icnt_all = np.bincount(gbs[keep], minlength=n_blocks_total).astype(np.int64)
+        iff_all = fs[keep].astype(np.int32)
+        ill_all = ls[keep].astype(np.int32)
+    else:
+        ld_all = mf_all = ml_all = np.empty(0, dtype=np.int32)
+        iff_all = ill_all = np.empty(0, dtype=np.int32)
+        icnt_all = np.empty(0, dtype=np.int64)
+        nblocks = np.empty(0, dtype=np.int64)
+    # singletons: no packed stream, the (doc, freq) pair lives in the meta
+    # columns (Lucene90PostingsWriter.java:376-381 docFreq==1 short-circuit)
     sdoc = np.full(n_out, -1, dtype=np.int32)
     sfreq = np.zeros(n_out, dtype=np.int32)
-    one = np.ones(1, dtype=np.int64)
+    singleton = doc_freq == 1
+    sdoc[singleton] = dd[t_starts[singleton]].astype(np.int32)
+    sfreq[singleton] = ff[t_starts[singleton]].astype(np.int32)
+    _t["impacts_sec"] = _time.time() - _t0
+
+    _t0 = _time.time()
+    # positions: ONE preallocated int32 buffer + offsets, filled in place —
+    # Arrow binary column built zero-copy from it (the old per-term
+    # astype().tobytes() + pa.array chain copied the position stream three
+    # times; positions are the largest payload of a merge)
+    pos_total = int(total_tf.sum()) if store_positions else 0
+    pos_values = np.empty(pos_total, dtype=np.int32)
+    pos_off = np.zeros(n_out + 1, dtype=np.int64)
+    if store_positions and n_out:
+        np.cumsum(total_tf, out=pos_off[1:])
+    packed_col = []
     for ti in range(n_out):
         s, e = int(t_starts[ti]), int(t_ends[ti])
-        docs = dd[s:e]
-        freqs = ff[s:e]
-        if e - s == 1:
-            sdoc[ti] = docs[0]
-            sfreq[ti] = freqs[0]
-            packed_col.append(b"")
-            ld_parts.append(docs)
-            mf_parts.append(freqs)
-            ml_parts.append(dls[docs])
-            nblocks[ti] = 1
-            icnt_parts.append(one)
-            iff_parts.append(freqs)
-            ill_parts.append(dls[docs])
-        else:
-            packed_col.append(encode_postings(docs, freqs))
-            ld, mf, ml = block_skip_metadata(docs, freqs, dls[docs])
-            ld_parts.append(ld)
-            mf_parts.append(mf)
-            ml_parts.append(ml)
-            nblocks[ti] = len(ld)
-            icnt, iff, ill = competitive_impacts(freqs, dls[docs])
-            icnt_parts.append(np.asarray(icnt, dtype=np.int64))
-            iff_parts.append(iff)
-            ill_parts.append(ill)
+        packed_col.append(b"" if e - s == 1 else encode_postings(dd[s:e], ff[s:e]))
         if store_positions:
-            parts = pos_by_code.get(int(tc[s]), ())
-            pos_col.append(
-                parts[0].astype(np.int32).tobytes() if len(parts) == 1
-                else np.concatenate(parts).astype(np.int32).tobytes() if parts
-                else b""
-            )
-        else:
-            pos_col.append(b"")
+            o = int(pos_off[ti])
+            for part in pos_by_code.get(int(tc[s]), ()):
+                pos_values[o : o + len(part)] = part
+                o += len(part)
+    if store_positions and pos_total * 4 < 2**31 - 1:
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(), n_out,
+            [None, pa.py_buffer((pos_off * 4).astype(np.int32)),
+             pa.py_buffer(pos_values)],
+        )
+    elif store_positions:  # >2 GB of positions: chunk-safe fallback
+        pos_arr = pa.array(
+            [pos_values[pos_off[t] : pos_off[t + 1]].tobytes()
+             for t in range(n_out)], type=pa.binary())
+    else:
+        pos_arr = pa.array([b""] * n_out, type=pa.binary())
+    _t["encode_sec"] = _time.time() - _t0
 
-    def _list_col(parts, counts):
-        values = (
-            np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
-        ).astype(np.int32)
+    _t0 = _time.time()
+
+    def _list_col(values, counts):
         offsets = np.zeros(len(counts) + 1, dtype=np.int32)
         np.cumsum(counts, out=offsets[1:])
         return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
-                                        pa.array(values, type=pa.int32()))
+                                        pa.array(np.asarray(values, dtype=np.int32)))
 
-    icnt_all = (
-        np.concatenate(icnt_parts) if icnt_parts else np.empty(0, dtype=np.int64)
-    )
-    inner_imp_f = _list_col(iff_parts, icnt_all)
-    inner_imp_l = _list_col(ill_parts, icnt_all)
+    inner_imp_f = _list_col(iff_all, icnt_all)
+    inner_imp_l = _list_col(ill_all, icnt_all)
     outer_off = np.zeros(n_out + 1, dtype=np.int32)
     np.cumsum(nblocks, out=outer_off[1:])
     outer_off_arr = pa.array(outer_off, type=pa.int32())
@@ -213,14 +303,16 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             "singleton_doc": pa.array(sdoc, type=pa.int32()),
             "singleton_freq": pa.array(sfreq, type=pa.int32()),
             "packed": pa.array(packed_col, type=pa.binary()),
-            "block_last_docs": _list_col(ld_parts, nblocks),
-            "block_max_freqs": _list_col(mf_parts, nblocks),
-            "block_min_lens": _list_col(ml_parts, nblocks),
+            "block_last_docs": _list_col(ld_all, nblocks),
+            "block_max_freqs": _list_col(mf_all, nblocks),
+            "block_min_lens": _list_col(ml_all, nblocks),
             "imp_freqs": pa.ListArray.from_arrays(outer_off_arr, inner_imp_f),
             "imp_lens": pa.ListArray.from_arrays(outer_off_arr, inner_imp_l),
-            "positions": pa.array(pos_col, type=pa.binary()),
+            "positions": pos_arr,
         }
     )
+    _t["assemble_sec"] = _time.time() - _t0
+    _t0 = _time.time()
     # concat the full docs tables (doc-values columns survive merges),
     # dropping dead rows
     import pyarrow.parquet as pq
@@ -275,7 +367,9 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             "fields": fields,
             "default_field": default_f,
         }
-    return write_segment(
+    _t["docs_sec"] = _time.time() - _t0
+    _t0 = _time.time()
+    meta = write_segment(
         index_dir,
         out_name,
         postings_tbl,
@@ -290,16 +384,24 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             **extra,
         },
     )
+    _t["write_sec"] = _time.time() - _t0
+    # per-stage merge breakdown rides the manifest row so the bench can
+    # adjudicate regressions (open/decode-gather/impacts/encode/docs/write)
+    meta["merge_timings"] = {k: round(v, 4) for k, v in _t.items()}
+    return meta
 
 
 def select_merges(segments: list[dict], *, merge_factor: int = 10,
-                  max_merged_docs: int = 5_000_000) -> list[list[str]]:
+                  max_merged_docs: int = 5_000_000,
+                  max_groups: int | None = None) -> list[list[str]]:
     """Tiered candidate selection (pure metadata math, TieredMergePolicy
     analogue simplified): repeatedly take the ``merge_factor`` smallest
-    segments of the same generation whose combined size fits the cap."""
+    segments whose combined size fits the cap. ``max_groups`` bounds how
+    many merge groups one round may form (forceMerge uses 1 so a round
+    never over-merges past its target)."""
     out = []
     pool = sorted(segments, key=lambda s: (s["max_doc"], s["name"]))
-    while len(pool) >= 2:
+    while len(pool) >= 2 and (max_groups is None or len(out) < max_groups):
         group = []
         total = 0
         rest = []
@@ -318,14 +420,15 @@ def select_merges(segments: list[dict], *, merge_factor: int = 10,
 
 def merge_index(index_dir: str, *, merge_factor: int = 10,
                 max_merged_docs: int = 5_000_000, delete_sources: bool = True,
-                use_ray: bool = True) -> Manifest:
+                use_ray: bool = True, max_groups: int | None = None) -> Manifest:
     """One merge round: select groups, run merge tasks, commit gen+1.
 
     Returns the new Manifest (or the current one when nothing qualifies).
     """
     manifest = Manifest.load(index_dir)
     groups = select_merges(manifest.segments, merge_factor=merge_factor,
-                           max_merged_docs=max_merged_docs)
+                           max_merged_docs=max_merged_docs,
+                           max_groups=max_groups)
     if not groups:
         return manifest
     new_gen = manifest.gen + 1
@@ -395,7 +498,10 @@ def merge_index(index_dir: str, *, merge_factor: int = 10,
 
         build_term_stats(index_dir, new_manifest)
     elif os.path.exists(old_ts) and not os.path.exists(new_ts):
-        shutil.copyfile(old_ts, new_ts)
+        if os.path.isdir(old_ts):  # distributed term-range directory layout
+            shutil.copytree(old_ts, new_ts)
+        else:
+            shutil.copyfile(old_ts, new_ts)
     if delete_sources:
         for n in consumed:
             shutil.rmtree(os.path.join(index_dir, "segments", n), ignore_errors=True)
@@ -416,13 +522,16 @@ def force_merge(index_dir: str, max_segments: int = 1, *,
     while len(manifest.segments) > max_segments:
         n = len(manifest.segments)
         # shrink toward the target: merge enough smallest segments that one
-        # round makes progress even when n is barely above the target
+        # round makes progress even when n is barely above the target.
+        # ONE group per round — a second greedy group would over-merge below
+        # the requested target (forceMerge(N) lands on exactly N).
         factor = max(2, n - max_segments + 1)
         new_manifest = merge_index(
             index_dir,
             merge_factor=factor,
             max_merged_docs=2**62,
             use_ray=use_ray,
+            max_groups=1,
         )
         if len(new_manifest.segments) >= n:
             break  # nothing qualified — avoid spinning

@@ -57,8 +57,7 @@ def main(argv=None) -> int:
             s = IndexSearcher(args.index_dir)
             # all flavors normalize query terms through the INDEX's analyzer
             # chain (a stemmed/folded index must meet stemmed/folded terms)
-            s.parse("warmup")  # builds s._parse_analyzer
-            norm = s._parse_analyzer.normalize
+            norm = s.query_analyzer().normalize
             if args.syntax == "simple":
                 q = parse_simple_query(args.query, normalize=norm)
             elif args.syntax == "surround":
