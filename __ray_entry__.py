@@ -1011,6 +1011,61 @@ def _q_embedding_neardup(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+HL_TERMS = ("merge", "spark", "window")
+
+
+def _offsets_index(sf_dir: str) -> str:
+    """Documents index built with store_offsets=True (the .pay offsets
+    stream) — the offsets-based highlighting gate's fixture."""
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.state.manifest import Manifest
+
+    d = _cache_dir(sf_dir, "offsets")
+    if not Manifest.exists(d):
+        build_index(
+            f"{sf_dir}/documents.parquet",
+            d,
+            key_col="doc_id",
+            text_col="text",
+            num_partitions=4,
+            analyzer="simple",
+            columns=["doc_id", "text"],
+            store_offsets=True,
+        )
+    return d
+
+
+def _q_highlight_spans(sf_dir: str) -> pa.Table:
+    """Exact character spans of the query terms from STORED postings offsets
+    (no re-analysis). Oracle: cumulative token lengths over the SQL split —
+    start = sum(len(earlier tokens)) + (#separating spaces)."""
+    from lucene_ray.pipelines.highlight import term_spans
+
+    t = term_spans(_offsets_index(sf_dir), list(HL_TERMS))
+    return pa.table({
+        "doc_id": t.column("doc_key").cast(pa.int64()),
+        "term": t.column("term"),
+        "start_off": t.column("start_off").cast(pa.int64()),
+        "end_off": t.column("end_off").cast(pa.int64()),
+    })
+
+
+def _sql_highlight_spans() -> str:
+    terms = ", ".join(f"('{t}')" for t in HL_TERMS)
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+occ AS (
+  SELECT doc_id, toks[i] AS term,
+         (coalesce(list_sum(list_transform(toks[1:i-1], x -> length(x))), 0)
+          + i - 1)::BIGINT AS start_off
+  FROM base, unnest(range(1, len(toks) + 1)) AS t(i)
+)
+SELECT o.doc_id, o.term, o.start_off,
+       (o.start_off + length(o.term))::BIGINT AS end_off
+FROM occ o JOIN (VALUES {terms}) q(term) ON q.term = o.term
+"""
+
+
 def _q_minhash_pairs(sf_dir: str):
     from lucene_ray.pipelines.dedup import minhash_lsh_pairs
 
@@ -2814,6 +2869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_topk": _q_join_topk,
         # analysis chain / text stats (SURVEY §2.2 + data-prep extensions)
         "token_stats": _q_token_stats,
+        "highlight_spans": _q_highlight_spans,  # stored postings offsets
         "quality_scores": _q_quality,
         "fingerprint": _q_fingerprint,
         # dedup family (§2.9 + extensions)
@@ -2888,6 +2944,7 @@ def oracle_sql() -> dict[str, str]:
         "block_join_topk": _SQL_BLOCK_JOIN,
         "join_topk": _SQL_JOIN,
         "token_stats": _SQL_TOKEN_STATS,
+        "highlight_spans": _sql_highlight_spans(),
         "quality_scores": _SQL_QUALITY,
         "fingerprint": _SQL_FINGERPRINT,
         "dedup_exact": _SQL_DEDUP,

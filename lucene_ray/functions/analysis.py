@@ -265,7 +265,68 @@ class Analyzer:
 
         return self._apply_term_filters(codes, vocab, doc_idx, positions, n_docs)
 
-    def _apply_term_filters(self, codes, vocab, doc_idx, positions, n_docs):
+    def tokenize_batch_encoded_offsets(self, texts):
+        """Offsets-aware tokenization: like :meth:`tokenize_batch_encoded`
+        but also returns per-token CHARACTER offsets into the ORIGINAL
+        stored text — ``(codes, vocab, doc_idx, positions, starts, ends,
+        doc_lengths)``.
+
+        The reference stores offsets in the postings when a field indexes
+        ``DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS``
+        (index/IndexOptions.java:24, Lucene90PostingsWriter.java:84-117
+        ``.pay``); this is the index-side producer for that opt-in path.
+        Uses ``finditer`` over the original text (tokens lowercased after
+        matching) — a per-doc C loop rather than the megastring fast path,
+        which is the price of span-accurate offsets; offsets indexing is
+        opt-in exactly like the reference's."""
+        import itertools
+
+        import pyarrow as pa
+
+        n_docs = len(texts)
+        empty_i = np.empty(0, dtype=np.int32)
+        if hasattr(texts, "to_pylist"):
+            texts = texts.to_pylist()
+        if n_docs == 0:
+            e = np.empty(0, dtype=object)
+            return empty_i, e, empty_i, empty_i, empty_i, empty_i, empty_i
+        if self.kind == "simple":
+            token_re = re.compile(r"[a-z0-9]+", re.IGNORECASE)
+        elif self.kind == "whitespace":
+            token_re = re.compile(r"\S+")
+        else:
+            token_re = _TOKEN_RE  # letter classes already match both cases
+        per_doc = [
+            [(m.group().lower(), m.start(), m.end())
+             for m in token_re.finditer(t)]
+            for t in texts
+        ]
+        counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64, count=n_docs)
+        total = int(counts.sum())
+        if total == 0:
+            z = np.zeros(n_docs, dtype=np.int32)
+            return (empty_i, np.empty(0, dtype=object), empty_i, empty_i,
+                    empty_i, empty_i, z)
+        flat = list(itertools.chain.from_iterable(per_doc))
+        toks = pa.array([t[0] for t in flat], type=pa.string())
+        starts = np.fromiter((t[1] for t in flat), dtype=np.int32, count=total)
+        ends = np.fromiter((t[2] for t in flat), dtype=np.int32, count=total)
+        enc = toks.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int32)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int32), counts)
+        doc_tok_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        positions = (
+            np.arange(total, dtype=np.int64) - np.repeat(doc_tok_starts, counts)
+        ).astype(np.int32)
+        codes, vocab, doc_idx, positions, doc_lengths, (starts, ends) = (
+            self._apply_term_filters(codes, vocab, doc_idx, positions, n_docs,
+                                     offsets=(starts, ends), return_offsets=True)
+        )
+        return codes, vocab, doc_idx, positions, starts, ends, doc_lengths
+
+    def _apply_term_filters(self, codes, vocab, doc_idx, positions, n_docs,
+                            offsets=None, return_offsets=False):
         """Vocab-level transforms (possessive strip, ascii fold, stemming) +
         max-length / stop-word filters + per-doc lengths. Runs at vocabulary
         size, not token count."""
@@ -291,6 +352,8 @@ class Analyzer:
             codes = codes[keep]
             doc_idx = doc_idx[keep]
             positions = positions[keep]
+            if offsets is not None:
+                offsets = (offsets[0][keep], offsets[1][keep])
         if self.stem and len(vocab):
             from lucene_ray.functions.stemming import porter_stem
 
@@ -300,6 +363,8 @@ class Analyzer:
             vocab, inv = np.unique(vocab, return_inverse=True)
             codes = inv[codes].astype(np.int32) if len(codes) else codes
         doc_lengths = np.bincount(doc_idx, minlength=n_docs).astype(np.int32)
+        if return_offsets:
+            return codes, vocab, doc_idx, positions, doc_lengths, offsets
         return codes, vocab, doc_idx, positions, doc_lengths
 
     def tokenize_batch(

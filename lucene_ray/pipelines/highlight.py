@@ -82,6 +82,138 @@ class Highlighter:
         return batch.append_column("snippet", pa.array(snippets, type=pa.string()))
 
 
+# -------------------------------------------------- offsets-based path
+
+
+def term_spans(index_dir_or_searcher, terms, *, analyzer: Analyzer | None = None) -> pa.Table:
+    """Exact match spans from STORED postings offsets — no re-analysis.
+
+    The UnifiedHighlighter offsets source (uhighlight/FieldOffsetStrategy:
+    postings-with-offsets beats re-analysis because the text is never
+    re-tokenized; reference stores offsets via IndexOptions
+    ..._AND_OFFSETS, Lucene90PostingsWriter.java:84-117). Requires an index
+    built with ``store_offsets=True``; raises otherwise.
+
+    Returns one row per occurrence: (doc_key, term, start_off, end_off),
+    doc-major, offsets ascending within a doc.
+    """
+    import numpy as np
+
+    from lucene_ray.searcher import IndexSearcher
+
+    s = (index_dir_or_searcher if hasattr(index_dir_or_searcher, "readers")
+         else IndexSearcher(index_dir_or_searcher))
+    analyzer = analyzer or Analyzer("standard")
+    norm_terms = [analyzer.normalize(t) for t in terms]
+    if not any(getattr(r, "has_offsets", False) for r in s.readers):
+        raise ValueError(
+            "index was built without store_offsets=True — offsets-based "
+            "highlighting needs the offsets stream (re-analysis fallback: "
+            "Highlighter)")
+    keys_out, terms_out, st_out, en_out = [], [], [], []
+    for r in s.readers:
+        for t in norm_terms:
+            i = r.term_index(t)
+            if i < 0:
+                continue
+            d, f = r.postings(i)
+            if r.live is not None:
+                keep = r.live[d]
+                occ = np.repeat(keep, f)
+                stream = r.offsets(i).reshape(-1, 2)[occ]
+                d, f = d[keep], f[keep]
+            else:
+                stream = r.offsets(i).reshape(-1, 2)
+            if not len(d):
+                continue
+            keys_out.append(np.repeat(r.doc_keys[d], f))
+            terms_out.extend([t] * int(f.sum()))
+            st_out.append(stream[:, 0])
+            en_out.append(stream[:, 1])
+    import numpy as _np
+
+    if not keys_out:
+        return pa.table({
+            "doc_key": pa.array([], type=pa.string()),
+            "term": pa.array([], type=pa.string()),
+            "start_off": pa.array([], type=pa.int32()),
+            "end_off": pa.array([], type=pa.int32()),
+        })
+    return pa.table({
+        "doc_key": pa.array(_np.concatenate(keys_out)),
+        "term": pa.array(terms_out, type=pa.string()),
+        "start_off": pa.array(_np.concatenate(st_out), type=pa.int32()),
+        "end_off": pa.array(_np.concatenate(en_out), type=pa.int32()),
+    })
+
+
+def fragment_from_spans(text: str, spans, *, max_chars: int = 160,
+                        pre: str = "<b>", post: str = "</b>") -> str:
+    """Snippet around the densest run of stored-offset spans — pure string
+    slicing, the text is NEVER re-tokenized. ``spans`` = iterable of
+    (start, end), ascending."""
+    spans = sorted((int(a), int(b)) for a, b in spans)
+    if not spans:
+        return text[:max_chars]
+    # densest window: two-pointer over span starts within max_chars
+    best_i, best_n = 0, 0
+    j = 0
+    for i in range(len(spans)):
+        if j < i:
+            j = i
+        while j + 1 < len(spans) and spans[j + 1][1] - spans[i][0] <= max_chars:
+            j += 1
+        if j - i + 1 > best_n:
+            best_i, best_n = i, j - i + 1
+    lo = max(0, spans[best_i][0] - 20)
+    hi = min(len(text), lo + max_chars)
+    out, cursor = [], lo
+    for a, b in spans:
+        if a < lo or b > hi:
+            continue
+        out.append(text[cursor:a])
+        out.append(f"{pre}{text[a:b]}{post}")
+        cursor = b
+    out.append(text[cursor:hi])
+    return "".join(out)
+
+
+def highlight_hits_offsets(source_ds, index_dir_or_searcher, query_or_terms, *,
+                           key_col: str = "doc_id", text_col: str = "text",
+                           max_chars: int = 160,
+                           analyzer: Analyzer | None = None):
+    """Offsets-based highlight over a Dataset of stored rows: spans come
+    from the index (small — terms × hits), broadcast once; each batch
+    slices its own text. No re-tokenization anywhere."""
+    import ray
+
+    analyzer = analyzer or Analyzer("standard")
+    if isinstance(query_or_terms, str):
+        terms = _extract_terms(parse_query(query_or_terms, analyzer.normalize))
+    elif isinstance(query_or_terms, (set, list, tuple)):
+        terms = {analyzer.normalize(t) for t in query_or_terms}
+    else:
+        terms = _extract_terms(query_or_terms)
+    spans_tbl = term_spans(index_dir_or_searcher, sorted(terms), analyzer=analyzer)
+    by_key: dict = {}
+    for k, a, b in zip(spans_tbl.column("doc_key").to_pylist(),
+                       spans_tbl.column("start_off").to_pylist(),
+                       spans_tbl.column("end_off").to_pylist()):
+        by_key.setdefault(k, []).append((a, b))
+    ref = ray.put(by_key)
+
+    def add_snippets(batch: pa.Table) -> pa.Table:
+        spans = ray.get(ref)
+        snippets = [
+            fragment_from_spans(t, spans.get(k, ()), max_chars=max_chars)
+            for k, t in zip(batch.column(key_col).to_pylist(),
+                            batch.column(text_col).to_pylist())
+        ]
+        return batch.append_column("snippet", pa.array(snippets, type=pa.string()))
+
+    return source_ds.map_batches(add_snippets, batch_format="pyarrow")
+
+
 def highlight_hits(source_ds, hits_ds, query, *, key_col: str = "doc_id",
                    text_col: str = "text", window: int = 20):
     """Join top-k hits back to their stored text and add snippets.

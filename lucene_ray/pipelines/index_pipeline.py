@@ -97,13 +97,14 @@ class _BuildSegment:
     def __init__(self, index_dir: str, key_col: str, text_col: str, analyzer_kind: str,
                  store_positions: bool, num_partitions: int,
                  docvalue_cols: tuple = (), text_cols: tuple = (),
-                 index_sort: tuple | None = None):
+                 index_sort: tuple | None = None, store_offsets: bool = False):
         self.index_dir = index_dir
         self.key_col = key_col
         self.text_col = text_col
         self.analyzer = get_analyzer(analyzer_kind)
         self.analyzer_kind = analyzer_kind
         self.store_positions = store_positions
+        self.store_offsets = store_offsets
         self.num_partitions = num_partitions
         self.docvalue_cols = tuple(docvalue_cols)
         self.text_cols = tuple(text_cols)  # >1 → multi-field segments
@@ -159,7 +160,8 @@ class _BuildSegment:
         else:
             texts = group.column(self.text_col)  # Arrow column → tokenizer fast path
             postings_tbl, docs_tbl, stats = build_segment_tables(
-                keys, texts, self.analyzer, store_positions=self.store_positions
+                keys, texts, self.analyzer, store_positions=self.store_positions,
+                store_offsets=self.store_offsets,
             )
         for c in self.docvalue_cols:  # doc-values columns ride the docs table
             docs_tbl = docs_tbl.append_column(c, group.column(c))
@@ -205,6 +207,7 @@ def build_index(
     num_partitions: int = 16,
     analyzer: str = "standard",
     store_positions: bool = True,
+    store_offsets: bool = False,
     resume: bool = True,
     extract_html: bool = False,
     dedup_exact: bool = False,
@@ -264,7 +267,8 @@ def build_index(
             batch_format="pyarrow",
         )
         builder = _BuildSegment(index_dir, key_col, text_col, analyzer, store_positions,
-                                num_partitions, docvalue_cols, text_cols, index_sort)
+                                num_partitions, docvalue_cols, text_cols, index_sort,
+                                store_offsets)
 
         def build_one_segment(group: pa.Table) -> pa.Table:
             return builder(group)
@@ -300,6 +304,7 @@ def build_index(
             "analyzer": analyzer,
             "num_partitions": num_partitions,
             "store_positions": store_positions,
+            "store_offsets": store_offsets,
             "docvalue_cols": list(docvalue_cols),
             "text_cols": list(text_cols),
             "index_sort": list(index_sort) if index_sort else None,
@@ -318,6 +323,7 @@ def build_index_by_file(
     text_col: str = "text",
     analyzer: str = "standard",
     store_positions: bool = True,
+    store_offsets: bool = False,
     resume: bool = True,
     extract_html: bool = False,
     columns: list[str] | None = None,
@@ -378,7 +384,8 @@ def build_index_by_file(
             done[p] = sorted(ms, key=lambda m: m.get("sub") or 0)
 
     builder = _BuildSegment(index_dir, key_col, text_col, analyzer,
-                            store_positions, n, docvalue_cols, text_cols, index_sort)
+                            store_positions, n, docvalue_cols, text_cols, index_sort,
+                            store_offsets)
 
     @ray.remote(num_cpus=1)
     def _file_task(path: str, part_id: int) -> str:
@@ -439,6 +446,7 @@ def build_index_by_file(
             "analyzer": analyzer,
             "num_partitions": n,
             "store_positions": store_positions,
+            "store_offsets": store_offsets,
             "docvalue_cols": list(docvalue_cols),
             "text_cols": list(text_cols),
             "index_sort": list(index_sort) if index_sort else None,

@@ -109,6 +109,11 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
     run_codes: list[int] = []
     run_lens: list[int] = []
     pos_by_code: dict[int, list[np.ndarray]] = {}
+    ofs_by_code: dict[int, list[np.ndarray]] = {}
+    # offsets (.pay stream analogue) survive a merge only when every source
+    # segment carries them
+    store_offsets = store_positions and all(
+        getattr(r, "has_offsets", False) for r in readers)
     for r, base, live, remap in zip(readers, bases, lives, remaps):
         gcodes = np.searchsorted(all_terms, r.terms)  # exact: r.terms ⊆ all_terms
         n_terms = r.n_terms
@@ -118,8 +123,13 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             all_live = keep.all()
             if store_positions:
                 ptr = r.positions(i)
+                if store_offsets:
+                    otr = r.offsets(i)
                 if not all_live:
-                    ptr = ptr[np.repeat(keep, f)]
+                    occ = np.repeat(keep, f)
+                    ptr = ptr[occ]
+                    if store_offsets:
+                        otr = otr.reshape(-1, 2)[occ].ravel()
             if not all_live:
                 d, f = d[keep], f[keep]
             if not len(d):
@@ -131,6 +141,8 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             run_lens.append(len(d))
             if store_positions:
                 pos_by_code.setdefault(code, []).append(ptr)
+                if store_offsets:
+                    ofs_by_code.setdefault(code, []).append(otr)
 
     if doc_parts:
         # Each (term, reader) run is already doc-ordered, and readers are
@@ -257,6 +269,7 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
     pos_total = int(total_tf.sum()) if store_positions else 0
     pos_values = np.empty(pos_total, dtype=np.int32)
     pos_off = np.zeros(n_out + 1, dtype=np.int64)
+    ofs_values = np.empty(2 * pos_total if store_offsets else 0, dtype=np.int32)
     if store_positions and n_out:
         np.cumsum(total_tf, out=pos_off[1:])
     packed_col = []
@@ -268,18 +281,28 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             for part in pos_by_code.get(int(tc[s]), ()):
                 pos_values[o : o + len(part)] = part
                 o += len(part)
-    if store_positions and pos_total * 4 < 2**31 - 1:
-        pos_arr = pa.Array.from_buffers(
-            pa.binary(), n_out,
-            [None, pa.py_buffer((pos_off * 4).astype(np.int32)),
-             pa.py_buffer(pos_values)],
-        )
-    elif store_positions:  # >2 GB of positions: chunk-safe fallback
-        pos_arr = pa.array(
-            [pos_values[pos_off[t] : pos_off[t + 1]].tobytes()
+            if store_offsets:
+                o2 = 2 * int(pos_off[ti])
+                for part in ofs_by_code.get(int(tc[s]), ()):
+                    ofs_values[o2 : o2 + len(part)] = part
+                    o2 += len(part)
+
+    def _bin_col(values: np.ndarray, item_counts_off: np.ndarray) -> pa.Array:
+        if int(item_counts_off[-1]) * 4 < 2**31 - 1:
+            return pa.Array.from_buffers(
+                pa.binary(), n_out,
+                [None, pa.py_buffer((item_counts_off * 4).astype(np.int32)),
+                 pa.py_buffer(values)],
+            )
+        return pa.array(  # >2 GB stream: chunk-safe fallback
+            [values[item_counts_off[t] : item_counts_off[t + 1]].tobytes()
              for t in range(n_out)], type=pa.binary())
-    else:
-        pos_arr = pa.array([b""] * n_out, type=pa.binary())
+
+    empty_bin = None
+    if not store_positions or not store_offsets:
+        empty_bin = pa.array([b""] * n_out, type=pa.binary())
+    pos_arr = _bin_col(pos_values, pos_off) if store_positions else empty_bin
+    ofs_arr = _bin_col(ofs_values, pos_off * 2) if store_offsets else empty_bin
     _t["encode_sec"] = _time.time() - _t0
 
     _t0 = _time.time()
@@ -309,6 +332,7 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             "imp_freqs": pa.ListArray.from_arrays(outer_off_arr, inner_imp_f),
             "imp_lens": pa.ListArray.from_arrays(outer_off_arr, inner_imp_l),
             "positions": pos_arr,
+            "offsets": ofs_arr,
         }
     )
     _t["assemble_sec"] = _time.time() - _t0

@@ -86,6 +86,7 @@ def build_segment_tables(
     analyzer: Analyzer,
     *,
     store_positions: bool = True,
+    store_offsets: bool = False,
 ) -> tuple[pa.Table, pa.Table, dict]:
     """The invert kernel: one partition's docs → (postings, docs, stats).
 
@@ -100,7 +101,15 @@ def build_segment_tables(
     straight through for the zero-copy tokenizer fast path.
     """
     n_docs = len(texts)
-    codes, vocab, doc_idx, positions, doc_lengths = analyzer.tokenize_batch_encoded(texts)
+    tok_starts = tok_ends = None
+    if store_offsets:
+        # offsets ride the postings like the reference's .pay stream
+        # (Lucene90PostingsWriter.java:84-117, IndexOptions ..._AND_OFFSETS)
+        (codes, vocab, doc_idx, positions, tok_starts, tok_ends,
+         doc_lengths) = analyzer.tokenize_batch_encoded_offsets(texts)
+    else:
+        codes, vocab, doc_idx, positions, doc_lengths = (
+            analyzer.tokenize_batch_encoded(texts))
 
     # MAX_POSITION cap (IndexWriter.java MAX_POSITION analogue): the exact
     # phrase matcher packs positions into 21 bits of a (doc, pos) int64 key —
@@ -137,6 +146,7 @@ def build_segment_tables(
                 "imp_freqs": pa.array([], type=pa.list_(pa.list_(pa.int32()))),
                 "imp_lens": pa.array([], type=pa.list_(pa.list_(pa.int32()))),
                 "positions": pa.array([], type=pa.binary()),
+                "offsets": pa.array([], type=pa.binary()),
             }
         )
         stats = dict(max_doc=n_docs, doc_count=0, sum_doc_freq=0, sum_total_term_freq=0)
@@ -217,6 +227,18 @@ def build_segment_tables(
         ]
     else:
         pos_col = [b""] * len(term_starts)
+    if store_offsets:
+        # interleaved (start, end) int32 pairs, same occurrence order as the
+        # position stream (doc-major within term)
+        interleaved = np.empty(2 * len(order), dtype=np.int32)
+        interleaved[0::2] = tok_starts[order]
+        interleaved[1::2] = tok_ends[order]
+        off_col = [
+            interleaved[2 * cs[term_starts[i]] : 2 * cs[term_ends[i]]].tobytes()
+            for i in range(len(term_starts))
+        ]
+    else:
+        off_col = [b""] * len(term_starts)
 
     postings_tbl = pa.table(
         {
@@ -232,6 +254,7 @@ def build_segment_tables(
             "imp_freqs": pa.array(impf_col, type=pa.list_(pa.list_(pa.int32()))),
             "imp_lens": pa.array(impl_col, type=pa.list_(pa.list_(pa.int32()))),
             "positions": pa.array(pos_col, type=pa.binary()),
+            "offsets": pa.array(off_col, type=pa.binary()),
         }
     )
 
@@ -426,6 +449,16 @@ class SegmentReader:
             self._impf_views = None
             self._impl_views = None
         self._pos_off, self._pos_data = _binary_views(p.column("positions"))
+        if "offsets" in p.column_names:
+            self._ofs_off, self._ofs_data = _binary_views(p.column("offsets"))
+            # vacuously true for a 0-term segment (it must not veto offsets
+            # surviving a merge with its siblings)
+            self.has_offsets = (
+                self.n_terms == 0 or int(self._ofs_off[-1]) > 0
+            )
+        else:
+            self._ofs_off = self._ofs_data = None
+            self.has_offsets = False
         self.doc_keys = d.column("doc_key").to_numpy(zero_copy_only=False)
         self.norms = d.column("norm").to_numpy()
         self.dls = d.column("dl").to_numpy()
@@ -553,6 +586,31 @@ class SegmentReader:
             return np.empty(0, dtype=np.int32)
         sl = self._pos_data[self._pos_off[i] : self._pos_off[i + 1]]
         return np.frombuffer(sl, dtype=np.int32)
+
+    def offsets(self, term: str | int) -> np.ndarray:
+        """Interleaved (start, end) int32 char-offset pairs, doc-major,
+        aligned with the position stream; empty when the segment was built
+        without ``store_offsets`` (the .pay offsets stream analogue)."""
+        i = self.term_index(term) if isinstance(term, str) else term
+        if i < 0 or self._ofs_off is None:
+            return np.empty(0, dtype=np.int32)
+        sl = self._ofs_data[self._ofs_off[i] : self._ofs_off[i + 1]]
+        return np.frombuffer(sl, dtype=np.int32)
+
+    def offsets_for_doc(self, term: str | int, doc: int) -> tuple[np.ndarray, np.ndarray]:
+        """(starts, ends) char offsets of a term's occurrences in ONE doc."""
+        i = self.term_index(term) if isinstance(term, str) else term
+        e = np.empty(0, dtype=np.int32)
+        if i < 0 or self._ofs_off is None:
+            return e, e
+        d, f = self.postings(i)
+        k = int(np.searchsorted(d, doc))
+        if k >= len(d) or d[k] != doc:
+            return e, e
+        base = int(f[:k].sum())
+        stream = self.offsets(i)
+        sl = stream[2 * base : 2 * (base + int(f[k]))]
+        return sl[0::2], sl[1::2]
 
     def postings_block(self, i: int, j: int) -> tuple[np.ndarray, np.ndarray]:
         """Decode ONLY 128-doc block ``j`` of term ``i`` (absolute docIDs) —
