@@ -247,6 +247,36 @@ def run_bench() -> dict:
     curate_corpus(docs, langs=("en",), min_tokens=10).count()
     timings["curation"] = time.time() - t0
 
+    # 5b. MultiTermQuery dictionary pruning over a vocabulary-rich index
+    # (the synthesized web corpus has a tiny vocab, so this stage builds a
+    # 100k-term dictionary once): wildcard/fuzzy verified-term counts vs the
+    # full dictionary a naive scan would walk
+    mtq_dir = "/tmp/lucene_ray_bench/mtq-idx-v1"
+    from lucene_ray.state.manifest import Manifest as _Manifest
+
+    prefixes = ["merge", "spark", "window", "column", "stream",
+                "vector", "filter", "shard", "tuple", "lattice"]
+    if not _Manifest.exists(mtq_dir):
+        rng = np.random.default_rng(7)
+        words = [f"{prefixes[i % 10]}{rng.integers(0, 100)}q{i:05d}"
+                 for i in range(100_000)]
+        rows = [{"url": f"m{i:05d}", "text": " ".join(words[i * 5 : i * 5 + 5])}
+                for i in range(20_000)]
+        build_index(ray.data.from_items(rows), mtq_dir, key_col="url",
+                    text_col="text", num_partitions=4, resume=False)
+    ms = IndexSearcher(mtq_dir)
+    from lucene_ray.query import FuzzyQuery, WildcardQuery
+
+    t0 = time.time()
+    for rep in range(3):
+        for p in prefixes:
+            ms.search(WildcardQuery(f"{p}1*"), k=100)
+        ms.search(FuzzyQuery("merge11q00017", max_edits=1), k=100)
+    timings["mtq_queries"] = time.time() - t0
+    mtq_stats = dict(ms.mtq_stats)
+    mtq_stats["scan_reduction_x"] = round(
+        mtq_stats["terms_total"] / max(1, mtq_stats["terms_scanned"]), 1)
+
     import pyarrow.parquet as pq
 
     emb_pdf = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
@@ -280,6 +310,7 @@ def run_bench() -> dict:
             manifest.config["metrics"]["sum_partition_build_sec"]
             / max(1, manifest.config["metrics"]["n_partitions"]), 4),
         "merge_breakdown": merge_breakdown,
+        "mtq_dict_pruning": mtq_stats,
         "wand_blocks_total": wand_tot["blocks_total"],
         "wand_blocks_visited": wand_tot["blocks_visited"],
         "wand_blocks_skipped_pct": round(

@@ -108,6 +108,40 @@ def _merge_top(parts: list[list[ScoreDoc]], k: int, after: tuple | None = None) 
     return heapq.nsmallest(k, allsd, key=ScoreDoc.sort_key)
 
 
+def _wildcard_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of a wildcard pattern (before the first
+    ``*``/``?``) — the CompiledAutomaton common-prefix analogue
+    (util/automaton/CompiledAutomaton.java) that bounds the dictionary scan
+    to one ``term_range`` instead of the whole dictionary."""
+    out, i = [], 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i + 1]); i += 2
+        elif c in "*?":
+            break
+        else:
+            out.append(c); i += 1
+    return "".join(out)
+
+
+_REGEX_META = set("\\^$.|?*+()[]{}")
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of an (anchored) regexp — chars up to the
+    first metacharacter; a trailing char modified by ``* + ? {`` is not
+    literal, so it is dropped from the prefix."""
+    out = []
+    for c in pattern:
+        if c in _REGEX_META:
+            if c in "*+?{" and out:
+                out.pop()
+            break
+        out.append(c)
+    return "".join(out)
+
+
 def _wildcard_regex(pattern: str) -> str:
     """Wildcard → regex: ``*`` any run, ``?`` one char, ``\\x`` literal x
     (search/WildcardQuery.java toAutomaton, incl. the escape rule)."""
@@ -302,6 +336,9 @@ class IndexSearcher:
         # termination); read the delta around a call to measure
         self.range_stats = {"docs_examined": 0, "max_doc_total": 0}
         self.sort_stats = {"docs_examined": 0, "docs_matched": 0}
+        # MultiTermQuery dictionary-pruning telemetry: terms actually
+        # VERIFIED (regex/DP) vs the full dictionary a naive scan would walk
+        self.mtq_stats = {"terms_scanned": 0, "terms_total": 0}
 
     @classmethod
     def from_readers(cls, readers, *, mode: str = "exact", config: dict | None = None,
@@ -337,6 +374,7 @@ class IndexSearcher:
         s._ts_cache = {}
         s.range_stats = {"docs_examined": 0, "max_doc_total": 0}
         s.sort_stats = {"docs_examined": 0, "docs_matched": 0}
+        s.mtq_stats = {"terms_scanned": 0, "terms_total": 0}
         return s
 
     # ---------------------------------------------------------------- fields
@@ -633,18 +671,18 @@ class IndexSearcher:
             import re as _re
 
             fp = self._fp(q.field)
-            rlo, rhi = r.term_range(fp) if fp else (0, r.n_terms)
             pat = _re.compile(_wildcard_regex(q.pattern))
-            idxs = [i for i in range(rlo, rhi) if pat.fullmatch(r.terms[i][len(fp):])]
+            rlo, rhi = self._mtq_range(r, fp, _wildcard_literal_prefix(q.pattern))
+            idxs = [i for i in range(rlo, rhi) if pat.fullmatch(r.term_at(i)[len(fp):])]
             docs = self._union_docs(r, idxs)
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, RegexpQuery):
             import re as _re
 
             fp = self._fp(q.field)
-            rlo, rhi = r.term_range(fp) if fp else (0, r.n_terms)
             pat = _re.compile(q.pattern)
-            idxs = [i for i in range(rlo, rhi) if pat.fullmatch(r.terms[i][len(fp):])]
+            rlo, rhi = self._mtq_range(r, fp, _regex_literal_prefix(q.pattern))
+            idxs = [i for i in range(rlo, rhi) if pat.fullmatch(r.term_at(i)[len(fp):])]
             docs = self._union_docs(r, idxs)
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, TermRangeQuery):
@@ -1472,26 +1510,62 @@ class IndexSearcher:
 
     # -------------------------------------------------- fuzzy / synonym
 
-    def _eval_fuzzy(self, r: SegmentReader, q: FuzzyQuery, boost: float) -> _SparseScores:
-        """Expand to dictionary terms within edit distance ≤ max_edits
-        (FuzzyQuery.java; FuzzyTermsEnum boost = 1 − edits/min-length after
-        the required exact prefix), then score as a boosted disjunction of
-        TermQueries. Scan scope: the prefix range of the sorted dictionary
-        when prefix_length > 0, else the whole (per-segment) dictionary —
-        the automaton-intersection equivalent; fine for bounded vocabularies,
-        range-prunable at scale."""
-        fp = self._fp(q.field)
-        if q.prefix_length > 0:
-            prefix = q.term[: q.prefix_length]
-            lo, hi = r.term_range(fp + prefix)
+    def _mtq_range(self, r: SegmentReader, fp: str, literal_prefix: str) -> tuple[int, int]:
+        """Dictionary index range a multi-term scan must verify: bounded by
+        the pattern's literal prefix via one sorted-range lookup (the
+        CompiledAutomaton common-prefix pruning) instead of the full
+        dictionary. Also records scan telemetry (mtq_stats)."""
+        if literal_prefix or fp:
+            lo, hi = r.term_range(fp + literal_prefix)
+        else:
+            lo, hi = 0, r.n_terms
+        flo, fhi = (r.term_range(fp) if fp else (0, r.n_terms))
+        self.mtq_stats["terms_scanned"] += hi - lo
+        self.mtq_stats["terms_total"] += fhi - flo
+        return lo, hi
+
+    def _fuzzy_candidate_idxs(self, r: SegmentReader, fp: str, base: str,
+                              max_edits: int, prefix_length: int) -> list[int]:
+        """Dictionary indices that SURVIVE the vectorized counting filter
+        (character-class histograms: max(Σ⁺, Σ⁻) of the histogram diff
+        lower-bounds the edit distance) within the required-prefix range —
+        only these run the banded DP. The cheap stand-in for FuzzyTermsEnum's
+        Levenshtein-automaton dictionary intersection."""
+        if prefix_length > 0:
+            lo, hi = r.term_range(fp + base[:prefix_length])
         elif fp:
             lo, hi = r.term_range(fp)
         else:
             lo, hi = 0, r.n_terms
+        if hi <= lo:
+            return []
+        from lucene_ray.state.segment import char_count_vec
+
+        qv = char_count_vec(fp + base)
+        diff = r.char_counts[lo:hi] - qv
+        lb = np.maximum(
+            np.clip(diff, 0, None).sum(axis=1),
+            np.clip(-diff, 0, None).sum(axis=1),
+        )
+        idxs = (lo + np.flatnonzero(lb <= max_edits)).tolist()
+        flo, fhi = (r.term_range(fp) if fp else (0, r.n_terms))
+        self.mtq_stats["terms_scanned"] += len(idxs)
+        self.mtq_stats["terms_total"] += fhi - flo
+        return idxs
+
+    def _eval_fuzzy(self, r: SegmentReader, q: FuzzyQuery, boost: float) -> _SparseScores:
+        """Expand to dictionary terms within edit distance ≤ max_edits
+        (FuzzyQuery.java; FuzzyTermsEnum boost = 1 − edits/min-length after
+        the required exact prefix), then score as a boosted disjunction of
+        TermQueries. Scan scope: required-prefix range ∩ counting-filter
+        survivors (_fuzzy_candidate_idxs) — the DP only ever runs on a small
+        slice of the dictionary."""
+        fp = self._fp(q.field)
         subs = []
         base = q.term
-        for i in range(lo, hi):
-            cand = r.terms[i][len(fp):]
+        for i in self._fuzzy_candidate_idxs(r, fp, base, q.max_edits,
+                                            q.prefix_length):
+            cand = r.term_at(i)[len(fp):]
             ed = _bounded_edit_distance(base, cand, q.max_edits)
             if ed < 0:
                 continue
@@ -1720,16 +1794,21 @@ class IndexSearcher:
             return out
         if kind == "wildcard":
             ok = _re.compile(_wildcard_regex(spec[1])).fullmatch
-        elif kind == "fuzzy":
+            out = []
+            for r in self.readers:
+                rlo, rhi = self._mtq_range(r, fp, _wildcard_literal_prefix(spec[1]))
+                out.extend(c for i in range(rlo, rhi) if ok(c := r.term_at(i)[len(fp):]))
+            return out
+        if kind == "fuzzy":
             base, max_edits = spec[1], spec[2]
-            ok = lambda c: _bounded_edit_distance(base, c, max_edits) >= 0
-        else:
-            raise TypeError(f"unknown expansion spec {spec!r}")
-        out = []
-        for r in self.readers:
-            rlo, rhi = r.term_range(fp) if fp else (0, r.n_terms)
-            out.extend(c for i in range(rlo, rhi) if ok(c := r.terms[i][len(fp):]))
-        return out
+            out = []
+            for r in self.readers:
+                for i in self._fuzzy_candidate_idxs(r, fp, base, max_edits, 0):
+                    c = r.term_at(i)[len(fp):]
+                    if _bounded_edit_distance(base, c, max_edits) >= 0:
+                        out.append(c)
+            return out
+        raise TypeError(f"unknown expansion spec {spec!r}")
 
     def _expand_complex_phrase(self, q: "ComplexPhraseQuery"):
         """Expand slot atom specs against the union dictionary, once per

@@ -56,6 +56,23 @@ from lucene_ray.functions.postings import (
 
 META_NAME = "meta.json"
 
+# utf-8 byte → character-class bucket for the fuzzy counting filter:
+# a-z → 0-25, 0-9 → 26-35, other lead bytes → 36, continuation bytes → 37
+# (dropped: each character must contribute exactly one count)
+_CHAR_BUCKET = np.full(256, 36, dtype=np.int8)
+for _b in range(ord("a"), ord("z") + 1):
+    _CHAR_BUCKET[_b] = _b - ord("a")
+for _b in range(ord("0"), ord("9") + 1):
+    _CHAR_BUCKET[_b] = 26 + _b - ord("0")
+_CHAR_BUCKET[0x80:0xC0] = 37
+
+
+def char_count_vec(s: str) -> np.ndarray:
+    """Histogram of one string under the same bucketing as ``char_counts``."""
+    b = np.frombuffer(s.encode(), dtype=np.uint8)
+    bk = _CHAR_BUCKET[b]
+    return np.bincount(bk[bk < 37], minlength=37).astype(np.int32)
+
 def prefix_successor(prefix: str) -> str | None:
     """Smallest string strictly greater than every string with ``prefix``.
 
@@ -488,6 +505,7 @@ class SegmentReader:
         self._decode_cache_max = 256
         self._block_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
         self._key_rank: np.ndarray | None = None
+        self._char_counts: np.ndarray | None = None
 
     @property
     def key_rank(self) -> np.ndarray:
@@ -511,6 +529,38 @@ class SegmentReader:
         if self._terms_np is None:
             self._terms_np = np.asarray(self._terms_arr.to_pylist(), dtype=object)
         return self._terms_np
+
+    @property
+    def char_counts(self) -> np.ndarray:
+        """(n_terms, 37) per-term character-class histogram — the q-gram-style
+        COUNTING FILTER backing fuzzy-query dictionary pruning (the cheap
+        stand-in for the reference's Levenshtein-automaton intersection,
+        util/automaton/CompiledAutomaton.java): for any two strings,
+        ``max(Σ pos-diff, Σ neg-diff)`` of their histograms lower-bounds the
+        edit distance, so most of the dictionary is rejected without running
+        the DP. Buckets: a-z → 0-25, 0-9 → 26-35, any other utf-8 LEAD byte
+        → 36; continuation bytes are dropped so each CHARACTER contributes
+        exactly one count (keeps the bound valid for non-ASCII). Built once
+        per reader, fully vectorized from the Arrow string buffer."""
+        if self._char_counts is None:
+            arr = self._terms_arr
+            n = len(arr)
+            if n == 0:
+                self._char_counts = np.zeros((0, 37), dtype=np.int32)
+                return self._char_counts
+            bufs = arr.buffers()
+            off = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + n + 1].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0] : off[-1]]
+            off = off - off[0]
+            lens = np.diff(off)
+            bucket = _CHAR_BUCKET[data]
+            term_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+            valid = bucket < 37
+            flat = term_id[valid] * 37 + bucket[valid]
+            self._char_counts = np.bincount(
+                flat, minlength=n * 37
+            ).reshape(n, 37).astype(np.int32)
+        return self._char_counts
 
     def term_at(self, i: int) -> str:
         if self._terms_np is not None:

@@ -1,0 +1,116 @@
+"""MultiTermQuery dictionary pruning: prefix-bounded range scans for
+wildcard/regexp and the counting-filter prefilter for fuzzy must return
+exactly the naive full-scan results while verifying far fewer terms."""
+
+import numpy as np
+import pytest
+import ray
+
+
+@pytest.fixture(scope="module")
+def vocab_index(tmp_path_factory):
+    import ray as _ray
+
+    if not _ray.is_initialized():
+        _ray.init(address="local", num_cpus=4, include_dashboard=False,
+                  ignore_reinit_error=True, logging_level="ERROR")
+    from lucene_ray.pipelines.index_pipeline import build_index
+
+    rng = np.random.default_rng(11)
+    words = [f"{p}{rng.integers(0, 10)}x{i:04d}" for i, p in enumerate(
+        np.random.default_rng(3).choice(
+            ["alpha", "beta", "gamma", "delta", "omega"], size=3000))]
+    rows = [{"url": f"u{i}", "text": " ".join(words[i * 3 : i * 3 + 3])}
+            for i in range(1000)]
+    idx = str(tmp_path_factory.mktemp("vocab") / "idx")
+    build_index(ray.data.from_items(rows), idx, key_col="url",
+                text_col="text", num_partitions=2)
+    return idx
+
+
+def _naive_matches(searcher, predicate):
+    out = set()
+    for r in searcher.readers:
+        for i in range(r.n_terms):
+            t = r.term_at(i)
+            if predicate(t):
+                out.add(t)
+    return out
+
+
+def test_wildcard_prefix_bounded_scan(vocab_index, ray_session):
+    from lucene_ray.query import WildcardQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(vocab_index)
+    td = s.search(WildcardQuery("beta3*"), k=10_000)
+    naive = _naive_matches(s, lambda t: t.startswith("beta3"))
+    # every matching doc contains a matching term
+    assert td.total_hits > 0 and len(naive) > 0
+    st = s.mtq_stats
+    assert st["terms_total"] > 0
+    # pruned scan verified >10x fewer terms than the full dictionary
+    assert st["terms_scanned"] * 10 <= st["terms_total"], st
+
+
+def test_regexp_literal_prefix(vocab_index, ray_session):
+    import re
+
+    from lucene_ray.query import RegexpQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(vocab_index)
+    pat = "gamma0x0[0-4].*"
+    td = s.search(RegexpQuery(pat), k=10_000)
+    naive_terms = _naive_matches(s, lambda t: re.fullmatch(pat, t) is not None)
+    assert td.total_hits > 0 and naive_terms
+    st = s.mtq_stats
+    assert st["terms_scanned"] * 10 <= st["terms_total"], st
+
+    # results identical to an unpruned evaluation (prefix-free pattern scans
+    # everything, so compare against a fresh searcher running ".*gamma[0-4]x.*"
+    # restricted — semantic check via doc sets)
+    docs_pruned = {sd.doc_key for sd in td.score_docs}
+    s2 = IndexSearcher(vocab_index)
+    td2 = s2.search(RegexpQuery(".*" + pat[0] + pat[1:]), k=10_000)
+    # '.*g...' has no literal prefix -> full scan; same matches
+    assert {sd.doc_key for sd in td2.score_docs} == docs_pruned
+
+
+def test_fuzzy_counting_filter_exact(vocab_index, ray_session):
+    from lucene_ray.query import FuzzyQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(vocab_index)
+    base = "omega7x0009"
+    td = s.search(FuzzyQuery(base, max_edits=2), k=10_000)
+    from lucene_ray.searcher import _bounded_edit_distance
+
+    naive = _naive_matches(s, lambda t: _bounded_edit_distance(base, t, 2) >= 0)
+    assert naive  # the exact term itself at minimum
+    st = s.mtq_stats
+    assert st["terms_scanned"] * 5 <= st["terms_total"], st
+    # doc-level equivalence: every doc holding a naive-matching term is hit
+    hit_docs = {sd.doc_key for sd in td.score_docs}
+    want_docs = set()
+    for r in s.readers:
+        for t in naive:
+            d, _ = r.postings(t)
+            want_docs.update(r.doc_keys[d].tolist())
+    assert hit_docs == want_docs
+
+
+def test_counting_filter_never_rejects_true_match(ray_session):
+    """Property: LB <= ED on random pairs — the filter is admissible."""
+    from lucene_ray.state.segment import char_count_vec
+    from lucene_ray.searcher import _bounded_edit_distance
+
+    rng = np.random.default_rng(5)
+    alpha = list("abcdefgh012")
+    for _ in range(300):
+        a = "".join(rng.choice(alpha, size=rng.integers(1, 12)))
+        b = "".join(rng.choice(alpha, size=rng.integers(1, 12)))
+        ed = _bounded_edit_distance(a, b, 100)
+        diff = char_count_vec(a) - char_count_vec(b)
+        lb = max(np.clip(diff, 0, None).sum(), np.clip(-diff, 0, None).sum())
+        assert lb <= ed, (a, b, lb, ed)
