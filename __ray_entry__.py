@@ -1011,6 +1011,69 @@ def _q_embedding_neardup(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+FACET_TAGS = ("spark", "window", "batch", "join", "scan")
+
+
+def _facet_index(sf_dir: str) -> str:
+    """Documents index with a LIST-typed doc-values column ``tags`` (the
+    doc's distinct tokens among FACET_TAGS, sorted) — the SortedSetDocValues
+    fixture for multi-valued facet counting."""
+    import re as _re
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.sources.io import read_parquet_clean
+    from lucene_ray.state.manifest import Manifest
+
+    d = _cache_dir(sf_dir, "facetm")
+    if not Manifest.exists(d):
+        tagset = frozenset(FACET_TAGS)
+
+        def add_tags(batch: pa.Table) -> pa.Table:
+            toks = [set(t.split()) & tagset
+                    for t in batch.column("text").to_pylist()]
+            return batch.append_column(
+                "tags", pa.array([sorted(s) for s in toks],
+                                 type=pa.list_(pa.string())))
+
+        ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+        build_index(ds.map_batches(add_tags, batch_format="pyarrow"), d,
+                    key_col="doc_id", text_col="text", num_partitions=4,
+                    analyzer="simple", docvalue_cols=("tags",))
+    return d
+
+
+def _q_facet_multi(sf_dir: str) -> pa.Table:
+    """Multi-valued (SortedSet DV) facet counts of ``tags`` over the docs
+    matching 'merge'."""
+    from lucene_ray.query import TermQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(_facet_index(sf_dir), mode="exact")
+    fc = s.facet_counts_multi(TermQuery("merge"), "tags")
+    tags = sorted(fc)
+    return pa.table({
+        "tag": pa.array(tags, type=pa.string()),
+        "n": pa.array([fc[t] for t in tags], type=pa.int64()),
+    })
+
+
+def _sql_facet_multi() -> str:
+    tags = ", ".join(f"('{t}')" for t in FACET_TAGS)
+    return """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+matching AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),
+tag_rows AS (
+  SELECT DISTINCT t.doc_id, t.term AS tag
+  FROM toks t JOIN (VALUES {tags}) q(term) ON q.term = t.term
+)
+SELECT tr.tag, count(*)::BIGINT AS n
+FROM tag_rows tr JOIN matching m ON m.doc_id = tr.doc_id
+GROUP BY tr.tag
+""".replace("{tags}", tags)
+
+
 HL_TERMS = ("merge", "spark", "window")
 
 
@@ -2870,6 +2933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analysis chain / text stats (SURVEY §2.2 + data-prep extensions)
         "token_stats": _q_token_stats,
         "highlight_spans": _q_highlight_spans,  # stored postings offsets
+        "facet_multi": _q_facet_multi,  # SortedSet doc values
         "quality_scores": _q_quality,
         "fingerprint": _q_fingerprint,
         # dedup family (§2.9 + extensions)
@@ -2945,6 +3009,7 @@ def oracle_sql() -> dict[str, str]:
         "join_topk": _SQL_JOIN,
         "token_stats": _SQL_TOKEN_STATS,
         "highlight_spans": _sql_highlight_spans(),
+        "facet_multi": _sql_facet_multi(),
         "quality_scores": _SQL_QUALITY,
         "fingerprint": _SQL_FINGERPRINT,
         "dedup_exact": _SQL_DEDUP,

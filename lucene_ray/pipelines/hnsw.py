@@ -281,38 +281,52 @@ def build_hnsw_index(ds, out_dir: str, *, vec_col: str = "embedding",
     return out_dir
 
 
-def knn_hnsw(index_dir: str, query_ids, query_vecs, *, k: int = 10,
-             ef: int = 96, concurrency: int = 8, exclude_self: bool = True):
-    """Search a persisted HNSW index: one task per shard loads its graph
-    (once) and answers ALL queries; per-query exact merge of per-shard
-    top-k — identical distribution shape to the text searcher. Returns
-    Dataset (query_id, rank, neighbor_id, cosine)."""
-    import ray
-    import ray.data
+class HnswShardSearcher:
+    """ACTOR-POOL shard searcher: graphs load once per (actor, shard) and
+    stay resident across query batches — the SearcherShard pattern (a
+    repeated-query workload pays the parquet read + graph rebuild exactly
+    once per shard per actor, not once per task invocation). Bounded LRU so
+    a long-lived actor that has seen many shards doesn't grow unboundedly."""
 
-    with open(os.path.join(index_dir, "shards.json")) as f:
-        shard_names = json.load(f)
-    qv = np.asarray(query_vecs, dtype=np.float64)
-    qref = ray.put((list(query_ids), qv))
+    def __init__(self, index_dir: str, qref, *, k: int, ef: int,
+                 exclude_self: bool, max_cached_shards: int = 32):
+        import ray
 
-    def search_shard(batch: pa.Table) -> pa.Table:
+        self.index_dir = index_dir
+        self.k = k
+        self.ef = ef
+        self.exclude_self = exclude_self
+        self.max_cached = max_cached_shards
+        self.qids, self.qm = ray.get(qref)  # fetched ONCE per actor
+        self._cache: dict[str, tuple[np.ndarray, HnswGraph]] = {}
+
+    def _shard(self, name: str) -> tuple[np.ndarray, "HnswGraph"]:
+        hit = self._cache.pop(name, None)
+        if hit is not None:
+            self._cache[name] = hit  # LRU reinsertion
+            return hit
+        d = os.path.join(self.index_dir, name)
+        vt = pq.read_table(os.path.join(d, "vectors.parquet"))
+        ids = vt.column("vec_id").to_numpy()
+        vecs = np.array(vt.column("vec").to_pylist(), dtype=np.float64)
+        with open(os.path.join(d, "meta.json")) as f:
+            meta = json.load(f)
+        g = HnswGraph.from_tables(
+            pq.read_table(os.path.join(d, "graph.parquet")), meta, vecs)
+        if len(self._cache) >= self.max_cached:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[name] = (ids, g)
+        return ids, g
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         out_q, out_id, out_sim = [], [], []
-        qids, qm = ray.get(qref)
         for name in batch.column("shard").to_pylist():
-            d = os.path.join(index_dir, name)
-            vt = pq.read_table(os.path.join(d, "vectors.parquet"))
-            ids = vt.column("vec_id").to_numpy()
-            vecs = np.array(vt.column("vec").to_pylist(), dtype=np.float64)
-            with open(os.path.join(d, "meta.json")) as f:
-                meta = json.load(f)
-            g = HnswGraph.from_tables(
-                pq.read_table(os.path.join(d, "graph.parquet")), meta, vecs
-            )
-            for qid, q in zip(qids, qm):
-                kk = k + 1 if exclude_self else k
-                idx, sims = g.search(q, kk, ef=ef)
+            ids, g = self._shard(name)
+            for qid, q in zip(self.qids, self.qm):
+                kk = self.k + 1 if self.exclude_self else self.k
+                idx, sims = g.search(q, kk, ef=self.ef)
                 take = [(int(ids[j]), float(s)) for j, s in zip(idx, sims)
-                        if not exclude_self or int(ids[j]) != qid][:k]
+                        if not self.exclude_self or int(ids[j]) != qid][: self.k]
                 out_q.extend([qid] * len(take))
                 out_id.extend(t[0] for t in take)
                 out_sim.extend(t[1] for t in take)
@@ -324,9 +338,32 @@ def knn_hnsw(index_dir: str, query_ids, query_vecs, *, k: int = 10,
             }
         )
 
+
+def knn_hnsw(index_dir: str, query_ids, query_vecs, *, k: int = 10,
+             ef: int = 96, concurrency: int = 8, exclude_self: bool = True):
+    """Search a persisted HNSW index: an actor pool of shard searchers
+    (graphs cached in actor state across query batches) answers ALL
+    queries; per-query exact merge of per-shard top-k — identical
+    distribution shape to the text searcher. Returns Dataset
+    (query_id, rank, neighbor_id, cosine)."""
+    import ray
+    import ray.data
+
+    with open(os.path.join(index_dir, "shards.json")) as f:
+        shard_names = json.load(f)
+    qv = np.asarray(query_vecs, dtype=np.float64)
+    qref = ray.put((list(query_ids), qv))
+
+    n_actors = min(concurrency, max(1, len(shard_names)))
     shards_ds = ray.data.from_items([{"shard": s} for s in shard_names])
-    cand = shards_ds.map_batches(search_shard, batch_format="pyarrow",
-                                 batch_size=1, concurrency=min(concurrency, max(1, len(shard_names))))
+    cand = shards_ds.map_batches(
+        HnswShardSearcher,
+        fn_constructor_kwargs=dict(index_dir=index_dir, qref=qref, k=k,
+                                   ef=ef, exclude_self=exclude_self),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=n_actors,
+    )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)

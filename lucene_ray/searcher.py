@@ -1180,6 +1180,41 @@ class IndexSearcher:
                 out[v] = out.get(v, 0) + c
         return out
 
+    def facet_counts_multi(self, query: Query | str, field: str) -> dict:
+        """Multi-valued facet counting over a SortedSet doc-values column
+        (facet/sortedset/SortedSetDocValuesFacetCounts.java): each matching
+        doc contributes one count per stored value. Vectorized per segment:
+        gather the selected docs' ordinal ranges with one repeat-arange
+        indexing pass, bincount the ordinals, map through the sorted value
+        dictionary; segment partials merge by value."""
+        if isinstance(query, str):
+            query = parse_query(query)
+        out: dict = {}
+        for r in self.readers:
+            dv = getattr(r, "sorted_set_dv", {}).get(field)
+            if dv is None:
+                raise KeyError(
+                    f"no SortedSet doc-values column {field!r} in segment "
+                    f"{r.name} (index it as a list-typed docvalue col)")
+            offsets, codes, vocab = dv
+            sp = self._apply_live(r, self._eval(r, query))
+            docs = sp.docs
+            if not len(docs):
+                continue
+            starts = offsets[docs]
+            lens = offsets[docs + 1] - starts
+            m = int(lens.sum())
+            if not m:
+                continue
+            # flat indices of every (doc, value) pair of the selected docs
+            idx = np.repeat(starts - np.concatenate([[0], np.cumsum(lens)[:-1]]),
+                            lens) + np.arange(m, dtype=np.int64)
+            cnt = np.bincount(codes[idx], minlength=len(vocab))
+            for oi in np.flatnonzero(cnt):
+                v = vocab[oi]
+                out[v] = out.get(v, 0) + int(cnt[oi])
+        return out
+
     def drill_sideways(self, base: Query | str, drill_downs: dict, k: int = 10):
         """DrillSideways (facet/DrillSideways.java): drill-down hits = base
         query filtered by EVERY selected dimension value; per-dimension

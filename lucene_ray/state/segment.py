@@ -480,13 +480,31 @@ class SegmentReader:
         self.norms = d.column("norm").to_numpy()
         self.dls = d.column("dl").to_numpy()
         # doc-values columns (NumericDocValues / SortedDocValues analogue):
-        # any extra column stored alongside the per-doc norm row
-        self.doc_values = {
-            c: d.column(c).to_numpy(zero_copy_only=False)
-            for c in d.column_names
-            if c not in ("doc_key", "norm", "dl")
-            and not c.startswith(("norm__", "dl__"))
-        }
+        # any extra column stored alongside the per-doc norm row.
+        # LIST-typed columns are SortedSetDocValues (index/SortedSetDocValues
+        # .java): per-doc sets of ordinals into a SORTED per-segment value
+        # dictionary, held as (offsets, ord codes, sorted vocab) for
+        # vectorized multi-valued facet counting.
+        self.doc_values = {}
+        self.sorted_set_dv: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for c in d.column_names:
+            if c in ("doc_key", "norm", "dl") or c.startswith(("norm__", "dl__")):
+                continue
+            col = d.column(c)
+            ctype = col.type
+            if pa.types.is_list(ctype) or pa.types.is_large_list(ctype):
+                arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                offsets = np.asarray(arr.offsets).astype(np.int64)
+                flat = arr.values
+                enc = flat.dictionary_encode()
+                codes = np.asarray(enc.indices).astype(np.int32, copy=False)
+                vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+                order = np.argsort(vocab)  # sorted ords, SortedSetDocValues
+                rank = np.empty(len(vocab), dtype=np.int32)
+                rank[order] = np.arange(len(vocab), dtype=np.int32)
+                self.sorted_set_dv[c] = (offsets, rank[codes], vocab[order])
+            else:
+                self.doc_values[c] = col.to_numpy(zero_copy_only=False)
         # per-field norms/lengths for multi-field segments (field_stats meta)
         self.norms_by_field = {}
         self.dls_by_field = {}
