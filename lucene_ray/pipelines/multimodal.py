@@ -1,12 +1,12 @@
 """Multimodal columns — opaque binary payloads with typed metadata, processed
 by actor-pool ``map_batches`` stages.
 
-The container has no image/audio codecs, so the DECODE step is stubbed: real
-libraries are tried behind import guards and a clearly-marked
-``NotImplementedError`` path; a deterministic fake decoder keeps the
-Ray-side plumbing (schema, batch sizing, actor signature, output layout)
-real and testable. At production scale the only change is the body of
-``_decode_image`` / ``_decode_audio``.
+The DECODE step is REAL: PNG payloads decode through the in-repo pure-python
+codec (functions/png.py — zlib + all five row filters), WAV payloads through
+the stdlib ``wave`` module, and PIL/soundfile are preferred when importable
+(never in this container). Payloads in formats none of those handle fall
+back to a deterministic fake decoder (clearly marked) so the plumbing stays
+testable on arbitrary bytes.
 
 Scale notes baked in: binary payloads are wide — stages take small
 ``batch_size`` and keep ``batch_format="pyarrow"`` end-to-end (binary
@@ -24,9 +24,13 @@ import pyarrow as pa
 IMAGE_FEATURE_DIM = 64
 AUDIO_FRAME_FEATURES = 16
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_RIFF_MAGIC = b"RIFF"
+
 
 def _deterministic_pixels(payload: bytes, h: int = 8, w: int = 8) -> np.ndarray:
-    """Fake decode: payload bytes → pseudo-pixels, stable across runs."""
+    """Fake decode for UNRECOGNIZED formats: payload bytes → pseudo-pixels,
+    stable across runs (keeps the plumbing testable on arbitrary bytes)."""
     seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -34,13 +38,21 @@ def _deterministic_pixels(payload: bytes, h: int = 8, w: int = 8) -> np.ndarray:
 
 def _decode_image(payload: bytes) -> np.ndarray:
     try:  # pragma: no cover - PIL not present in this container
-        from PIL import Image  # noqa: F401
         import io
+
+        from PIL import Image  # noqa: F401
 
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
-        # STUB: deterministic fake so the pipeline plumbing stays testable.
-        return _deterministic_pixels(payload)
+        pass
+    if payload[:8] == _PNG_MAGIC:
+        from lucene_ray.functions.png import decode_png
+
+        px = decode_png(payload)
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        return px[:, :, :3]  # drop alpha
+    return _deterministic_pixels(payload)
 
 
 def _decode_audio(payload: bytes, sr: int = 16_000) -> np.ndarray:
@@ -52,17 +64,39 @@ def _decode_audio(payload: bytes, sr: int = 16_000) -> np.ndarray:
         data, _ = soundfile.read(io.BytesIO(payload))
         return np.asarray(data, dtype=np.float32)
     except ImportError:
-        seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
-        rng = np.random.default_rng(seed)
-        return rng.standard_normal(sr // 10).astype(np.float32)  # 100 ms fake
+        pass
+    if payload[:4] == _RIFF_MAGIC:
+        from lucene_ray.functions.png import decode_wav
+
+        x, _sr = decode_wav(payload)
+        return x
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(sr // 10).astype(np.float32)  # 100 ms fake
 
 
 def synthesize_media_batch(batch: pa.Table, *, kind: str = "image") -> pa.Table:
-    """documents rows → opaque media rows (payload = deterministic bytes of
-    the text; metadata typed). Stands in for reading a WARC/media lake."""
+    """documents rows → REAL media rows: each doc's text deterministically
+    seeds a small PNG image (kind='image') or a WAV tone mix (kind='audio'),
+    so downstream decode stages exercise true format parsing. Stands in for
+    reading a WARC/media lake."""
+    from lucene_ray.functions.png import encode_png, encode_wav
+
     ids = batch.column("doc_id")
     texts = batch.column("text").to_pylist()
-    payloads = [hashlib.sha256(t.encode()).digest() * 4 for t in texts]
+    payloads = []
+    for t in texts:
+        seed = int.from_bytes(hashlib.sha256(t.encode()).digest()[:8], "little")
+        rng = np.random.default_rng(seed)
+        if kind == "audio":
+            f0 = 100.0 + float(rng.integers(0, 900))
+            ts = np.arange(1600) / 16_000.0
+            payloads.append(encode_wav(
+                0.5 * np.sin(2 * np.pi * f0 * ts)
+                + 0.25 * np.sin(2 * np.pi * 2 * f0 * ts)))
+        else:
+            payloads.append(encode_png(
+                rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)))
     return pa.table(
         {
             "media_id": ids,
