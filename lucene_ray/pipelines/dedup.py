@@ -152,6 +152,41 @@ def distinct_rows(ds, key_cols, *, num_partitions: int = 64):
     return partition_reduce(ds, cols, fn, num_partitions=num_partitions)
 
 
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (byte-table lookup)."""
+    return _POPCNT8[np.ascontiguousarray(x).view(np.uint8)].reshape(len(x), 8).sum(axis=1)
+
+
+def _emit_bucket_pairs(bkey: np.ndarray, ids: np.ndarray, max_bucket: int):
+    """ALL within-bucket (id_a < id_b) pairs for every bucket at once —
+    pure numpy (sort + repeat/arange index algebra), zero per-bucket Python.
+    Buckets larger than ``max_bucket`` are dropped (degenerate-bucket guard).
+    Returns (a_pos, b_pos): positions into the SORTED order, plus that order
+    — callers gather ids (and any per-row payload) through them."""
+    order = np.lexsort((ids, bkey))
+    bk = bkey[order]
+    n = len(bk)
+    new = np.ones(n, dtype=bool)
+    if n:
+        new[1:] = bk[1:] != bk[:-1]
+    gstart = np.flatnonzero(new)
+    gsize = np.diff(np.append(gstart, n))
+    gidx = np.cumsum(new) - 1
+    local = np.arange(n, dtype=np.int64) - gstart[gidx]
+    # element e (the LATER pair member) contributes `local` pairs; capped
+    # buckets contribute none
+    lens = np.where(gsize[gidx] <= max_bucket, local, 0)
+    total = int(lens.sum())
+    b_pos = np.repeat(np.arange(n, dtype=np.int64), lens)
+    cum = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    a_pos = np.repeat(gstart[gidx], lens) + (
+        np.arange(total, dtype=np.int64) - np.repeat(cum, lens))
+    return a_pos, b_pos, order
+
+
 # ----------------------------------------------------------------- exact
 
 
@@ -275,12 +310,13 @@ def minhash_lsh_pairs(
     import ray
 
     rows_per_band = num_perm // bands
+    # plain tasks, not an actor pool: MinHashSignatures' per-worker setup is
+    # microseconds (derive a/b from the seed), so pool spin-up would cost
+    # more than it amortizes; the instance pickles with the task
     sig_ds = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs=dict(num_perm=num_perm, shingle=shingle, seed=seed,
-                                   text_col=text_col, id_col=id_col),
+        MinHashSignatures(num_perm=num_perm, shingle=shingle, seed=seed,
+                          text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=(1, 4),  # autoscaling pool: min 1 avoids starving the read stage
     )
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -288,38 +324,36 @@ def minhash_lsh_pairs(
         sigs = np.array(batch.column("minhash").to_pylist(), dtype=np.uint64)
         n = len(ids)
         out_ids = np.repeat(ids, bands)
-        band_ids = np.tile(np.arange(bands), n)
         bh = np.empty(n * bands, dtype=np.uint64)
         for bnd in range(bands):
             seg = sigs[:, bnd * rows_per_band : (bnd + 1) * rows_per_band]
-            acc = np.zeros(n, dtype=np.uint64)
+            acc = np.full(n, np.uint64(bnd) + np.uint64(0x9E3779B9), dtype=np.uint64)
             for c in range(seg.shape[1]):  # tiny loop over rows_per_band
                 acc = acc * np.uint64(1099511628211) + seg[:, c]
             bh[bnd::bands] = acc
+        # band_id is folded into the bucket hash (seeded accumulator) — one
+        # u64 bucket key per (band, signature slice)
         return pa.table(
             {
                 id_col: pa.array(out_ids),
-                "band_id": pa.array(band_ids, type=pa.int32()),
                 "band_hash": pa.array(bh, type=pa.uint64()),
             }
         )
 
     buckets = sig_ds.map_batches(explode, batch_format="pyarrow")
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].tolist())
-        if len(ids) > max_bucket:
-            # degenerate bucket (boilerplate/empty shingles): O(g²) pair
-            # emission would explode at web scale — skip it, like dropping a
-            # stop-term. Other bands still pair the genuinely-near docs.
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"]).astype("int64")
+    def emit_part(t: pa.Table) -> pa.Table:
+        # vectorized within-bucket pair emission for EVERY bucket in this
+        # partition (degenerate buckets above the cap dropped — other bands
+        # still pair the genuinely-near docs)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = t.column("band_hash").to_numpy()
+        a_pos, b_pos, order = _emit_bucket_pairs(bk, ids, max_bucket)
+        sid = ids[order]
+        return pa.table({"id_a": pa.array(sid[a_pos]),
+                         "id_b": pa.array(sid[b_pos])})
 
-    cand = buckets.groupby(["band_id", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas"
-    )
+    cand = partition_reduce(buckets, ["band_hash"], emit_part)
     cand = _dedup_pairs(cand)
     if cand is None:
         return _empty_pairs("jaccard")
@@ -395,76 +429,97 @@ def _empty_pairs(metric: str):
     )
 
 
-def _join_pair_payloads(cand, payload):
-    """Distributed pair↔payload join WITHOUT Dataset.join: (id_a,id_b) pairs
-    + (pid,payload) rows → (id_a,id_b,payload_a,payload_b).
-
-    Two hash-partitioned groupbys: (1) groupby doc id co-locates each pair
-    half with its payload row and tags it; (2) groupby pair key reunites the
-    two halves. This is the classic reduce-side join expressed in Ray Data
-    primitives — nothing corpus-sized touches the driver, group sizes are
-    bounded by a doc's pair fan-out. (Dataset.join would be the natural
-    operator, but its hash-shuffle aggregator rejects empty partitions in
-    chained joins as of Ray 2.49.)"""
+def _attach_payload(pairs, payload, key: str, out_col: str,
+                    num_partitions: int = 64):
+    """Reduce-side hash join of one pair column to its payload, VECTORIZED:
+    both sides are tagged and hash-partitioned on the join key, and each
+    partition runs ONE pandas merge (a C hash join) — no per-key Python.
+    ``pairs``'s other columns ride along; inner-join semantics."""
     import pandas as pd
 
-    def explode(batch: pa.Table) -> pa.Table:
-        ida = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
-        idb = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
-        pair = pa.array(
-            [f"{a}|{b}" for a, b in zip(ida.tolist(), idb.tolist())] * 2,
-            type=pa.string(),
-        )
-        return pa.table(
-            {
-                "pid": pa.array(np.concatenate([ida, idb])),
-                "pair": pair,
-                "side": pa.array([0] * len(ida) + [1] * len(idb), type=pa.int8()),
-                "payload": pa.array([b""] * (2 * len(ida)), type=pa.binary()),
-            }
-        )
+    _sch0 = pairs.schema()
+    pair_cols = list(_sch0.names)
+    _types = dict(zip(_sch0.names, _sch0.types))
 
-    halves = cand.map_batches(explode, batch_format="pyarrow")
-    pay = payload.map_batches(
-        lambda b: pa.table(
-            {
-                "pid": b.column("pid"),
-                "pair": pa.array([""] * b.num_rows, type=pa.string()),
-                "side": pa.array(np.full(b.num_rows, 2, dtype=np.int8), type=pa.int8()),
-                "payload": b.column("payload"),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        b = b.append_column("__pid", b.column(key).cast(pa.int64()))
+        b = b.append_column("__pay", pa.nulls(b.num_rows, type=pa.binary()))
+        b = b.append_column("__side", pa.array(
+            np.zeros(b.num_rows, dtype=np.int8), type=pa.int8()))
+        return add_partition_col(b, ["__pid"], num_partitions)
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        pl = g.loc[g["side"] == 2, "payload"]
-        h = g[g["side"] != 2]
-        if not len(pl) or not len(h):
-            return pd.DataFrame({"pair": pd.Series([], dtype="object"),
-                                 "side": pd.Series([], dtype="int8"),
-                                 "payload": pd.Series([], dtype="object")})
-        v = pl.iloc[0]
-        return pd.DataFrame({"pair": h["pair"].values, "side": h["side"].values,
-                             "payload": [v] * len(h)})
+    def tag_payload(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            **{c: pa.nulls(b.num_rows, type=_types[c])
+               for c in pair_cols},
+            "__pid": b.column("pid").cast(pa.int64()),
+            "__pay": b.column("payload"),
+            "__side": pa.array(np.ones(b.num_rows, dtype=np.int8),
+                               type=pa.int8()),
+        })
+        return add_partition_col(t, ["__pid"], num_partitions)
 
-    attached = halves.union(pay).groupby("pid").map_groups(attach, batch_format="pandas")
+    both = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        payload.map_batches(tag_payload, batch_format="pyarrow"))
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        a = g[g["side"] == 0]
-        b = g[g["side"] == 1]
-        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                              "id_b": pd.Series([], dtype="int64"),
-                              "payload_a": pd.Series([], dtype="object"),
-                              "payload_b": pd.Series([], dtype="object")})
-        if not len(a) or not len(b):
-            return empty
-        ida, idb = g["pair"].iloc[0].split("|")
-        return pd.DataFrame({"id_a": [int(ida)], "id_b": [int(idb)],
-                             "payload_a": [a["payload"].iloc[0]],
-                             "payload_b": [b["payload"].iloc[0]]})
+    target = pa.schema([pa.field(c, _types[c]) for c in pair_cols]
+                       + [pa.field(out_col, pa.binary())])
 
-    return attached.groupby("pair").map_groups(combine, batch_format="pandas")
+    def join_part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        pr = df[df["__side"] == 0]
+        py = df[df["__side"] == 1][["__pid", "__pay"]]
+        merged = pr.merge(py, on="__pid", how="inner", suffixes=("", "_r"))
+        out = merged[pair_cols].copy()
+        out[out_col] = merged["__pay_r"].values
+        # null-padded union rows widened int columns to float in pandas —
+        # cast back to the pair schema
+        return pa.Table.from_pandas(
+            out.reset_index(drop=True), preserve_index=False
+        ).cast(target)
+
+    return partition_reduce(both, ["__pid"], join_part,
+                            num_partitions=num_partitions,
+                            pre_partitioned=True)
+
+
+def _join_pair_payloads(cand, payload, *, broadcast_limit: int = 100_000):
+    """Pair↔payload join: (id_a,id_b) pairs + (pid,payload) rows →
+    (id_a,id_b,payload_a,payload_b). ADAPTIVE like a real planner's
+    broadcast-vs-shuffle join choice:
+
+    * candidate sets ≤ ``broadcast_limit`` (the common case — LSH bucket
+      caps bound the pair count): ship the pair-id set to a map-side filter,
+      pull only the matching payload rows (pairs-sized, not corpus-sized)
+      and merge once — two Ray stages total;
+    * larger sets: two vectorized reduce-side hash joins (one pandas merge
+      per partition — nothing corpus-sized touches the driver).
+
+    (Dataset.join would be the natural operator, but its hash-shuffle
+    aggregator rejects empty partitions in chained joins as of Ray 2.49.)"""
+    n_pairs = cand.count()  # cand is already materialized by _dedup_pairs
+    if n_pairs <= broadcast_limit:
+        import pandas as pd
+        import ray
+        import ray.data
+
+        cd = cand.to_pandas()
+        ids = np.unique(np.concatenate([cd["id_a"].values, cd["id_b"].values]))
+        ref = ray.put(ids)
+
+        def filt(b: pa.Table) -> pa.Table:
+            pid = b.column("pid").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(np.isin(pid, ray.get(ref))))
+
+        pay = payload.map_batches(filt, batch_format="pyarrow").to_pandas()
+        m = cd.merge(pay.rename(columns={"pid": "id_a", "payload": "payload_a"}),
+                     on="id_a", how="inner")
+        m = m.merge(pay.rename(columns={"pid": "id_b", "payload": "payload_b"}),
+                    on="id_b", how="inner")
+        cols = list(cd.columns) + ["payload_a", "payload_b"]
+        return ray.data.from_pandas(m[cols].reset_index(drop=True))
+    half = _attach_payload(cand, payload, "id_a", "payload_a")
+    return _attach_payload(half, payload, "id_b", "payload_b")
 
 
 # ----------------------------------------------------------------- simhash
@@ -530,27 +585,25 @@ def simhash_near_pairs(ds, *, max_hamming: int = 3, text_col: str = "text",
             }
         )
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                              "id_b": pd.Series([], dtype="int64"),
-                              "hamming": pd.Series([], dtype="int64")})
-        if len(g) > max_bucket:
-            return empty
-        rows = g.sort_values(id_col)[[id_col, "simhash"]].values
-        out = []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = int(bin(int(rows[i][1]) ^ int(rows[j][1])).count("1"))
-                if d <= max_hamming:
-                    out.append((int(rows[i][0]), int(rows[j][0]), d))
-        if not out:
-            return empty
-        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+    def emit_part(t: pa.Table) -> pa.Table:
+        # vectorized: all within-bucket pairs (capped) + popcount hamming
+        # verification in one numpy pass — no per-bucket or per-pair Python
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = t.column("chunk_id").to_numpy().astype(np.uint64)
+        cval = t.column("chunk_val").to_numpy().astype(np.uint64)
+        sh = t.column("simhash").to_numpy().astype(np.uint64)
+        bk = cval * np.uint64(5) + cid  # chunk id folded into bucket key
+        a_pos, b_pos, order = _emit_bucket_pairs(bk, ids, max_bucket)
+        sid, ssh = ids[order], sh[order]
+        ham = popcount64(ssh[a_pos] ^ ssh[b_pos]).astype(np.int64)
+        keep = ham <= max_hamming
+        return pa.table({"id_a": pa.array(sid[a_pos][keep]),
+                         "id_b": pa.array(sid[b_pos][keep]),
+                         "hamming": pa.array(ham[keep])})
 
-    pairs = (
-        sig.map_batches(explode, batch_format="pyarrow")
-        .groupby(["chunk_id", "chunk_val"])
-        .map_groups(emit, batch_format="pandas")
+    pairs = partition_reduce(
+        sig.map_batches(explode, batch_format="pyarrow"),
+        ["chunk_id", "chunk_val"], emit_part,
     )
     # chunks already verified hamming inside the bucket groupby; pairs found
     # by multiple chunks collapse in a vectorized distributed distinct —
@@ -611,36 +664,34 @@ def embedding_near_dup_pairs(
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         n = len(ids)
         out_ids = np.repeat(ids, bands)
-        band_ids = np.tile(np.arange(bands), n)
         weights = 1 << np.arange(bits_per_band, dtype=np.uint64)
         bh = np.empty(n * bands, dtype=np.uint64)
         for bnd in range(bands):
             seg = bits[:, bnd * bits_per_band : (bnd + 1) * bits_per_band]
-            bh[bnd::bands] = seg.astype(np.uint64) @ weights
+            # band id folded into the bucket key (seeded multiplier)
+            bh[bnd::bands] = (
+                (seg.astype(np.uint64) @ weights)
+                * np.uint64(0x9E3779B97F4A7C15)
+                + np.uint64(bnd)
+            )
         return pa.table(
             {
                 id_col: pa.array(out_ids),
-                "band_id": pa.array(band_ids, type=pa.int32()),
                 "band_hash": pa.array(bh, type=pa.uint64()),
             }
         )
 
     buckets = ds.map_batches(signature, batch_format="pyarrow")
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].tolist())
-        if len(ids) > max_bucket:
-            # degenerate bucket (e.g. zero vectors): emitting O(g²) pairs is
-            # the all-pairs blowup this LSH exists to avoid — drop it; other
-            # bands still pair the genuinely-near vectors
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"]).astype("int64")
+    def emit_part(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = t.column("band_hash").to_numpy()
+        a_pos, b_pos, order = _emit_bucket_pairs(bk, ids, max_bucket)
+        sid = ids[order]
+        return pa.table({"id_a": pa.array(sid[a_pos]),
+                         "id_b": pa.array(sid[b_pos])})
 
-    cand = buckets.groupby(["band_id", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas"
-    )
+    cand = partition_reduce(buckets, ["band_hash"], emit_part)
     cand = _dedup_pairs(cand)
     if cand is None:
         return _empty_pairs("cosine")
