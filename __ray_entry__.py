@@ -1551,6 +1551,63 @@ def _q_geo_distance(sf_dir: str) -> pa.Table:
     )
 
 
+# CONVEX polygons (lat, lon vertices, CCW) so the oracle is a conjunction of
+# half-plane sign tests; vertices use non-grid decimals so no synthetic
+# data point lies exactly on an edge
+GEO_POLYGONS = [
+    (0, ((-30.123, -90.456), (20.789, -100.321), (45.654, -20.987),
+         (-10.234, 10.567))),
+    (1, ((10.111, 50.222), (60.333, 40.444), (70.555, 120.666),
+         (5.777, 110.888))),
+    (2, ((-80.135, -170.246), (-40.357, -175.468), (-40.579, 170.135),
+         (-80.791, 160.913))),
+]
+
+
+def _q_polygon_count(sf_dir: str) -> pa.Table:
+    """LatLonPoint.newPolygonQuery analogue (geo/Polygon.java): kd-tree
+    bounding-box prune + exact ray-casting containment; per-polygon match
+    counts."""
+    from lucene_ray.query import GeoPolygonQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(_geo_index(sf_dir), mode="exact")
+    rows = [(pid, s.count(GeoPolygonQuery("lat", "lon", [ring])))
+            for pid, ring in GEO_POLYGONS]
+    return pa.table({
+        "poly_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_docs": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
+def _sql_polygon_count() -> str:
+    parts = []
+    for pid, ring in GEO_POLYGONS:
+        conds = []
+        n = len(ring)
+        for i in range(n):
+            la1, lo1 = ring[i]
+            la2, lo2 = ring[(i + 1) % n]
+            # CCW convex: inside iff every edge cross-product >= 0
+            # (x = lat, y = lon plane — matches the engine's coordinates)
+            conds.append(
+                f"(({la2!r} - {la1!r}) * (lon - {lo1!r})"
+                f" - ({lo2!r} - {lo1!r}) * (lat - {la1!r})) > 0")
+        parts.append(
+            f"SELECT {pid} AS poly_id, count(*)::BIGINT AS n_docs FROM pts "
+            f"WHERE {' AND '.join(conds)}")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM documents
+)
+{union}
+"""
+
+
 # overlapping on purpose: each range is counted independently
 # (LongRangeFacetCounts semantics, NOT a groupby)
 NCHAR_RANGES = [("short", 0, 800), ("mid", 600, 2000), ("long", 1500, 1_000_000_000)]
@@ -2901,6 +2958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numeric_range_topk": _q_numeric_range_topk,
         "point_box_count": _q_point_box_count,
         "geo_distance_count": _q_geo_distance,
+        "polygon_count": _q_polygon_count,
         "covering_topk": _q_covering_topk,
         "multi_phrase_topk": _q_multi_phrase_topk,
         "dv_stats": _q_dv_stats,
@@ -2982,6 +3040,7 @@ def oracle_sql() -> dict[str, str]:
         "numeric_range_topk": _SQL_NUMERIC_RANGE,
         "point_box_count": _SQL_POINT_BOX,
         "geo_distance_count": _sql_geo_distance(),
+        "polygon_count": _sql_polygon_count(),
         "covering_topk": _sql_covering_topk(),
         "multi_phrase_topk": _sql_multi_phrase_topk(MPHRASE_QUERIES),
         "dv_stats": _SQL_DV_STATS,

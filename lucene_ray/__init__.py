@@ -27,6 +27,7 @@ from lucene_ray.query import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     FuzzyQuery,
+    GeoPolygonQuery,
     MatchAllDocsQuery,
     MultiPhraseQuery,
     PhraseQuery,
@@ -54,6 +55,7 @@ __all__ = [
     "DFISimilarity",
     "LMDirichletSimilarity",
     "SweetSpotSimilarity",
+    "GeoPolygonQuery",
     "TermQuery",
     "BooleanQuery",
     "PhraseQuery",

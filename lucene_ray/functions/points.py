@@ -107,6 +107,45 @@ def haversine_meters(lat1, lon1, lat2, lon2) -> np.ndarray:
     return MEAN_EARTH_RADIUS_M * 2.0 * np.arcsin(np.minimum(1.0, np.sqrt(h * 0.5)))
 
 
+def point_in_polygon(xs: np.ndarray, ys: np.ndarray, ring) -> np.ndarray:
+    """Vectorized even-odd (ray casting) containment test against one ring
+    (geo/Polygon.java contains(): crossing parity of a +x ray). ``ring`` is
+    a sequence of (x, y) vertices, implicitly closed. Boundary points follow
+    the half-open edge rule (consistent, measure-zero)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    inside = np.zeros(len(xs), dtype=bool)
+    vx = np.array([p[0] for p in ring], dtype=np.float64)
+    vy = np.array([p[1] for p in ring], dtype=np.float64)
+    n = len(vx)
+    j = n - 1
+    for i in range(n):  # loop over EDGES (few); vectorized over points
+        x1, y1, x2, y2 = vx[j], vy[j], vx[i], vy[i]
+        j = i
+        if y1 == y2:  # horizontal edge never crosses the +x ray rule
+            continue
+        inside ^= ((y1 > ys) != (y2 > ys)) & (
+            xs < (x2 - x1) * (ys - y1) / (y2 - y1) + x1
+        )
+    return inside
+
+
+def polygon_contains(xs: np.ndarray, ys: np.ndarray, rings) -> np.ndarray:
+    """Containment with holes: inside the outer ring and outside every hole
+    (even-odd over all rings — identical parity rule)."""
+    inside = point_in_polygon(xs, ys, rings[0])
+    for hole in rings[1:]:
+        inside &= ~point_in_polygon(xs, ys, hole)
+    return inside
+
+
+def polygon_bounding_box(rings) -> tuple[float, float, float, float]:
+    """(x0, x1, y0, y1) of the outer ring — the BKD prune box."""
+    vx = [p[0] for p in rings[0]]
+    vy = [p[1] for p in rings[0]]
+    return min(vx), max(vx), min(vy), max(vy)
+
+
 def distance_bounding_boxes(lat: float, lon: float, radius_m: float) -> list[tuple]:
     """Lat/lon boxes that fully contain the circle (geo/Rectangle.fromPointDistance
     analogue, conservatively widened): the kd-tree prune set; candidates are

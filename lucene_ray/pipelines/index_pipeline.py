@@ -97,7 +97,8 @@ class _BuildSegment:
     def __init__(self, index_dir: str, key_col: str, text_col: str, analyzer_kind: str,
                  store_positions: bool, num_partitions: int,
                  docvalue_cols: tuple = (), text_cols: tuple = (),
-                 index_sort: tuple | None = None, store_offsets: bool = False):
+                 index_sort: tuple | None = None, store_offsets: bool = False,
+                 store_term_vectors: bool = False):
         self.index_dir = index_dir
         self.key_col = key_col
         self.text_col = text_col
@@ -105,6 +106,7 @@ class _BuildSegment:
         self.analyzer_kind = analyzer_kind
         self.store_positions = store_positions
         self.store_offsets = store_offsets
+        self.store_term_vectors = store_term_vectors
         self.num_partitions = num_partitions
         self.docvalue_cols = tuple(docvalue_cols)
         self.text_cols = tuple(text_cols)  # >1 → multi-field segments
@@ -157,12 +159,19 @@ class _BuildSegment:
                 "fields": sorted(self.text_cols),
                 "default_field": self.text_col,
             }
+            vectors_tbl = None
         else:
             texts = group.column(self.text_col)  # Arrow column → tokenizer fast path
-            postings_tbl, docs_tbl, stats = build_segment_tables(
+            out = build_segment_tables(
                 keys, texts, self.analyzer, store_positions=self.store_positions,
                 store_offsets=self.store_offsets,
+                store_term_vectors=self.store_term_vectors,
             )
+            if self.store_term_vectors:
+                postings_tbl, docs_tbl, stats, vectors_tbl = out
+            else:
+                postings_tbl, docs_tbl, stats = out
+                vectors_tbl = None
         for c in self.docvalue_cols:  # doc-values columns ride the docs table
             docs_tbl = docs_tbl.append_column(c, group.column(c))
         name = (
@@ -175,6 +184,7 @@ class _BuildSegment:
             postings_tbl,
             docs_tbl,
             stats,
+            vectors_tbl=vectors_tbl,
             extra_meta={
                 "part_id": part_id,
                 "num_partitions": self.num_partitions,
@@ -208,6 +218,7 @@ def build_index(
     analyzer: str = "standard",
     store_positions: bool = True,
     store_offsets: bool = False,
+    store_term_vectors: bool = False,
     resume: bool = True,
     extract_html: bool = False,
     dedup_exact: bool = False,
@@ -268,7 +279,7 @@ def build_index(
         )
         builder = _BuildSegment(index_dir, key_col, text_col, analyzer, store_positions,
                                 num_partitions, docvalue_cols, text_cols, index_sort,
-                                store_offsets)
+                                store_offsets, store_term_vectors)
 
         def build_one_segment(group: pa.Table) -> pa.Table:
             return builder(group)
@@ -305,6 +316,7 @@ def build_index(
             "num_partitions": num_partitions,
             "store_positions": store_positions,
             "store_offsets": store_offsets,
+            "store_term_vectors": store_term_vectors,
             "docvalue_cols": list(docvalue_cols),
             "text_cols": list(text_cols),
             "index_sort": list(index_sort) if index_sort else None,
@@ -324,6 +336,7 @@ def build_index_by_file(
     analyzer: str = "standard",
     store_positions: bool = True,
     store_offsets: bool = False,
+    store_term_vectors: bool = False,
     resume: bool = True,
     extract_html: bool = False,
     columns: list[str] | None = None,
@@ -385,7 +398,7 @@ def build_index_by_file(
 
     builder = _BuildSegment(index_dir, key_col, text_col, analyzer,
                             store_positions, n, docvalue_cols, text_cols, index_sort,
-                            store_offsets)
+                            store_offsets, store_term_vectors)
 
     @ray.remote(num_cpus=1)
     def _file_task(path: str, part_id: int) -> str:
@@ -447,6 +460,8 @@ def build_index_by_file(
             "num_partitions": n,
             "store_positions": store_positions,
             "store_offsets": store_offsets,
+            "store_term_vectors": store_term_vectors,
+            "store_term_vectors": store_term_vectors,
             "docvalue_cols": list(docvalue_cols),
             "text_cols": list(text_cols),
             "index_sort": list(index_sort) if index_sort else None,

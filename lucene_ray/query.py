@@ -223,6 +223,28 @@ class GeoDistanceQuery(Query):
 
 
 @dataclass(frozen=True)
+class GeoPolygonQuery(Query):
+    """All docs whose (lat, lon) doc values lie inside the polygon —
+    LatLonPoint.newPolygonQuery (document/LatLonPoint.java:299,
+    geo/Polygon.java) semantics: BKD box pruning on the polygon's bounding
+    box, then exact even-odd ray-casting containment (with optional holes).
+    ``rings``: outer ring first, then hole rings; each ring a tuple of
+    (lat, lon) vertex pairs (implicitly closed). Non-scoring."""
+
+    lat_field: str
+    lon_field: str
+    rings: tuple
+
+    def __init__(self, lat_field: str, lon_field: str, rings):
+        object.__setattr__(self, "lat_field", lat_field)
+        object.__setattr__(self, "lon_field", lon_field)
+        rs = tuple(tuple((float(a), float(b)) for a, b in ring) for ring in rings)
+        if not rs or len(rs[0]) < 3:
+            raise ValueError("polygon needs an outer ring with >= 3 vertices")
+        object.__setattr__(self, "rings", rs)
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     """Multi-term scored as ONE pseudo-term: summed tf per doc, idf from the
     blended (max) docFreq (search/SynonymQuery.java:52-214)."""

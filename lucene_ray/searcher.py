@@ -55,6 +55,7 @@ from lucene_ray.query import (
     FunctionScoreQuery,
     FuzzyQuery,
     GeoDistanceQuery,
+    GeoPolygonQuery,
     IntervalQuery,
     JoinQuery,
     MatchAllDocsQuery,
@@ -749,6 +750,22 @@ class IndexSearcher:
             mins = np.asarray(r.doc_values[q.min_match_field][u.docs], dtype=np.int64)
             keep = u.counts >= mins
             return _SparseScores(u.docs[keep], u.scores[keep], u.counts[keep])
+        if isinstance(q, GeoPolygonQuery):
+            from lucene_ray.functions.points import (polygon_bounding_box,
+                                                     polygon_contains)
+
+            kd = r.kd_index(q.lat_field, q.lon_field)
+            la0, la1, lo0, lo1 = polygon_bounding_box(q.rings)
+            cand, examined = kd.box(la0, la1, lo0, lo1)
+            st = self.range_stats
+            st["docs_examined"] += examined + len(cand)
+            st["max_doc_total"] += r.max_doc
+            if not len(cand):
+                return empty
+            keep = polygon_contains(r.doc_values[q.lat_field][cand],
+                                    r.doc_values[q.lon_field][cand], q.rings)
+            docs = cand[keep]
+            return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, GeoDistanceQuery):
             from lucene_ray.functions.points import distance_bounding_boxes, haversine_meters
 
@@ -1097,6 +1114,16 @@ class IndexSearcher:
             if not len(pos):
                 continue
             local = int(pos[0])
+            if getattr(r, "has_term_vectors", False):
+                # stored term vectors (Lucene90TermVectorsFormat path): the
+                # doc's terms come straight from the doc-major side file —
+                # no re-analysis, no O(dictionary) postings probe
+                terms_v, freqs_v = r.term_vector(local)
+                for t, f in zip(terms_v, freqs_v.tolist()):
+                    if not fp or t.startswith(fp):
+                        t = t[len(fp):]
+                        tf[t] = tf.get(t, 0) + int(f)
+                continue
             lo, hi = r.term_range(fp) if fp else (0, r.n_terms)
             for i in range(lo, hi):
                 docs, freqs = r.postings(int(i))

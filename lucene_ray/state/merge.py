@@ -354,6 +354,15 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
     docs_tbl = pa.concat_tables(
         [_docs_with_dv(n).filter(pa.array(lv)) for n, lv in zip(seg_names, lives)]
     )
+    # term vectors (doc-major side file): survive the merge when every
+    # source carries them — same concat-with-live-filter as the docs table
+    vectors_tbl = None
+    if all(getattr(r, "has_term_vectors", False) for r in readers):
+        vectors_tbl = pa.concat_tables([
+            pq.read_table(os.path.join(index_dir, "segments", n, "vectors.parquet"))
+            .filter(pa.array(lv))
+            for n, lv in zip(seg_names, lives)
+        ]).combine_chunks()
     stats = dict(
         max_doc=int(sum(live_counts)),
         doc_count=int((dls > 0).sum()),
@@ -399,6 +408,7 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
         postings_tbl,
         docs_tbl,
         stats,
+        vectors_tbl=vectors_tbl,
         extra_meta={
             "gen": max(r.meta.get("gen", 0) for r in readers) + 1,
             "part_id": min(r.meta.get("part_id") or 0 for r in readers),

@@ -104,7 +104,8 @@ def build_segment_tables(
     *,
     store_positions: bool = True,
     store_offsets: bool = False,
-) -> tuple[pa.Table, pa.Table, dict]:
+    store_term_vectors: bool = False,
+) -> tuple:
     """The invert kernel: one partition's docs → (postings, docs, stats).
 
     Pure function of its inputs (deterministic): the Ray analogue of
@@ -167,6 +168,8 @@ def build_segment_tables(
             }
         )
         stats = dict(max_doc=n_docs, doc_count=0, sum_doc_freq=0, sum_total_term_freq=0)
+        if store_term_vectors:
+            return postings_tbl, docs_tbl, stats, _empty_vectors_table(n_docs)
         return postings_tbl, docs_tbl, stats
 
     # Sort (term, doc, position). The tokenizer already dictionary-encoded
@@ -281,7 +284,37 @@ def build_segment_tables(
         sum_doc_freq=int(doc_freq.sum()),
         sum_total_term_freq=int(total_tf.sum()),
     )
+    if store_term_vectors:
+        # doc-major transpose of the postings (Lucene90TermVectorsFormat
+        # analogue): one row per doc with (terms, freqs) lists — MLT and
+        # highlighting read a doc's terms WITHOUT re-analysis. One extra
+        # lexsort of the posting arrays; values dictionary-encoded.
+        tvo = np.lexsort((posting_term, posting_doc))
+        td, tt, tf_ = posting_doc[tvo], posting_term[tvo], freqs[tvo]
+        per_doc = np.bincount(td, minlength=n_docs)
+        off = np.zeros(n_docs + 1, dtype=np.int32)
+        np.cumsum(per_doc, out=off[1:])
+        off_arr = pa.array(off, type=pa.int32())
+        term_vals = pa.DictionaryArray.from_arrays(
+            pa.array(tt.astype(np.int32), type=pa.int32()),
+            pa.array(uniq_terms.tolist(), type=pa.string()))
+        vectors_tbl = pa.table({
+            "tv_terms": pa.ListArray.from_arrays(off_arr, term_vals),
+            "tv_freqs": pa.ListArray.from_arrays(
+                off_arr, pa.array(tf_.astype(np.int32), type=pa.int32())),
+        })
+        return postings_tbl, docs_tbl, stats, vectors_tbl
     return postings_tbl, docs_tbl, stats
+
+
+def _empty_vectors_table(n_docs: int) -> pa.Table:
+    off = pa.array(np.zeros(n_docs + 1, dtype=np.int32), type=pa.int32())
+    return pa.table({
+        "tv_terms": pa.ListArray.from_arrays(
+            off, pa.array([], type=pa.string())),
+        "tv_freqs": pa.ListArray.from_arrays(
+            off, pa.array([], type=pa.int32())),
+    })
 
 
 FIELD_SEP = "\x1f"  # joins (field, term) into one dictionary key; sorts low
@@ -344,8 +377,11 @@ def write_segment(
     docs_tbl: pa.Table,
     stats: dict,
     extra_meta: dict | None = None,
+    vectors_tbl: pa.Table | None = None,
 ) -> dict:
-    """Atomically write a segment directory; returns its manifest entry."""
+    """Atomically write a segment directory; returns its manifest entry.
+    ``vectors_tbl`` — optional per-doc term vectors (Lucene90TermVectorsFormat
+    analogue), written as a side file so search-only readers never load it."""
     seg_root = os.path.join(index_dir, "segments")
     os.makedirs(seg_root, exist_ok=True)
     final = os.path.join(seg_root, name)
@@ -353,6 +389,8 @@ def write_segment(
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(postings_tbl, os.path.join(tmp, "postings.parquet"))
     pq.write_table(docs_tbl, os.path.join(tmp, "docs.parquet"))
+    if vectors_tbl is not None:
+        pq.write_table(vectors_tbl, os.path.join(tmp, "vectors.parquet"))
     checksum = zlib.crc32(
         postings_tbl.schema.serialize().to_pybytes()
         + str(sorted(stats.items())).encode()
@@ -654,6 +692,27 @@ class SegmentReader:
             return np.empty(0, dtype=np.int32)
         sl = self._pos_data[self._pos_off[i] : self._pos_off[i + 1]]
         return np.frombuffer(sl, dtype=np.int32)
+
+    @property
+    def has_term_vectors(self) -> bool:
+        return self.dir is not None and os.path.exists(
+            os.path.join(self.dir, "vectors.parquet"))
+
+    def term_vector(self, doc: int) -> tuple[list[str], np.ndarray]:
+        """(terms, freqs) of one doc from the stored doc-major term-vectors
+        side file (Lucene90TermVectorsFormat analogue) — no re-analysis, no
+        dictionary scan. Lazily loads the file once per reader."""
+        tv = getattr(self, "_tv_tbl", None)
+        if tv is None:
+            if not self.has_term_vectors:
+                raise ValueError(
+                    f"segment {self.name} was built without "
+                    "store_term_vectors=True")
+            tv = self._tv_tbl = pq.read_table(
+                os.path.join(self.dir, "vectors.parquet"))
+        terms = tv.column("tv_terms")[doc].as_py()
+        freqs = np.asarray(tv.column("tv_freqs")[doc].as_py(), dtype=np.int64)
+        return terms, freqs
 
     def offsets(self, term: str | int) -> np.ndarray:
         """Interleaved (start, end) int32 char-offset pairs, doc-major,
