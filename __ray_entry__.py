@@ -149,6 +149,18 @@ def _q_term_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, [(t, TermQuery(t)) for t in TERM_QUERIES])
 
 
+def _q_flexible_query_topk(sf_dir: str) -> pa.Table:
+    """StandardQueryParser (flexible pipeline) with default operator AND —
+    same result contract as the classic parser's conjunction, driven through
+    the processor pipeline."""
+    from lucene_ray.flexible import StandardQueryParser
+
+    s = _searcher(sf_dir)
+    p = StandardQueryParser().set_default_operator("AND")
+    qs = [(" ".join(ts), p.parse(" ".join(ts))) for ts in AND_QUERIES]
+    return _ranked_topk(s, qs)
+
+
 def _q_bool_and_topk(sf_dir: str) -> pa.Table:
     from lucene_ray.query import BooleanQuery, TermQuery
 
@@ -2936,6 +2948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": _q_term_stats,
         "term_topk": _q_term_topk,
         "bool_and_topk": _q_bool_and_topk,
+        "flexible_query_topk": _q_flexible_query_topk,
         "bool_or_topk": _q_bool_or_topk,
         "phrase_topk": _q_phrase_topk,
         "phrase_slop_topk": _q_phrase_slop_topk,
@@ -3020,6 +3033,7 @@ def oracle_sql() -> dict[str, str]:
         "term_stats": _SQL_TERM_STATS,
         "term_topk": _sql_single_term_topk(TERM_QUERIES),
         "bool_and_topk": _sql_multi_term_topk(AND_QUERIES, "and"),
+        "flexible_query_topk": _sql_multi_term_topk(AND_QUERIES, "and"),
         "bool_or_topk": _sql_multi_term_topk(OR_QUERIES, "or"),
         "phrase_topk": _sql_phrase_topk(PHRASE_QUERIES),
         "phrase_slop_topk": _sql_phrase_slop_topk(SLOP_QUERIES),

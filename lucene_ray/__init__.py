@@ -75,6 +75,9 @@ __all__ = [
     "SpanFirstQuery",
     "SpanPositionRangeQuery",
     "SpanNotQuery",
+    "StandardQueryParser",
+    "AnalyzingSuggester",
+    "InfixSuggester",
     "parse_query",
     "parse_simple_query",
     "parse_multi_field_query",
@@ -82,5 +85,8 @@ __all__ = [
     "parse_surround_query",
     "parse_xml_query",
 ]
+
+from lucene_ray.flexible import StandardQueryParser  # noqa: E402
+from lucene_ray.suggest import AnalyzingSuggester, InfixSuggester  # noqa: E402
 
 __version__ = "0.1.0"

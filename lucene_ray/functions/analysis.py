@@ -82,6 +82,30 @@ _TOKEN_RE = re.compile(
 
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 
+# CJK bigram chain (CJKAnalyzer = StandardTokenizer + CJKBigramFilter,
+# analysis/common/.../cjk/CJKAnalyzer.java + CJKBigramFilter.java): han +
+# hiragana runs are kept whole at tokenize time, then expanded into
+# overlapping character BIGRAMS (a lone char stays a unigram); katakana
+# runs and latin/digit segments pass through the standard rules unchanged.
+_CJK_TOKEN_RE = re.compile(
+    rf"{_EMOJI_SEG}"
+    rf"|[{_KATA}]+"
+    rf"|[{_IDEO_HIRA}]+"
+    rf"|_*(?:{_LSEG}|{_DSEG})(?:_*(?:{_LSEG}|{_DSEG}))*_*",
+    re.UNICODE,
+)
+_CJK_RUN_RE = re.compile(rf"^[{_IDEO_HIRA}]+$")
+
+
+def _cjk_expand(tokens: list[str]) -> list[str]:
+    out: list[str] = []
+    for t in tokens:
+        if len(t) > 1 and _CJK_RUN_RE.match(t):
+            out.extend(t[i : i + 2] for i in range(len(t) - 1))
+        else:
+            out.append(t)
+    return out
+
 _SEP = "\x00"  # never inside a token
 
 
@@ -231,8 +255,12 @@ class Analyzer:
         token_re = _SIMPLE_RE if self.kind == "simple" else _TOKEN_RE
         if self.kind == "whitespace":
             token_re = re.compile(r"\S+")
+        elif self.kind == "cjk":
+            token_re = _CJK_TOKEN_RE
         findall = token_re.findall
         per_doc = [findall(t.lower()) for t in texts]
+        if self.kind == "cjk":
+            per_doc = [_cjk_expand(toks) for toks in per_doc]
         counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64, count=n_docs)
         total = int(counts.sum())
         if total == 0:
