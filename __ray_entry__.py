@@ -1141,6 +1141,50 @@ FROM occ o JOIN (VALUES {terms}) q(term) ON q.term = o.term
 """
 
 
+NGRAM_PLANT_N = 40
+NGRAM_PLANT_OFFSET = 1_000_000
+
+
+def _q_ngram_spans(sf_dir: str):
+    """Duplicated n-gram spans with PLANTED copies: docs with id <
+    NGRAM_PLANT_N get an identical twin, so every 8-gram of those docs is a
+    duplicated span (plus any natural cross-doc repeats). Full SQL oracle
+    (token-window self-join)."""
+    from lucene_ray.pipelines.dedup import duplicate_ngram_spans
+
+    ds = _docs_ds(sf_dir, columns=("doc_id", "text"))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dup = batch.filter(pc.less(batch.column("doc_id"), NGRAM_PLANT_N))
+        dup = dup.set_column(
+            dup.column_names.index("doc_id"), "doc_id",
+            pc.add(dup.column("doc_id"), NGRAM_PLANT_OFFSET))
+        return pa.concat_tables([batch, dup])
+
+    return duplicate_ngram_spans(
+        ds.map_batches(plant, batch_format="pyarrow"), n=8, min_docs=2)
+
+
+def _sql_ngram_spans(n: int = 8) -> str:
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {NGRAM_PLANT_OFFSET}, text FROM documents
+  WHERE doc_id < {NGRAM_PLANT_N}
+),
+base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS gram
+  FROM base, unnest(range(1, len(toks) - {n - 2})) AS t(i)
+)
+SELECT gram, count(*)::BIGINT AS n_docs
+FROM g GROUP BY gram HAVING count(*) >= 2
+"""
+
+
 def _q_minhash_pairs(sf_dir: str):
     from lucene_ray.pipelines.dedup import minhash_lsh_pairs
 
@@ -2362,6 +2406,41 @@ FROM events
 GROUP BY event_type, window_start
 """
 
+# hopping windows: 1h length sliding every 20min — each event belongs to 3
+# overlapping windows; k = floor((ts - size)/slide)+1 .. floor(ts/slide)
+_SQL_EVENTS_HOPPING = """
+WITH e AS (
+  SELECT event_type, value,
+         floor(epoch(ts) / 1200)::BIGINT AS k_hi,
+         (floor((epoch(ts) - 3600) / 1200) + 1)::BIGINT AS k_lo
+  FROM events
+)
+SELECT event_type, (k * 1200)::BIGINT AS window_start,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS sum_value
+FROM e, unnest(range(k_lo, k_hi + 1)) AS t(k)
+GROUP BY event_type, window_start
+"""
+
+
+def _q_events_hopping(sf_dir: str):
+    from lucene_ray.pipelines.windows import hopping_window_agg
+    from lucene_ray.sources.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"])
+    out = hopping_window_agg(ds, window="1h", slide="20min")
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.column_names.index("sum_value"), "sum_value",
+            pc.round(batch.column("sum_value"), ndigits=6),
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
 _SQL_JACCARD = f"""
 WITH t AS (
   SELECT doc_id, unnest(list_distinct({_TOK})) AS term
@@ -3011,6 +3090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "corpus_curation": _q_corpus_curation,
         "jaccard_pairs": _q_jaccard_pairs,
+        "ngram_spans": _q_ngram_spans,  # duplicated-substring spans
         "minhash_pairs": _q_minhash_pairs,  # rows-only
         "embedding_neardup": _q_embedding_neardup,  # planted pairs, full oracle
         "simhash": _q_simhash,  # rows-only
@@ -3020,6 +3100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_hnsw": _q_knn_hnsw,  # measured recall@10 vs brute force in output
         # stream-shaped windowed aggregate (custom operator; SURVEY §2.9 note)
         "events_window": _q_events_window,
+        "events_hopping": _q_events_hopping,
         # language id (rows-only: heuristic model)
         "langid_counts": _q_langid_counts,
         # Lucene-parity float32 WAND over the web index (rows-only)
@@ -3089,7 +3170,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": _SQL_CURATION,
         "langid_counts": _SQL_LANGID,
         "jaccard_pairs": _SQL_JACCARD,
+        "ngram_spans": _sql_ngram_spans(),
         "embedding_neardup": _SQL_EMB_NEARDUP,
         "knn_topk": _SQL_KNN,
         "events_window": _SQL_EVENTS_WINDOW,
+        "events_hopping": _SQL_EVENTS_HOPPING,
     }

@@ -245,6 +245,48 @@ def dedup_exact_content(ds, *, text_col: str = "text", id_col: str = "doc_id",
                             num_partitions=num_partitions, pre_partitioned=True)
 
 
+def duplicate_ngram_spans(ds, *, n: int = 8, min_docs: int = 2,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          num_partitions: int = 64):
+    """Exact duplicated n-gram spans across documents — the substring-dedup
+    primitive of training-data curation (find every n-token window occurring
+    in ≥ ``min_docs`` distinct docs, e.g. boilerplate or cross-document
+    copies; the reference's shingle machinery is the same building block,
+    analysis/common/.../shingle/ShingleFilter.java).
+
+    Map side: per-doc DISTINCT grams (vectorized shingles, set-deduped per
+    doc so a doc repeating its own phrase counts once); reduce side: one
+    Arrow group_by count per partition; filter ≥ min_docs. Returns Dataset
+    (gram, n_docs). Only duplicated grams are ever shuffled beyond the
+    map-side distinct — the output is boilerplate-sized, not corpus-sized.
+    """
+    def grams(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_g: list[str] = []
+        out_i: list[int] = []
+        for i, toks in enumerate(_simple_tokens(texts)):
+            if len(toks) < n:
+                continue
+            gs = set(" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1))
+            out_g.extend(gs)
+            out_i.extend([int(ids[i])] * len(gs))
+        t = pa.table({"gram": pa.array(out_g, type=pa.string()),
+                      id_col: pa.array(out_i, type=pa.int64())})
+        return add_partition_col(t, ["gram"], num_partitions)
+
+    def reduce_count(t: pa.Table) -> pa.Table:
+        agg = t.group_by("gram").aggregate([(id_col, "count_distinct")])
+        agg = agg.rename_columns(["gram", "n_docs"])
+        import pyarrow.compute as pc
+
+        return agg.filter(pc.greater_equal(agg.column("n_docs"), min_docs))
+
+    pre = ds.map_batches(grams, batch_format="pyarrow")
+    return partition_reduce(pre, ["gram"], reduce_count,
+                            num_partitions=num_partitions, pre_partitioned=True)
+
+
 # ----------------------------------------------------------------- minhash
 
 

@@ -55,6 +55,49 @@ def tumbling_window_agg(ds, *, ts_col: str = "ts", key_col: str = "event_type",
     )
 
 
+def hopping_window_agg(ds, *, ts_col: str = "ts", key_col: str = "event_type",
+                       value_col: str = "value", window: str = "1h",
+                       slide: str = "20min"):
+    """Count + sum per (key, HOPPING window): overlapping windows of
+    ``window`` length starting every ``slide``. Each event explodes to its
+    ``window/slide`` covering windows in a vectorized per-batch map (window
+    membership is pure arithmetic — no state), then one groupby aggregate.
+    SQL-mirrorable: k ∈ [floor((ts − size)/slide)+1, floor(ts/slide)],
+    window_start = k·slide."""
+    size_us = int(pd.Timedelta(window).value // 1000)
+    slide_us = int(pd.Timedelta(slide).value // 1000)
+    if size_us % slide_us:
+        raise ValueError("window must be a multiple of slide")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy()  # µs epoch
+        k_hi = ts // slide_us
+        k_lo = (ts - size_us) // slide_us + 1
+        reps = (k_hi - k_lo + 1).astype(np.int64)
+        total = int(reps.sum())
+        base = np.repeat(k_lo, reps)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
+        win_start = (base + offs) * slide_us // 1_000_000  # epoch seconds
+        idx = np.repeat(np.arange(len(ts), dtype=np.int64), reps)
+        return pa.table({
+            key_col: batch.column(key_col).take(pa.array(idx)),
+            "window_start": pa.array(win_start),
+            value_col: batch.column(value_col).take(pa.array(idx)),
+        })
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(
+            Count(alias_name="n"),
+            Sum(value_col, alias_name="sum_value"),
+        )
+    )
+
+
 def session_window_agg(ds, *, ts_col: str = "ts", key_col: str = "user_id",
                        value_col: str = "value", gap: str = "30min"):
     """Session windows per key: events within ``gap`` of the previous event

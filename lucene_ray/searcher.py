@@ -532,6 +532,85 @@ class IndexSearcher:
             len(self._apply_live(r, self._eval(r, query)).docs) for r in self.readers
         )
 
+    def explain(self, query: Query | str, doc_key) -> dict:
+        """Score breakdown for one document (IndexSearcher.explain /
+        search/Explanation.java): a nested dict mirroring the query tree —
+        ``{description, value, match, details: [...]}`` — with per-term
+        leaves carrying (tf, doc_freq, total_term_freq, dl). Values are the
+        live scorer's (same _eval path the search used), so
+        ``explain(q, k)["value"]`` equals the hit's score."""
+        if isinstance(query, str):
+            query = self.parse(query)
+        for r in self.readers:
+            pos = np.flatnonzero(r.doc_keys == doc_key)
+            if not len(pos):
+                continue
+            local = int(pos[0])
+            if r.live is not None and not r.live[local]:
+                continue
+            return self._explain_node(r, query, local, 1.0)
+        return {"description": f"no document {doc_key!r}", "value": 0.0,
+                "match": False, "details": []}
+
+    def _explain_node(self, r: SegmentReader, q: Query, doc: int,
+                      boost: float) -> dict:
+        def value_of(node: Query, b: float) -> float:
+            sp = self._eval(r, node, b)
+            i = int(np.searchsorted(sp.docs, doc))
+            return float(sp.scores[i]) if i < len(sp.docs) and sp.docs[i] == doc else 0.0
+
+        if isinstance(q, BoostQuery):
+            inner = self._explain_node(r, q.query, doc, boost * q.boost)
+            return {"description": f"boost({q.boost}) of", "value": inner["value"],
+                    "match": inner["match"], "details": [inner]}
+        if isinstance(q, BooleanQuery):
+            details = []
+            for tag, clauses in (("MUST", q.must), ("SHOULD", q.should),
+                                 ("FILTER", q.filter), ("MUST_NOT", q.must_not)):
+                for c in clauses:
+                    sub = self._explain_node(r, c, doc, boost)
+                    sub["clause"] = tag
+                    details.append(sub)
+            v = value_of(q, boost)
+            return {"description": "sum of clauses", "value": v,
+                    "match": v != 0.0 or any(
+                        d["match"] and d["clause"] in ("MUST", "SHOULD")
+                        for d in details),
+                    "details": details}
+        if isinstance(q, DisjunctionMaxQuery):
+            details = [self._explain_node(r, d, doc, boost) for d in q.disjuncts]
+            v = value_of(q, boost)
+            return {"description": f"max plus {q.tie_breaker} times others",
+                    "value": v, "match": any(d["match"] for d in details),
+                    "details": details}
+        if isinstance(q, TermQuery):
+            fp = self._fp(q.field)
+            ti = r.term_index(fp + q.term)
+            tf = 0
+            if ti >= 0:
+                d_, f_ = r.postings(ti)
+                j = int(np.searchsorted(d_, doc))
+                if j < len(d_) and d_[j] == doc:
+                    tf = int(f_[j])
+            ts = self.term_statistics(fp + q.term)
+            v = value_of(q, boost)
+            return {"description": f"weight({q.term} in {doc})", "value": v,
+                    "match": tf > 0,
+                    "details": [
+                        {"description": "tf", "value": float(tf), "match": tf > 0,
+                         "details": []},
+                        {"description": "doc_freq", "value": float(ts.doc_freq),
+                         "match": True, "details": []},
+                        {"description": "total_term_freq",
+                         "value": float(ts.total_term_freq), "match": True,
+                         "details": []},
+                        {"description": "dl", "value": float(r.dls[doc]),
+                         "match": True, "details": []},
+                    ]}
+        v = value_of(q, boost)
+        return {"description": type(q).__name__, "value": v, "match": v != 0.0,
+                "details": []}
+
     def _top_of(self, r: SegmentReader, sp: _SparseScores, k: int, after) -> list[ScoreDoc]:
         scores = sp.scores
         docs = sp.docs

@@ -899,4 +899,41 @@ def check_segment(seg_dir: str) -> list[str]:
         problems.append("norm bytes != encode(dl)")
     if int(r.meta["doc_count"]) != int((r.dls > 0).sum()):
         problems.append("doc_count mismatch")
+    # positions / offsets stream lengths (when stored): per term the
+    # position stream holds total_tf int32s, the offsets stream 2× that
+    if r._pos_off is not None and len(r._pos_off) and int(r._pos_off[-1]) > 0:
+        for i in range(len(t)):
+            want = int(r.total_tf[i]) * 4
+            got = int(r._pos_off[i + 1] - r._pos_off[i])
+            if got not in (0, want):
+                problems.append(f"term {t[i]}: positions bytes {got} != {want}")
+            if r.has_offsets:
+                got_o = int(r._ofs_off[i + 1] - r._ofs_off[i])
+                if got_o != 2 * want:
+                    problems.append(f"term {t[i]}: offsets bytes {got_o} != {2 * want}")
+                st = r.offsets(int(i))
+                if len(st) and np.any(st[0::2] > st[1::2]):
+                    problems.append(f"term {t[i]}: offset start > end")
+    # term vectors: doc-major transpose must agree with the postings totals
+    if r.has_term_vectors:
+        tv = pq.read_table(os.path.join(seg_dir, "vectors.parquet"))
+        if tv.num_rows != r.max_doc:
+            problems.append(f"term vectors rows {tv.num_rows} != max_doc")
+        else:
+            import pyarrow.compute as pc
+
+            tv_total = int(pc.sum(pc.list_value_length(
+                tv.column("tv_freqs"))).as_py() or 0)
+            if tv_total != sum_df:
+                problems.append(
+                    f"term-vector entries {tv_total} != sum_doc_freq {sum_df}")
+    # sorted-set doc values: offsets monotone, ords in range, vocab sorted
+    for field, (offsets, codes, vocab) in getattr(r, "sorted_set_dv", {}).items():
+        if len(offsets) != r.max_doc + 1 or np.any(np.diff(offsets) < 0):
+            problems.append(f"sorted-set {field}: bad offsets")
+        if len(codes) and (codes.min() < 0 or codes.max() >= len(vocab)):
+            problems.append(f"sorted-set {field}: ord out of range")
+        if len(vocab) > 1 and not all(
+                vocab[i] <= vocab[i + 1] for i in range(len(vocab) - 1)):
+            problems.append(f"sorted-set {field}: vocab not sorted")
     return problems
