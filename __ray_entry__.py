@@ -2423,6 +2423,56 @@ GROUP BY event_type, window_start
 """
 
 
+# session windows (30min gap): gaps-and-islands in SQL — a new session
+# starts when the gap from the previous event of the same user exceeds the
+# threshold; session id = running count of starts
+_SQL_EVENTS_SESSIONS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS tus, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                   OR lag(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), value)
+),
+s AS (
+  SELECT user_id, tus, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, value
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id, min(tus)::BIGINT AS session_start,
+       max(tus)::BIGINT AS session_end,
+       count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def _q_events_sessions(sf_dir: str):
+    from lucene_ray.pipelines.windows import session_window_agg
+    from lucene_ray.sources.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id", "value"])
+    out = session_window_agg(ds, gap="30min")
+
+    def fix(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def us(col):  # µs epoch regardless of the timestamp unit
+            return col.cast(pa.timestamp("us")).cast(pa.int64())
+
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "session_start": us(batch.column("session_start")),
+            "session_end": us(batch.column("session_end")),
+            "n": batch.column("n").cast(pa.int64()),
+            "sum_value": pc.round(batch.column("sum_value"), ndigits=6),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def _q_events_hopping(sf_dir: str):
     from lucene_ray.pipelines.windows import hopping_window_agg
     from lucene_ray.sources.io import read_parquet_clean
@@ -3101,6 +3151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped windowed aggregate (custom operator; SURVEY §2.9 note)
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
+        "events_sessions": _q_events_sessions,
         # language id (rows-only: heuristic model)
         "langid_counts": _q_langid_counts,
         # Lucene-parity float32 WAND over the web index (rows-only)
@@ -3175,4 +3226,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_topk": _SQL_KNN,
         "events_window": _SQL_EVENTS_WINDOW,
         "events_hopping": _SQL_EVENTS_HOPPING,
+        "events_sessions": _SQL_EVENTS_SESSIONS,
     }

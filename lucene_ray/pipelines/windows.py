@@ -99,27 +99,42 @@ def hopping_window_agg(ds, *, ts_col: str = "ts", key_col: str = "event_type",
 
 
 def session_window_agg(ds, *, ts_col: str = "ts", key_col: str = "user_id",
-                       value_col: str = "value", gap: str = "30min"):
+                       value_col: str = "value", gap: str = "30min",
+                       num_partitions: int = 64):
     """Session windows per key: events within ``gap`` of the previous event
-    belong to the same session. Per-key state → groupby(key).map_groups over
-    the ts-sorted group (the actor-free form of keyed streaming state)."""
+    belong to the same session. VECTORIZED keyed state: key-hash partition,
+    then ONE pass per partition — sort (key, ts), session breaks from a
+    vectorized diff (key change OR gap exceeded), one C-level pandas groupby
+    over session ids. Python calls: one per partition, never one per key."""
+    from lucene_ray.pipelines.dedup import partition_reduce
+
     gap_ns = pd.Timedelta(gap).value
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        ts = g[ts_col].astype("int64").to_numpy()
-        new_session = np.ones(len(ts), dtype=bool)
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_ns
-        sid = np.cumsum(new_session) - 1
-        out = g.assign(__sid=sid).groupby("__sid").agg(
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-            n=(value_col, "size"),
-            sum_value=(value_col, "sum"),
+    def sessions_part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values([key_col, ts_col], kind="stable")
+        # normalize to ns regardless of the column's native resolution —
+        # pandas 2 keeps timestamp[us] inputs in µs, and comparing µs diffs
+        # against a ns gap silently merges everything into one session
+        ts = df[ts_col].astype("datetime64[ns]").astype("int64").to_numpy()
+        uid = df[key_col].to_numpy()
+        n = len(df)
+        new_s = np.ones(n, dtype=bool)
+        if n > 1:
+            new_s[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_ns)
+        sid = np.cumsum(new_s) - 1
+        out = (
+            df.assign(__sid=sid)
+            .groupby("__sid", sort=True)
+            .agg(**{
+                key_col: (key_col, "first"),
+                "session_start": (ts_col, "min"),
+                "session_end": (ts_col, "max"),
+                "n": (value_col, "size"),
+                "sum_value": (value_col, "sum"),
+            })
+            .reset_index(drop=True)
         )
-        out[key_col] = g[key_col].iloc[0]
-        return out.reset_index(drop=True)[
-            [key_col, "session_start", "session_end", "n", "sum_value"]
-        ]
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    return partition_reduce(ds, [key_col], sessions_part,
+                            num_partitions=num_partitions)
