@@ -39,7 +39,7 @@ class StandardQueryConfig:
     fuzzy_max_edits: int = 2
     allow_leading_wildcard: bool = False
     numeric_fields: tuple = ()            # points-config map
-    analyzer=None                          # normalize provider
+    analyzer: object = None               # normalize provider
 
 
 class StandardQueryParser:
@@ -171,13 +171,18 @@ class StandardQueryParser:
         return self._walk(q, slop)
 
     def _and_operator(self, q: Query) -> Query:
-        """Top-level pure-SHOULD boolean becomes all-MUST (the
-        DefaultOperatorAttribute=AND rewrite on the GroupQueryNode)."""
-        if isinstance(q, BooleanQuery) and q.should and not q.must \
-                and not q.must_not and not q.filter \
-                and not q.minimum_should_match:
-            return BooleanQuery(must=list(q.should))
-        return q
+        """EVERY pure-SHOULD boolean node becomes all-MUST (the
+        DefaultOperatorAttribute=AND rewrite applies to each GroupQueryNode,
+        so ``a b (c d)`` yields ``+a +b +(+c +d)`` like the reference)."""
+
+        def rewrite(node: Query) -> Query:
+            if isinstance(node, BooleanQuery) and node.should \
+                    and not node.must and not node.must_not \
+                    and not node.filter and not node.minimum_should_match:
+                return BooleanQuery(must=list(node.should))
+            return node
+
+        return self._walk(q, rewrite)
 
     def _multi_field_expand(self, q: Query) -> Query:
         fields = self.config.multi_fields

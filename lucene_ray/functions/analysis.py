@@ -315,6 +315,12 @@ class Analyzer:
         empty_i = np.empty(0, dtype=np.int32)
         if hasattr(texts, "to_pylist"):
             texts = texts.to_pylist()
+        if self.kind == "cjk":
+            # bigram expansion has no 1:1 token↔source-span mapping yet —
+            # refuse rather than silently index un-bigrammed terms that a
+            # cjk-analyzed query would never match
+            raise ValueError(
+                "store_offsets is not supported with the 'cjk' analyzer")
         if n_docs == 0:
             e = np.empty(0, dtype=object)
             return empty_i, e, empty_i, empty_i, empty_i, empty_i, empty_i

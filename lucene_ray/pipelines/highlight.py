@@ -105,11 +105,14 @@ def term_spans(index_dir_or_searcher, terms, *, analyzer: Analyzer | None = None
          else IndexSearcher(index_dir_or_searcher))
     analyzer = analyzer or Analyzer("standard")
     norm_terms = [analyzer.normalize(t) for t in terms]
-    if not any(getattr(r, "has_offsets", False) for r in s.readers):
+    if not all(getattr(r, "has_offsets", False) for r in s.readers):
+        # all(), not any(): a mixed index (one segment with offsets, one
+        # without) must fail with this clean error, not a column-length
+        # crash when the offsets-less reader yields empty streams
         raise ValueError(
-            "index was built without store_offsets=True — offsets-based "
-            "highlighting needs the offsets stream (re-analysis fallback: "
-            "Highlighter)")
+            "index was built without store_offsets=True on every segment — "
+            "offsets-based highlighting needs the offsets stream "
+            "(re-analysis fallback: Highlighter)")
     keys_out, terms_out, st_out, en_out = [], [], [], []
     for r in s.readers:
         for t in norm_terms:

@@ -461,7 +461,6 @@ def build_index_by_file(
             "store_positions": store_positions,
             "store_offsets": store_offsets,
             "store_term_vectors": store_term_vectors,
-            "store_term_vectors": store_term_vectors,
             "docvalue_cols": list(docvalue_cols),
             "text_cols": list(text_cols),
             "index_sort": list(index_sort) if index_sort else None,

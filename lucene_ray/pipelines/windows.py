@@ -27,7 +27,8 @@ def tumbling_window_agg(ds, *, ts_col: str = "ts", key_col: str = "event_type",
     size_us = int(pd.Timedelta(window).value // 1000)
 
     def assign(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col).cast(pa.int64())  # µs since epoch
+        # µs since epoch, unit-normalized (ns/ms/s sources included)
+        ts = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
         win = pc.multiply(
             pc.floor(pc.divide(pc.cast(ts, pa.float64()), float(size_us))),
             float(size_us),
@@ -70,7 +71,10 @@ def hopping_window_agg(ds, *, ts_col: str = "ts", key_col: str = "event_type",
         raise ValueError("window must be a multiple of slide")
 
     def assign(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col).cast(pa.int64()).to_numpy()  # µs epoch
+        # normalize to µs regardless of the column's native resolution (a
+        # ns-typed source would otherwise land every event in wrong windows)
+        ts = batch.column(ts_col).cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy()
         k_hi = ts // slide_us
         k_lo = (ts - size_us) // slide_us + 1
         reps = (k_hi - k_lo + 1).astype(np.int64)

@@ -109,6 +109,13 @@ def _merge_top(parts: list[list[ScoreDoc]], k: int, after: tuple | None = None) 
     return heapq.nsmallest(k, allsd, key=ScoreDoc.sort_key)
 
 
+class _CacheToken:
+    """Weak-referenceable per-searcher identity for reader-attached caches
+    (plain object() has no __weakref__ slot)."""
+
+    __slots__ = ("__weakref__",)
+
+
 def _wildcard_literal_prefix(pattern: str) -> str:
     """Longest literal prefix of a wildcard pattern (before the first
     ``*``/``?``) — the CompiledAutomaton common-prefix analogue
@@ -132,7 +139,28 @@ _REGEX_META = set("\\^$.|?*+()[]{}")
 def _regex_literal_prefix(pattern: str) -> str:
     """Longest literal prefix of an (anchored) regexp — chars up to the
     first metacharacter; a trailing char modified by ``* + ? {`` is not
-    literal, so it is dropped from the prefix."""
+    literal, so it is dropped from the prefix. A TOP-LEVEL alternation
+    makes the whole prefix optional (``foo|bar`` matches terms outside the
+    ``foo`` range), so the scan must stay unbounded in that case."""
+    depth = 0
+    esc = False
+    in_class = False
+    for c in pattern:
+        if esc:
+            esc = False
+            continue
+        if c == "\\":
+            esc = True
+        elif in_class:
+            in_class = c != "]"
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif c == "|" and depth == 0:
+            return ""
     out = []
     for c in pattern:
         if c in _REGEX_META:
@@ -290,8 +318,9 @@ class IndexSearcher:
         self.index_dir = index_dir
         # unique per-searcher cache token: reader-attached caches key on this
         # OBJECT (identity; strong ref prevents id-recycling aliasing across
-        # searchers that share readers via from_readers)
-        self._cache_token = object()
+        # searchers that share readers via from_readers; weak-keyed caches
+        # drop a dead searcher's entries automatically)
+        self._cache_token = _CacheToken()
         manifest = Manifest.load(index_dir)
         self.manifest = manifest
         dirs = manifest.segment_dirs()
@@ -352,7 +381,7 @@ class IndexSearcher:
 
         s = cls.__new__(cls)
         s.index_dir = None
-        s._cache_token = object()
+        s._cache_token = _CacheToken()
         s.manifest = None
         s.readers = list(readers)
         s.global_term_stats = None
@@ -706,13 +735,19 @@ class IndexSearcher:
             # per-(segment, term, boost) score cache: BM25 term scores are a
             # pure function of the (fixed) global stats + per-doc norms, so a
             # warm searcher serves repeated terms without re-scoring. The
-            # key carries the LIVE searcher + similarity objects (not id()s —
-            # a recycled id after GC could alias a different searcher whose
-            # plugged similarity scores differently)
-            ckey = (ti, float(boost), self.mode, self._cache_token)
-            cache = getattr(r, "_term_score_cache", None)
+            # OUTER map is weak-keyed by the live searcher's cache token —
+            # no id() aliasing across searchers that share readers, and a
+            # dead searcher's entries vanish with it instead of squatting in
+            # the bounded cache
+            import weakref
+
+            outer = getattr(r, "_term_score_cache", None)
+            if outer is None:
+                outer = r._term_score_cache = weakref.WeakKeyDictionary()
+            cache = outer.get(self._cache_token)
             if cache is None:
-                cache = r._term_score_cache = {}
+                cache = outer[self._cache_token] = {}
+            ckey = (ti, float(boost), self.mode)
             hit = cache.get(ckey)
             if hit is not None:
                 return _SparseScores(hit[0], hit[1])

@@ -217,7 +217,11 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
         # and taking a row-wise cumulative max (no per-block Python).
         gb = np.cumsum(bstart) - 1  # global block id, term-major
         _CL = np.int64((1 << 20) - 1)
-        if int(ff.max()) < _CL and int(lens_all.max()) < _CL:
+        if (int(ff.max()) < _CL and int(lens_all.max()) < _CL
+                and n_blocks_total < (1 << 23)):
+            # gb needs 23 bits to keep gb<<40 inside int64 — block counts
+            # beyond that (>1B postings / >8.4M terms in ONE merge group)
+            # take the exact lexsort fallback below
             # fast path: ONE int64 argsort of a composite (block, len,
             # inverted-freq) key — ~4× cheaper than the 3-key lexsort at
             # merge-task posting counts (radix-friendly single key, one
