@@ -319,6 +319,63 @@ def _q_expr_rescore_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, qs)
 
 
+RESCORE_FIRST = "merge"
+RESCORE_SECOND = "spark"
+RESCORE_W = 3.0
+RESCORE_N1 = 40  # first-pass depth
+
+
+def _q_query_rescore_topk(sf_dir: str) -> pa.Table:
+    """QueryRescorer gate (search/QueryRescorer.java): BM25 top-40 on one
+    term, rescored by score + w × second-term score; first-pass cutoff and
+    final rank both use the oracle's (round(score,6) desc, doc_id) order."""
+    from lucene_ray.query import TermQuery
+    from lucene_ray.searcher import IndexSearcher, ScoreDoc, TopDocs
+
+    s = _searcher(sf_dir)
+    td = s.search(TermQuery(RESCORE_FIRST), k=RESCORE_N1 + 32, algo="exhaustive")
+    first = sorted(td.score_docs,
+                   key=lambda sd: (-np.round(sd.score, 6), sd.doc_key))[:RESCORE_N1]
+    out = s.rescore(TopDocs(td.total_hits, first), TermQuery(RESCORE_SECOND),
+                    weight=RESCORE_W, k=K)
+    scored = sorted(((-np.round(sd.score, 6), int(sd.doc_key))
+                     for sd in out.score_docs))
+    return pa.table({
+        "rank": pa.array(range(1, len(scored[:K]) + 1), type=pa.int64()),
+        "doc_id": pa.array([d for _, d in scored[:K]], type=pa.int64()),
+    })
+
+
+def _sql_query_rescore_topk(k=K) -> str:
+    return f"""
+WITH {_BASE},
+s1 AS (
+  SELECT tf.doc_id, {_SCORE} AS score
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id JOIN df ON df.term = tf.term
+  CROSS JOIN stats WHERE tf.term = '{RESCORE_FIRST}'
+),
+first AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rn
+  FROM s1
+),
+s2 AS (
+  SELECT tf.doc_id, {_SCORE} AS score
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id JOIN df ON df.term = tf.term
+  CROSS JOIN stats WHERE tf.term = '{RESCORE_SECOND}'
+),
+combined AS (
+  SELECT f.doc_id, f.score + {RESCORE_W} * coalesce(s2.score, 0) AS score
+  FROM first f LEFT JOIN s2 ON s2.doc_id = f.doc_id
+  WHERE f.rn <= {RESCORE_N1}
+)
+SELECT row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank,
+       doc_id
+FROM combined
+ORDER BY rank LIMIT {k}
+"""
+
+
 IV_ORDERED = ("merge", "sort", 4)    # maxgaps(4, ordered(a, b))
 IV_UNORDERED = ("stream", "batch")   # unordered(a, b)
 
@@ -3089,6 +3146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_classify": _q_knn_classify,
         # expressions module (compiled JS-like rescoring)
         "expr_rescore_topk": _q_expr_rescore_topk,
+        "query_rescore_topk": _q_query_rescore_topk,
         "dismax_topk": _q_dismax_topk,
         "parsed_query_topk": _q_parsed_query_topk,
         "complex_phrase_topk": _q_complex_phrase_topk,
@@ -3174,6 +3232,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_classify": _sql_nb_classify(NB_INPUTS),
         "knn_classify": _sql_knn_classify(KNN_CLS_INPUTS),
         "expr_rescore_topk": _sql_expr_rescore_topk(EXPR_TERMS),
+        "query_rescore_topk": _sql_query_rescore_topk(),
         "min_should_match_topk": _sql_multi_term_topk([MSM_QUERY], "or", k=20, msm=2),
         "dismax_topk": _SQL_DISMAX,
         "parsed_query_topk": _sql_parsed_query_topk(),

@@ -28,6 +28,7 @@ from lucene_ray.query import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     GeoPolygonQuery,
+    SortedSetContainsQuery,
     MatchAllDocsQuery,
     MultiPhraseQuery,
     PhraseQuery,
@@ -56,6 +57,7 @@ __all__ = [
     "LMDirichletSimilarity",
     "SweetSpotSimilarity",
     "GeoPolygonQuery",
+    "SortedSetContainsQuery",
     "TermQuery",
     "BooleanQuery",
     "PhraseQuery",

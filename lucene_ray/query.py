@@ -223,6 +223,17 @@ class GeoDistanceQuery(Query):
 
 
 @dataclass(frozen=True)
+class SortedSetContainsQuery(Query):
+    """Docs whose multi-valued (SortedSet) doc-values column CONTAINS the
+    value — SortedSetDocValuesField.newSlowExactQuery semantics
+    (document/SortedSetDocValuesField.java:121): a non-scoring filter over
+    the per-doc ordinal sets. Composes as FILTER/MUST."""
+
+    field: str
+    value: object
+
+
+@dataclass(frozen=True)
 class GeoPolygonQuery(Query):
     """All docs whose (lat, lon) doc values lie inside the polygon —
     LatLonPoint.newPolygonQuery (document/LatLonPoint.java:299,

@@ -56,6 +56,7 @@ from lucene_ray.query import (
     FuzzyQuery,
     GeoDistanceQuery,
     GeoPolygonQuery,
+    SortedSetContainsQuery,
     IntervalQuery,
     JoinQuery,
     MatchAllDocsQuery,
@@ -279,25 +280,90 @@ class GlobalTermStats:
     Sorted arrays + binary search; every searcher actor loads it once so all
     actors score with identical statistics."""
 
+    LAZY_FILE_THRESHOLD = 4  # dirs with more range files load lazily
+
     def __init__(self, path: str):
+        import glob as _glob
+        import os as _os
+
         import pyarrow.parquet as pq
 
         # path is a single parquet file (small dictionaries) or a DIRECTORY
-        # of term-range files written distributed by build_term_stats — the
-        # dataset reader handles both. Concatenation order across range
-        # files is not guaranteed, so re-sort when needed (vectorized, and
-        # a no-op for the single-file layout which is written sorted).
+        # of term-range files written distributed by build_term_stats.
+        # Small layouts load eagerly (sorted arrays); a large range-file
+        # directory loads LAZILY — per-file (min, max) term bounds index the
+        # files, a lookup touches ONE range file, files cache in a bounded
+        # LRU. At a 10⁸–10⁹-term web vocabulary the eager load would put
+        # the whole dictionary in every searcher actor's heap; lazy keeps a
+        # searcher's footprint at (hot ranges × file size).
+        self.eager = True
+        files = (sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+                 if _os.path.isdir(path) else [path])
+        if len(files) > self.LAZY_FILE_THRESHOLD:
+            self.eager = False
+            bounds = []
+            for f in files:
+                pf = pq.ParquetFile(f)
+                md = pf.metadata
+                if md.num_rows == 0:
+                    continue
+                # exact first/last term: read the term column's first and
+                # last row groups only (footer string stats can be
+                # truncated, so don't trust them for range boundaries)
+                first = pf.read_row_group(0, columns=["term"]).column("term")[0].as_py()
+                last_rg = pf.read_row_group(md.num_row_groups - 1,
+                                            columns=["term"]).column("term")
+                bounds.append((first, last_rg[len(last_rg) - 1].as_py(), f))
+            bounds.sort()
+            self._file_min = [b[0] for b in bounds]
+            self._files = [b[2] for b in bounds]
+            self._range_cache: dict = {}  # file -> (terms, df, ttf), LRU ≤ 8
+            return
         t = pq.read_table(path)
         self.terms = np.asarray(t.column("term").to_pylist(), dtype=object)
         self.doc_freq = t.column("doc_freq").to_numpy()
         self.total_tf = t.column("total_tf").to_numpy()
+        # concatenation order across range files is not guaranteed — re-sort
+        # when needed (no-op for the single-file layout, written sorted)
         if len(self.terms) > 1 and not np.all(self.terms[:-1] <= self.terms[1:]):
             order = np.argsort(self.terms)
             self.terms = self.terms[order]
             self.doc_freq = self.doc_freq[order]
             self.total_tf = self.total_tf[order]
 
+    def _range_arrays(self, f: str):
+        import pyarrow.parquet as pq
+
+        hit = self._range_cache.pop(f, None)
+        if hit is None:
+            t = pq.read_table(f)
+            terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+            order = None
+            if len(terms) > 1 and not np.all(terms[:-1] <= terms[1:]):
+                order = np.argsort(terms)
+                terms = terms[order]
+            df = t.column("doc_freq").to_numpy()
+            ttf = t.column("total_tf").to_numpy()
+            if order is not None:
+                df, ttf = df[order], ttf[order]
+            hit = (terms, df, ttf)
+            if len(self._range_cache) >= 8:
+                self._range_cache.pop(next(iter(self._range_cache)))
+        self._range_cache[f] = hit
+        return hit
+
     def lookup(self, term: str) -> tuple[int, int]:
+        if not self.eager:
+            import bisect
+
+            j = bisect.bisect_right(self._file_min, term) - 1
+            if j < 0:
+                return 0, 0
+            terms, df, ttf = self._range_arrays(self._files[j])
+            i = int(np.searchsorted(terms, term))
+            if i < len(terms) and terms[i] == term:
+                return int(df[i]), int(ttf[i])
+            return 0, 0
         i = np.searchsorted(self.terms, term)
         if i < len(self.terms) and self.terms[i] == term:
             return int(self.doc_freq[i]), int(self.total_tf[i])
@@ -560,6 +626,31 @@ class IndexSearcher:
         return sum(
             len(self._apply_live(r, self._eval(r, query)).docs) for r in self.readers
         )
+
+    def rescore(self, topdocs: TopDocs, query: Query | str, *,
+                weight: float = 1.0, k: int | None = None) -> TopDocs:
+        """QueryRescorer (search/QueryRescorer.java:40): re-rank the top-k
+        by ``first_pass_score + weight × rescore_query_score(doc)`` — the
+        cheap-query-then-expensive-query pattern. Docs the rescore query
+        does not match keep their first-pass score (combine(..., false)
+        semantics)."""
+        if isinstance(query, str):
+            query = self.parse(query)
+        k = k or len(topdocs.score_docs)
+        keys = {sd.doc_key for sd in topdocs.score_docs}
+        second: dict = {}
+        for r in self.readers:
+            sp = self._apply_live(r, self._eval(r, query))
+            for d, sc in zip(sp.docs.tolist(), sp.scores.tolist()):
+                dk = r.doc_keys[d]
+                if dk in keys:
+                    second[dk] = second.get(dk, 0.0) + sc
+        rescored = [
+            ScoreDoc(sd.doc_key, sd.score + weight * second.get(sd.doc_key, 0.0))
+            for sd in topdocs.score_docs
+        ]
+        rescored.sort(key=ScoreDoc.sort_key)
+        return TopDocs(topdocs.total_hits, rescored[:k])
 
     def explain(self, query: Query | str, doc_key) -> dict:
         """Score breakdown for one document (IndexSearcher.explain /
@@ -864,6 +955,23 @@ class IndexSearcher:
             mins = np.asarray(r.doc_values[q.min_match_field][u.docs], dtype=np.int64)
             keep = u.counts >= mins
             return _SparseScores(u.docs[keep], u.scores[keep], u.counts[keep])
+        if isinstance(q, SortedSetContainsQuery):
+            dv = getattr(r, "sorted_set_dv", {}).get(q.field)
+            if dv is None:
+                raise KeyError(
+                    f"no SortedSet doc-values column {q.field!r} in segment "
+                    f"{r.name}")
+            offsets, codes, vocab = dv
+            oi = int(np.searchsorted(vocab, q.value))
+            if oi >= len(vocab) or vocab[oi] != q.value:
+                return empty
+            # positions of the matching ordinal → owning docs via the
+            # offsets (one searchsorted; no per-doc loop)
+            hits = np.flatnonzero(codes == oi)
+            docs = np.unique(
+                np.searchsorted(offsets, hits, side="right") - 1
+            ).astype(np.int32)
+            return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, GeoPolygonQuery):
             from lucene_ray.functions.points import (polygon_bounding_box,
                                                      polygon_contains)
@@ -1078,7 +1186,7 @@ class IndexSearcher:
         """Prefix autocomplete (suggest/.../AnalyzingSuggester analogue with
         weight = total term frequency): top-k dictionary terms with the
         prefix, ordered by (ttf desc, term asc)."""
-        if self.global_term_stats is not None:
+        if self.global_term_stats is not None and self.global_term_stats.eager:
             from lucene_ray.state.segment import prefix_successor
 
             g = self.global_term_stats
@@ -1115,7 +1223,7 @@ class IndexSearcher:
         if len(prefix) < min_fuzzy_length or max_edits == 0:
             return self.suggest_terms(prefix, k)
         exact = prefix[:non_fuzzy_prefix]
-        if self.global_term_stats is not None:
+        if self.global_term_stats is not None and self.global_term_stats.eager:
             from lucene_ray.state.segment import prefix_successor
 
             g = self.global_term_stats

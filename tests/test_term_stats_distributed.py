@@ -51,9 +51,9 @@ def test_distributed_dict_matches_fast_path(small_index, ray_session):
     assert big.equals(small[["term", "doc_freq", "total_tf"]])
 
     g = GlobalTermStats(out)
-    assert np.all(g.terms[:-1] <= g.terms[1:])
+    if g.eager:
+        assert np.all(g.terms[:-1] <= g.terms[1:])
     for t in ("alpha", "common", "doc3", "zzz-missing"):
-        i = np.searchsorted(g.terms, t)
         want = (0, 0)
         row = small[small.term == t]
         if len(row):
