@@ -415,8 +415,6 @@ def minhash_lsh_pairs(
             }
         )
 
-    payload = ds.map_batches(shingle_payload, batch_format="pyarrow")
-
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_pairs_table("jaccard")
@@ -438,7 +436,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    joined = _join_pair_payloads(cand, payload)
+    joined = _join_pair_payloads(cand, ds, shingle_payload, id_col)
     return joined.map_batches(verify, batch_format="pyarrow").sort(["id_a", "id_b"])
 
 
@@ -525,23 +523,27 @@ def _attach_payload(pairs, payload, key: str, out_col: str,
                             pre_partitioned=True)
 
 
-def _join_pair_payloads(cand, payload, *, broadcast_limit: int = 100_000):
-    """Pair↔payload join: (id_a,id_b) pairs + (pid,payload) rows →
-    (id_a,id_b,payload_a,payload_b). ADAPTIVE like a real planner's
+def _join_pair_payloads(cand, source_ds, payload_fn, id_col: str, *,
+                        broadcast_limit: int = 100_000):
+    """Pair↔payload join: (id_a,id_b) pairs + per-doc payloads →
+    (id_a,id_b,payload_a,payload_b). ``payload_fn`` is a per-batch map
+    producing (pid, payload) from the raw source rows — it runs ONLY on the
+    rows that can matter. ADAPTIVE like a real planner's
     broadcast-vs-shuffle join choice:
 
     * candidate sets ≤ ``broadcast_limit`` (the common case — LSH bucket
-      caps bound the pair count): ship the pair-id set to a map-side filter,
-      pull only the matching payload rows (pairs-sized, not corpus-sized)
-      and merge once — two Ray stages total;
-    * larger sets: two vectorized reduce-side hash joins (one pandas merge
-      per partition — nothing corpus-sized touches the driver).
+      caps bound the pair count): ship the pair-id set to a map-side filter
+      on the RAW source, compute payloads for the pairs-sized survivor set
+      only (the expensive tokenize/vector work never touches the rest of
+      the corpus), and merge once;
+    * larger sets: payloads for all rows + two vectorized reduce-side hash
+      joins (one pandas merge per partition — nothing corpus-sized touches
+      the driver).
 
     (Dataset.join would be the natural operator, but its hash-shuffle
     aggregator rejects empty partitions in chained joins as of Ray 2.49.)"""
     n_pairs = cand.count()  # cand is already materialized by _dedup_pairs
     if n_pairs <= broadcast_limit:
-        import pandas as pd
         import ray
         import ray.data
 
@@ -550,16 +552,18 @@ def _join_pair_payloads(cand, payload, *, broadcast_limit: int = 100_000):
         ref = ray.put(ids)
 
         def filt(b: pa.Table) -> pa.Table:
-            pid = b.column("pid").to_numpy(zero_copy_only=False)
+            pid = b.column(id_col).to_numpy(zero_copy_only=False)
             return b.filter(pa.array(np.isin(pid, ray.get(ref))))
 
-        pay = payload.map_batches(filt, batch_format="pyarrow").to_pandas()
+        pay = (source_ds.map_batches(filt, batch_format="pyarrow")
+               .map_batches(payload_fn, batch_format="pyarrow").to_pandas())
         m = cd.merge(pay.rename(columns={"pid": "id_a", "payload": "payload_a"}),
                      on="id_a", how="inner")
         m = m.merge(pay.rename(columns={"pid": "id_b", "payload": "payload_b"}),
                     on="id_b", how="inner")
         cols = list(cd.columns) + ["payload_a", "payload_b"]
         return ray.data.from_pandas(m[cols].reset_index(drop=True))
+    payload = source_ds.map_batches(payload_fn, batch_format="pyarrow")
     half = _attach_payload(cand, payload, "id_a", "payload_a")
     return _attach_payload(half, payload, "id_b", "payload_b")
 
@@ -749,8 +753,6 @@ def embedding_near_dup_pairs(
             }
         )
 
-    payload = ds.map_batches(vec_payload, batch_format="pyarrow")
-
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_pairs_table("cosine")
@@ -770,5 +772,5 @@ def embedding_near_dup_pairs(
             }
         )
 
-    joined = _join_pair_payloads(cand, payload)
+    joined = _join_pair_payloads(cand, ds, vec_payload, id_col)
     return joined.map_batches(verify, batch_format="pyarrow").sort(["id_a", "id_b"])
