@@ -774,7 +774,8 @@ def _q_knn_topk(sf_dir: str) -> pa.Table:
     )
     from lucene_ray.sources.io import read_parquet_clean
 
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
     out = knn_brute_force(ds, KNN_QUERY_IDS, qvecs, k=K + 16).to_pandas()
     # re-rank under the oracle's rounded ordering
     rows = []
@@ -811,7 +812,8 @@ def _q_knn_hnsw(sf_dir: str) -> pa.Table:
         pdf[pdf.vec_id.isin(KNN_QUERY_IDS)].sort_values("vec_id").embedding.tolist(),
         dtype=np.float64,
     )
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
     idx_dir = _cache_dir(sf_dir, "hnsw")
     if not os.path.exists(os.path.join(idx_dir, "shards.json")):
         build_hnsw_index(ds, idx_dir, M=16, ef_construction=80, shard_rows=4096)
@@ -1053,7 +1055,8 @@ def _q_embedding_neardup(sf_dir: str):
 
     from lucene_ray.sources.io import read_parquet_clean
 
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
 
     def subset_and_plant(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1319,7 +1322,8 @@ def _q_knn_ivf(sf_dir: str):
     )
     idx = _cache_dir(sf_dir, "ivf")
     if not os.path.exists(os.path.join(idx, "meta.json")):
-        ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+        ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
         build_ivf_index(ds, idx, n_centroids=8)
     return knn_ivf_indexed(idx, KNN_QUERY_IDS, qvecs, k=K, nprobe=4)
 

@@ -304,7 +304,8 @@ def run_bench() -> dict:
     qvecs = np.array(emb_pdf.head(8).embedding.tolist(), dtype=np.float64)
     from lucene_ray.sources.io import read_parquet_clean
 
-    emb = read_parquet_clean(f"{SF_DIR}/embeddings.parquet")
+    emb = read_parquet_clean(f"{SF_DIR}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
     t0 = time.time()
     knn_brute_force(emb, qids, qvecs, k=10, concurrency=min(8, NUM_CPUS)).count()
     timings["knn_brute_force"] = time.time() - t0
