@@ -336,8 +336,11 @@ def _q_query_rescore_topk(sf_dir: str) -> pa.Table:
     td = s.search(TermQuery(RESCORE_FIRST), k=RESCORE_N1 + 32, algo="exhaustive")
     first = sorted(td.score_docs,
                    key=lambda sd: (-np.round(sd.score, 6), sd.doc_key))[:RESCORE_N1]
+    # rescore ALL first-pass docs; the K cut happens AFTER the rounded sort
+    # (an unrounded cut at K could disagree with the oracle on a 6-decimal
+    # tie straddling the boundary — same reason _ranked_topk overfetches)
     out = s.rescore(TopDocs(td.total_hits, first), TermQuery(RESCORE_SECOND),
-                    weight=RESCORE_W, k=K)
+                    weight=RESCORE_W)
     scored = sorted(((-np.round(sd.score, 6), int(sd.doc_key))
                      for sd in out.score_docs))
     return pa.table({

@@ -121,13 +121,16 @@ class StandardQueryParser:
     def _walk(self, q: Query, fn) -> Query:
         """Bottom-up tree rewrite (the node-processor visitation order)."""
         if isinstance(q, BooleanQuery):
-            q = BooleanQuery(
+            new = BooleanQuery(
                 must=[self._walk(c, fn) for c in q.must],
                 should=[self._walk(c, fn) for c in q.should],
                 must_not=[self._walk(c, fn) for c in q.must_not],
                 filter=[self._walk(c, fn) for c in q.filter],
                 minimum_should_match=q.minimum_should_match,
             )
+            if getattr(q, "_explicit_or", False):
+                object.__setattr__(new, "_explicit_or", True)
+            q = new
         elif isinstance(q, BoostQuery):
             q = BoostQuery(self._walk(q.query, fn), q.boost)
         elif isinstance(q, DisjunctionMaxQuery):
@@ -171,14 +174,18 @@ class StandardQueryParser:
         return self._walk(q, slop)
 
     def _and_operator(self, q: Query) -> Query:
-        """EVERY pure-SHOULD boolean node becomes all-MUST (the
+        """EVERY implicit-juxtaposition boolean becomes all-MUST (the
         DefaultOperatorAttribute=AND rewrite applies to each GroupQueryNode,
-        so ``a b (c d)`` yields ``+a +b +(+c +d)`` like the reference)."""
+        so ``a b (c d)`` yields ``+a +b +(+c +d)``), while EXPLICIT
+        ``a OR b`` groups keep their disjunction — exactly the reference's
+        distinction (the default operator only fills in unspecified
+        occurrences)."""
 
         def rewrite(node: Query) -> Query:
             if isinstance(node, BooleanQuery) and node.should \
                     and not node.must and not node.must_not \
-                    and not node.filter and not node.minimum_should_match:
+                    and not node.filter and not node.minimum_should_match \
+                    and not getattr(node, "_explicit_or", False):
                 return BooleanQuery(must=list(node.should))
             return node
 

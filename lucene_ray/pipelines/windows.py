@@ -118,8 +118,13 @@ def session_window_agg(ds, *, ts_col: str = "ts", key_col: str = "user_id",
         df = t.to_pandas().sort_values([key_col, ts_col], kind="stable")
         # normalize to ns regardless of the column's native resolution —
         # pandas 2 keeps timestamp[us] inputs in µs, and comparing µs diffs
-        # against a ns gap silently merges everything into one session
-        ts = df[ts_col].astype("datetime64[ns]").astype("int64").to_numpy()
+        # against a ns gap silently merges everything into one session.
+        # tz-aware columns are converted to UTC wall time first (a direct
+        # astype to a naive dtype raises on tz-aware input)
+        ser = df[ts_col]
+        if getattr(ser.dtype, "tz", None) is not None:
+            ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
+        ts = ser.astype("datetime64[ns]").astype("int64").to_numpy()
         uid = df[key_col].to_numpy()
         n = len(df)
         new_s = np.ones(n, dtype=bool)

@@ -698,7 +698,13 @@ class _Parser:
             parts.append(self.parse_and())
         if len(parts) == 1:
             return parts[0]
-        return BooleanQuery(should=parts)
+        q = BooleanQuery(should=parts)
+        # marker (non-field attribute: equality/hashing unchanged) so
+        # downstream rewrites (flexible parser's AND default operator) can
+        # tell an EXPLICIT "a OR b" from implicit juxtaposition "a b" —
+        # only the latter follows the default operator
+        object.__setattr__(q, "_explicit_or", True)
+        return q
 
     def parse_and(self) -> Query:
         parts = [self.parse_clause()]

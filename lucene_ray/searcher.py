@@ -316,6 +316,7 @@ class GlobalTermStats:
                 bounds.append((first, last_rg[len(last_rg) - 1].as_py(), f))
             bounds.sort()
             self._file_min = [b[0] for b in bounds]
+            self._file_max = [b[1] for b in bounds]
             self._files = [b[2] for b in bounds]
             self._range_cache: dict = {}  # file -> (terms, df, ttf), LRU ≤ 8
             return
@@ -358,6 +359,10 @@ class GlobalTermStats:
 
             j = bisect.bisect_right(self._file_min, term) - 1
             if j < 0:
+                return 0, 0
+            if term > self._file_max[j]:
+                # falls in the gap between range files — a definite miss;
+                # don't read (and LRU-pollute with) a file that can't hold it
                 return 0, 0
             terms, df, ttf = self._range_arrays(self._files[j])
             i = int(np.searchsorted(terms, term))
@@ -633,13 +638,23 @@ class IndexSearcher:
         by ``first_pass_score + weight × rescore_query_score(doc)`` — the
         cheap-query-then-expensive-query pattern. Docs the rescore query
         does not match keep their first-pass score (combine(..., false)
-        semantics)."""
+        semantics).
+
+        Cost note: the vectorized engine has no per-doc scorer advance, so
+        the rescore query is evaluated ONCE per segment that holds a
+        candidate (full postings eval, then filtered to the top-k keys) —
+        unlike the reference's advance-to-hit scorers. That is fine for the
+        intended shape (a heavier query over a k-sized candidate list whose
+        eval cost is dominated by per-query setup); segments with no
+        candidate docs are skipped entirely."""
         if isinstance(query, str):
             query = self.parse(query)
         k = k or len(topdocs.score_docs)
         keys = {sd.doc_key for sd in topdocs.score_docs}
         second: dict = {}
         for r in self.readers:
+            if not np.isin(r.doc_keys, list(keys)).any():
+                continue  # no candidates in this segment — skip the eval
             sp = self._apply_live(r, self._eval(r, query))
             for d, sc in zip(sp.docs.tolist(), sp.scores.tolist()):
                 dk = r.doc_keys[d]

@@ -130,3 +130,53 @@ def test_merge_composite_guard_constant():
 
     src = inspect.getsource(merge.merge_segment_group)
     assert "n_blocks_total < (1 << 23)" in src
+
+
+def test_session_windows_tz_aware(ray_session):
+    import pandas as pd
+
+    from lucene_ray.pipelines.windows import session_window_agg
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:10:00", "2024-01-01 02:00:00"],
+        utc=True)
+    df = pd.DataFrame({"ts": ts, "user_id": [1, 1, 1], "value": [1.0] * 3})
+    out = session_window_agg(ray.data.from_pandas(df), gap="30min").to_pandas()
+    assert len(out) == 2  # two sessions split by the 1h50m gap
+    assert sorted(out.n) == [1, 2]
+
+
+def test_and_operator_preserves_explicit_or():
+    from lucene_ray.flexible import StandardQueryParser
+    from lucene_ray.query import BooleanQuery
+
+    p = StandardQueryParser().set_default_operator("AND")
+    q = p.parse("x (a OR b)")
+    assert isinstance(q, BooleanQuery) and len(q.must) == 2
+    inner = [c for c in q.must if isinstance(c, BooleanQuery)]
+    assert inner and inner[0].should and not inner[0].must  # OR kept
+    q2 = p.parse("a OR b")
+    assert q2.should and not q2.must
+
+
+def test_lazy_dict_gap_miss_reads_nothing(tmp_path, ray_session):
+    import os
+
+    from lucene_ray.pipelines.index_pipeline import build_index, build_term_stats
+    from lucene_ray.searcher import GlobalTermStats
+    from lucene_ray.state.manifest import Manifest
+
+    rows = [{"url": f"u{i}", "text": f"w{i % 97:02d}"} for i in range(800)]
+    idx = str(tmp_path / "gap")
+    build_index(ray.data.from_items(rows), idx, key_col="url",
+                text_col="text", num_partitions=8)
+    man = Manifest.load(idx)
+    ts = os.path.join(idx, f"term_stats-{man.gen}.parquet")
+    os.remove(ts)
+    out = build_term_stats(idx, man, small_dict_limit=0)
+    g = GlobalTermStats(out)
+    if not g.eager:
+        # a miss before any hit must not populate the range cache
+        assert g.lookup("zzzz-way-past-the-end") == (0, 0)
+        for fmin, fmax in zip(g._file_min, g._file_max):
+            assert fmin <= fmax
