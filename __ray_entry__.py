@@ -1671,6 +1671,53 @@ def _q_geo_distance(sf_dir: str) -> pa.Table:
     )
 
 
+# 3-D boxes over (lat, lon, mm): (box_id, lat0, lat1, lon0, lon1, mm0, mm1)
+ND_BOXES = [
+    (0, -45.0, 45.0, -90.0, 90.0, 1, 2),
+    (1, 0.0, 89.0, -180.0, 0.0, 2, 3),
+    (2, -89.0, -10.0, 10.0, 170.0, 1, 1),
+]
+
+
+def _q_point_nd_count(sf_dir: str) -> pa.Table:
+    """General N-dim PointRangeQuery over the k-d tree (BKDWriter numDims>2
+    analogue): per-3D-box match counts over (lat, lon, mm)."""
+    from lucene_ray.query import PointNDRangeQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    s = IndexSearcher(_geo_index(sf_dir), mode="exact")
+    rows = [
+        (bid, s.count(PointNDRangeQuery(("lat", "lon", "mm"),
+                                        (la0, lo0, m0), (la1, lo1, m1))))
+        for bid, la0, la1, lo0, lo1, m0, m1 in ND_BOXES
+    ]
+    return pa.table({
+        "box_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_docs": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
+def _sql_point_nd_count() -> str:
+    parts = []
+    for bid, la0, la1, lo0, lo1, m0, m1 in ND_BOXES:
+        parts.append(
+            f"SELECT {bid} AS box_id, count(*)::BIGINT AS n_docs FROM pts "
+            f"WHERE lat BETWEEN {la0!r} AND {la1!r} "
+            f"AND lon BETWEEN {lo0!r} AND {lo1!r} "
+            f"AND mm BETWEEN {m0} AND {m1}")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon,
+         (1 + doc_id % 3) AS mm
+  FROM documents
+)
+{union}
+"""
+
+
 # CONVEX polygons (lat, lon vertices, CCW) so the oracle is a conjunction of
 # half-plane sign tests; vertices use non-grid decimals so no synthetic
 # data point lies exactly on an edge
@@ -3166,6 +3213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "point_box_count": _q_point_box_count,
         "geo_distance_count": _q_geo_distance,
         "polygon_count": _q_polygon_count,
+        "point_nd_count": _q_point_nd_count,
         "covering_topk": _q_covering_topk,
         "multi_phrase_topk": _q_multi_phrase_topk,
         "dv_stats": _q_dv_stats,
@@ -3253,6 +3301,7 @@ def oracle_sql() -> dict[str, str]:
         "point_box_count": _SQL_POINT_BOX,
         "geo_distance_count": _sql_geo_distance(),
         "polygon_count": _sql_polygon_count(),
+        "point_nd_count": _sql_point_nd_count(),
         "covering_topk": _sql_covering_topk(),
         "multi_phrase_topk": _sql_multi_phrase_topk(MPHRASE_QUERIES),
         "dv_stats": _SQL_DV_STATS,

@@ -28,6 +28,7 @@ from lucene_ray.query import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     GeoPolygonQuery,
+    PointNDRangeQuery,
     SortedSetContainsQuery,
     MatchAllDocsQuery,
     MultiPhraseQuery,
@@ -57,6 +58,7 @@ __all__ = [
     "LMDirichletSimilarity",
     "SweetSpotSimilarity",
     "GeoPolygonQuery",
+    "PointNDRangeQuery",
     "SortedSetContainsQuery",
     "TermQuery",
     "BooleanQuery",

@@ -88,6 +88,81 @@ class KDIndex:
         return np.sort(np.concatenate(out)), examined
 
 
+class KDIndexND:
+    """General N-dimensional balanced k-d tree — the full BKD analogue
+    (util/bkd/BKDWriter.java handles 1..8 index dims; this is the same
+    median-split-on-widest-spread structure for arbitrary N, with
+    CELL_INSIDE bulk-accept / CELL_OUTSIDE prune / leaf vectorized filter).
+    The 2-D :class:`KDIndex` stays as the specialized hot path."""
+
+    __slots__ = ("vals", "ids", "nodes", "ndim")
+
+    def __init__(self, cols: list[np.ndarray], ids: np.ndarray):
+        self.vals = np.stack([np.asarray(c, dtype=np.float64) for c in cols],
+                             axis=1).copy()  # (n, d)
+        self.ids = np.asarray(ids, dtype=np.int32).copy()
+        self.ndim = self.vals.shape[1]
+        self.nodes: list[tuple] = []
+        if len(self.ids):
+            self._build(0, len(self.ids))
+
+    def _build(self, lo: int, hi: int) -> int:
+        me = len(self.nodes)
+        self.nodes.append(None)
+        if hi - lo <= LEAF_SIZE:
+            self.nodes[me] = (lo, hi, -1, 0.0, -1, -1)
+            return me
+        seg = self.vals[lo:hi]
+        spreads = seg.max(axis=0) - seg.min(axis=0)
+        dim = int(np.argmax(spreads))
+        mid = (hi - lo) // 2
+        part = np.argpartition(seg[:, dim], mid)
+        self.vals[lo:hi] = seg[part]
+        self.ids[lo:hi] = self.ids[lo:hi][part]
+        split_val = float(self.vals[lo + mid, dim])
+        left = self._build(lo, lo + mid)
+        right = self._build(lo + mid, hi)
+        self.nodes[me] = (lo, hi, dim, split_val, left, right)
+        return me
+
+    def box(self, lows, highs):
+        """docIDs with lows[d] ≤ x_d ≤ highs[d] for every dimension
+        (sorted), plus points examined (pruning telemetry)."""
+        lows = np.asarray(lows, dtype=np.float64)
+        highs = np.asarray(highs, dtype=np.float64)
+        if not len(self.ids):
+            return np.empty(0, dtype=np.int32), 0
+        out: list[np.ndarray] = []
+        examined = 0
+        root_lo = np.full(self.ndim, -np.inf)
+        root_hi = np.full(self.ndim, np.inf)
+        stack = [(0, root_lo, root_hi)]
+        while stack:
+            ni, blo, bhi = stack.pop()
+            lo, hi, dim, sv, left, right = self.nodes[ni]
+            if np.any(blo > highs) or np.any(bhi < lows):
+                continue  # CELL_OUTSIDE
+            if np.all(lows <= blo) and np.all(bhi <= highs):
+                out.append(self.ids[lo:hi])  # CELL_INSIDE
+                continue
+            if dim < 0:  # leaf
+                seg = self.vals[lo:hi]
+                examined += hi - lo
+                m = np.all((seg >= lows) & (seg <= highs), axis=1)
+                if m.any():
+                    out.append(self.ids[lo:hi][m])
+                continue
+            llo, lhi = blo, bhi.copy()
+            lhi[dim] = sv
+            rlo = blo.copy()
+            rlo[dim] = sv
+            stack.append((left, llo, lhi))
+            stack.append((right, rlo, bhi))
+        if not out:
+            return np.empty(0, dtype=np.int32), examined
+        return np.sort(np.concatenate(out)), examined
+
+
 # ------------------------------------------------------------------- geo
 
 # SloppyMath.TO_METERS (util/SloppyMath.java:200) — mean earth radius.

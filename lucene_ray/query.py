@@ -223,6 +223,28 @@ class GeoDistanceQuery(Query):
 
 
 @dataclass(frozen=True)
+class PointNDRangeQuery(Query):
+    """N-dimensional box over numeric doc-values columns — the general
+    PointRangeQuery over a k-d (BKD) tree (search/PointRangeQuery.java with
+    numDims > 1; util/bkd/BKDWriter.java supports up to 8 index dims).
+    ``None`` bounds are open. Non-scoring; composes as FILTER/MUST."""
+
+    fields: tuple
+    lows: tuple
+    highs: tuple
+
+    def __init__(self, fields, lows, highs):
+        fields = tuple(fields)
+        lows = tuple(float("-inf") if v is None else float(v) for v in lows)
+        highs = tuple(float("inf") if v is None else float(v) for v in highs)
+        if not (len(fields) == len(lows) == len(highs)) or not fields:
+            raise ValueError("fields/lows/highs must be same non-zero length")
+        object.__setattr__(self, "fields", fields)
+        object.__setattr__(self, "lows", lows)
+        object.__setattr__(self, "highs", highs)
+
+
+@dataclass(frozen=True)
 class SortedSetContainsQuery(Query):
     """Docs whose multi-valued (SortedSet) doc-values column CONTAINS the
     value — SortedSetDocValuesField.newSlowExactQuery semantics

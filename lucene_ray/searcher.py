@@ -56,6 +56,7 @@ from lucene_ray.query import (
     FuzzyQuery,
     GeoDistanceQuery,
     GeoPolygonQuery,
+    PointNDRangeQuery,
     SortedSetContainsQuery,
     IntervalQuery,
     JoinQuery,
@@ -970,6 +971,13 @@ class IndexSearcher:
             mins = np.asarray(r.doc_values[q.min_match_field][u.docs], dtype=np.int64)
             keep = u.counts >= mins
             return _SparseScores(u.docs[keep], u.scores[keep], u.counts[keep])
+        if isinstance(q, PointNDRangeQuery):
+            kd = r.kd_index_nd(q.fields)
+            docs, examined = kd.box(q.lows, q.highs)
+            st = self.range_stats
+            st["docs_examined"] += examined + len(docs)
+            st["max_doc_total"] += r.max_doc
+            return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, SortedSetContainsQuery):
             dv = getattr(r, "sorted_set_dv", {}).get(q.field)
             if dv is None:

@@ -846,6 +846,30 @@ class SegmentReader:
             )
         return hit
 
+    def kd_index_nd(self, fields: tuple):
+        """Lazy per-reader N-dimensional BKD point tree over doc-values
+        columns (functions/points.KDIndexND) — the general-arity variant of
+        :meth:`kd_index`, cached per field tuple."""
+        cache = getattr(self, "_kd_cache", None)
+        if cache is None:
+            cache = self._kd_cache = {}
+        key = ("nd",) + tuple(fields)
+        hit = cache.get(key)
+        if hit is None:
+            from lucene_ray.functions.points import KDIndexND
+
+            cols = []
+            for f in fields:
+                v = self.doc_values.get(f)
+                if v is None:
+                    raise ValueError(
+                        f"no doc-values column {f!r} in segment {self.name} "
+                        f"(have {sorted(self.doc_values)})")
+                cols.append(v)
+            hit = cache[key] = KDIndexND(
+                cols, np.arange(self.max_doc, dtype=np.int32))
+        return hit
+
     def decoded_lengths(self) -> np.ndarray:
         """float32 lengths as BM25 sees them (through the norm byte)."""
         return decode_norms(self.norms)

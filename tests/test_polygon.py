@@ -71,3 +71,43 @@ def test_polygon_validation(ray_session):
 
     with pytest.raises(ValueError):
         GeoPolygonQuery("lat", "lon", [[(0, 0), (1, 1)]])
+
+
+def test_kd_index_nd_matches_brute_force(ray_session):
+    from lucene_ray.functions.points import KDIndexND
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    cols = [rng.uniform(-100, 100, n) for _ in range(3)]
+    ids = np.arange(n, dtype=np.int32)
+    kd = KDIndexND(cols, ids)
+    for trial in range(10):
+        lows = rng.uniform(-100, 0, 3)
+        highs = lows + rng.uniform(10, 120, 3)
+        got, examined = kd.box(lows, highs)
+        m = np.ones(n, bool)
+        for c, lo, hi in zip(cols, lows, highs):
+            m &= (c >= lo) & (c <= hi)
+        assert np.array_equal(got, np.flatnonzero(m).astype(np.int32))
+        assert examined < n
+
+
+def test_point_nd_query(tmp_path, ray_session):
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import PointNDRangeQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    rng = np.random.default_rng(4)
+    rows = [{"url": f"u{i:03d}", "text": "w",
+             "a": float(rng.uniform(0, 10)), "b": float(rng.uniform(0, 10)),
+             "c": float(rng.uniform(0, 10))} for i in range(400)]
+    idx = str(tmp_path / "nd")
+    build_index(ray.data.from_items(rows), idx, key_col="url",
+                text_col="text", num_partitions=2,
+                docvalue_cols=("a", "b", "c"))
+    s = IndexSearcher(idx)
+    q = PointNDRangeQuery(("a", "b", "c"), (2, None, 0), (8, 5, None))
+    got = {sd.doc_key for sd in s.search(q, k=1000).score_docs}
+    want = {r["url"] for r in rows
+            if 2 <= r["a"] <= 8 and r["b"] <= 5}
+    assert got == want and got
