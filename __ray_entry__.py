@@ -757,6 +757,35 @@ def _q_dedup_exact(sf_dir: str):
     return dedup_exact_content(_docs_ds(sf_dir))
 
 
+def _q_unigram_logprob(sf_dir: str):
+    """Unigram-LM quality score (perplexity-filter primitive): per-doc mean
+    ln(P(token)) under the corpus unigram model — full SQL oracle."""
+    from lucene_ray.pipelines.textstats import unigram_logprob
+
+    return unigram_logprob(_docs_ds(sf_dir, columns=("doc_id", "text")))
+
+
+_SQL_UNIGRAM_LOGPROB = """
+WITH tk AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+tkc AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+g AS (SELECT term, count(*)::DOUBLE AS n FROM tkc GROUP BY term),
+tot AS (SELECT sum(n) AS total FROM g),
+per_doc AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         round(avg(ln(g.n / tot.total)), 6) AS mean_logprob
+  FROM tkc t JOIN g ON g.term = t.term CROSS JOIN tot
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(p.mean_logprob, 0.0) AS mean_logprob
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
 def _q_fingerprint(sf_dir: str):
     from lucene_ray.pipelines.textstats import fingerprints
 
@@ -3249,6 +3278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_multi": _q_facet_multi,  # SortedSet doc values
         "quality_scores": _q_quality,
         "fingerprint": _q_fingerprint,
+        "unigram_logprob": _q_unigram_logprob,
         # dedup family (§2.9 + extensions)
         "dedup_exact": _q_dedup_exact,
         "corpus_curation": _q_corpus_curation,
@@ -3332,6 +3362,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_multi": _sql_facet_multi(),
         "quality_scores": _SQL_QUALITY,
         "fingerprint": _SQL_FINGERPRINT,
+        "unigram_logprob": _SQL_UNIGRAM_LOGPROB,
         "dedup_exact": _SQL_DEDUP,
         "corpus_curation": _SQL_CURATION,
         "langid_counts": _SQL_LANGID,

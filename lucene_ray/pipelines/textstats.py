@@ -223,3 +223,80 @@ class Fingerprints:
 def fingerprints(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     fn = Fingerprints(text_col, id_col)
     return ds.map_batches(lambda b: fn(b), batch_format="pyarrow")
+
+
+# ---------------------------------------------------- unigram LM scoring
+
+
+def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    num_partitions: int = 64):
+    """Per-document mean unigram log-probability — the perplexity-filter
+    primitive of training-data curation (docs whose tokens are improbable
+    under the corpus unigram model are boilerplate/garbled candidates).
+
+    Two passes, both vectorized: (1) global token frequencies via the
+    hash-partitioned Arrow reduce (bounded: one row per distinct term —
+    vocabulary-sized, which for web text is tiny next to the corpus),
+    broadcast once via ``ray.put``; (2) per-doc mean of
+    ``ln(tf_global / total_tokens)`` with a sorted-vocab ``searchsorted``
+    gather — no per-token Python. Returns (id, n_tokens, mean_logprob)
+    with mean_logprob = 0.0 for empty docs.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from lucene_ray.pipelines.dedup import partition_reduce
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch.column(text_col))
+        split = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        flat = pc.list_flatten(split)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        t = pa.table({"term": flat})
+        agg = t.group_by("term").aggregate([("term", "count")])
+        return agg.rename_columns(["term", "n"])
+
+    def reduce_sum(t: pa.Table) -> pa.Table:
+        agg = t.group_by("term").aggregate([("n", "sum")])
+        return agg.rename_columns(["term", "n"])
+
+    vocab_tbl = partition_reduce(
+        ds.map_batches(term_counts, batch_format="pyarrow"),
+        ["term"], reduce_sum, num_partitions=num_partitions,
+    ).to_pandas()
+    vocab_tbl = vocab_tbl.sort_values("term").reset_index(drop=True)
+    terms = np.asarray(vocab_tbl["term"].to_numpy(), dtype=object)
+    counts = vocab_tbl["n"].to_numpy().astype(np.float64)
+    total = float(counts.sum())
+    logp = np.log(counts / max(total, 1.0))
+    ref = ray.put((terms, logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms_b, logp_b = ray.get(ref)
+        low = pc.utf8_lower(batch.column(text_col))
+        split = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = pc.list_flatten(split)
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        keep = toks != ""
+        # per-doc offsets over the UNFILTERED flat list, then masked sums
+        offs = split.offsets.to_numpy() - split.offsets[0].as_py()
+        idx = np.searchsorted(terms_b, toks[keep])
+        # every kept token is in the vocab by construction (same split)
+        tok_lp = np.zeros(len(toks), dtype=np.float64)
+        tok_lp[keep] = logp_b[idx]
+        cum = np.concatenate([[0.0], np.cumsum(tok_lp)])
+        cnt = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        sums = cum[offs[1:]] - cum[offs[:-1]]
+        ns = cnt[offs[1:]] - cnt[offs[:-1]]
+        mean = np.where(ns > 0, sums / np.maximum(ns, 1), 0.0)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(ns.astype(np.int64)),
+            "mean_logprob": pa.array(np.round(mean, 6)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

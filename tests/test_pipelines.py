@@ -342,3 +342,29 @@ def test_ivf_materialized_layout(tmp_path, ray_session):
         hits += len(got & true)
         tot += len(true)
     assert hits / tot >= 0.6  # nprobe=4/8 buckets: decent recall, pruned reads
+
+
+def test_unigram_logprob(docs_ds, docs_pd):
+    import re
+
+    import numpy as np
+
+    from lucene_ray.pipelines.textstats import unigram_logprob
+
+    out = unigram_logprob(docs_ds).to_pandas().set_index("doc_id")
+    pat = re.compile(r"[a-z0-9]+")
+    from collections import Counter
+
+    global_counts = Counter()
+    per_doc = {}
+    for _, row in docs_pd.iterrows():
+        toks = pat.findall(row.text.lower())
+        per_doc[row.doc_id] = toks
+        global_counts.update(toks)
+    total = sum(global_counts.values())
+    for doc_id, toks in list(per_doc.items())[:50]:
+        want = (np.mean([np.log(global_counts[t] / total) for t in toks])
+                if toks else 0.0)
+        got = out.loc[doc_id]
+        assert got.n_tokens == len(toks)
+        assert abs(got.mean_logprob - round(want, 6)) < 2e-6
