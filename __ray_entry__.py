@@ -757,6 +757,30 @@ def _q_dedup_exact(sf_dir: str):
     return dedup_exact_content(_docs_ds(sf_dir))
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Context-length chunking (48-token windows, 16 overlap — sized so the
+    gate corpus produces multi-window docs) — the LLM
+    training-corpus windowing op; full SQL oracle over token-list slices."""
+    from lucene_ray.pipelines.textstats import chunk_documents
+
+    return chunk_documents(_docs_ds(sf_dir, columns=("doc_id", "text")),
+                           max_tokens=48, overlap=16)
+
+
+_SQL_CHUNKS = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b2 AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+w AS (
+  SELECT doc_id, k AS chunk_id,
+         toks[k*32 + 1 : least(k*32 + 48, n)] AS wtoks
+  FROM b2, unnest(range(0, (greatest(n - 16, 1) + 31) // 32)) AS t(k)
+)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id, len(wtoks)::BIGINT AS n_tokens,
+       array_to_string(wtoks, ' ') AS chunk_text
+FROM w
+"""
+
+
 def _q_unigram_logprob(sf_dir: str):
     """Unigram-LM quality score (perplexity-filter primitive): per-doc mean
     ln(P(token)) under the corpus unigram model — full SQL oracle."""
@@ -3279,6 +3303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "fingerprint": _q_fingerprint,
         "unigram_logprob": _q_unigram_logprob,
+        "chunk_documents": _q_chunk_documents,
         # dedup family (§2.9 + extensions)
         "dedup_exact": _q_dedup_exact,
         "corpus_curation": _q_corpus_curation,
@@ -3363,6 +3388,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _SQL_QUALITY,
         "fingerprint": _SQL_FINGERPRINT,
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,
+        "chunk_documents": _SQL_CHUNKS,
         "dedup_exact": _SQL_DEDUP,
         "corpus_curation": _SQL_CURATION,
         "langid_counts": _SQL_LANGID,

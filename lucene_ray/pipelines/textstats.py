@@ -300,3 +300,43 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- doc chunking
+
+
+def chunk_documents(ds, *, max_tokens: int = 128, overlap: int = 32,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split documents into overlapping token windows — context-length
+    chunking for LLM training corpora. Stride = max_tokens − overlap; the
+    final window is the tail (may be shorter; never empty for a non-empty
+    doc); chunk_id is the window ordinal. Pure per-batch map (no shuffle):
+    one row in → ceil(max(n_tokens − overlap, 1) / stride) rows out.
+    Returns (id, chunk_id, n_tokens, chunk_text)."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        out_id, out_cid, out_n, out_text = [], [], [], []
+        for i, t in enumerate(texts):
+            toks = _SIMPLE.findall(t.lower())
+            if not toks:
+                continue
+            starts = range(0, max(len(toks) - overlap, 1), stride)
+            for cid, s in enumerate(starts):
+                w = toks[s : s + max_tokens]
+                out_id.append(ids[i])
+                out_cid.append(cid)
+                out_n.append(len(w))
+                out_text.append(" ".join(w))
+        return pa.table({
+            id_col: pa.array(out_id),
+            "chunk_id": pa.array(out_cid, type=pa.int64()),
+            "n_tokens": pa.array(out_n, type=pa.int64()),
+            "chunk_text": pa.array(out_text, type=pa.string()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

@@ -368,3 +368,26 @@ def test_unigram_logprob(docs_ds, docs_pd):
         got = out.loc[doc_id]
         assert got.n_tokens == len(toks)
         assert abs(got.mean_logprob - round(want, 6)) < 2e-6
+
+
+def test_chunk_documents_windows(ray_session):
+    import ray as _ray
+
+    from lucene_ray.pipelines.textstats import chunk_documents
+
+    toks = [f"t{i}" for i in range(25)]
+    rows = [{"doc_id": 1, "text": " ".join(toks)},
+            {"doc_id": 2, "text": "one two"},
+            {"doc_id": 3, "text": ""}]
+    out = chunk_documents(_ray.data.from_items(rows), max_tokens=10,
+                          overlap=4).to_pandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_id")
+    # stride 6: starts 0,6,12,18 (range stops before 25-4=21) -> 4 chunks
+    assert list(d1.chunk_id) == [0, 1, 2, 3]
+    assert list(d1.n_tokens) == [10, 10, 10, 7]
+    assert d1.iloc[0].chunk_text.split()[:2] == ["t0", "t1"]
+    assert d1.iloc[3].chunk_text.split()[0] == "t18"
+    # consecutive windows overlap by 4 tokens
+    assert d1.iloc[0].chunk_text.split()[-4:] == d1.iloc[1].chunk_text.split()[:4]
+    assert list(out[out.doc_id == 2].n_tokens) == [2]
+    assert 3 not in set(out.doc_id)  # empty doc -> no chunks
