@@ -143,7 +143,7 @@ class StandardQueryParser:
             return q
 
         def check(node: Query) -> Query:
-            if isinstance(node, WildcardQuery) and node.pattern[:1] in "*?":
+            if isinstance(node, WildcardQuery) and node.pattern[:1] in ("*", "?"):
                 raise ValueError(
                     "leading wildcard not allowed "
                     "(setAllowLeadingWildcard(true) to enable)")

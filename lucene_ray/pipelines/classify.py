@@ -64,7 +64,7 @@ class NaiveBayesModel:
     class_doc_count: np.ndarray  # (C,) float64 — docFreq(class=c)
     docs_with_class: float       # docs having a class value
     avg_unique_terms: float      # sumDocFreq(text)/docCount(text)
-    vocab: np.ndarray            # (V,) unicode, sorted
+    vocab_hash: np.ndarray       # (V,) uint64, sorted — hashed term dict
     term_class_df: object        # (V, C) float64 (dense) or scipy-free dict
     analyzer_kind: str = "simple"
 
@@ -87,84 +87,131 @@ def _distinct_doc_term(an, texts):
 
 
 def train_naive_bayes(ds, text_col: str = "text", class_col: str = "lang",
-                      analyzer: str = "simple") -> NaiveBayesModel:
+                      analyzer: str = "simple",
+                      num_partitions: int = 64) -> NaiveBayesModel:
     """One streaming pass over ``ds``: per-batch tokenize → distinct
-    (doc, term) × class partials → small ``groupby(term, class)`` reduce.
-    Only the (term, class, df) partials shuffle — never documents."""
+    (doc, term-HASH) × class partials → hash-partitioned vectorized
+    ``partition_reduce`` (one Arrow kernel per partition — never one Python
+    call per distinct (term, class) key). Only (u64 hash, class, df)
+    triples shuffle — never documents — and the driver collects NUMERIC
+    arrays only: the string vocabulary never exists on the driver (terms
+    live as 64-bit hashes end-to-end; the scorer hashes query tokens with
+    the same function). Class labels stay as strings — class cardinality is
+    tiny by construction."""
+    from lucene_ray.pipelines.dedup import _hash_tokens_u64, partition_reduce
 
     kind = analyzer
 
     def partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         an = get_analyzer(kind)
         texts = batch.column(text_col).to_pylist()
         classes = np.asarray(batch.column(class_col).to_pylist(), dtype=object)
         d_idx, terms = _distinct_doc_term(an, texts)
-        cls = classes[d_idx] if len(d_idx) else np.empty(0, dtype=object)
-        # in-batch partial: count distinct docs per (term, class)
-        out_t, out_c, out_n = [], [], []
+        # in-batch partial: count distinct docs per (term-hash, class)
         if len(terms):
-            import pandas as pd
-
-            g = pd.DataFrame({"term": terms, "cls": cls}).groupby(
-                ["term", "cls"], sort=False).size()
-            out_t = [t for t, _ in g.index]
-            out_c = [c for _, c in g.index]
-            out_n = g.values.tolist()
-        # meta rows: per-class doc counts and the (docs, distinct-pairs)
-        # collection partials, tagged by term='' (never a real token)
-        import pandas as pd
-
+            th = _hash_tokens_u64([str(t) for t in terms])
+            cls = classes[d_idx]
+            g = pd.DataFrame({"h": th, "cls": cls}).groupby(
+                ["h", "cls"], sort=False).size()
+            out_h = np.fromiter((h for h, _ in g.index), dtype=np.uint64,
+                                count=len(g))
+            out_c = [str(c) for _, c in g.index]
+            out_n = g.values.astype(np.int64).tolist()
+        else:
+            out_h, out_c, out_n = np.empty(0, np.uint64), [], []
+        # meta rows: per-class doc counts + (docs, distinct-pairs)
+        # collection partials. Tagged h=0 AND a \x00-prefixed cls — the cls
+        # prefix is the discriminator, so a real token hashing to 0 cannot
+        # be mistaken for metadata.
+        out_h = list(out_h)
         cc = pd.Series(classes).value_counts()
         for c, n in cc.items():
-            out_t.append("")
-            out_c.append(str(c))
+            out_h.append(0)
+            out_c.append("\x00cls:" + str(c))
             out_n.append(int(n))
-        out_t.append("")
-        out_c.append("\x00meta")
-        # encode (n_docs, n_distinct_pairs) as two rows is clumsy; pack:
-        out_n.append(int(len(texts)))
-        out_t.append("")
-        out_c.append("\x00pairs")
-        out_n.append(int(len(d_idx)))
+        out_h.extend([0, 0])
+        out_c.extend(["\x00meta", "\x00pairs"])
+        out_n.extend([int(len(texts)), int(len(d_idx))])
         return pa.table({
-            "term": pa.array(out_t, type=pa.string()),
-            "cls": pa.array([str(c) for c in out_c], type=pa.string()),
+            "h": pa.array(np.asarray(out_h, dtype=np.uint64),
+                          type=pa.uint64()),
+            "cls": pa.array(out_c, type=pa.string()),
             "n": pa.array(out_n, type=pa.int64()),
         })
 
-    agg = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby(["term", "cls"])
-        .sum("n")
-    )
-    tbl = agg.to_pandas()
-    ncol = [c for c in tbl.columns if c.startswith("sum")][0]
+    def reduce_sum(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["h", "cls"]).aggregate([("n", "sum")])
+        return agg.rename_columns(["h", "cls", "n"])
 
-    meta = tbl[tbl["term"] == ""]
-    body = tbl[tbl["term"] != ""]
-    n_docs = float(meta.loc[meta["cls"] == "\x00meta", ncol].sum())
-    n_pairs = float(meta.loc[meta["cls"] == "\x00pairs", ncol].sum())
-    cls_rows = meta[~meta["cls"].isin(["\x00meta", "\x00pairs"])]
-    classes = np.sort(cls_rows["cls"].to_numpy(dtype=object)).astype(str)
+    agg = partition_reduce(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["h"], reduce_sum, num_partitions=num_partitions,
+    )
+
+    # Driver-side collection: numeric (h, class-code, n) arrays only. Class
+    # labels are dictionary-decoded per batch (tiny distinct set); the term
+    # hashes stay uint64 throughout.
+    cls_map: dict[str, int] = {}
+    class_counts: dict[str, float] = {}
+    n_docs = n_pairs = 0.0
+    h_parts, c_parts, n_parts = [], [], []
+    for t in agg.iter_batches(batch_format="pyarrow"):
+        if t.num_rows == 0:
+            continue
+        h = t.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t.column("cls").combine_chunks().dictionary_encode()
+        local = d.dictionary.to_pylist()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        remap = np.empty(len(local), dtype=np.int64)
+        is_meta_local = np.zeros(len(local), dtype=bool)
+        for i, s in enumerate(local):
+            if s.startswith("\x00"):
+                is_meta_local[i] = True
+                remap[i] = -1
+            else:
+                remap[i] = cls_map.setdefault(s, len(cls_map))
+        is_meta = is_meta_local[codes]
+        for i in np.flatnonzero(is_meta):  # ≤ classes+2 rows globally
+            s = local[codes[i]]
+            if s == "\x00meta":
+                n_docs += float(n[i])
+            elif s == "\x00pairs":
+                n_pairs += float(n[i])
+            else:
+                c = s[5:]
+                class_counts[c] = class_counts.get(c, 0.0) + float(n[i])
+        keep = ~is_meta
+        h_parts.append(h[keep])
+        c_parts.append(remap[codes[keep]])
+        n_parts.append(n[keep])
+
+    classes = np.asarray(sorted(class_counts), dtype=str)
     c_index = {c: i for i, c in enumerate(classes)}
-    class_doc_count = np.zeros(len(classes), dtype=np.float64)
-    for c, n in zip(cls_rows["cls"], cls_rows[ncol]):
-        class_doc_count[c_index[c]] = float(n)
+    class_doc_count = np.asarray(
+        [class_counts[c] for c in classes], dtype=np.float64)
     docs_with_class = float(class_doc_count.sum())
 
-    vocab = np.sort(body["term"].unique().astype(str))
-    v_index = {t: i for i, t in enumerate(vocab)}
-    mat = np.zeros((len(vocab), len(classes)), dtype=np.float64)
-    vi = body["term"].map(v_index).to_numpy()
-    ci = body["cls"].map(c_index).to_numpy()
-    mat[vi, ci] = body[ncol].to_numpy(dtype=np.float64)
+    hh = (np.concatenate(h_parts) if h_parts else np.empty(0, np.uint64))
+    nn = (np.concatenate(n_parts) if n_parts else np.empty(0, np.float64))
+    interim = np.empty(max(len(cls_map), 1), dtype=np.int64)
+    for s, code in cls_map.items():
+        interim[code] = c_index[s]
+    ci = (interim[np.concatenate(c_parts)] if c_parts
+          else np.empty(0, np.int64))
+    vocab_hash = np.unique(hh)
+    mat = np.zeros((len(vocab_hash), len(classes)), dtype=np.float64)
+    if len(hh):
+        mat[np.searchsorted(vocab_hash, hh), ci] = nn
 
     return NaiveBayesModel(
         classes=classes,
         class_doc_count=class_doc_count,
         docs_with_class=docs_with_class,
         avg_unique_terms=n_pairs / n_docs if n_docs else 0.0,
-        vocab=vocab,
+        vocab_hash=vocab_hash,
         term_class_df=mat,
         analyzer_kind=kind,
     )
@@ -176,12 +223,15 @@ def nb_scores(model: NaiveBayesModel, text: str) -> np.ndarray:
     an = get_analyzer(model.analyzer_kind)
     prior = model.log_prior()
     log_den = model.log_denominator()
+    from lucene_ray.pipelines.dedup import _hash_tokens_u64
+
     toks = [t for t, _ in an.tokenize_one(text)]
-    if not toks or len(model.vocab) == 0:
+    if not toks or len(model.vocab_hash) == 0:
         return prior
-    idx = np.searchsorted(model.vocab, toks)
-    idx = np.clip(idx, 0, len(model.vocab) - 1)
-    known = model.vocab[idx] == np.asarray(toks)
+    th = _hash_tokens_u64(toks)
+    idx = np.searchsorted(model.vocab_hash, th)
+    idx = np.clip(idx, 0, len(model.vocab_hash) - 1)
+    known = model.vocab_hash[idx] == th
     # hits matrix: (n_tokens, C); unseen tokens hit 0 everywhere
     hits = np.where(known[:, None], model.term_class_df[idx], 0.0)
     return prior + np.sum(np.log(hits + 1.0) - log_den[None, :], axis=0)

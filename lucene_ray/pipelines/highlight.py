@@ -225,13 +225,14 @@ def highlight_hits(source_ds, hits_ds, query, *, key_col: str = "doc_id",
     shipped once and the source is filtered per batch — no shuffle."""
     import ray
 
-    hit_keys = set(hits_ds.to_pandas()["doc_key"])
-    ref = ray.put(hit_keys)
+    hit_keys = hits_ds.to_pandas()["doc_key"].to_numpy()
+    ref = ray.put(pa.array(hit_keys))
 
     def filter_and_highlight(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         keys = ray.get(ref)
-        mask = pa.array([k in keys for k in batch.column(key_col).to_pylist()])
-        sel = batch.filter(mask)
+        sel = batch.filter(pc.is_in(batch.column(key_col), value_set=keys))
         return Highlighter(query, text_col=text_col, window=window)(sel)
 
     return source_ds.map_batches(filter_and_highlight, batch_format="pyarrow")

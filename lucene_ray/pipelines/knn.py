@@ -122,12 +122,20 @@ def train_centroids(ds, *, n_centroids: int = 16, vec_col: str = "embedding",
                 }
             )
 
-        agg = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+        # bounded collect (n_batches × n_centroids rows), reduced vectorized
         sums = np.zeros_like(cent)
         counts = np.zeros(len(cent), dtype=np.int64)
-        for _, row in agg.iterrows():
-            sums[row["centroid"]] += np.array(row["sum"])
-            counts[row["centroid"]] += row["count"]
+        for t in ds.map_batches(partials, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+            if not t.num_rows:
+                continue
+            ci = t.column("centroid").to_numpy(zero_copy_only=False)
+            sv = np.asarray(t.column("sum").combine_chunks()
+                            .flatten().to_numpy(zero_copy_only=False)
+                            ).reshape(t.num_rows, -1)
+            np.add.at(sums, ci, sv)
+            np.add.at(counts, ci,
+                      t.column("count").to_numpy(zero_copy_only=False))
         nz = counts > 0
         cent[nz] = sums[nz] / counts[nz, None]
         cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)

@@ -234,18 +234,20 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
     primitive of training-data curation (docs whose tokens are improbable
     under the corpus unigram model are boilerplate/garbled candidates).
 
-    Two passes, both vectorized: (1) global token frequencies via the
-    hash-partitioned Arrow reduce (bounded: one row per distinct term —
-    vocabulary-sized, which for web text is tiny next to the corpus),
-    broadcast once via ``ray.put``; (2) per-doc mean of
-    ``ln(tf_global / total_tokens)`` with a sorted-vocab ``searchsorted``
-    gather — no per-token Python. Returns (id, n_tokens, mean_logprob)
-    with mean_logprob = 0.0 for empty docs.
+    Two passes, both vectorized: (1) global token frequencies keyed by
+    64-bit token HASH via the hash-partitioned Arrow reduce — the driver
+    collects (sorted uint64 hash, float32 logp) NUMERIC arrays only (the
+    string vocabulary never materializes on the driver: web-scale vocab is
+    10⁸–10⁹ terms, and an object-dtype string broadcast there would OOM
+    where a 12-byte-per-term numeric pair does not), broadcast once via
+    ``ray.put``; (2) per-doc mean of ``ln(tf_global / total_tokens)`` with
+    a sorted-hash ``searchsorted`` gather — no per-token Python. Returns
+    (id, n_tokens, mean_logprob) with mean_logprob = 0.0 for empty docs.
     """
     import pyarrow.compute as pc
     import ray
 
-    from lucene_ray.pipelines.dedup import partition_reduce
+    from lucene_ray.pipelines.dedup import _hash_tokens_u64, partition_reduce
 
     def term_counts(batch: pa.Table) -> pa.Table:
         low = pc.utf8_lower(batch.column(text_col))
@@ -254,27 +256,39 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
         flat = flat.filter(pc.not_equal(flat, ""))
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
-        t = pa.table({"term": flat})
-        agg = t.group_by("term").aggregate([("term", "count")])
-        return agg.rename_columns(["term", "n"])
+        # hash inside the worker — only (u64, count) pairs ever shuffle
+        h = _hash_tokens_u64(flat.to_pylist())
+        t = pa.table({"h": pa.array(h, type=pa.uint64())})
+        agg = t.group_by("h").aggregate([("h", "count")])
+        return agg.rename_columns(["h", "n"])
 
     def reduce_sum(t: pa.Table) -> pa.Table:
-        agg = t.group_by("term").aggregate([("n", "sum")])
-        return agg.rename_columns(["term", "n"])
+        agg = t.group_by("h").aggregate([("n", "sum")])
+        return agg.rename_columns(["h", "n"])
 
-    vocab_tbl = partition_reduce(
+    vocab_ds = partition_reduce(
         ds.map_batches(term_counts, batch_format="pyarrow"),
-        ["term"], reduce_sum, num_partitions=num_partitions,
-    ).to_pandas()
-    vocab_tbl = vocab_tbl.sort_values("term").reset_index(drop=True)
-    terms = np.asarray(vocab_tbl["term"].to_numpy(), dtype=object)
-    counts = vocab_tbl["n"].to_numpy().astype(np.float64)
+        ["h"], reduce_sum, num_partitions=num_partitions,
+    )
+    h_parts, n_parts = [], []
+    for t in vocab_ds.iter_batches(batch_format="pyarrow"):
+        if t.num_rows:
+            h_parts.append(t.column("h").to_numpy(
+                zero_copy_only=False).astype(np.uint64))
+            n_parts.append(t.column("n").to_numpy(
+                zero_copy_only=False).astype(np.float64))
+    hashes = np.concatenate(h_parts) if h_parts else np.empty(0, np.uint64)
+    counts = np.concatenate(n_parts) if n_parts else np.empty(0, np.float64)
+    order = np.argsort(hashes)
+    hashes, counts = hashes[order], counts[order]
     total = float(counts.sum())
+    # float64, not float32: the oracle compares mean_logprob rounded to 6
+    # decimals, and float32's ~7 significant digits can flip that rounding
     logp = np.log(counts / max(total, 1.0))
-    ref = ray.put((terms, logp))
+    ref = ray.put((hashes, logp))
 
     def score(batch: pa.Table) -> pa.Table:
-        terms_b, logp_b = ray.get(ref)
+        hashes_b, logp_b = ray.get(ref)
         low = pc.utf8_lower(batch.column(text_col))
         split = pc.split_pattern_regex(low, "[^a-z0-9]+")
         if isinstance(split, pa.ChunkedArray):
@@ -284,8 +298,9 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
         keep = toks != ""
         # per-doc offsets over the UNFILTERED flat list, then masked sums
         offs = split.offsets.to_numpy() - split.offsets[0].as_py()
-        idx = np.searchsorted(terms_b, toks[keep])
-        # every kept token is in the vocab by construction (same split)
+        th = _hash_tokens_u64(toks[keep].tolist())
+        idx = np.searchsorted(hashes_b, th)
+        # every kept token is in the vocab by construction (same split+hash)
         tok_lp = np.zeros(len(toks), dtype=np.float64)
         tok_lp[keep] = logp_b[idx]
         cum = np.concatenate([[0.0], np.cumsum(tok_lp)])

@@ -69,6 +69,11 @@ def hopping_window_agg(ds, *, ts_col: str = "ts", key_col: str = "event_type",
     slide_us = int(pd.Timedelta(slide).value // 1000)
     if size_us % slide_us:
         raise ValueError("window must be a multiple of slide")
+    if slide_us % 1_000_000:
+        # window_start is emitted in whole epoch seconds (k*slide_us//1e6);
+        # a sub-second slide would truncate adjacent windows onto the same
+        # start and silently merge their aggregates.
+        raise ValueError("slide must be a whole number of seconds")
 
     def assign(batch: pa.Table) -> pa.Table:
         # normalize to µs regardless of the column's native resolution (a

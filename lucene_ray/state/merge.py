@@ -161,7 +161,12 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
         lens_o = rl[ro]
         cum = np.concatenate([[0], np.cumsum(lens_o)[:-1]])
         idx = (np.repeat(rstart[ro] - cum, lens_o)
-               + np.arange(int(lens_o.sum()), dtype=np.int64)).astype(np.int32)
+               + np.arange(int(lens_o.sum()), dtype=np.int64))
+        # int32 only when the posting count actually fits — a merge group
+        # with >=2^31 postings (reachable under force_merge's unbounded doc
+        # cap) would silently wrap and gather garbage otherwise.
+        if int(lens_o.sum()) < 2**31:
+            idx = idx.astype(np.int32)
         tc = np.repeat(rc[ro].astype(np.int32), lens_o)
         dd = dd0[idx]
         ff = ff0[idx]

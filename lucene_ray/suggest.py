@@ -117,6 +117,10 @@ class InfixSuggester:
                              "weight": pa.array(w.astype(np.int64)),
                              "toks": pa.array(toks, type=pa.string())})
 
+        # driver materialization is intentional and bounded: suggesters hold
+        # their whole lookup structure in RAM by design (Lucene's FST-based
+        # suggesters do the same) — inputs are suggestion dictionaries
+        # (queries, titles, product names), not corpora
         rows = ds.map_batches(prep, batch_format="pyarrow").to_pandas()
         entries = []
         self._entries = []

@@ -370,6 +370,50 @@ def test_unigram_logprob(docs_ds, docs_pd):
         assert abs(got.mean_logprob - round(want, 6)) < 2e-6
 
 
+def test_unigram_broadcast_is_numeric(docs_ds, monkeypatch):
+    """The broadcast unigram model must be (uint64 hash, float logp) numpy
+    arrays — the driver never holds the string vocabulary (web-scale vocab
+    is 10⁸–10⁹ terms; an object-dtype broadcast would OOM there)."""
+    import numpy as np
+    import ray
+
+    from lucene_ray.pipelines.textstats import unigram_logprob
+
+    payloads = []
+    real_put = ray.put
+
+    def spy_put(obj, *a, **kw):
+        payloads.append(obj)
+        return real_put(obj, *a, **kw)
+
+    monkeypatch.setattr(ray, "put", spy_put)
+    unigram_logprob(docs_ds).materialize()
+    models = [p for p in payloads
+              if isinstance(p, tuple) and len(p) == 2
+              and all(isinstance(x, np.ndarray) for x in p)]
+    assert models, "unigram model broadcast not captured"
+    hashes, logp = models[-1]
+    assert hashes.dtype == np.uint64
+    assert logp.dtype.kind == "f"  # numeric, never object-dtype strings
+
+
+def test_nb_model_vocab_is_hashed(ray_session):
+    """NB model broadcast payload is numeric: hashed vocab, float matrix."""
+    import numpy as np
+    import ray.data
+
+    from lucene_ray.pipelines.classify import train_naive_bayes
+
+    ds = ray.data.from_items([
+        {"text": "cat purr", "lang": "animal"},
+        {"text": "engine oil", "lang": "machine"},
+    ])
+    m = train_naive_bayes(ds, analyzer="simple")
+    assert m.vocab_hash.dtype == np.uint64
+    assert not hasattr(m, "vocab")  # string vocabulary no longer exists
+    assert m.term_class_df.dtype == np.float64
+
+
 def test_chunk_documents_windows(ray_session):
     import ray as _ray
 
