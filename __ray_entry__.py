@@ -1537,6 +1537,28 @@ def _q_synonym_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, [(" ".join(SYNONYMS), SynonymQuery(SYNONYMS))])
 
 
+SYNONYM_RULES = "quick, fast\nhash join => merge\nsort, order line"
+SYNONYM_GRAPH_QUERIES = ["quick scan", "big hash join", "sort key"]
+
+
+def _q_synonym_graph_topk(sf_dir: str) -> pa.Table:
+    """Query-time SynonymGraphFilter + analyzeGraphBoolean
+    (analysis/common/.../synonym/SynonymGraphFilter.java:47,
+    core/.../util/QueryBuilder.java:547): 'quick scan' fans quick/fast into
+    one SynonymQuery position; 'big hash join' rewrites the multi-word
+    input to merge (origin dropped); 'sort key' grows an order→line phrase
+    side path (SHOULD of TermQuery|PhraseQuery paths)."""
+    from lucene_ray.functions.analysis import get_analyzer
+    from lucene_ray.functions.synonyms import SynonymMap, analyze_graph_query
+
+    an = get_analyzer("simple")
+    m = SynonymMap.parse(SYNONYM_RULES, analyzer=an)
+    s = _searcher(sf_dir)
+    qs = [(text, analyze_graph_query(text, m, analyzer=an))
+          for text in SYNONYM_GRAPH_QUERIES]
+    return _ranked_topk(s, qs)
+
+
 def _q_sort_by_field(sf_dir: str) -> pa.Table:
     from lucene_ray.query import TermQuery
 
@@ -2865,6 +2887,61 @@ ranked AS (
 SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
 """
 
+# synonym_graph_topk oracle: q1 SynonymQuery(quick,fast) ⊕ scan; q2 the
+# multi-word rewrite big ⊕ merge; q3 (sort | "order line" phrase) ⊕ key —
+# ⊕ = should-sum over matching clauses, exactly analyzeGraphBoolean output.
+_SQL_TERM_SC = (
+    "SELECT tf.doc_id, " + _SCORE + " AS sc FROM tf "
+    "JOIN dl ON dl.doc_id = tf.doc_id JOIN df ON df.term = tf.term "
+    "CROSS JOIN stats WHERE tf.term = '{t}'"
+)
+_SQL_SYNONYM_GRAPH = f"""
+WITH {_BASE},
+syn1 AS (SELECT doc_id, sum(tf) AS tf FROM tf WHERE term IN ('quick','fast') GROUP BY doc_id),
+sdf1 AS (SELECT max(df) AS df FROM df WHERE term IN ('quick','fast')),
+s_syn1 AS (
+  SELECT syn1.doc_id,
+         ln(1 + (stats.doc_count - sdf1.df + 0.5)/(sdf1.df + 0.5))
+         * (syn1.tf * 2.2) / (syn1.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.sum_ttf / stats.doc_count))) AS sc
+  FROM syn1 JOIN dl ON dl.doc_id = syn1.doc_id CROSS JOIN sdf1 CROSS JOIN stats),
+s_scan AS ({_SQL_TERM_SC.format(t='scan')}),
+q1 AS (
+  SELECT 'quick scan' AS query, COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.sc, 0) + COALESCE(b.sc, 0) AS score
+  FROM s_syn1 a FULL OUTER JOIN s_scan b ON a.doc_id = b.doc_id),
+s_big AS ({_SQL_TERM_SC.format(t='big')}),
+s_mrg AS ({_SQL_TERM_SC.format(t='merge')}),
+q2 AS (
+  SELECT 'big hash join' AS query, COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.sc, 0) + COALESCE(b.sc, 0) AS score
+  FROM s_big a FULL OUTER JOIN s_mrg b ON a.doc_id = b.doc_id),
+s_sort AS ({_SQL_TERM_SC.format(t='sort')}),
+s_key AS ({_SQL_TERM_SC.format(t='key')}),
+pm AS (
+  SELECT doc_id, count(*)::DOUBLE AS freq
+  FROM base, unnest(range(1, len(toks))) AS t(i)
+  WHERE toks[i] = 'order' AND toks[i+1] = 'line'
+  GROUP BY doc_id),
+s_ph AS (
+  SELECT pm.doc_id,
+         (SELECT sum(ln(1 + (s.doc_count - df.df + 0.5)/(df.df + 0.5)))
+          FROM (VALUES ('order'),('line')) pt(term) JOIN df ON df.term = pt.term CROSS JOIN stats s)
+         * (pm.freq * 2.2) / (pm.freq + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s2.sum_ttf / s2.doc_count))) AS sc
+  FROM pm JOIN dl ON dl.doc_id = pm.doc_id CROSS JOIN stats s2),
+q3 AS (
+  SELECT 'sort key' AS query, COALESCE(a.doc_id, b.doc_id, c.doc_id) AS doc_id,
+         COALESCE(a.sc, 0) + COALESCE(b.sc, 0) + COALESCE(c.sc, 0) AS score
+  FROM s_sort a FULL OUTER JOIN s_ph b ON a.doc_id = b.doc_id
+       FULL OUTER JOIN s_key c ON COALESCE(a.doc_id, b.doc_id) = c.doc_id),
+scored AS (SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
+"""
+
 _SQL_SORT_BY_FIELD = f"""
 WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
 toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
@@ -3285,6 +3362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_range_count": _q_term_range_count,
         "fuzzy_count": _q_fuzzy_count,
         "synonym_topk": _q_synonym_topk,
+        "synonym_graph_topk": _q_synonym_graph_topk,
         "sort_by_field": _q_sort_by_field,
         "sorted_index_topk": _q_sorted_index_topk,
         "facet_lang": _q_facet_lang,
@@ -3373,6 +3451,7 @@ def oracle_sql() -> dict[str, str]:
         "term_range_count": _SQL_TERM_RANGE,
         "fuzzy_count": _SQL_FUZZY,
         "synonym_topk": _SQL_SYNONYM,
+        "synonym_graph_topk": _SQL_SYNONYM_GRAPH,
         "sort_by_field": _SQL_SORT_BY_FIELD,
         "sorted_index_topk": _SQL_SORT_BY_FIELD,
         "facet_lang": _SQL_FACET_LANG,
