@@ -1540,6 +1540,47 @@ def _q_synonym_topk(sf_dir: str) -> pa.Table:
 SYNONYM_RULES = "quick, fast\nhash join => merge\nsort, order line"
 SYNONYM_GRAPH_QUERIES = ["quick scan", "big hash join", "sort key"]
 
+# language-analyzer gate: query words whose LANGUAGE-stemmed form matches
+# the language-stemmed index ('tables'→fr-stem→'tabl' meets indexed
+# 'table'→'tabl' — plural query finds singular docs)
+LANG_ANALYZER_QUERIES = (("de", "german", ("merge", "order")),
+                         ("fr", "french", ("tables", "value")))
+
+
+def _lang_gate_index(sf_dir: str, lang: str, analyzer: str) -> str:
+    """Per-language gate index: documents WHERE lang=<lang>, analyzed with
+    the reference chain (de/GermanAnalyzer.java:120, fr/FrenchAnalyzer
+    .java:128) — stop+normalize+light-stem applied at index time."""
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.state.manifest import Manifest
+
+    d = _cache_dir(sf_dir, f"gate-{lang}")
+    if not Manifest.exists(d):
+        ds = _docs_ds(sf_dir, columns=("doc_id", "text", "lang"))
+        ds = ds.filter(expr=f"lang == '{lang}'")  # pushed-down, no per-row fn
+        build_index(ds, d, key_col="doc_id", text_col="text",
+                    num_partitions=2, analyzer=analyzer)
+    return d
+
+
+def _q_lang_analyzer_topk(sf_dir: str) -> pa.Table:
+    """German/French analyzer chains end-to-end: language-stemmed index +
+    query-side normalize (UniNE light stemmers; golden-tested against the
+    reference vocab in tests/test_lang_analyzers.py)."""
+    from lucene_ray.functions.analysis import get_analyzer
+    from lucene_ray.query import TermQuery
+
+    from lucene_ray.searcher import IndexSearcher
+
+    parts = []
+    for lang, analyzer, terms in LANG_ANALYZER_QUERIES:
+        s = IndexSearcher(_lang_gate_index(sf_dir, lang, analyzer),
+                          mode="exact")
+        an = get_analyzer(analyzer)
+        qs = [(f"{lang}:{t}", TermQuery(an.normalize(t))) for t in terms]
+        parts.append(_ranked_topk(s, qs))
+    return pa.concat_tables(parts)
+
 
 def _q_synonym_graph_topk(sf_dir: str) -> pa.Table:
     """Query-time SynonymGraphFilter + analyzeGraphBoolean
@@ -2887,6 +2928,68 @@ ranked AS (
 SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
 """
 
+# lang_analyzer_topk oracle: per-language collection (documents WHERE
+# lang=X), tokens mapped through the language light-stemmer (the corpus
+# vocabulary is 31 terms; the VALUES map below is each affected term's
+# UniNE-stemmed form, hand-derived from the published algorithm and
+# golden-tested in tests/test_lang_analyzers.py), then the standard BM25.
+_DE_STEM_MAP = [("customer", "custom"), ("filter", "filt"),
+                ("merge", "merg"), ("order", "ord"), ("line", "lin"),
+                ("table", "tabl"), ("value", "valu")]
+_FR_STEM_MAP = [("customer", "custom"), ("filter", "filt"),
+                ("small", "smal"), ("merge", "merg"), ("order", "ord"),
+                ("vector", "vecto"), ("table", "tabl"), ("value", "valu")]
+_LANG_QUERY_STEMS = {("de", "merge"): "merg", ("de", "order"): "ord",
+                     ("fr", "tables"): "tabl", ("fr", "value"): "valu"}
+
+
+def _sql_lang_section(lang: str, stem_map, queries) -> str:
+    vals = ", ".join(f"('{a}','{b}')" for a, b in stem_map)
+    p = lang  # CTE prefix
+    score = (
+        f"ln(1 + ({p}stats.doc_count - {p}df.df + 0.5)/({p}df.df + 0.5))"
+        f" * ({p}tf.tf * 2.2) / ({p}tf.tf + 1.2 * (1 - 0.75 + 0.75 * {p}dl.dl"
+        f" / ({p}stats.sum_ttf / {p}stats.doc_count)))"
+    )
+    scored = "\n  UNION ALL\n".join(
+        f"  SELECT '{lang}:{q}' AS query, {p}tf.doc_id, {score} AS score"
+        f" FROM {p}tf JOIN {p}dl ON {p}dl.doc_id = {p}tf.doc_id"
+        f" JOIN {p}df ON {p}df.term = {p}tf.term CROSS JOIN {p}stats"
+        f" WHERE {p}tf.term = '{_LANG_QUERY_STEMS[(lang, q)]}'"
+        for q in queries
+    )
+    return f"""
+{p}base AS (SELECT doc_id, {_TOK} AS toks FROM documents WHERE lang = '{lang}'),
+{p}map(term, stem) AS (SELECT * FROM (VALUES {vals})),
+{p}toks AS (
+  SELECT t.doc_id, COALESCE(m.stem, t.term) AS term
+  FROM (SELECT doc_id, unnest(toks) AS term FROM {p}base) t
+  LEFT JOIN {p}map m ON m.term = t.term),
+{p}tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM {p}toks GROUP BY doc_id, term),
+{p}dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM {p}toks GROUP BY doc_id),
+{p}df AS (SELECT term, count(*)::DOUBLE AS df FROM {p}tf GROUP BY term),
+{p}stats AS (SELECT (SELECT count(*) FROM {p}dl)::DOUBLE AS doc_count,
+                    (SELECT sum(dl) FROM {p}dl)::DOUBLE AS sum_ttf),
+{p}scored AS (
+{scored}
+)""", f"SELECT * FROM {p}scored"
+
+
+_DE_SECTION, _DE_SEL = _sql_lang_section("de", _DE_STEM_MAP, ("merge", "order"))
+_FR_SECTION, _FR_SEL = _sql_lang_section("fr", _FR_STEM_MAP, ("tables", "value"))
+_SQL_LANG_ANALYZER = f"""
+WITH {_DE_SECTION},
+{_FR_SECTION},
+scored AS ({_DE_SEL} UNION ALL {_FR_SEL}),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
+"""
+
+
 # synonym_graph_topk oracle: q1 SynonymQuery(quick,fast) ⊕ scan; q2 the
 # multi-word rewrite big ⊕ merge; q3 (sort | "order line" phrase) ⊕ key —
 # ⊕ = should-sum over matching clauses, exactly analyzeGraphBoolean output.
@@ -3363,6 +3466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_count": _q_fuzzy_count,
         "synonym_topk": _q_synonym_topk,
         "synonym_graph_topk": _q_synonym_graph_topk,
+        "lang_analyzer_topk": _q_lang_analyzer_topk,
         "sort_by_field": _q_sort_by_field,
         "sorted_index_topk": _q_sorted_index_topk,
         "facet_lang": _q_facet_lang,
@@ -3452,6 +3556,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_count": _SQL_FUZZY,
         "synonym_topk": _SQL_SYNONYM,
         "synonym_graph_topk": _SQL_SYNONYM_GRAPH,
+        "lang_analyzer_topk": _SQL_LANG_ANALYZER,
         "sort_by_field": _SQL_SORT_BY_FIELD,
         "sorted_index_topk": _SQL_SORT_BY_FIELD,
         "facet_lang": _SQL_FACET_LANG,

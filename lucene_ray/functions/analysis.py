@@ -45,6 +45,46 @@ ENGLISH_STOP_WORDS = frozenset(
     that the their then there these they this to was will with""".split()
 )
 
+# snowball german_stop.txt / french_stop.txt, verbatim (the reference ships
+# these resources; de/GermanAnalyzer.java:53, fr/FrenchAnalyzer.java:53 —
+# note the French list intentionally omits été/est/fût homonyms).
+GERMAN_STOP_WORDS = frozenset(
+    """aber alle allem allen aller alles als also am an ander andere anderem
+    anderen anderer anderes anderm andern anderr anders auch auf aus bei bin
+    bis bist da damit dann der den des dem die das daß derselbe derselben
+    denselben desselben demselben dieselbe dieselben dasselbe dazu dein deine
+    deinem deinen deiner deines denn derer dessen dich dir du dies diese
+    diesem diesen dieser dieses doch dort durch ein eine einem einen einer
+    eines einig einige einigem einigen einiger einiges einmal er ihn ihm es
+    etwas euer eure eurem euren eurer eures für gegen gewesen hab habe haben
+    hat hatte hatten hier hin hinter ich mich mir ihr ihre ihrem ihren ihrer
+    ihres euch im in indem ins ist jede jedem jeden jeder jedes jene jenem
+    jenen jener jenes jetzt kann kein keine keinem keinen keiner keines
+    können könnte machen man manche manchem manchen mancher manches mein
+    meine meinem meinen meiner meines mit muss musste nach nicht nichts noch
+    nun nur ob oder ohne sehr sein seine seinem seinen seiner seines selbst
+    sich sie ihnen sind so solche solchem solchen solcher solches soll sollte
+    sondern sonst über um und uns unse unsem unsen unser unses unter viel vom
+    von vor während war waren warst was weg weil weiter welche welchem
+    welchen welcher welches wenn werde werden wie wieder will wir wird wirst
+    wo wollen wollte würde würden zu zum zur zwar zwischen""".split()
+)
+
+FRENCH_STOP_WORDS = frozenset(
+    """au aux avec ce ces dans de des du elle en et eux il je la le leur lui
+    ma mais me même mes moi mon ne nos notre nous on ou par pas pour qu que
+    qui sa se ses sur ta te tes toi ton tu un une vos votre vous c d j l à m
+    n s t y étée étées étant suis es êtes sont serai seras sera serons serez
+    seront serais serait serions seriez seraient étais était étions étiez
+    étaient fus fut fûmes fûtes furent sois soit soyons soyez soient fusse
+    fusses fussions fussiez fussent ayant eu eue eues eus ai avons avez ont
+    aurai aurons aurez auront aurais aurait aurions auriez
+    auraient avais avait aviez avaient eut eûmes eûtes eurent aie
+    aies ait ayons ayez aient eusse eusses eût eussions eussiez eussent ceci
+    cela celà cet cette ici ils les leurs quel quels quelle quelles sans
+    soi""".split()
+)
+
 # UAX#29-approximating word pattern, mirroring the JFlex WORD rule structure
 # (StandardTokenizerImpl.jflex:240-255):
 #   letter-runs joined by MidLetter∪MidNumLet∪SingleQuote ≈ [.:'’·],
@@ -129,18 +169,55 @@ class Analyzer:
     stem: bool = False
     possessive: bool = False
     ascii_folding: bool = False
+    elision: bool = False
+    # SetKeywordMarkerFilter (miscellaneous/SetKeywordMarkerFilter.java):
+    # terms in this set are protected from stemming
+    stem_exclusions: frozenset = field(default_factory=frozenset)
 
     def __post_init__(self):
         if self.kind == "english":
             self.stop_words = self.stop_words or ENGLISH_STOP_WORDS
             self.stem = True
             self.possessive = True
+        elif self.kind == "german":
+            # de/GermanAnalyzer.java:120-128: StandardTokenizer → LowerCase →
+            # Stop(german) → GermanNormalization → GermanLightStem
+            self.stop_words = self.stop_words or GERMAN_STOP_WORDS
+            self.stem = True
+        elif self.kind == "french":
+            # fr/FrenchAnalyzer.java:128-136: StandardTokenizer → Elision →
+            # LowerCase → Stop(french) → FrenchLightStem (elision after
+            # lowercasing here — equivalent: the reference's article set is
+            # matched case-insensitively)
+            self.stop_words = self.stop_words or FRENCH_STOP_WORDS
+            self.stem = True
+            self.elision = True
+
+    def _stem_fn(self):
+        """Per-chain stemmer: Porter for english/+stem, the UniNE light
+        stemmers (with their language normalization step) for german/french."""
+        if self.kind == "german":
+            from lucene_ray.functions.stemming import (german_light_stem,
+                                                       german_normalize)
+
+            return lambda t: german_light_stem(german_normalize(t))
+        if self.kind == "french":
+            from lucene_ray.functions.stemming import french_light_stem
+
+            return french_light_stem
+        from lucene_ray.functions.stemming import porter_stem
+
+        return porter_stem
 
     def normalize(self, term: str) -> str:
         """Query-side normalization = LowerCaseFilter only (StandardAnalyzer
         .java:98-101); chains with more normalizing filters (fold/stem) apply
         them so query terms meet index terms."""
         t = term.lower()
+        if self.elision:
+            from lucene_ray.functions.stemming import french_elide
+
+            t = french_elide(t)
         if self.ascii_folding:
             from lucene_ray.functions.stemming import ascii_fold
 
@@ -149,10 +226,8 @@ class Analyzer:
             from lucene_ray.functions.stemming import strip_possessive
 
             t = strip_possessive(t)
-        if self.stem:
-            from lucene_ray.functions.stemming import porter_stem
-
-            t = porter_stem(t)
+        if self.stem and t not in self.stem_exclusions:
+            t = self._stem_fn()(t)
         return t
 
     def tokenize_one(self, text: str) -> list[tuple[str, int]]:
@@ -234,7 +309,11 @@ class Analyzer:
                 arr = texts if not isinstance(texts, pa.ChunkedArray) else texts.combine_chunks()
             if arr is not None:
                 safe = self.kind in ("simple", "whitespace")
-                if not safe and self.kind == "standard":
+                # german/french tokenize with the same StandardTokenizer;
+                # their extra filters (stop/elision/stem) run at vocab level
+                # AFTER tokenization, so the ASCII-simple fast path is
+                # equally exact for them.
+                if not safe and self.kind in ("standard", "german", "french"):
                     m = pc.match_substring_regex(arr, self._ARROW_SAFE_RE)
                     safe = bool(pc.all(pc.fill_null(m, False)).as_py()) and arr.null_count == 0
                 if safe:
@@ -364,6 +443,10 @@ class Analyzer:
         """Vocab-level transforms (possessive strip, ascii fold, stemming) +
         max-length / stop-word filters + per-doc lengths. Runs at vocabulary
         size, not token count."""
+        if self.elision and len(vocab):
+            from lucene_ray.functions.stemming import french_elide
+
+            vocab = np.array([french_elide(t) for t in vocab], dtype=object)
         if self.possessive and len(vocab):
             from lucene_ray.functions.stemming import strip_possessive
 
@@ -389,10 +472,12 @@ class Analyzer:
             if offsets is not None:
                 offsets = (offsets[0][keep], offsets[1][keep])
         if self.stem and len(vocab):
-            from lucene_ray.functions.stemming import porter_stem
-
-            vocab = np.array([porter_stem(t) for t in vocab], dtype=object)
-        if (self.stem or self.possessive or self.ascii_folding) and len(vocab):
+            stem_fn = self._stem_fn()
+            excl = self.stem_exclusions
+            vocab = np.array(
+                [t if t in excl else stem_fn(t) for t in vocab], dtype=object)
+        if (self.stem or self.possessive or self.ascii_folding
+                or self.elision) and len(vocab):
             # transforms can merge vocab entries — re-intern
             vocab, inv = np.unique(vocab, return_inverse=True)
             codes = inv[codes].astype(np.int32) if len(codes) else codes

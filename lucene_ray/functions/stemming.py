@@ -197,3 +197,267 @@ def ascii_fold(w: str) -> str:
         c for c in unicodedata.normalize("NFKD", w) if not unicodedata.combining(c)
     )
     return folded.translate(_FOLD_MAP)
+
+
+# ------------------------------------------------- German (UniNE light)
+
+
+def german_normalize(w: str) -> str:
+    """GermanNormalizationFilter (de/GermanNormalizationFilter.java:47-105),
+    the German2-snowball heuristic: ß→ss, ä/ö/ü→a/o/u, and an 'e' is
+    deleted when it follows a letter in the umlaut FSM state (so 'ae', 'oe'
+    fold to 'a', 'o', and 'ue' folds to 'u' unless it follows a vowel or
+    q — 3-state FSM port, character for character)."""
+    N, V, U = 0, 1, 2
+    state = N
+    out = []
+    for c in w:
+        if c in ("a", "o"):
+            out.append(c)
+            state = U
+        elif c == "u":
+            out.append(c)
+            state = U if state == N else V
+        elif c == "e":
+            if state == U:
+                state = V
+                continue  # e-deletion (the i-- re-scan is a no-op here)
+            out.append(c)
+            state = V
+        elif c in ("i", "q", "y"):
+            out.append(c)
+            state = V
+        elif c == "ä":
+            out.append("a")
+            state = V
+        elif c == "ö":
+            out.append("o")
+            state = V
+        elif c == "ü":
+            out.append("u")
+            state = V
+        elif c == "ß":
+            out.append("ss")
+            state = N
+        else:
+            out.append(c)
+            state = N
+    return "".join(out)
+
+
+def _de_st_ending(c: str) -> bool:
+    return c in "bdfghklmnt"
+
+
+def german_light_stem(w: str) -> str:
+    """GermanLightStemmer (de/GermanLightStemmer.java:63-135): Savoy's UniNE
+    light stemmer — accent fold, then two suffix-strip steps."""
+    s = list(w)
+    for i, c in enumerate(s):
+        if c in "äàáâ":
+            s[i] = "a"
+        elif c in "öòóô":
+            s[i] = "o"
+        elif c in "ïìíî":
+            s[i] = "i"
+        elif c in "üùúû":
+            s[i] = "u"
+    L = len(s)
+    # step 1
+    if L > 5 and s[L - 3] == "e" and s[L - 2] == "r" and s[L - 1] == "n":
+        L -= 3
+    elif L > 4 and s[L - 2] == "e" and s[L - 1] in "mnrs":
+        L -= 2
+    elif L > 3 and s[L - 1] == "e":
+        L -= 1
+    elif L > 3 and s[L - 1] == "s" and _de_st_ending(s[L - 2]):
+        L -= 1
+    # step 2
+    if L > 5 and s[L - 3] == "e" and s[L - 2] == "s" and s[L - 1] == "t":
+        L -= 3
+    elif L > 4 and s[L - 2] == "e" and s[L - 1] in "rn":
+        L -= 2
+    elif L > 4 and s[L - 2] == "s" and s[L - 1] == "t" and _de_st_ending(s[L - 3]):
+        L -= 2
+    return "".join(s[:L])
+
+
+# ------------------------------------------------- French (UniNE light)
+
+FRENCH_ARTICLES = frozenset(
+    ["l", "m", "t", "qu", "n", "s", "j", "d", "c",
+     "jusqu", "quoiqu", "lorsqu", "puisqu"])
+
+
+def french_elide(w: str) -> str:
+    """ElisionFilter (util/ElisionFilter.java:48-70) with FrenchAnalyzer's
+    DEFAULT_ARTICLES (fr/FrenchAnalyzer.java:56-62): if the text before the
+    FIRST apostrophe (' or ’) is an article, strip it and the apostrophe."""
+    for i, c in enumerate(w):
+        if c in ("'", "’"):
+            if w[:i] in FRENCH_ARTICLES:
+                return w[i + 1:]
+            return w
+    return w
+
+
+def _ew(s: list, L: int, suf: str) -> bool:
+    return L >= len(suf) and s[L - len(suf):L] == list(suf)
+
+
+def _fr_norm(s: list, L: int) -> str:
+    """FrenchLightStemmer.norm (fr/FrenchLightStemmer.java:212-258)."""
+    s = s[:L]
+    L = len(s)
+    if L > 4:
+        for i in range(L):
+            c = s[i]
+            if c in "àáâ":
+                s[i] = "a"
+            elif c == "ô":
+                s[i] = "o"
+            elif c in "èéê":
+                s[i] = "e"
+            elif c in "ùû":
+                s[i] = "u"
+            elif c == "î":
+                s[i] = "i"
+            elif c == "ç":
+                s[i] = "c"
+        ch = s[0]
+        i = 1
+        while i < L:
+            if s[i] == ch and s[i].isalpha():
+                del s[i]
+                L -= 1
+            else:
+                ch = s[i]
+                i += 1
+    if L > 4 and _ew(s, L, "ie"):
+        L -= 2
+    if L > 4:
+        if s[L - 1] == "r":
+            L -= 1
+        if s[L - 1] == "e":
+            L -= 1
+        if s[L - 1] == "e":
+            L -= 1
+        if s[L - 1] == s[L - 2] and s[L - 1].isalpha():
+            L -= 1
+    return "".join(s[:L])
+
+
+def french_light_stem(w: str) -> str:
+    """FrenchLightStemmer (fr/FrenchLightStemmer.java:55-210): Savoy's UniNE
+    light stemmer, branch-for-branch."""
+    s = list(w)
+    L = len(s)
+    if L > 5 and s[L - 1] == "x":
+        if s[L - 3] == "a" and s[L - 2] == "u" and s[L - 4] != "e":
+            s[L - 2] = "l"
+        L -= 1
+    if L > 3 and s[L - 1] == "x":
+        L -= 1
+    if L > 3 and s[L - 1] == "s":
+        L -= 1
+    if L > 9 and _ew(s, L, "issement"):
+        L -= 6
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 8 and _ew(s, L, "issant"):
+        L -= 4
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 6 and _ew(s, L, "ement"):
+        L -= 4
+        if L > 3 and _ew(s, L, "ive"):
+            L -= 1
+            s[L - 1] = "f"
+        return _fr_norm(s, L)
+    if L > 11 and _ew(s, L, "ficatrice"):
+        L -= 5
+        s[L - 2] = "e"
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 10 and _ew(s, L, "ficateur"):
+        L -= 4
+        s[L - 2] = "e"
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 9 and _ew(s, L, "catrice"):
+        L -= 3
+        s[L - 4] = "q"
+        s[L - 3] = "u"
+        s[L - 2] = "e"
+        return _fr_norm(s, L)
+    if L > 8 and _ew(s, L, "cateur"):
+        L -= 2
+        s[L - 4] = "q"
+        s[L - 3] = "u"
+        s[L - 2] = "e"
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 8 and _ew(s, L, "atrice"):
+        L -= 4
+        s[L - 2] = "e"
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 7 and _ew(s, L, "ateur"):
+        L -= 3
+        s[L - 2] = "e"
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 6 and _ew(s, L, "trice"):
+        L -= 1
+        s[L - 3] = "e"
+        s[L - 2] = "u"
+        s[L - 1] = "r"
+    if L > 5 and _ew(s, L, "ième"):
+        return _fr_norm(s, L - 4)
+    if L > 7 and _ew(s, L, "teuse"):
+        L -= 2
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 6 and _ew(s, L, "teur"):
+        L -= 1
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 5 and _ew(s, L, "euse"):
+        return _fr_norm(s, L - 2)
+    if L > 8 and _ew(s, L, "ère"):
+        L -= 1
+        s[L - 2] = "e"
+        return _fr_norm(s, L)
+    if L > 7 and _ew(s, L, "ive"):
+        L -= 1
+        s[L - 1] = "f"
+        return _fr_norm(s, L)
+    if L > 4 and (_ew(s, L, "folle") or _ew(s, L, "molle")):
+        L -= 2
+        s[L - 1] = "u"
+        return _fr_norm(s, L)
+    if L > 9 and _ew(s, L, "nnelle"):
+        return _fr_norm(s, L - 5)
+    if L > 9 and _ew(s, L, "nnel"):
+        return _fr_norm(s, L - 3)
+    if L > 4 and _ew(s, L, "ète"):
+        L -= 1
+        s[L - 2] = "e"
+    if L > 8 and _ew(s, L, "ique"):
+        L -= 4
+    if L > 8 and _ew(s, L, "esse"):
+        return _fr_norm(s, L - 3)
+    if L > 7 and _ew(s, L, "inage"):
+        return _fr_norm(s, L - 3)
+    if L > 9 and _ew(s, L, "isation"):
+        L -= 7
+        if L > 5 and _ew(s, L, "ual"):
+            s[L - 2] = "e"
+        return _fr_norm(s, L)
+    if L > 9 and _ew(s, L, "isateur"):
+        return _fr_norm(s, L - 7)
+    if L > 8 and _ew(s, L, "ation"):
+        return _fr_norm(s, L - 5)
+    if L > 8 and _ew(s, L, "ition"):
+        return _fr_norm(s, L - 5)
+    return _fr_norm(s, L)

@@ -1,0 +1,158 @@
+"""German / French analyzer chain goldens — cases transliterated from the
+reference tests (analysis/common/src/test/.../de/TestGermanAnalyzer.java,
+TestGermanLightStemFilter.java, TestGermanNormalizationFilter.java,
+fr/TestFrenchAnalyzer.java, TestFrenchLightStemFilter.java) — semantics,
+not code."""
+
+import pytest
+
+from lucene_ray.functions.analysis import (
+    FRENCH_STOP_WORDS,
+    GERMAN_STOP_WORDS,
+    get_analyzer,
+)
+from lucene_ray.functions.stemming import (
+    french_elide,
+    french_light_stem,
+    german_light_stem,
+    german_normalize,
+)
+
+
+def _an(a, text):
+    return [t for t, _ in a.tokenize_one(text)]
+
+
+# --------------------------------------------- GermanNormalizationFilter
+
+
+@pytest.mark.parametrize("inp,out", [
+    ("schön", "schon"),          # umlaut fold
+    ("schoen", "schon"),         # ae/oe/ue fold (umlaut FSM state)
+    ("quelle", "quelle"),        # ue after q NOT folded
+    ("feuer", "feuer"),          # ue after vowel NOT folded
+    ("weißbier", "weissbier"),   # ß → ss
+    ("äöü", "aou"),
+])
+def test_german_normalization(inp, out):
+    assert german_normalize(inp) == out
+
+
+# --------------------------------------------- GermanLightStemmer (UniNE)
+
+
+@pytest.mark.parametrize("inp,out", [
+    ("häuser", "haus"),
+    ("hauses", "haus"),
+    ("karten", "kart"),
+    ("tisch", "tisch"),
+    ("tische", "tisch"),
+    ("tischen", "tisch"),
+    ("", ""),
+])
+def test_german_light_stem(inp, out):
+    assert german_light_stem(inp) == out
+
+
+def test_german_analyzer_chain():
+    a = get_analyzer("german")
+    # TestGermanAnalyzer.java:32-34, 62-63
+    assert _an(a, "Tisch") == ["tisch"]
+    assert _an(a, "Tische") == ["tisch"]
+    assert _an(a, "Tischen") == ["tisch"]
+    assert _an(a, "Schaltflächen") == ["schaltflach"]
+    assert _an(a, "Schaltflaechen") == ["schaltflach"]
+    # stopwords removed (snowball german_stop.txt)
+    assert _an(a, "der Tisch und die Karten") == ["tisch", "kart"]
+    assert "der" in GERMAN_STOP_WORDS and "während" in GERMAN_STOP_WORDS
+
+
+def test_german_stem_exclusion():
+    # TestGermanLightStemFilter.testKeyword: excluded terms pass unstemmed
+    a = get_analyzer("german", stem_exclusions=frozenset(["sängerinnen"]))
+    assert _an(a, "sängerinnen") == ["sängerinnen"]
+
+
+# --------------------------------------------- ElisionFilter
+
+
+@pytest.mark.parametrize("inp,out", [
+    ("l'avion", "avion"),
+    ("d'avion", "avion"),
+    ("qu'il", "il"),
+    ("jusqu'à", "à"),
+    ("xyz'abc", "xyz'abc"),   # non-article prefix kept
+    ("l’avion", "avion"),     # typographic apostrophe
+    ("avion", "avion"),
+])
+def test_french_elision(inp, out):
+    assert french_elide(inp) == out
+
+
+# --------------------------------------------- FrenchLightStemmer (UniNE)
+
+FR_VOCAB = [
+    ("chevaux", "cheval"), ("cheval", "cheval"), ("hiboux", "hibou"),
+    ("chantés", "chant"), ("chanter", "chant"), ("chante", "chant"),
+    ("baronnes", "baron"), ("barons", "baron"), ("baron", "baron"),
+    ("peaux", "peau"), ("anneaux", "aneau"), ("neveux", "neveu"),
+    ("affreux", "afreu"), ("affreuse", "afreu"),
+    ("investissement", "investi"), ("investir", "investi"),
+    ("assourdissant", "asourdi"), ("assourdir", "asourdi"),
+    ("pratiquement", "pratiqu"), ("pratique", "pratiqu"),
+    ("administrativement", "administratif"), ("administratif", "administratif"),
+    ("justificatrice", "justifi"), ("justificateur", "justifi"),
+    ("justifier", "justifi"), ("educatrice", "eduqu"), ("eduquer", "eduqu"),
+    ("communicateur", "comuniqu"), ("communiquer", "comuniqu"),
+    ("accompagnatrice", "acompagn"), ("accompagnateur", "acompagn"),
+    ("administrateur", "administr"), ("administrer", "administr"),
+    ("productrice", "product"), ("producteur", "product"),
+    ("acheteuse", "achet"), ("acheteur", "achet"),
+    ("planteur", "plant"), ("plante", "plant"),
+    ("poreuse", "poreu"), ("poreux", "poreu"), ("plieuse", "plieu"),
+    ("bijoutière", "bijouti"), ("bijoutier", "bijouti"),
+    ("caissière", "caisi"), ("caissier", "caisi"),
+    ("abrasive", "abrasif"), ("abrasif", "abrasif"),
+    ("folle", "fou"), ("fou", "fou"),
+    ("personnelle", "person"), ("personne", "person"),
+    ("complète", "complet"), ("complet", "complet"),
+    ("aromatique", "aromat"), ("faiblesse", "faibl"), ("faible", "faibl"),
+    ("patinage", "patin"), ("patin", "patin"),
+    ("sonorisation", "sono"), ("ritualisation", "rituel"),
+    ("rituel", "rituel"), ("nomination", "nomin"),
+    ("disposition", "dispos"), ("dispose", "dispos"),
+    ("1234555", "1234555"), ("12333345", "12333345"), ("1234", "1234"),
+    ("abcdeff", "abcdef"), ("abcccddeef", "abcdef"),
+    ("créées", "cre"), ("22hh00", "22h00"),
+]
+
+
+@pytest.mark.parametrize("inp,out", FR_VOCAB)
+def test_french_light_stem(inp, out):
+    assert french_light_stem(inp) == out
+
+
+def test_french_analyzer_chain():
+    a = get_analyzer("french")
+    # TestFrenchAnalyzer.java:30-116
+    assert _an(a, "") == []
+    assert _an(a, "chien chat cheval") == ["chien", "chat", "cheval"]
+    assert _an(a, "chien CHAT CHEVAL") == ["chien", "chat", "cheval"]
+    assert _an(a, "chien++") == ["chien"]
+    assert _an(a, 'mot "entreguillemet"') == ["mot", "entreguilemet"]
+    assert _an(a, "Jean-François") == ["jean", "francoi"]
+    assert _an(a, "voir l'embrouille") == ["voir", "embrouil"]
+    assert _an(a, "Votre") == []       # stopword
+    assert "été" not in FRENCH_STOP_WORDS   # homonym intentionally omitted
+
+
+def test_french_exclusion_table():
+    # TestFrenchAnalyzer.testExclusionTableViaCtor
+    a = get_analyzer("french", stem_exclusions=frozenset(["habitable"]))
+    assert _an(a, "habitable chiste") == ["habitable", "chist"]
+
+
+def test_query_side_normalize_matches_index_side():
+    for kind, word in [("german", "Tische"), ("french", "chevaux")]:
+        a = get_analyzer(kind)
+        assert a.normalize(word) == _an(a, word)[0]
