@@ -179,9 +179,28 @@ def run_bench() -> dict:
 
     n_actors = min(8, NUM_CPUS)
     actors = [SearchActor.remote(index_dir) for _ in range(n_actors)]
-    # warm: load segments + populate per-actor decode caches with one full
-    # untimed pass of the query set (the protocol measures WARM latency)
-    ray.get([a.search.remote(q) for a in actors for q in DEFAULT_QUERY_SET])
+
+    def _shape(q: str) -> str:
+        if q.startswith('"'):
+            return "phrase"
+        if q.endswith("*"):
+            return "prefix"
+        if ":" in q:
+            return "fielded"
+        if "AND" in q or "+" in q or "NOT" in q or "-" in q.split()[0]:
+            return "bool_and"
+        if "OR" in q or " " in q:
+            return "bool_or"
+        return "term"
+
+    # warm pass: load segments + populate per-actor decode caches. TIMED
+    # per query (but excluded from p50/p99) — the cold-vs-warm marker that
+    # lets a p99 regression adjudicate itself: if cold_first ≈ p99 the tail
+    # is cache population / host page faults, not steady-state search.
+    cold = {}
+    for qi, q in enumerate(DEFAULT_QUERY_SET):
+        futs = [a.search.remote(q) for a in actors]
+        cold[q] = min(dt for dt, _ in ray.get(futs))
     lat = []
     t0 = time.time()
     futs = []
@@ -194,6 +213,31 @@ def run_bench() -> dict:
     lat = np.array(lat)
     timings["query_p50"] = float(np.percentile(lat, 50))
     timings["query_p99"] = float(np.percentile(lat, 99))
+    # per-shape latency breakdown (ms): names the stall when p99 moves —
+    # which query SHAPE carries the tail, how its warm-pass (cold) time
+    # compares, and the sample histogram. Same self-adjudication treatment
+    # merge_breakdown got for the merge wall.
+    by_shape: dict[str, list] = {}
+    colds: dict[str, list] = {}
+    for rep in range(QUERY_REPEATS):
+        for qi, q in enumerate(DEFAULT_QUERY_SET):
+            by_shape.setdefault(_shape(q), []).append(
+                lat[rep * len(DEFAULT_QUERY_SET) + qi])
+    for q, v in cold.items():
+        colds.setdefault(_shape(q), []).append(v)
+    edges = [0.05, 0.1, 0.2, 0.4, 0.8, 1.6]
+    hist, _ = np.histogram(lat, bins=[0] + edges + [np.inf])
+    timings_latency = {
+        "hist_edges_sec": edges,
+        "hist_counts": [int(c) for c in hist],
+        "shapes": {
+            s: {"p50_ms": round(float(np.percentile(v, 50)) * 1e3, 2),
+                "max_ms": round(float(np.max(v)) * 1e3, 2),
+                "cold_p50_ms": round(float(np.percentile(colds[s], 50)) * 1e3, 2),
+                "n": len(v)}
+            for s, v in sorted(by_shape.items())
+        },
+    }
     for a in actors:
         ray.kill(a)
 
@@ -212,6 +256,8 @@ def run_bench() -> dict:
                 manifest.config["metrics"]["sum_partition_build_sec"]
                 / max(1, manifest.config["metrics"]["n_partitions"]), 4),
             "merge_breakdown": merge_breakdown,
+        "query_latency": timings_latency,
+            "query_latency": timings_latency,
         }
         ray.shutdown()
         return result
