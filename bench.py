@@ -338,6 +338,10 @@ def run_bench() -> dict:
         for p in prefixes:
             ms.search(WildcardQuery(f"{p}1*"), k=100)
         ms.search(FuzzyQuery("merge11q00017", max_edits=1), k=100)
+        # leading wildcard: no literal prefix — the required-char counting
+        # prefilter (automaton module) must bound the verify set, not a
+        # full-dictionary scan
+        ms.search(WildcardQuery("*q00017"), k=100)
     timings["mtq_queries"] = time.time() - t0
     mtq_stats = dict(ms.mtq_stats)
     mtq_stats["scan_reduction_x"] = round(

@@ -173,25 +173,6 @@ def _regex_literal_prefix(pattern: str) -> str:
     return "".join(out)
 
 
-def _wildcard_regex(pattern: str) -> str:
-    """Wildcard → regex: ``*`` any run, ``?`` one char, ``\\x`` literal x
-    (search/WildcardQuery.java toAutomaton, incl. the escape rule)."""
-    import re as _re
-
-    out, i = [], 0
-    while i < len(pattern):
-        c = pattern[i]
-        if c == "\\" and i + 1 < len(pattern):
-            out.append(_re.escape(pattern[i + 1])); i += 2
-        elif c == "*":
-            out.append(".*"); i += 1
-        elif c == "?":
-            out.append("."); i += 1
-        else:
-            out.append(_re.escape(c)); i += 1
-    return "".join(out)
-
-
 def _prefix_edit_distance(typed: str, term: str, max_edits: int) -> int:
     """min over term prefixes of ED(typed, term[:j]) if <= max_edits else -1
     — the Levenshtein-automaton prefix acceptance of FuzzySuggester."""
@@ -890,21 +871,13 @@ class IndexSearcher:
             docs = self._union_docs(r, idxs)
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, WildcardQuery):
-            import re as _re
-
             fp = self._fp(q.field)
-            pat = _re.compile(_wildcard_regex(q.pattern))
-            rlo, rhi = self._mtq_range(r, fp, _wildcard_literal_prefix(q.pattern))
-            idxs = [i for i in range(rlo, rhi) if pat.fullmatch(r.term_at(i)[len(fp):])]
+            idxs = self._wildcard_idxs(r, fp, q.pattern)
             docs = self._union_docs(r, idxs)
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, RegexpQuery):
-            import re as _re
-
             fp = self._fp(q.field)
-            pat = _re.compile(q.pattern)
-            rlo, rhi = self._mtq_range(r, fp, _regex_literal_prefix(q.pattern))
-            idxs = [i for i in range(rlo, rhi) if pat.fullmatch(r.term_at(i)[len(fp):])]
+            idxs = self._regexp_idxs(r, fp, q.pattern)
             docs = self._union_docs(r, idxs)
             return _SparseScores(docs, np.full(len(docs), boost))
         if isinstance(q, TermRangeQuery):
@@ -1817,19 +1790,91 @@ class IndexSearcher:
 
     # -------------------------------------------------- fuzzy / synonym
 
-    def _mtq_range(self, r: SegmentReader, fp: str, literal_prefix: str) -> tuple[int, int]:
-        """Dictionary index range a multi-term scan must verify: bounded by
-        the pattern's literal prefix via one sorted-range lookup (the
-        CompiledAutomaton common-prefix pruning) instead of the full
-        dictionary. Also records scan telemetry (mtq_stats)."""
-        if literal_prefix or fp:
-            lo, hi = r.term_range(fp + literal_prefix)
+    def _wildcard_idxs(self, r: SegmentReader, fp: str, pattern: str) -> list[int]:
+        """Wildcard → matching dictionary indices via automaton
+        intersection (util/automaton/CompiledAutomaton.java:219 getTermsEnum
+        + search/AutomatonTermsEnum.java nextSeekTerm): literal-prefix range
+        bound, then DFA-walk-with-bisect-hops instead of a linear verify.
+        For LEADING-wildcard patterns (no literal prefix — the case the hop
+        can't help: any next char is viable in a dense dictionary) the
+        vectorized required-char counting filter bounds the verify set, the
+        same trick the fuzzy path uses. terms_scanned counts terms actually
+        EXAMINED (DFA runs), not hopped/filtered ones."""
+        from lucene_ray.functions.automaton import (WildcardAutomaton,
+                                                    intersect_dictionary,
+                                                    required_char_vec)
+
+        lit = _wildcard_literal_prefix(pattern)
+        if lit or fp:
+            lo, hi = r.term_range(fp + lit)
         else:
             lo, hi = 0, r.n_terms
         flo, fhi = (r.term_range(fp) if fp else (0, r.n_terms))
-        self.mtq_stats["terms_scanned"] += hi - lo
         self.mtq_stats["terms_total"] += fhi - flo
-        return lo, hi
+        auto = WildcardAutomaton(pattern)
+        if not lit and hi - lo > 64:
+            req = required_char_vec(pattern)
+            if req is not None:
+                if fp:
+                    from lucene_ray.state.segment import char_count_vec
+
+                    req = req + char_count_vec(fp)
+                surv = lo + np.flatnonzero(
+                    (r.char_counts[lo:hi] >= req).all(axis=1))
+                idxs = [int(i) for i in surv
+                        if auto.run(r.term_at(int(i))[len(fp):])]
+                self.mtq_stats["terms_scanned"] += len(surv)
+                return idxs
+        idxs, examined = intersect_dictionary(r, fp, auto, lo, hi)
+        self.mtq_stats["terms_scanned"] += examined
+        return idxs
+
+    def _regexp_idxs(self, r: SegmentReader, fp: str, pattern: str) -> list[int]:
+        """Regexp → matching dictionary indices: literal-prefix range bound,
+        required-char counting prefilter when the pattern provably requires
+        characters (leading-wildcard shapes), then ONE vectorized RE2 match
+        over the remaining Arrow dictionary slice (no per-term Python in the
+        common path; Python re fallback for RE2-unsupported syntax)."""
+        import re as _re
+
+        lit = _regex_literal_prefix(pattern)
+        if lit or fp:
+            lo, hi = r.term_range(fp + lit)
+        else:
+            lo, hi = 0, r.n_terms
+        flo, fhi = (r.term_range(fp) if fp else (0, r.n_terms))
+        self.mtq_stats["terms_total"] += fhi - flo
+        if hi <= lo:
+            return []
+        from lucene_ray.functions.automaton import regex_required_char_vec
+
+        if not lit and hi - lo > 64:
+            req = regex_required_char_vec(pattern)
+            if req is not None:
+                if fp:
+                    from lucene_ray.state.segment import char_count_vec
+
+                    req = req + char_count_vec(fp)
+                surv = lo + np.flatnonzero(
+                    (r.char_counts[lo:hi] >= req).all(axis=1))
+                pat = _re.compile(pattern)
+                idxs = [int(i) for i in surv
+                        if pat.fullmatch(r.term_at(int(i))[len(fp):])]
+                self.mtq_stats["terms_scanned"] += len(surv)
+                return idxs
+        self.mtq_stats["terms_scanned"] += hi - lo
+        import pyarrow.compute as pc
+
+        sl = r._terms_arr.slice(lo, hi - lo)
+        anchored = f"^{_re.escape(fp)}(?:{pattern})$"
+        try:
+            m = pc.match_substring_regex(sl, anchored)
+            mask = np.asarray(m.to_numpy(zero_copy_only=False), dtype=bool)
+            return (lo + np.flatnonzero(mask)).tolist()
+        except Exception:  # RE2-unsupported syntax → Python re fallback
+            pat = _re.compile(pattern)
+            return [i for i in range(lo, hi)
+                    if pat.fullmatch(r.term_at(i)[len(fp):])]
 
     def _fuzzy_candidate_idxs(self, r: SegmentReader, fp: str, base: str,
                               max_edits: int, prefix_length: int) -> list[int]:
@@ -2100,11 +2145,10 @@ class IndexSearcher:
                 out.extend(r.terms[i][len(fp):] for i in range(lo, hi))
             return out
         if kind == "wildcard":
-            ok = _re.compile(_wildcard_regex(spec[1])).fullmatch
             out = []
             for r in self.readers:
-                rlo, rhi = self._mtq_range(r, fp, _wildcard_literal_prefix(spec[1]))
-                out.extend(c for i in range(rlo, rhi) if ok(c := r.term_at(i)[len(fp):]))
+                out.extend(r.term_at(i)[len(fp):]
+                           for i in self._wildcard_idxs(r, fp, spec[1]))
             return out
         if kind == "fuzzy":
             base, max_edits = spec[1], spec[2]
