@@ -434,30 +434,119 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
     return meta
 
 
+def tiered_merge_score(live_sizes: list[int], raw_sizes: list[int],
+                       hit_too_large: bool, merge_factor: int,
+                       floor_docs: int = 1000) -> float:
+    """TieredMergePolicy.score (index/TieredMergePolicy.java:644-698), doc
+    counts standing in for byte sizes: smaller is better.
+
+      skew            — first (largest) segment's floored share of the
+                        floored total: 1/n for balanced merges, →1 for
+                        lopsided ones (lopsided cascades are O(N²) over
+                        time); a too-large merge pretends perfect skew
+                        (it cannot cascade).
+      × total^0.05    — gently favor smaller merges.
+      × nonDelRatio²  — strongly favor delete-reclaiming merges.
+    """
+    tot_after = sum(live_sizes)
+    tot_after_floored = sum(max(s, floor_docs) for s in live_sizes)
+    tot_before = max(sum(raw_sizes), 1)
+    if hit_too_large:
+        skew = 1.0 / merge_factor
+    else:
+        skew = max(live_sizes[0], floor_docs) / max(tot_after_floored, 1)
+    non_del_ratio = tot_after / tot_before
+    return skew * (max(tot_after, 1) ** 0.05) * (non_del_ratio ** 2)
+
+
 def select_merges(segments: list[dict], *, merge_factor: int = 10,
                   max_merged_docs: int = 5_000_000,
-                  max_groups: int | None = None) -> list[list[str]]:
-    """Tiered candidate selection (pure metadata math, TieredMergePolicy
-    analogue simplified): repeatedly take the ``merge_factor`` smallest
-    segments whose combined size fits the cap. ``max_groups`` bounds how
-    many merge groups one round may form (forceMerge uses 1 so a round
-    never over-merges past its target)."""
-    out = []
-    pool = sorted(segments, key=lambda s: (s["max_doc"], s["name"]))
-    while len(pool) >= 2 and (max_groups is None or len(out) < max_groups):
-        group = []
-        total = 0
-        rest = []
-        for s in pool:
-            if len(group) < merge_factor and total + s["max_doc"] <= max_merged_docs:
-                group.append(s)
-                total += s["max_doc"]
-            else:
-                rest.append(s)
-        if len(group) < 2:
+                  max_groups: int | None = None,
+                  floor_docs: int = 1000) -> list[list[str]]:
+    """Tiered candidate selection — the TieredMergePolicy.doFindMerges
+    sliding-window + scored-choice loop (index/TieredMergePolicy.java:
+    474-640) over manifest metadata, with doc counts as the size measure.
+
+    ``max_groups`` set = the forceMerge path (findForcedMerges analogue):
+    smallest-first packing toward the target count, unchanged. Natural
+    rounds (``max_groups`` None) sort eligible segments by live size
+    descending, slide a window from every start index (packing past
+    too-large segments like the reference's bin-packing `continue`), score
+    each candidate with :func:`tiered_merge_score`, take the best, and
+    repeat until fewer than two eligible segments remain. Divergence from
+    the reference, documented: the allowedSegCount budget gate is the
+    POLICY's merge trigger — ``merge_index`` here is an explicit one-round
+    trigger, so whether to merge at all is the caller's decision and the
+    round is eager."""
+    if max_groups is not None:
+        out = []
+        pool = sorted(segments, key=lambda s: (s["max_doc"], s["name"]))
+        while len(pool) >= 2 and len(out) < max_groups:
+            group, total, rest = [], 0, []
+            for s in pool:
+                if len(group) < merge_factor and total + s["max_doc"] <= max_merged_docs:
+                    group.append(s)
+                    total += s["max_doc"]
+                else:
+                    rest.append(s)
+            if len(group) < 2:
+                break
+            out.append([s["name"] for s in sorted(group, key=lambda s: s["name"])])
+            pool = rest
+        return out
+
+    # (name, raw_docs, live_docs), size-sorted descending like sortedEligible
+    infos = []
+    for s in segments:
+        raw = int(s["max_doc"])
+        live = raw - int(s.get("del_count", 0))
+        # too-big exclusion (TieredMergePolicy.java:438-452): segments past
+        # half the max merged size only stay eligible to reclaim deletes
+        if live > max_merged_docs / 2 and raw == live:
+            continue
+        infos.append((s["name"], raw, live))
+    infos.sort(key=lambda x: (-x[2], x[0]))
+
+    out: list[list[str]] = []
+    used: set[str] = set()
+    while True:
+        pool = [i for i in infos if i[0] not in used]
+        if len(pool) < 2 and not any(r != l for _, r, l in pool):
             break
-        out.append([s["name"] for s in sorted(group, key=lambda s: s["name"])])
-        pool = rest
+        best = best_score = None
+        best_hit_too_large = False
+        for start in range(len(pool)):
+            cand: list[tuple] = []
+            tot = 0
+            hit_too_large = False
+            for idx in range(start, len(pool)):
+                if len(cand) >= merge_factor:
+                    break
+                name, raw, live = pool[idx]
+                if tot + live > max_merged_docs:
+                    hit_too_large = True
+                    if not cand:  # singleton too-large (delete reclaim)
+                        cand.append(pool[idx])
+                    continue  # keep packing smaller segments into the gap
+                cand.append(pool[idx])
+                tot += live
+            if not cand:
+                continue
+            if len(cand) == 1 and cand[0][1] == cand[0][2]:
+                continue  # singleton with no deletes is pointless
+            # past the first full window only smaller merges remain
+            if best is not None and not hit_too_large and len(cand) < merge_factor:
+                break
+            score = tiered_merge_score([c[2] for c in cand],
+                                       [c[1] for c in cand],
+                                       hit_too_large, merge_factor, floor_docs)
+            if best_score is None or score < best_score:
+                best, best_score = cand, score
+                best_hit_too_large = hit_too_large
+        if best is None:
+            break
+        used.update(n for n, _, _ in best)
+        out.append(sorted(n for n, _, _ in best))
     return out
 
 

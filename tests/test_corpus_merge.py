@@ -143,3 +143,71 @@ def test_force_merge(ray_session, tmp_path):
         for sd in IndexSearcher(d).search(TermQuery("merge"), 10).score_docs
     ]
     assert before == after
+
+
+# ------------------------------ TieredMergePolicy scoring parity (r4)
+
+
+def test_tiered_score_formula():
+    """Hand-computed skew·size^0.05·nonDelRatio² (TieredMergePolicy.java:
+    644-698)."""
+    from lucene_ray.state.merge import tiered_merge_score
+
+    live = [4000, 3000, 2000, 1000]
+    got = tiered_merge_score(live, live, False, 10, floor_docs=1000)
+    want = (4000 / 10000) * (10000 ** 0.05) * 1.0
+    assert got == pytest.approx(want)
+    # floored skew: sub-floor segments count as floor_docs in the ratio
+    got2 = tiered_merge_score([500, 100], [500, 100], False, 10, floor_docs=1000)
+    assert got2 == pytest.approx((1000 / 2000) * (600 ** 0.05))
+    # hitTooLarge pretends perfect skew (cannot cascade)
+    got3 = tiered_merge_score([900000, 100], [900000, 100], True, 8)
+    assert got3 == pytest.approx((1 / 8) * (900100 ** 0.05))
+    # delete reclaim: nonDelRatio² strongly favors deletion-heavy merges
+    clean = tiered_merge_score([1000, 1000], [1000, 1000], False, 10)
+    holey = tiered_merge_score([500, 500], [1000, 1000], False, 10)
+    assert holey < clean
+
+
+def test_select_merges_prefers_balanced_candidate():
+    """Candidate choice: with a lopsided head, the window of equal-size
+    segments (lowest skew) wins — not the window containing the huge one."""
+    from lucene_ray.state.merge import select_merges
+
+    segs = [{"name": "big", "max_doc": 100_000}] + [
+        {"name": f"s{i}", "max_doc": 10_000} for i in range(4)]
+    groups = select_merges(segs, merge_factor=4, max_merged_docs=1_000_000)
+    assert groups[0] == ["s0", "s1", "s2", "s3"]
+
+
+def test_select_merges_favors_delete_reclaim():
+    """Between two equal-size windows, the one with deletes scores lower
+    (better) via nonDelRatio²."""
+    from lucene_ray.state.merge import select_merges
+
+    segs = ([{"name": f"clean{i}", "max_doc": 10_000} for i in range(2)]
+            + [{"name": f"holey{i}", "max_doc": 10_000, "del_count": 5_000}
+               for i in range(2)])
+    groups = select_merges(segs, merge_factor=2, max_merged_docs=1_000_000)
+    assert groups[0] == ["holey0", "holey1"]
+
+
+def test_select_merges_singleton_only_with_deletes():
+    from lucene_ray.state.merge import select_merges
+
+    # lone clean segment: nothing to do
+    assert select_merges([{"name": "a", "max_doc": 100}], merge_factor=4,
+                         max_merged_docs=1000) == []
+    # lone deleted segment: singleton delete-reclaim rewrite
+    assert select_merges([{"name": "a", "max_doc": 100, "del_count": 40}],
+                         merge_factor=4, max_merged_docs=1000) == [["a"]]
+
+
+def test_select_merges_too_big_excluded_unless_deleted():
+    from lucene_ray.state.merge import select_merges
+
+    segs = [{"name": "huge", "max_doc": 900_000},
+            {"name": "a", "max_doc": 100}, {"name": "b", "max_doc": 100}]
+    groups = select_merges(segs, merge_factor=4, max_merged_docs=1_000_000)
+    # huge (> cap/2, no deletes) is not eligible; a+b merge
+    assert groups == [["a", "b"]]
