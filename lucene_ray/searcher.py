@@ -400,6 +400,17 @@ class IndexSearcher:
                     os.path.join(r.dir, f"dv-{field}-{dv_gen}.parquet")
                 )
                 r.doc_values[field] = t.column(field).to_numpy(zero_copy_only=False)
+            # soft deletes (SoftDeletesDirectoryReaderWrapper.java:38):
+            # docs whose soft-deletes DV is set are hidden exactly like
+            # hard deletes — statistics keep counting them until a merge's
+            # retention policy reclaims them
+            sf = (manifest.config or {}).get("soft_deletes_field")
+            if sf and sf in r.doc_values:
+                soft = np.asarray(r.doc_values[sf]) != 0
+                if soft.any():
+                    base = r.live if r.live is not None else np.ones(
+                        len(soft), dtype=bool)
+                    r.live = base & ~soft
         ts_path = os.path.join(index_dir, f"term_stats-{manifest.gen}.parquet")
         self.global_term_stats = GlobalTermStats(ts_path) if os.path.exists(ts_path) else None
         self.collection_stats = manifest.collection_stats()

@@ -225,8 +225,13 @@ def update_numeric_docvalues(index_dir: str, field: str, updates: dict) -> int:
     try:
         for seg in manifest.segments:
             seg_dir = os.path.join(index_dir, "segments", seg["name"])
-            d = pq.read_table(os.path.join(seg_dir, "docs.parquet"),
-                              columns=["doc_key", field])
+            docs_path = os.path.join(seg_dir, "docs.parquet")
+            # the field may not exist as a base column (e.g. the soft-deletes
+            # field is usually born as an update) — default to zeros then
+            have_base = field in pq.read_schema(docs_path).names
+            d = pq.read_table(
+                docs_path,
+                columns=["doc_key"] + ([field] if have_base else []))
             doc_keys = d.column("doc_key").to_numpy(zero_copy_only=False)
             mask = np.array([k in keys for k in doc_keys], dtype=bool)
             if not mask.any():
@@ -237,8 +242,10 @@ def update_numeric_docvalues(index_dir: str, field: str, updates: dict) -> int:
                 vals = pq.read_table(
                     os.path.join(seg_dir, f"dv-{field}-{old_gen}.parquet")
                 ).column(field).to_numpy(zero_copy_only=False).copy()
-            else:
+            elif have_base:
                 vals = d.column(field).to_numpy(zero_copy_only=False).copy()
+            else:
+                vals = np.zeros(len(doc_keys), dtype=np.int64)
             for i in np.flatnonzero(mask).tolist():
                 vals[i] = updates[doc_keys[i]]
             new_gen = old_gen + 1
@@ -267,3 +274,79 @@ def update_numeric_docvalues(index_dir: str, field: str, updates: dict) -> int:
                 pass
         raise
     return n_updated
+
+
+# --------------------------------------------------------- soft deletes
+
+
+def set_soft_deletes_field(index_dir: str, field: str = "__soft_deletes") -> None:
+    """IndexWriterConfig.setSoftDeletesField (index/IndexWriterConfig.java:
+    519): record the soft-deletes field in the index config so searchers
+    hide marked docs (SoftDeletesDirectoryReaderWrapper semantics) and
+    merges know which field carries retention state. Idempotent."""
+    from lucene_ray.state.manifest import CommitConflict
+
+    for _ in range(8):
+        manifest = Manifest.load(index_dir)
+        if (manifest.config or {}).get("soft_deletes_field") == field:
+            return
+        cfg = dict(manifest.config or {})
+        cfg["soft_deletes_field"] = field
+        try:
+            Manifest(index_dir, manifest.gen + 1, manifest.segments, cfg).commit()
+            return
+        except CommitConflict:
+            continue
+    raise RuntimeError("could not commit soft_deletes_field config")
+
+
+def soft_delete_by_keys(index_dir: str, keys, *,
+                        field: str = "__soft_deletes") -> int:
+    """Soft deletes (IndexWriterConfig.setSoftDeletesField + the soft-delete
+    half of IndexWriter.softUpdateDocument, index/IndexWriter.java:1880):
+    mark docs deleted by writing ``<field>=1`` as a generational numeric
+    doc-values update — NO ``.liv`` bitset. The docs stay physically in the
+    segment (retention) and in the collection statistics; a searcher over a
+    manifest whose config names the field hides them exactly like hard
+    deletes (index/SoftDeletesDirectoryReaderWrapper.java:38). Merges
+    reclaim them unless a retention predicate keeps them
+    (SoftDeletesRetentionMergePolicy.java:55)."""
+    set_soft_deletes_field(index_dir, field)
+    return update_numeric_docvalues(index_dir, field, {k: 1 for k in keys})
+
+
+def soft_update_documents(index_dir: str, rows: pa.Table, *,
+                          field: str = "__soft_deletes",
+                          analyzer_kind: str | None = None) -> int:
+    """IndexWriter.softUpdateDocument: soft-delete the old docs by key, add
+    the new rows as one additive segment (LWW per key, old versions
+    retained until a merge's retention policy reclaims them)."""
+    from lucene_ray.functions.analysis import get_analyzer
+    from lucene_ray.state.segment import build_segment_tables, write_segment
+
+    manifest = Manifest.load(index_dir)
+    cfg = manifest.config
+    key_col, text_col = cfg["key_col"], cfg["text_col"]
+    analyzer = get_analyzer(analyzer_kind or cfg.get("analyzer", "standard"))
+
+    soft_delete_by_keys(index_dir, rows.column(key_col).to_pylist(), field=field)
+    manifest = Manifest.load(index_dir)
+
+    order = pa.compute.sort_indices(rows.column(key_col))
+    rows = rows.take(order)
+    keys = rows.column(key_col).to_numpy(zero_copy_only=False)
+    postings_tbl, docs_tbl, stats = build_segment_tables(
+        keys, rows.column(text_col), analyzer,
+        store_positions=cfg.get("store_positions", True),
+    )
+    for c in cfg.get("docvalue_cols", []):
+        docs_tbl = docs_tbl.append_column(c, rows.column(c))
+    import uuid
+
+    name = f"supd-g{manifest.gen + 1}-{uuid.uuid4().hex[:8]}"
+    meta = write_segment(index_dir, name, postings_tbl, docs_tbl, stats,
+                         extra_meta={"gen": manifest.gen + 1, "part_id": None,
+                                     "analyzer": analyzer.kind,
+                                     "key_col": key_col})
+    commit_update(index_dir, manifest, {}, appended=[meta])
+    return rows.num_rows

@@ -59,7 +59,9 @@ def _tune_malloc() -> None:
 def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
                         store_positions: bool = True,
                         del_gens: dict | None = None,
-                        dv_gens: dict | None = None) -> dict:
+                        dv_gens: dict | None = None,
+                        soft_field: str | None = None,
+                        retention_fn=None) -> dict:
     """K-way merge of segments into one (SegmentMerger analogue). Pure
     function of its inputs; safe to retry. When a segment carries a
     live-docs generation (deletes.py), its dead docs are dropped and docIDs
@@ -80,6 +82,29 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
         live = load_livedocs(r.dir, del_gens.get(n, 0))
         if live is None:
             live = np.ones(r.max_doc, dtype=bool)
+        if soft_field:
+            # reclaim soft-deleted docs at merge unless the retention
+            # predicate keeps them (SoftDeletesRetentionMergePolicy.java:55
+            # wrapForMerge: retention-query hits get their live bit back for
+            # the merge; kept docs carry their soft-delete mark forward and
+            # stay hidden from search)
+            g = int((dv_gens or {}).get(n, {}).get(soft_field, 0))
+            import pyarrow.parquet as _pq
+
+            if g:
+                vals = _pq.read_table(os.path.join(
+                    r.dir, f"dv-{soft_field}-{g}.parquet")).column(
+                    soft_field).to_numpy(zero_copy_only=False)
+            else:
+                vals = r.doc_values.get(soft_field)
+            if vals is not None:
+                drop = np.asarray(vals) != 0
+                if retention_fn is not None and drop.any():
+                    docs_t = _pq.read_table(
+                        os.path.join(r.dir, "docs.parquet"))
+                    keep = np.asarray(retention_fn(docs_t), dtype=bool)
+                    drop &= ~keep
+                live = live & ~drop
         lives.append(live)
         remap = np.full(r.max_doc, -1, dtype=np.int32)
         remap[live] = np.arange(int(live.sum()), dtype=np.int32)
@@ -357,7 +382,15 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
         # segment carries the CURRENT values, dropping the side files
         for field, g in ((dv_gens or {}).get(n) or {}).items():
             col = pq.read_table(os.path.join(d, f"dv-{field}-{g}.parquet")).column(field)
-            t = t.set_column(t.column_names.index(field), field, col)
+            if field in t.column_names:
+                t = t.set_column(t.column_names.index(field), field, col)
+            else:  # update-born column (e.g. soft deletes) has no base
+                t = t.append_column(field, col)
+        if soft_field and soft_field not in t.column_names:
+            # untouched segment: all-zeros so every source shares a schema
+            # (concat would otherwise null-fill and nan-poison the mask)
+            t = t.append_column(soft_field, pa.array(
+                np.zeros(t.num_rows, dtype=np.int64)))
         return t
 
     docs_tbl = pa.concat_tables(
@@ -552,8 +585,15 @@ def select_merges(segments: list[dict], *, merge_factor: int = 10,
 
 def merge_index(index_dir: str, *, merge_factor: int = 10,
                 max_merged_docs: int = 5_000_000, delete_sources: bool = True,
-                use_ray: bool = True, max_groups: int | None = None) -> Manifest:
+                use_ray: bool = True, max_groups: int | None = None,
+                retention_fn=None) -> Manifest:
     """One merge round: select groups, run merge tasks, commit gen+1.
+
+    ``retention_fn`` (docs-table → bool mask) is the
+    SoftDeletesRetentionMergePolicy retention-query analogue: soft-deleted
+    docs it marks True survive the merge (still hidden from search); the
+    rest are reclaimed. Only consulted when the index config names a
+    soft_deletes_field.
 
     Returns the new Manifest (or the current one when nothing qualifies).
     """
@@ -573,18 +613,23 @@ def merge_index(index_dir: str, *, merge_factor: int = 10,
 
     del_gens = {s["name"]: s.get("del_gen", 0) for s in manifest.segments}
     dv_gens = {s["name"]: (s.get("dv_gens") or {}) for s in manifest.segments}
+    soft_field = (manifest.config or {}).get("soft_deletes_field")
     if use_ray:
         import ray
 
         @ray.remote(num_cpus=1)
         def _task(names, out_name):
             return merge_segment_group(index_dir, names, out_name,
-                                       del_gens=del_gens, dv_gens=dv_gens)
+                                       del_gens=del_gens, dv_gens=dv_gens,
+                                       soft_field=soft_field,
+                                       retention_fn=retention_fn)
 
         metas = ray.get([_task.remote(n, o) for n, o in jobs])
     else:
         metas = [merge_segment_group(index_dir, n, o, del_gens=del_gens,
-                                     dv_gens=dv_gens) for n, o in jobs]
+                                     dv_gens=dv_gens, soft_field=soft_field,
+                                     retention_fn=retention_fn)
+                 for n, o in jobs]
 
     consumed = {n for g in groups for n in g}
     from lucene_ray.state.manifest import CommitConflict
