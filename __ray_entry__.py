@@ -870,20 +870,46 @@ def _q_knn_hnsw(sf_dir: str) -> pa.Table:
     )
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
+    import json as _json
+
+    from lucene_ray.pipelines.hnsw import merge_hnsw_shards
+
     idx_dir = _cache_dir(sf_dir, "hnsw")
     if not os.path.exists(os.path.join(idx_dir, "shards.json")):
         build_hnsw_index(ds, idx_dir, M=16, ef_construction=80, shard_rows=4096)
+    with open(os.path.join(idx_dir, "shards.json")) as f:
+        shards_before = len(_json.load(f))
     ann = knn_hnsw(idx_dir, KNN_QUERY_IDS, qvecs, k=K, ef=96).to_pandas()
     exact = knn_brute_force(ds, KNN_QUERY_IDS, qvecs, k=K).to_pandas()
+
+    # shard consolidation (Lucene90HnswVectorsWriter mergeOneField: the
+    # merged graph is REBUILT from the union of source vectors) — query
+    # fan-out (shards touched per query) drops, recall holds
+    midx_dir = _cache_dir(sf_dir, "hnswm")
+    if not os.path.exists(os.path.join(midx_dir, "shards.json")):
+        import shutil as _sh
+
+        _sh.copytree(idx_dir, midx_dir, dirs_exist_ok=True)
+        merge_hnsw_shards(midx_dir, target_shards=1, M=16,
+                          ef_construction=80)
+    with open(os.path.join(midx_dir, "shards.json")) as f:
+        shards_after = len(_json.load(f))
+    ann_m = knn_hnsw(midx_dir, KNN_QUERY_IDS, qvecs, k=K, ef=96).to_pandas()
+
     rows = []
     for qid in KNN_QUERY_IDS:
-        got = set(ann[ann.query_id == qid].neighbor_id.tolist())
         true = set(exact[exact.query_id == qid].neighbor_id.tolist())
-        rows.append((qid, len(got & true) / max(len(true), 1)))
+        got = set(ann[ann.query_id == qid].neighbor_id.tolist())
+        got_m = set(ann_m[ann_m.query_id == qid].neighbor_id.tolist())
+        rows.append((qid, len(got & true) / max(len(true), 1),
+                     len(got_m & true) / max(len(true), 1)))
     return pa.table(
         {
             "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
             "recall_at_10": pa.array([round(r[1], 4) for r in rows], type=pa.float64()),
+            "recall_merged": pa.array([round(r[2], 4) for r in rows], type=pa.float64()),
+            "shards_before": pa.array([shards_before] * len(rows), type=pa.int64()),
+            "shards_after": pa.array([shards_after] * len(rows), type=pa.int64()),
         }
     )
 

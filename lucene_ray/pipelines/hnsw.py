@@ -372,3 +372,90 @@ def knn_hnsw(index_dir: str, query_ids, query_vecs, *, k: int = 10,
         return g[["query_id", "rank", "neighbor_id", "cosine"]]
 
     return cand.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def merge_hnsw_shards(index_dir: str, *, merge_factor: int = 8,
+                      target_shards: int | None = None, M: int = 16,
+                      ef_construction: int = 100, seed: int = 42,
+                      use_ray: bool = True) -> list[str]:
+    """Consolidate per-shard HNSW graphs — the segment-merge analogue.
+
+    The reference rebuilds the merged segment's graph from the union of the
+    source segments' vectors at merge time (codecs/lucene90/
+    Lucene90HnswVectorFormat write path / Lucene90HnswVectorsWriter
+    mergeOneField); without it shard count — and with it per-query fan-out —
+    only ever grows. Groups shards smallest-first up to ``merge_factor``
+    per group (``target_shards`` overrides: pack toward that many), rebuilds
+    ONE graph per group from the concatenated vectors inside a Ray task
+    (the rebuild is the reference's merge strategy too — graphs aren't
+    stitched), writes each merged shard atomically, swaps ``shards.json``
+    via temp-then-rename, then removes consumed shard dirs. Returns the new
+    shard list."""
+    import hashlib
+    import shutil
+
+    with open(os.path.join(index_dir, "shards.json")) as f:
+        shards = json.load(f)
+    sizes = {}
+    for name in shards:
+        with open(os.path.join(index_dir, name, "meta.json")) as f:
+            sizes[name] = int(json.load(f).get("n", 0))
+    pool = sorted(shards, key=lambda n: (sizes[n], n))
+    if target_shards is not None and target_shards >= 1:
+        k = max(1, (len(pool) + target_shards - 1) // target_shards)
+        groups = [pool[i : i + k] for i in range(0, len(pool), k)]
+    else:
+        groups = [pool[i : i + merge_factor]
+                  for i in range(0, len(pool), merge_factor)]
+    groups = [g for g in groups if len(g) >= 2]
+    if not groups:
+        return shards
+
+    def _merge(names: list[str]) -> str:
+        tables = [pq.read_table(os.path.join(index_dir, n, "vectors.parquet"))
+                  for n in names]
+        vt = pa.concat_tables(tables)
+        ids = vt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = np.array(vt.column("vec").to_pylist(), dtype=np.float64)
+        g = HnswGraph(M=M, ef_construction=ef_construction, seed=seed).build(vecs)
+        graph_tbl, meta = g.to_tables()
+        out = f"shard-{hashlib.md5(ids.tobytes()).hexdigest()[:12]}"
+        final = os.path.join(index_dir, out)
+        if not os.path.exists(final):
+            tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(graph_tbl, os.path.join(tmp, "graph.parquet"))
+            pq.write_table(
+                pa.table({"vec_id": pa.array(ids),
+                          "vec": pa.array(list(vecs),
+                                          type=pa.list_(pa.float64()))}),
+                os.path.join(tmp, "vectors.parquet"))
+            meta["n"] = len(ids)
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump(meta, f)
+            try:
+                os.rename(tmp, final)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        return out
+
+    if use_ray:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def _task(names):
+            return _merge(names)
+
+        merged = ray.get([_task.remote(g) for g in groups])
+    else:
+        merged = [_merge(g) for g in groups]
+
+    consumed = {n for g in groups for n in g}
+    new_shards = sorted([n for n in shards if n not in consumed] + merged)
+    tmp = os.path.join(index_dir, f"shards.json.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(new_shards, f)
+    os.rename(tmp, os.path.join(index_dir, "shards.json"))
+    for n in consumed:
+        shutil.rmtree(os.path.join(index_dir, n), ignore_errors=True)
+    return new_shards

@@ -435,3 +435,42 @@ def test_chunk_documents_windows(ray_session):
     assert d1.iloc[0].chunk_text.split()[-4:] == d1.iloc[1].chunk_text.split()[:4]
     assert list(out[out.doc_id == 2].n_tokens) == [2]
     assert 3 not in set(out.doc_id)  # empty doc -> no chunks
+
+
+def test_hnsw_shard_merge(ray_session, tmp_path):
+    """Shard consolidation (Lucene90HnswVectorsWriter mergeOneField
+    analogue): fewer shards, same vectors, recall preserved."""
+    import json
+    import os
+
+    import ray as _ray
+
+    from lucene_ray.pipelines.hnsw import (build_hnsw_index, knn_hnsw,
+                                           merge_hnsw_shards)
+    from lucene_ray.pipelines.knn import knn_brute_force
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((600, 16))
+    ds = _ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(600, dtype=np.int64)),
+        "embedding": pa.array(list(X), type=pa.list_(pa.float64()))}))
+    idx = str(tmp_path / "hnsw")
+    build_hnsw_index(ds, idx, M=8, ef_construction=60, shard_rows=150)
+    with open(os.path.join(idx, "shards.json")) as f:
+        before = json.load(f)
+    assert len(before) >= 3
+    new = merge_hnsw_shards(idx, target_shards=1, M=8, ef_construction=60,
+                            use_ray=False)
+    assert len(new) == 1
+    # consumed dirs removed, survivor holds every vector
+    assert sorted(os.listdir(idx)) == sorted(new + ["shards.json"])
+    q_ids = [0, 1, 2]
+    ann = knn_hnsw(idx, q_ids, X[q_ids], k=10, ef=80).to_pandas()
+    exact = knn_brute_force(ds, q_ids, X[q_ids], k=10).to_pandas()
+    hits = tot = 0
+    for qi in q_ids:
+        got = set(ann[ann.query_id == qi].neighbor_id.tolist())
+        true = set(exact[exact.query_id == qi].neighbor_id.tolist())
+        hits += len(got & true)
+        tot += len(true)
+    assert hits / tot >= 0.8
