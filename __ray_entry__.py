@@ -1283,6 +1283,67 @@ FROM occ o JOIN (VALUES {terms}) q(term) ON q.term = o.term
 """
 
 
+PASSAGE_TOKENS = 20
+
+
+def _q_passage_rank(sf_dir: str) -> pa.Table:
+    """UnifiedHighlighter passage ranking (uhighlight/PassageScorer.java:
+    31-137): per doc, fixed-token-window passages scored
+    Σ tf(freq,len)·weight(contentLen,ttf) · norm(start), top-3 ranked.
+    Full SQL oracle (window arithmetic over the split tokens)."""
+    from lucene_ray.pipelines.highlight import passage_rank_hits
+
+    return passage_rank_hits(
+        _docs_ds(sf_dir, columns=("doc_id", "text")),
+        _offsets_index(sf_dir), list(HL_TERMS),
+        tokens_per_passage=PASSAGE_TOKENS, max_passages=3)
+
+
+def _sql_passage_rank() -> str:
+    terms = ", ".join(f"('{t}')" for t in HL_TERMS)
+    p = PASSAGE_TOKENS
+    return f"""
+WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+tok AS (
+  SELECT doc_id, toks[i] AS term,
+         (coalesce(list_sum(list_transform(toks[1:i-1], x -> length(x))), 0)
+          + i - 1)::BIGINT AS start_off,
+         (coalesce(list_sum(list_transform(toks[1:i-1], x -> length(x))), 0)
+          + i - 1 + length(toks[i]))::BIGINT AS end_off,
+         ((i - 1) // {p})::BIGINT AS win
+  FROM base, unnest(range(1, len(toks) + 1)) AS t(i)
+),
+winb AS (SELECT doc_id, win, min(start_off) AS p_start, max(end_off) AS p_end
+         FROM tok GROUP BY doc_id, win),
+q(term) AS (SELECT * FROM (VALUES {terms})),
+m AS (SELECT t.doc_id, t.win, t.term, count(*)::DOUBLE AS freq
+      FROM tok t JOIN q ON q.term = t.term GROUP BY t.doc_id, t.win, t.term),
+docf AS (SELECT t.doc_id, t.term, count(*)::DOUBLE AS ttf
+         FROM tok t JOIN q ON q.term = t.term GROUP BY t.doc_id, t.term),
+clen AS (SELECT doc_id, length(text)::DOUBLE AS cl FROM base),
+scored AS (
+  SELECT m.doc_id, m.win, w.p_start,
+         sum( (m.freq / (m.freq + 1.2 * (0.25 + 0.75 * (w.p_end - w.p_start) / 87.0)))
+              * 2.2 * ln(1 + ((1 + c.cl / 87.0) + 0.5) / (d.ttf + 0.5)) )
+         * (1 + 1 / ln(87.0 + w.p_start)) AS score
+  FROM m
+  JOIN winb w ON w.doc_id = m.doc_id AND w.win = m.win
+  JOIN docf d ON d.doc_id = m.doc_id AND d.term = m.term
+  JOIN clen c ON c.doc_id = m.doc_id
+  GROUP BY m.doc_id, m.win, w.p_start, w.p_end, c.cl
+),
+ranked AS (
+  SELECT doc_id, p_start,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(score, 6) DESC, p_start) AS passage_rank,
+         round(score, 6) AS score
+  FROM scored
+)
+SELECT doc_id, passage_rank, p_start AS passage_start, score
+FROM ranked WHERE passage_rank <= 3
+"""
+
+
 NGRAM_PLANT_N = 40
 NGRAM_PLANT_OFFSET = 1_000_000
 
@@ -3507,6 +3568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analysis chain / text stats (SURVEY §2.2 + data-prep extensions)
         "token_stats": _q_token_stats,
         "highlight_spans": _q_highlight_spans,  # stored postings offsets
+        "passage_rank": _q_passage_rank,  # UnifiedHighlighter passage scoring
         "facet_multi": _q_facet_multi,  # SortedSet doc values
         "quality_scores": _q_quality,
         "fingerprint": _q_fingerprint,
@@ -3594,6 +3656,7 @@ def oracle_sql() -> dict[str, str]:
         "join_topk": _SQL_JOIN,
         "token_stats": _SQL_TOKEN_STATS,
         "highlight_spans": _sql_highlight_spans(),
+        "passage_rank": _sql_passage_rank(),
         "facet_multi": _sql_facet_multi(),
         "quality_scores": _SQL_QUALITY,
         "fingerprint": _SQL_FINGERPRINT,

@@ -236,3 +236,102 @@ def highlight_hits(source_ds, hits_ds, query, *, key_col: str = "doc_id",
         return Highlighter(query, text_col=text_col, window=window)(sel)
 
     return source_ds.map_batches(filter_and_highlight, batch_format="pyarrow")
+
+
+def passage_rank(text: str, spans, *, tokens_per_passage: int = 20,
+                 k1: float = 1.2, b: float = 0.75, pivot: float = 87.0,
+                 max_passages: int = 3) -> list[dict]:
+    """UnifiedHighlighter passage ranking — PassageScorer
+    (highlighter/.../uhighlight/PassageScorer.java:31-137) over the
+    FieldHighlighter passage walk:
+
+      score(P) = Σ_distinct-term tf(freq_P, len_P) · weight(contentLen, ttf_doc)
+                 · norm(start_P)
+      weight   = (k1+1) · ln(1 + (numDocs+0.5)/(ttf+0.5)), numDocs ≈ 1+len/pivot
+      tf       = f / (f + k1·((1−b) + b·len_P/pivot))
+      norm     = 1 + 1/ln(pivot + start)
+
+    ``spans`` = (start, end, term) match occurrences from stored offsets
+    (term_spans). Segmentation divergence, documented: fixed
+    ``tokens_per_passage`` windows instead of BreakIterator sentences —
+    deterministic and oracle-mirrorable (the fixture corpus carries no
+    sentence punctuation); lengths/starts are CHARACTER offsets exactly as
+    the reference's passages. Returns the top ``max_passages`` as dicts
+    (start, end, score, spans), ranked (round(score,6) desc, start asc)."""
+    import math
+    from collections import Counter
+
+    toks = list(_WORD_RE.finditer(text))
+    if not toks:
+        return []
+    spans = sorted((int(a), int(b), t) for a, b, t in spans)
+    tf_doc = Counter(t for _, _, t in spans)
+    content_len = len(text)
+    num_docs = 1 + content_len / pivot
+    out = []
+    for w0 in range(0, len(toks), tokens_per_passage):
+        wtoks = toks[w0 : w0 + tokens_per_passage]
+        p_start, p_end = wtoks[0].start(), wtoks[-1].end()
+        inside = [(a, b, t) for a, b, t in spans
+                  if a >= p_start and b <= p_end]
+        if not inside:
+            continue
+        freqs = Counter(t for _, _, t in inside)
+        norm = k1 * ((1 - b) + b * ((p_end - p_start) / pivot))
+        s = sum(
+            (f / (f + norm))
+            * (k1 + 1) * math.log(1 + (num_docs + 0.5) / (tf_doc[t] + 0.5))
+            for t, f in freqs.items()
+        )
+        s *= 1 + 1 / math.log(pivot + p_start)
+        out.append({"start": p_start, "end": p_end, "score": s,
+                    "spans": inside})
+    out.sort(key=lambda p: (-round(p["score"], 6), p["start"]))
+    return out[:max_passages]
+
+
+def passage_rank_hits(source_ds, index_dir_or_searcher, terms, *,
+                      key_col: str = "doc_id", text_col: str = "text",
+                      tokens_per_passage: int = 20, max_passages: int = 3,
+                      analyzer: Analyzer | None = None):
+    """Ranked passages per document, Dataset-shaped: spans come from stored
+    postings offsets (small, broadcast once); each batch ranks its own
+    docs' passages. Returns (key, passage_rank, passage_start, score)."""
+    import ray
+
+    analyzer = analyzer or Analyzer("standard")
+    norm_terms = sorted({analyzer.normalize(t) for t in terms})
+    spans_tbl = term_spans(index_dir_or_searcher, norm_terms,
+                           analyzer=analyzer)
+    by_key: dict = {}
+    for k, a, b, t in zip(spans_tbl.column("doc_key").to_pylist(),
+                          spans_tbl.column("start_off").to_pylist(),
+                          spans_tbl.column("end_off").to_pylist(),
+                          spans_tbl.column("term").to_pylist()):
+        by_key.setdefault(k, []).append((a, b, t))
+    ref = ray.put(by_key)
+
+    def rank_batch(batch: pa.Table) -> pa.Table:
+        spans = ray.get(ref)
+        out_k, out_r, out_s, out_sc = [], [], [], []
+        for k, text in zip(batch.column(key_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            doc_spans = spans.get(str(k), ()) or spans.get(k, ())
+            if not doc_spans:
+                continue
+            for rank, p in enumerate(
+                    passage_rank(text, doc_spans,
+                                 tokens_per_passage=tokens_per_passage,
+                                 max_passages=max_passages), start=1):
+                out_k.append(k)
+                out_r.append(rank)
+                out_s.append(p["start"])
+                out_sc.append(round(p["score"], 6))
+        return pa.table({
+            key_col: pa.array(out_k),
+            "passage_rank": pa.array(out_r, type=pa.int64()),
+            "passage_start": pa.array(out_s, type=pa.int64()),
+            "score": pa.array(out_sc, type=pa.float64()),
+        })
+
+    return source_ds.map_batches(rank_batch, batch_format="pyarrow")

@@ -70,3 +70,40 @@ def test_parser_field_prefix():
     assert parse_query("Merge") == TermQuery("merge")
     q2 = parse_query('title:"batch batch"')
     assert q2 is not None
+
+
+def test_passage_rank_math():
+    """Hand-computed PassageScorer formula on a two-passage doc."""
+    import math
+
+    from lucene_ray.pipelines.highlight import passage_rank
+
+    # 6 tokens of 4 chars -> windows of 3 tokens: [0,14) and [15,29)
+    text = "cats dogs cats tree rock dogs"
+    spans = [(0, 4, "cats"), (10, 14, "cats"), (25, 29, "dogs"),
+             (5, 9, "dogs")]
+    out = passage_rank(text, spans, tokens_per_passage=3, pivot=87.0)
+    assert len(out) == 2
+    cl = len(text)
+    nd = 1 + cl / 87.0
+
+    def w(ttf):
+        return 2.2 * math.log(1 + (nd + 0.5) / (ttf + 0.5))
+
+    def tf(f, plen):
+        return f / (f + 1.2 * (0.25 + 0.75 * plen / 87.0))
+
+    # passage 1: [0,14), cats x2 + dogs x1
+    p1 = (tf(2, 14) * w(2) + tf(1, 14) * w(2)) * (1 + 1 / math.log(87.0))
+    # passage 2: [15,29), dogs x1
+    p2 = tf(1, 14) * w(2) * (1 + 1 / math.log(87.0 + 15))
+    assert out[0]["start"] == 0 and out[0]["score"] == pytest.approx(p1)
+    assert out[1]["start"] == 15 and out[1]["score"] == pytest.approx(p2)
+    assert out[0]["score"] > out[1]["score"]
+
+
+def test_passage_rank_empty_and_no_match():
+    from lucene_ray.pipelines.highlight import passage_rank
+
+    assert passage_rank("", []) == []
+    assert passage_rank("plain words here", []) == []
