@@ -333,25 +333,57 @@ def chunk_documents(ds, *, max_tokens: int = 128, overlap: int = 32,
     stride = max_tokens - overlap
 
     def chunk(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        ids = batch.column(id_col).to_pylist()
-        out_id, out_cid, out_n, out_text = [], [], [], []
-        for i, t in enumerate(texts):
-            toks = _SIMPLE.findall(t.lower())
-            if not toks:
-                continue
-            starts = range(0, max(len(toks) - overlap, 1), stride)
-            for cid, s in enumerate(starts):
-                w = toks[s : s + max_tokens]
-                out_id.append(ids[i])
-                out_cid.append(cid)
-                out_n.append(len(w))
-                out_text.append(" ".join(w))
+        # fully vectorized: Arrow tokenize → window arithmetic in numpy →
+        # one gather + one binary_join; no per-doc (let alone per-chunk)
+        # Python in the hot path
+        import pyarrow.compute as pc
+
+        low = pc.utf8_lower(batch.column(text_col))
+        split = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.values
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        offs = split.offsets.to_numpy() - split.offsets[0].as_py()
+        kept = np.cumsum(
+            np.concatenate([[0], keep.to_numpy(zero_copy_only=False)
+                            .astype(np.int64)]))
+        doc_start = kept[offs[:-1]]          # per-doc start in filtered flat
+        n_tok = kept[offs[1:]] - doc_start   # per-doc token counts
+        n_chunks = np.where(
+            n_tok > 0,
+            -(-np.maximum(n_tok - overlap, 1) // stride), 0).astype(np.int64)
+        total_c = int(n_chunks.sum())
+        if total_c == 0:
+            return pa.table({
+                id_col: batch.column(id_col).slice(0, 0),
+                "chunk_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "chunk_text": pa.array([], type=pa.string()),
+            })
+        doc_of_chunk = np.repeat(np.arange(len(n_tok)), n_chunks)
+        c_first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        chunk_id = np.arange(total_c) - np.repeat(c_first, n_chunks)
+        starts = doc_start[doc_of_chunk] + chunk_id * stride
+        lens = np.minimum(max_tokens,
+                          (doc_start + n_tok)[doc_of_chunk] - starts)
+        # gather all chunk tokens with one take, then join per chunk
+        g_first = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        idx = (np.repeat(starts - g_first, lens)
+               + np.arange(int(lens.sum()), dtype=np.int64))
+        toks = flat.take(pa.array(idx, type=pa.int64()))
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(np.concatenate([[0], np.cumsum(lens)]),
+                         type=pa.int32()), toks),
+            " ")
         return pa.table({
-            id_col: pa.array(out_id),
-            "chunk_id": pa.array(out_cid, type=pa.int64()),
-            "n_tokens": pa.array(out_n, type=pa.int64()),
-            "chunk_text": pa.array(out_text, type=pa.string()),
+            id_col: batch.column(id_col).take(
+                pa.array(doc_of_chunk, type=pa.int64())),
+            "chunk_id": pa.array(chunk_id, type=pa.int64()),
+            "n_tokens": pa.array(lens.astype(np.int64)),
+            "chunk_text": joined,
         })
 
     return ds.map_batches(chunk, batch_format="pyarrow")
