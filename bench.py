@@ -256,7 +256,6 @@ def run_bench() -> dict:
                 manifest.config["metrics"]["sum_partition_build_sec"]
                 / max(1, manifest.config["metrics"]["n_partitions"]), 4),
             "merge_breakdown": merge_breakdown,
-        "query_latency": timings_latency,
             "query_latency": timings_latency,
         }
         ray.shutdown()
@@ -381,6 +380,7 @@ def run_bench() -> dict:
             manifest.config["metrics"]["sum_partition_build_sec"]
             / max(1, manifest.config["metrics"]["n_partitions"]), 4),
         "merge_breakdown": merge_breakdown,
+        "query_latency": timings_latency,
         "mtq_dict_pruning": mtq_stats,
         "wand_blocks_total": wand_tot["blocks_total"],
         "wand_blocks_visited": wand_tot["blocks_visited"],
