@@ -1631,7 +1631,8 @@ SYNONYM_GRAPH_QUERIES = ["quick scan", "big hash join", "sort key"]
 # the language-stemmed index ('tables'→fr-stem→'tabl' meets indexed
 # 'table'→'tabl' — plural query finds singular docs)
 LANG_ANALYZER_QUERIES = (("de", "german", ("merge", "order")),
-                         ("fr", "french", ("tables", "value")))
+                         ("fr", "french", ("tables", "value")),
+                         ("es", "spanish", ("merge", "tables")))
 
 
 def _lang_gate_index(sf_dir: str, lang: str, analyzer: str) -> str:
@@ -3026,13 +3027,24 @@ _DE_STEM_MAP = [("customer", "custom"), ("filter", "filt"),
 _FR_STEM_MAP = [("customer", "custom"), ("filter", "filt"),
                 ("small", "smal"), ("merge", "merg"), ("order", "ord"),
                 ("vector", "vecto"), ("table", "tabl"), ("value", "valu")]
+# SpanishLightStemmer over the 31-term corpus vocab only touches these
+# three (most vocab words are <5 chars or end in consonants the rules
+# skip); 'a' is additionally a snowball spanish_stop.txt stopword, so the
+# es section drops it BEFORE stemming (StopFilter precedes the stem filter
+# in es/SpanishAnalyzer.java:113-120 — doc lengths count kept tokens).
+_ES_STEM_MAP = [("merge", "merg"), ("table", "tabl"), ("value", "valu")]
 _LANG_QUERY_STEMS = {("de", "merge"): "merg", ("de", "order"): "ord",
-                     ("fr", "tables"): "tabl", ("fr", "value"): "valu"}
+                     ("fr", "tables"): "tabl", ("fr", "value"): "valu",
+                     ("es", "merge"): "merg", ("es", "tables"): "tabl"}
 
 
-def _sql_lang_section(lang: str, stem_map, queries) -> str:
+def _sql_lang_section(lang: str, stem_map, queries, stop_terms=()) -> str:
     vals = ", ".join(f"('{a}','{b}')" for a, b in stem_map)
     p = lang  # CTE prefix
+    stop = ""
+    if stop_terms:
+        inlist = ", ".join(f"'{t}'" for t in stop_terms)
+        stop = f" WHERE t.term NOT IN ({inlist})"
     score = (
         f"ln(1 + ({p}stats.doc_count - {p}df.df + 0.5)/({p}df.df + 0.5))"
         f" * ({p}tf.tf * 2.2) / ({p}tf.tf + 1.2 * (1 - 0.75 + 0.75 * {p}dl.dl"
@@ -3051,7 +3063,7 @@ def _sql_lang_section(lang: str, stem_map, queries) -> str:
 {p}toks AS (
   SELECT t.doc_id, COALESCE(m.stem, t.term) AS term
   FROM (SELECT doc_id, unnest(toks) AS term FROM {p}base) t
-  LEFT JOIN {p}map m ON m.term = t.term),
+  LEFT JOIN {p}map m ON m.term = t.term{stop}),
 {p}tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM {p}toks GROUP BY doc_id, term),
 {p}dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM {p}toks GROUP BY doc_id),
 {p}df AS (SELECT term, count(*)::DOUBLE AS df FROM {p}tf GROUP BY term),
@@ -3064,10 +3076,13 @@ def _sql_lang_section(lang: str, stem_map, queries) -> str:
 
 _DE_SECTION, _DE_SEL = _sql_lang_section("de", _DE_STEM_MAP, ("merge", "order"))
 _FR_SECTION, _FR_SEL = _sql_lang_section("fr", _FR_STEM_MAP, ("tables", "value"))
+_ES_SECTION, _ES_SEL = _sql_lang_section("es", _ES_STEM_MAP, ("merge", "tables"),
+                                         stop_terms=("a",))
 _SQL_LANG_ANALYZER = f"""
 WITH {_DE_SECTION},
 {_FR_SECTION},
-scored AS ({_DE_SEL} UNION ALL {_FR_SEL}),
+{_ES_SECTION},
+scored AS ({_DE_SEL} UNION ALL {_FR_SEL} UNION ALL {_ES_SEL}),
 ranked AS (
   SELECT query, doc_id,
          row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank

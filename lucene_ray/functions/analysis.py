@@ -85,6 +85,92 @@ FRENCH_STOP_WORDS = frozenset(
     soi""".split()
 )
 
+# snowball spanish_stop.txt / italian_stop.txt / portuguese_stop.txt,
+# verbatim (es/SpanishAnalyzer.java:46, it/ItalianAnalyzer.java:47,
+# pt/PortugueseAnalyzer.java:45 load these resources).
+SPANISH_STOP_WORDS = frozenset(
+    """de la que el en y a los del se las por un para con no una su al lo
+    como más pero sus le ya o este sí porque esta entre cuando muy sin
+    sobre también me hasta hay donde quien desde todo nos durante todos
+    uno les ni contra otros ese eso ante ellos e esto mí antes algunos qué
+    unos yo otro otras otra él tanto esa estos mucho quienes nada muchos
+    cual poco ella estar estas algunas algo nosotros mi mis tú te ti tu
+    tus ellas nosotras vosotros vosotras os mío mía míos mías tuyo tuya
+    tuyos tuyas suyo suya suyos suyas nuestro nuestra nuestros nuestras
+    vuestro vuestra vuestros vuestras esos esas estoy estás está estamos
+    estáis están esté estés estemos estéis estén estaré estarás estará
+    estaremos estaréis estarán estaría estarías estaríamos estaríais
+    estarían estaba estabas estábamos estabais estaban estuve estuviste
+    estuvo estuvimos estuvisteis estuvieron estuviera estuvieras
+    estuviéramos estuvierais estuvieran estuviese estuvieses estuviésemos
+    estuvieseis estuviesen estando estado estada estados estadas estad he
+    has ha hemos habéis han haya hayas hayamos hayáis hayan habré habrás
+    habrá habremos habréis habrán habría habrías habríamos habríais
+    habrían había habías habíamos habíais habían hube hubiste hubo hubimos
+    hubisteis hubieron hubiera hubieras hubiéramos hubierais hubieran
+    hubiese hubieses hubiésemos hubieseis hubiesen habiendo habido habida
+    habidos habidas soy eres es somos sois son sea seas seamos seáis sean
+    seré serás será seremos seréis serán sería serías seríamos seríais
+    serían era eras éramos erais eran fui fuiste fue fuimos fuisteis
+    fueron fuera fueras fuéramos fuerais fueran fuese fueses fuésemos
+    fueseis fuesen siendo sido tengo tienes tiene tenemos tenéis tienen
+    tenga tengas tengamos tengáis tengan tendré tendrás tendrá tendremos
+    tendréis tendrán tendría tendrías tendríamos tendríais tendrían tenía
+    tenías teníamos teníais tenían tuve tuviste tuvo tuvimos tuvisteis
+    tuvieron tuviera tuvieras tuviéramos tuvierais tuvieran tuviese
+    tuvieses tuviésemos tuvieseis tuviesen teniendo tenido tenida tenidos
+    tenidas tened""".split()
+)
+
+ITALIAN_STOP_WORDS = frozenset(
+    """ad al allo ai agli all agl alla alle con col coi da dal dallo dai
+    dagli dall dagl dalla dalle di del dello dei degli dell degl della
+    delle in nel nello nei negli nell negl nella nelle su sul sullo sui
+    sugli sull sugl sulla sulle per tra contro io tu lui lei noi voi loro
+    mio mia miei mie tuo tua tuoi tue suo sua suoi sue nostro nostra
+    nostri nostre vostro vostra vostri vostre mi ti ci vi lo la li le gli
+    ne il un uno una ma ed se perché anche come dov dove che chi cui non
+    più quale quanto quanti quanta quante quello quelli quella quelle
+    questo questi questa queste si tutto tutti a c e i l o ho hai ha
+    abbiamo avete hanno abbia abbiate abbiano avrò avrai avrà avremo
+    avrete avranno avrei avresti avrebbe avremmo avreste avrebbero avevo
+    avevi aveva avevamo avevate avevano ebbi avesti ebbe avemmo aveste
+    ebbero avessi avesse avessimo avessero avendo avuto avuta avuti avute
+    sono sei è siamo siete sia siate siano sarò sarai sarà saremo sarete
+    saranno sarei saresti sarebbe saremmo sareste sarebbero ero eri era
+    eravamo eravate erano fui fosti fu fummo foste furono fossi fosse
+    fossimo fossero essendo faccio fai facciamo fanno faccia facciate
+    facciano farò farai farà faremo farete faranno farei faresti farebbe
+    faremmo fareste farebbero facevo facevi faceva facevamo facevate
+    facevano feci facesti fece facemmo faceste fecero facessi facesse
+    facessimo facessero facendo sto stai sta stiamo stanno stia stiate
+    stiano starò starai starà staremo starete staranno starei staresti
+    starebbe staremmo stareste starebbero stavo stavi stava stavamo
+    stavate stavano stetti stesti stette stemmo steste stettero stessi
+    stesse stessimo stessero stando""".split()
+)
+
+PORTUGUESE_STOP_WORDS = frozenset(
+    """de a o que e do da em um para com não uma os no se na por mais as dos
+    como mas ao ele das à seu sua ou quando muito nos já eu também só pelo
+    pela até isso ela entre depois sem mesmo aos seus quem nas me esse
+    eles você essa num nem suas meu às minha numa pelos elas qual nós lhe
+    deles essas esses pelas este dele tu te vocês vos lhes meus minhas teu
+    tua teus tuas nosso nossa nossos nossas dela delas esta estes estas
+    aquele aquela aqueles aquelas isto aquilo estou está estamos estão
+    estive esteve estivemos estiveram estava estávamos estavam estivera
+    estivéramos esteja estejamos estejam estivesse estivéssemos estivessem
+    estiver estivermos estiverem hei há havemos hão houve houvemos
+    houveram houvera houvéramos haja hajamos hajam houvesse houvéssemos
+    houvessem houver houvermos houverem houverei houverá houveremos
+    houverão houveria houveríamos houveriam sou somos são era éramos eram
+    fui foi fomos foram fora fôramos seja sejamos sejam fosse fôssemos
+    fossem for formos forem serei será seremos serão seria seríamos seriam
+    tenho tem temos tém tinha tínhamos tinham tive teve tivemos tiveram
+    tivera tivéramos tenha tenhamos tenham tivesse tivéssemos tivessem
+    tiver tivermos tiverem terei terá teremos terão teria teríamos teriam""".split()
+)
+
 # UAX#29-approximating word pattern, mirroring the JFlex WORD rule structure
 # (StandardTokenizerImpl.jflex:240-255):
 #   letter-runs joined by MidLetter∪MidNumLet∪SingleQuote ≈ [.:'’·],
@@ -192,6 +278,23 @@ class Analyzer:
             self.stop_words = self.stop_words or FRENCH_STOP_WORDS
             self.stem = True
             self.elision = True
+        elif self.kind == "spanish":
+            # es/SpanishAnalyzer.java:113-120: StandardTokenizer → LowerCase
+            # → Stop(spanish) → SpanishLightStem
+            self.stop_words = self.stop_words or SPANISH_STOP_WORDS
+            self.stem = True
+        elif self.kind == "italian":
+            # it/ItalianAnalyzer.java:122-130: StandardTokenizer →
+            # Elision(italian articles) → LowerCase → Stop(italian) →
+            # ItalianLightStem
+            self.stop_words = self.stop_words or ITALIAN_STOP_WORDS
+            self.stem = True
+            self.elision = True
+        elif self.kind == "portuguese":
+            # pt/PortugueseAnalyzer.java:112-119: StandardTokenizer →
+            # LowerCase → Stop(portuguese) → PortugueseLightStem
+            self.stop_words = self.stop_words or PORTUGUESE_STOP_WORDS
+            self.stem = True
 
     def _stem_fn(self):
         """Per-chain stemmer: Porter for english/+stem, the UniNE light
@@ -205,9 +308,33 @@ class Analyzer:
             from lucene_ray.functions.stemming import french_light_stem
 
             return french_light_stem
+        if self.kind == "spanish":
+            from lucene_ray.functions.stemming import spanish_light_stem
+
+            return spanish_light_stem
+        if self.kind == "italian":
+            from lucene_ray.functions.stemming import italian_light_stem
+
+            return italian_light_stem
+        if self.kind == "portuguese":
+            from lucene_ray.functions.stemming import portuguese_light_stem
+
+            return portuguese_light_stem
         from lucene_ray.functions.stemming import porter_stem
 
         return porter_stem
+
+    def _elide_fn(self):
+        """ElisionFilter article set by chain: FrenchAnalyzer's articles for
+        french (the historical default here), ItalianAnalyzer's for italian
+        (it/ItalianAnalyzer.java:48-54)."""
+        if self.kind == "italian":
+            from lucene_ray.functions.stemming import italian_elide
+
+            return italian_elide
+        from lucene_ray.functions.stemming import french_elide
+
+        return french_elide
 
     def normalize(self, term: str) -> str:
         """Query-side normalization = LowerCaseFilter only (StandardAnalyzer
@@ -215,9 +342,7 @@ class Analyzer:
         them so query terms meet index terms."""
         t = term.lower()
         if self.elision:
-            from lucene_ray.functions.stemming import french_elide
-
-            t = french_elide(t)
+            t = self._elide_fn()(t)
         if self.ascii_folding:
             from lucene_ray.functions.stemming import ascii_fold
 
@@ -309,11 +434,13 @@ class Analyzer:
                 arr = texts if not isinstance(texts, pa.ChunkedArray) else texts.combine_chunks()
             if arr is not None:
                 safe = self.kind in ("simple", "whitespace")
-                # german/french tokenize with the same StandardTokenizer;
-                # their extra filters (stop/elision/stem) run at vocab level
-                # AFTER tokenization, so the ASCII-simple fast path is
-                # equally exact for them.
-                if not safe and self.kind in ("standard", "german", "french"):
+                # the language chains tokenize with the same
+                # StandardTokenizer; their extra filters (stop/elision/stem)
+                # run at vocab level AFTER tokenization, so the ASCII-simple
+                # fast path is equally exact for them.
+                if not safe and self.kind in (
+                        "standard", "german", "french", "spanish", "italian",
+                        "portuguese"):
                     m = pc.match_substring_regex(arr, self._ARROW_SAFE_RE)
                     safe = bool(pc.all(pc.fill_null(m, False)).as_py()) and arr.null_count == 0
                 if safe:
@@ -444,9 +571,8 @@ class Analyzer:
         max-length / stop-word filters + per-doc lengths. Runs at vocabulary
         size, not token count."""
         if self.elision and len(vocab):
-            from lucene_ray.functions.stemming import french_elide
-
-            vocab = np.array([french_elide(t) for t in vocab], dtype=object)
+            elide_fn = self._elide_fn()
+            vocab = np.array([elide_fn(t) for t in vocab], dtype=object)
         if self.possessive and len(vocab):
             from lucene_ray.functions.stemming import strip_possessive
 

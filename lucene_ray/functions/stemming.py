@@ -461,3 +461,157 @@ def french_light_stem(w: str) -> str:
     if L > 8 and _ew(s, L, "ition"):
         return _fr_norm(s, L - 5)
     return _fr_norm(s, L)
+
+
+# ------------------------------------------------- Spanish (UniNE light)
+
+_ES_ACCENTS = str.maketrans("àáâäòóôöèéêëùúûüìíîï", "aaaaooooeeeeuuuuiiii")
+
+
+def spanish_light_stem(w: str) -> str:
+    """SpanishLightStemmer (es/SpanishLightStemmer.java:63-111): Savoy's
+    CLEF-2001 light stemmer. Words under 5 chars pass through UNTOUCHED
+    (accents included); otherwise accents fold to bare vowels, then one
+    final-vowel / plural suffix strip."""
+    if len(w) < 5:
+        return w
+    s = w.translate(_ES_ACCENTS)
+    last = s[-1]
+    if last in "oae":
+        return s[:-1]
+    if last == "s":
+        if s[-2] == "e" and s[-3] == "s" and s[-4] == "e":
+            return s[:-2]
+        if s[-2] == "e" and s[-3] == "c":
+            return s[:-3] + "z"
+        if s[-2] in "oae":
+            return s[:-2]
+    return s
+
+
+# ------------------------------------------------- Italian (UniNE light)
+
+ITALIAN_ARTICLES = frozenset(
+    ["c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
+     "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s",
+     "v", "d"])
+
+
+def elide(w: str, articles: frozenset) -> str:
+    """ElisionFilter (util/ElisionFilter.java:48-70) for an arbitrary
+    article set: if the text before the FIRST apostrophe (' or ’) is an
+    article, strip it and the apostrophe."""
+    for i, c in enumerate(w):
+        if c in ("'", "’"):
+            if w[:i] in articles:
+                return w[i + 1:]
+            return w
+    return w
+
+
+def italian_elide(w: str) -> str:
+    """ElisionFilter with ItalianAnalyzer's DEFAULT_ARTICLES
+    (it/ItalianAnalyzer.java:48-54)."""
+    return elide(w, ITALIAN_ARTICLES)
+
+
+def italian_light_stem(w: str) -> str:
+    """ItalianLightStemmer (it/ItalianLightStemmer.java:61-116): Savoy's
+    CLEF-2001 light stemmer. Words under 6 chars pass through untouched;
+    otherwise accents fold, then the final vowel strips (two chars when
+    preceded by i/h per the published plural rules)."""
+    if len(w) < 6:
+        return w
+    s = w.translate(_ES_ACCENTS)
+    last, prev = s[-1], s[-2]
+    if last == "e":
+        return s[:-2] if prev in ("i", "h") else s[:-1]
+    if last == "i":
+        return s[:-2] if prev in ("h", "i") else s[:-1]
+    if last == "a":
+        return s[:-2] if prev == "i" else s[:-1]
+    if last == "o":
+        return s[:-2] if prev == "i" else s[:-1]
+    return s
+
+
+# ------------------------------------------------- Portuguese (UniNE light)
+
+_PT_ACCENTS = str.maketrans("àáâäãòóôöõèéêëùúûüìíîïç", "aaaaaoooooeeeeuuuuiiiic")
+
+
+def _pt_remove_suffix(s: list, L: int) -> int:
+    """PortugueseLightStemmer.removeSuffix (pt/PortugueseLightStemmer.java:
+    139-170): plural / adverb suffix normalization, accent-aware (runs
+    BEFORE the final accent fold, so 'óis'/'ões'/'ães' match literally)."""
+    if L > 4 and _ew(s, L, "es") and s[L - 3] in ("r", "s", "l", "z"):
+        return L - 2
+    if L > 3 and _ew(s, L, "ns"):
+        s[L - 2] = "m"
+        return L - 1
+    if L > 4 and (_ew(s, L, "eis") or _ew(s, L, "éis")):
+        s[L - 3] = "e"
+        s[L - 2] = "l"
+        return L - 1
+    if L > 4 and _ew(s, L, "ais"):
+        s[L - 2] = "l"
+        return L - 1
+    if L > 4 and _ew(s, L, "óis"):
+        s[L - 3] = "o"
+        s[L - 2] = "l"
+        return L - 1
+    if L > 4 and _ew(s, L, "is"):
+        s[L - 1] = "l"
+        return L
+    if L > 3 and (_ew(s, L, "ões") or _ew(s, L, "ães")):
+        L -= 1
+        s[L - 2] = "ã"
+        s[L - 1] = "o"
+        return L
+    if L > 6 and _ew(s, L, "mente"):
+        return L - 5
+    if L > 3 and s[L - 1] == "s":
+        return L - 1
+    return L
+
+
+def _pt_norm_feminine(s: list, L: int) -> int:
+    """PortugueseLightStemmer.normFeminine (pt/PortugueseLightStemmer.java:
+    172-210): feminine → masculine base form."""
+    if L > 7 and (_ew(s, L, "inha") or _ew(s, L, "iaca") or _ew(s, L, "eira")):
+        s[L - 1] = "o"
+        return L
+    if L > 6:
+        if (_ew(s, L, "osa") or _ew(s, L, "ica") or _ew(s, L, "ida")
+                or _ew(s, L, "ada") or _ew(s, L, "iva") or _ew(s, L, "ama")):
+            s[L - 1] = "o"
+            return L
+        if _ew(s, L, "ona"):
+            s[L - 3] = "ã"
+            s[L - 2] = "o"
+            return L - 1
+        if _ew(s, L, "ora"):
+            return L - 1
+        if _ew(s, L, "esa"):
+            s[L - 3] = "ê"
+            return L - 1
+        if _ew(s, L, "na"):
+            s[L - 1] = "o"
+            return L
+    return L
+
+
+def portuguese_light_stem(w: str) -> str:
+    """PortugueseLightStemmer (pt/PortugueseLightStemmer.java:63-137): Savoy's
+    UniNE light stemmer — suffix removal, feminine normalization, final-vowel
+    strip, THEN the accent fold (order matters: suffix rules match accented
+    forms and normFeminine writes ã/ê back before the fold)."""
+    if len(w) < 4:
+        return w
+    s = list(w)
+    L = _pt_remove_suffix(s, len(s))
+    if L > 3 and s[L - 1] == "a":
+        L = _pt_norm_feminine(s, L)
+    if L > 4 and s[L - 1] in ("e", "a", "o"):
+        L -= 1
+    return "".join(s[:L]).translate(_PT_ACCENTS)

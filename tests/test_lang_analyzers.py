@@ -156,3 +156,145 @@ def test_query_side_normalize_matches_index_side():
     for kind, word in [("german", "Tische"), ("french", "chevaux")]:
         a = get_analyzer(kind)
         assert a.normalize(word) == _an(a, word)[0]
+
+
+# ======================================================= Spanish / Italian /
+# Portuguese (round 4+): cases transliterated from the reference tests
+# (es/TestSpanishAnalyzer.java, TestSpanishLightStemFilter.java,
+# it/TestItalianAnalyzer.java, pt/TestPortugueseAnalyzer.java,
+# TestPortugueseLightStemFilter.java) — semantics, not code. The stemmers
+# are additionally verified against the reference's FULL published
+# vocabulary files (es/it/pt *lighttestdata.zip) when present.
+
+from lucene_ray.functions.analysis import (
+    ITALIAN_STOP_WORDS,
+    PORTUGUESE_STOP_WORDS,
+    SPANISH_STOP_WORDS,
+)
+from lucene_ray.functions.stemming import (
+    italian_elide,
+    italian_light_stem,
+    portuguese_light_stem,
+    spanish_light_stem,
+)
+
+
+@pytest.mark.parametrize("inp,out", [
+    ("chicana", "chican"), ("chicano", "chican"),   # TestSpanishAnalyzer
+    ("casa", "casa"),        # <5 chars untouched
+    ("veces", "vez"),        # -ces → -z
+    ("ingleses", "ingles"),  # -eses → -es
+    ("ramos", "ram"),        # -os plural
+    ("canción", "cancion"),  # accent fold, no suffix
+    ("", ""),
+])
+def test_spanish_light_stem(inp, out):
+    assert spanish_light_stem(inp) == out
+
+
+@pytest.mark.parametrize("inp,out", [
+    ("abbandonata", "abbandonat"), ("abbandonati", "abbandonat"),
+    ("ragazzi", "ragazz"), ("ragazzo", "ragazz"),
+    ("vecchie", "vecch"), ("vecchi", "vecc"),   # -ie/-hi double strip
+    ("città", "città"),      # <6 chars untouched (accents kept)
+    ("corsa", "corsa"),      # <6 chars untouched
+    ("numerosa", "numeros"),
+    ("", ""),
+])
+def test_italian_light_stem(inp, out):
+    assert italian_light_stem(inp) == out
+
+
+@pytest.mark.parametrize("inp,out", [
+    # TestPortugueseLightStemFilter.testExamples / plurals
+    ("doutores", "doutor"), ("doutor", "doutor"),
+    ("homens", "homem"), ("homem", "homem"),
+    ("papéis", "papel"), ("papel", "papel"),
+    ("normais", "normal"), ("normal", "normal"),
+    ("lencóis", "lencol"), ("lencol", "lencol"),
+    ("barris", "barril"), ("barril", "barril"),
+    ("botões", "bota"), ("botão", "bota"),
+    ("quilométricas", "quilometric"), ("quilométricos", "quilometric"),
+    ("rapidamente", "rapid"),       # -mente
+    ("", ""),
+])
+def test_portuguese_light_stem(inp, out):
+    assert portuguese_light_stem(inp) == out
+
+
+def _vocab_pairs(lang: str):
+    """Reference published stemmer vocabularies (the same data
+    assertVocabulary uses in the reference tests)."""
+    import io
+    import zipfile
+    from pathlib import Path
+
+    z = Path("/root/reference/lucene/analysis/common/src/test/org/apache/"
+             f"lucene/analysis/{lang}/{lang}lighttestdata.zip")
+    if not z.exists():
+        pytest.skip("reference vocabulary data not available")
+    with zipfile.ZipFile(z) as zf:
+        data = zf.read(f"{lang}light.txt").decode("utf-8")
+    for line in io.StringIO(data):
+        parts = line.rstrip("\n").split("\t")
+        if len(parts) == 2:
+            yield parts[0], parts[1]
+
+
+@pytest.mark.parametrize("lang,fn", [
+    ("es", spanish_light_stem),
+    ("it", italian_light_stem),
+    ("pt", portuguese_light_stem),
+])
+def test_light_stem_full_reference_vocabulary(lang, fn):
+    mismatches = [(w, exp, fn(w)) for w, exp in _vocab_pairs(lang)
+                  if fn(w) != exp]
+    assert mismatches == []
+
+
+@pytest.mark.parametrize("inp,out", [
+    ("dell'italia", "italia"),
+    ("l'italiano", "italiano"),
+    ("un'ora", "ora"),        # "un" is an article
+    ("po'", "po'"),           # apostrophe last, prefix not an article → kept
+    ("qu'il", "qu'il"),       # french article NOT in the italian set
+])
+def test_italian_elision(inp, out):
+    assert italian_elide(inp) == out
+
+
+def test_spanish_analyzer_chain():
+    a = get_analyzer("spanish")
+    assert _an(a, "chicana chicano") == ["chican", "chican"]
+    assert _an(a, "los") == []                       # stopword
+    assert "porque" in SPANISH_STOP_WORDS
+
+
+def test_spanish_stem_exclusion():
+    # TestSpanishAnalyzer.testExclude: chicano protected, chicana stems
+    a = get_analyzer("spanish", stem_exclusions=frozenset(["chicano"]))
+    assert _an(a, "chicana chicano") == ["chican", "chicano"]
+
+
+def test_italian_analyzer_chain():
+    a = get_analyzer("italian")
+    assert _an(a, "abbandonata abbandonati") == ["abbandonat", "abbandonat"]
+    assert _an(a, "dallo") == []                     # stopword
+    # TestItalianAnalyzer.testContractions — elision BEFORE stop/stem
+    assert _an(a, "dell'Italia") == ["ital"]
+    assert _an(a, "l'Italiano") == ["italian"]
+
+
+def test_portuguese_analyzer_chain():
+    a = get_analyzer("portuguese")
+    assert _an(a, "quilométricas quilométricos") == ["quilometric",
+                                                     "quilometric"]
+    assert _an(a, "não") == []                       # stopword
+    assert "não" in PORTUGUESE_STOP_WORDS
+
+
+def test_query_side_normalize_matches_index_side_es_it_pt():
+    for kind, word in [("spanish", "chicana"), ("italian", "abbandonata"),
+                       ("portuguese", "quilométricas")]:
+        a = get_analyzer(kind)
+        assert a.normalize(word) == _an(a, word)[0]
