@@ -259,8 +259,15 @@ class Analyzer:
     # SetKeywordMarkerFilter (miscellaneous/SetKeywordMarkerFilter.java):
     # terms in this set are protected from stemming
     stem_exclusions: frozenset = field(default_factory=frozenset)
+    # CharFilters (pre-tokenizer character transforms with offset
+    # correction, analysis/common/.../charfilter/): a tuple of JSON-able
+    # specs — {"type": "html_strip"|"mapping"|"pattern_replace", ...} —
+    # that ride the index manifest so searchers rebuild the same chain.
+    char_filters: tuple = ()
 
     def __post_init__(self):
+        if self.char_filters and not isinstance(self.char_filters, tuple):
+            self.char_filters = tuple(self.char_filters)
         if self.kind == "english":
             self.stop_words = self.stop_words or ENGLISH_STOP_WORDS
             self.stem = True
@@ -295,6 +302,17 @@ class Analyzer:
             # LowerCase → Stop(portuguese) → PortugueseLightStem
             self.stop_words = self.stop_words or PORTUGUESE_STOP_WORDS
             self.stem = True
+
+    def _char_filter_chain(self):
+        """Compiled CharFilter pipeline, built once per analyzer instance
+        (each filter is one compiled combined regex)."""
+        chain = getattr(self, "_cf_chain", None)
+        if chain is None and self.char_filters:
+            from lucene_ray.functions.charfilters import build_char_filter
+
+            chain = tuple(build_char_filter(s) for s in self.char_filters)
+            object.__setattr__(self, "_cf_chain", chain)
+        return chain or ()
 
     def _stem_fn(self):
         """Per-chain stemmer: Porter for english/+stem, the UniNE light
@@ -422,6 +440,23 @@ class Analyzer:
         if n_docs == 0:
             return empty_i, np.empty(0, dtype=object), empty_i, empty_i, empty_i
 
+        if self.char_filters:
+            # CharFilters rewrite the character stream before tokenization
+            # (Analyzer.initReader in the reference). No offsets here, so
+            # the maps are dropped; the filtered batch re-enters the normal
+            # (fast-path-eligible) flow as a fresh Arrow array.
+            import pyarrow as pa
+
+            if hasattr(texts, "to_pylist"):
+                texts = texts.to_pylist()
+            chain = self._char_filter_chain()
+            filtered = []
+            for t in texts:
+                for f in chain:
+                    t, _ = f(t)
+                filtered.append(t)
+            texts = pa.array(filtered, type=pa.string())
+
         # Arrow fast path: input already an Arrow array (or promotable) and
         # either the chain is exactly expressible (simple/whitespace) or the
         # batch provably contains no codepoints where UAX#29 differs.
@@ -521,6 +556,20 @@ class Analyzer:
         empty_i = np.empty(0, dtype=np.int32)
         if hasattr(texts, "to_pylist"):
             texts = texts.to_pylist()
+        cf_maps = None
+        if self.char_filters:
+            # spans are found in FILTERED text, then corrected back to the
+            # original stored text through each stage's OffsetMap (the
+            # CharFilter.correctOffset contract)
+            from lucene_ray.functions.charfilters import apply_char_filters
+
+            chain = self._char_filter_chain()
+            filtered, cf_maps = [], []
+            for t in texts:
+                ft, maps = apply_char_filters(t, chain)
+                filtered.append(ft)
+                cf_maps.append(maps)
+            texts = filtered
         if self.kind == "cjk":
             # bigram expansion has no 1:1 token↔source-span mapping yet —
             # refuse rather than silently index un-bigrammed terms that a
@@ -551,6 +600,20 @@ class Analyzer:
         toks = pa.array([t[0] for t in flat], type=pa.string())
         starts = np.fromiter((t[1] for t in flat), dtype=np.int32, count=total)
         ends = np.fromiter((t[2] for t in flat), dtype=np.int32, count=total)
+        if cf_maps is not None:
+            from lucene_ray.functions.charfilters import correct_spans
+
+            bounds = np.concatenate([[0], np.cumsum(counts)])
+            for d in range(n_docs):
+                maps = cf_maps[d]
+                if not any(m.offsets for m in maps):
+                    continue
+                lo, hi = int(bounds[d]), int(bounds[d + 1])
+                s_c, e_c = correct_spans(
+                    starts[lo:hi].astype(np.int64), ends[lo:hi].astype(np.int64),
+                    maps)
+                starts[lo:hi] = s_c.astype(np.int32)
+                ends[lo:hi] = e_c.astype(np.int32)
         enc = toks.dictionary_encode()
         codes = np.asarray(enc.indices, dtype=np.int32)
         vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
@@ -624,12 +687,29 @@ class Analyzer:
 
 
 def get_analyzer(kind: str = "standard", **kw) -> Analyzer:
-    """Build an analyzer from a spec string. ``kind`` may carry ``+flag``
-    suffixes that survive the manifest round-trip as plain strings (the
-    index build persists the spec; the searcher reconstructs the identical
-    chain from it): ``standard+fold`` = StandardAnalyzer + ASCIIFolding,
-    ``english+fold`` etc. Recognized flags: fold/folding (ascii_folding),
-    stem (PorterStem), possessive (EnglishPossessiveFilter)."""
+    """Build an analyzer from a spec. ``kind`` may carry ``+flag`` suffixes
+    that survive the manifest round-trip as plain strings (the index build
+    persists the spec; the searcher reconstructs the identical chain from
+    it): ``standard+fold`` = StandardAnalyzer + ASCIIFolding, ``english+fold``
+    etc. Recognized flags: fold/folding (ascii_folding), stem (PorterStem),
+    possessive (EnglishPossessiveFilter).
+
+    ``kind`` may also be a DICT spec (CustomAnalyzer-style, JSON-able so it
+    rides the manifest unchanged): ``{"kind": "standard", "char_filters":
+    [{"type": "html_strip"}, {"type": "mapping", "rules": {...}}], ...}`` —
+    any Analyzer field is accepted as a key."""
+    if isinstance(kind, Analyzer):
+        return kind
+    if isinstance(kind, dict):
+        spec = dict(kind)
+        base_spec = spec.pop("kind", "standard")
+        cf = spec.pop("char_filters", None)
+        if cf is not None:
+            spec["char_filters"] = tuple(cf)
+        for k in ("stop_words", "stem_exclusions"):
+            if k in spec:
+                spec[k] = frozenset(spec[k])
+        return get_analyzer(base_spec, **{**spec, **kw})
     base, *flags = kind.split("+")
     for f in flags:
         if f in ("fold", "folding", "ascii_folding"):
