@@ -264,10 +264,26 @@ class Analyzer:
     # specs — {"type": "html_strip"|"mapping"|"pattern_replace", ...} —
     # that ride the index manifest so searchers rebuild the same chain.
     char_filters: tuple = ()
+    # WordDelimiterGraphFilter (miscellaneous/WordDelimiterGraphFilter
+    # .java): flags bitmask (True = the Solr factory defaults). Only valid
+    # with kind="whitespace" — the reference chains WDGF after a
+    # WhitespaceTokenizer; the index chain here is whitespace → WDGF →
+    # LowerCase (the canonical Solr fieldType order).
+    word_delimiter: int = 0
+    protected_words: frozenset = field(default_factory=frozenset)
 
     def __post_init__(self):
         if self.char_filters and not isinstance(self.char_filters, tuple):
             self.char_filters = tuple(self.char_filters)
+        if self.word_delimiter:
+            if self.word_delimiter is True:
+                from lucene_ray.functions.worddelimiter import DEFAULT_FLAGS
+
+                self.word_delimiter = DEFAULT_FLAGS
+            if self.kind != "whitespace":
+                raise ValueError(
+                    "word_delimiter requires kind='whitespace' (the "
+                    "reference chains WDGF after WhitespaceTokenizer)")
         if self.kind == "english":
             self.stop_words = self.stop_words or ENGLISH_STOP_WORDS
             self.stem = True
@@ -358,7 +374,12 @@ class Analyzer:
         """Query-side normalization = LowerCaseFilter only (StandardAnalyzer
         .java:98-101); chains with more normalizing filters (fold/stem) apply
         them so query terms meet index terms."""
-        t = term.lower()
+        if self.kind == "whitespace" and not self.word_delimiter:
+            # WhitespaceAnalyzer normalizes to identity (no LowerCaseFilter);
+            # the word_delimiter chain DOES lowercase after WDGF.
+            t = term
+        else:
+            t = term.lower()
         if self.elision:
             t = self._elide_fn()(t)
         if self.ascii_folding:
@@ -457,6 +478,9 @@ class Analyzer:
                 filtered.append(t)
             texts = pa.array(filtered, type=pa.string())
 
+        if self.word_delimiter:
+            return self._tokenize_word_delimiter(texts, n_docs)
+
         # Arrow fast path: input already an Arrow array (or promotable) and
         # either the chain is exactly expressible (simple/whitespace) or the
         # batch provably contains no codepoints where UAX#29 differs.
@@ -499,7 +523,12 @@ class Analyzer:
         elif self.kind == "cjk":
             token_re = _CJK_TOKEN_RE
         findall = token_re.findall
-        per_doc = [findall(t.lower()) for t in texts]
+        # WhitespaceAnalyzer has NO LowerCaseFilter (core/.../analysis/core/
+        # WhitespaceAnalyzer.java) — keep case, matching the Arrow path.
+        if self.kind == "whitespace":
+            per_doc = [findall(t) for t in texts]
+        else:
+            per_doc = [findall(t.lower()) for t in texts]
         if self.kind == "cjk":
             per_doc = [_cjk_expand(toks) for toks in per_doc]
         counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64, count=n_docs)
@@ -533,6 +562,76 @@ class Analyzer:
         )
 
         return self._apply_term_filters(codes, vocab, doc_idx, positions, n_docs)
+
+    def _tokenize_word_delimiter(self, texts, n_docs: int):
+        """whitespace → WordDelimiterGraphFilter → LowerCase index chain.
+
+        The expansion of a token is a pure function of its text, so it runs
+        at VOCAB level (once per distinct original-case term) and the parts
+        are spliced into flat (code, doc, position) arrays with numpy
+        gathers — graph positions included (catenations / preserved
+        originals stack at their part position; swallowed all-delimiter
+        tokens leave a one-position hole, WordDelimiterGraphFilter.java
+        accumPosInc)."""
+        import pyarrow as pa
+
+        from lucene_ray.functions.worddelimiter import expand_vocab
+
+        empty_i = np.empty(0, dtype=np.int32)
+        if hasattr(texts, "to_pylist"):
+            texts = texts.to_pylist()
+        # WhitespaceTokenizer, ORIGINAL case (case transitions drive splits)
+        ws = re.compile(r"\S+")
+        per_doc = [ws.findall(t) for t in texts]
+        counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64,
+                             count=n_docs)
+        total = int(counts.sum())
+        if total == 0:
+            return (empty_i, np.empty(0, dtype=object), empty_i, empty_i,
+                    np.zeros(n_docs, dtype=np.int32))
+        import itertools
+
+        flat = list(itertools.chain.from_iterable(per_doc))
+        enc = pa.array(flat, type=pa.string()).dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        orig_vocab = enc.dictionary.to_pylist()
+        table = expand_vocab(orig_vocab, self.word_delimiter,
+                             self.protected_words)
+        # flatten the per-vocab-entry part lists into gatherable arrays
+        part_terms: list[str] = []
+        part_relpos: list[int] = []
+        v_off = np.zeros(len(table) + 1, dtype=np.int64)
+        adv = np.empty(len(table), dtype=np.int64)
+        for i, (parts, relpos, advance) in enumerate(table):
+            part_terms.extend(p.lower() for p in parts)
+            part_relpos.extend(relpos)
+            v_off[i + 1] = v_off[i] + len(parts)
+            adv[i] = advance
+        part_enc = pa.array(part_terms, type=pa.string()).dictionary_encode()
+        part_ids = np.asarray(part_enc.indices, dtype=np.int32)
+        part_vocab = np.asarray(part_enc.dictionary.to_pylist(), dtype=object)
+        relpos_arr = np.asarray(part_relpos, dtype=np.int64)
+
+        # per-token base position = per-doc exclusive cumsum of advances
+        adv_tok = adv[codes]
+        cum = np.cumsum(adv_tok) - adv_tok
+        doc_tok_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        doc_idx_tok = np.repeat(np.arange(n_docs, dtype=np.int32), counts)
+        base = cum - np.repeat(cum[doc_tok_starts], counts)
+
+        # splice: each token occurrence expands to lens_v[code] parts
+        lens_v = (v_off[1:] - v_off[:-1])[codes]
+        n_out = int(lens_v.sum())
+        starts_v = v_off[:-1][codes]
+        within = np.arange(n_out, dtype=np.int64) - np.repeat(
+            np.cumsum(lens_v) - lens_v, lens_v)
+        gather = np.repeat(starts_v, lens_v) + within
+        out_codes = part_ids[gather]
+        positions = (np.repeat(base, lens_v) + relpos_arr[gather]).astype(
+            np.int32)
+        out_doc_idx = np.repeat(doc_idx_tok, lens_v)
+        return self._apply_term_filters(out_codes, part_vocab, out_doc_idx,
+                                        positions, n_docs)
 
     def tokenize_batch_encoded_offsets(self, texts):
         """Offsets-aware tokenization: like :meth:`tokenize_batch_encoded`
@@ -576,6 +675,11 @@ class Analyzer:
             # cjk-analyzed query would never match
             raise ValueError(
                 "store_offsets is not supported with the 'cjk' analyzer")
+        if self.word_delimiter:
+            # graph expansion is not span-preserving (catenations cover
+            # multiple source spans); refuse like cjk
+            raise ValueError(
+                "store_offsets is not supported with word_delimiter")
         if n_docs == 0:
             e = np.empty(0, dtype=object)
             return empty_i, e, empty_i, empty_i, empty_i, empty_i, empty_i
@@ -585,11 +689,19 @@ class Analyzer:
             token_re = re.compile(r"\S+")
         else:
             token_re = _TOKEN_RE  # letter classes already match both cases
-        per_doc = [
-            [(m.group().lower(), m.start(), m.end())
-             for m in token_re.finditer(t)]
-            for t in texts
-        ]
+        if self.kind == "whitespace":
+            # WhitespaceAnalyzer: no LowerCaseFilter
+            per_doc = [
+                [(m.group(), m.start(), m.end())
+                 for m in token_re.finditer(t)]
+                for t in texts
+            ]
+        else:
+            per_doc = [
+                [(m.group().lower(), m.start(), m.end())
+                 for m in token_re.finditer(t)]
+                for t in texts
+            ]
         counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64, count=n_docs)
         total = int(counts.sum())
         if total == 0:
@@ -706,7 +818,7 @@ def get_analyzer(kind: str = "standard", **kw) -> Analyzer:
         cf = spec.pop("char_filters", None)
         if cf is not None:
             spec["char_filters"] = tuple(cf)
-        for k in ("stop_words", "stem_exclusions"):
+        for k in ("stop_words", "stem_exclusions", "protected_words"):
             if k in spec:
                 spec[k] = frozenset(spec[k])
         return get_analyzer(base_spec, **{**spec, **kw})
