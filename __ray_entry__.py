@@ -1702,6 +1702,66 @@ def _q_sort_by_field(sf_dir: str) -> pa.Table:
     )
 
 
+CHAR_FILTER_RULES = {"merge": "blend", "scan": "sweep"}
+CHAR_FILTER_QUERIES = ("blend", "sweep", "data")
+
+
+def _q_char_filter_topk(sf_dir: str) -> pa.Table:
+    """MappingCharFilter end-to-end (charfilter/MappingCharFilter.java:36):
+    the index is built with a char-level rewrite (merge→blend, scan→sweep)
+    riding the manifest as a dict analyzer spec; queries hit the REWRITTEN
+    terms. Oracle applies the same rewrite with SQL replace() before
+    tokenizing."""
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import TermQuery
+    from lucene_ray.searcher import IndexSearcher
+    from lucene_ray.state.manifest import Manifest
+
+    d = _cache_dir(sf_dir, "gatecharfilter")
+    if not Manifest.exists(d):
+        build_index(
+            f"{sf_dir}/documents.parquet", d, key_col="doc_id",
+            text_col="text", num_partitions=2,
+            analyzer={"kind": "simple",
+                      "char_filters": [{"type": "mapping",
+                                        "rules": CHAR_FILTER_RULES}]},
+            columns=["doc_id", "text"])
+    s = IndexSearcher(d, mode="exact")
+    return _ranked_topk(s, [(t, TermQuery(t)) for t in CHAR_FILTER_QUERIES])
+
+
+WDGF_QUERIES = ("merge", "data", "query", "window")
+
+
+def _q_wdgf_topk(sf_dir: str) -> pa.Table:
+    """WordDelimiterGraphFilter end-to-end (miscellaneous/
+    WordDelimiterGraphFilter.java): spaces are rewritten to hyphens so each
+    line becomes ONE whitespace token, and WDGF's delimiter splits must
+    reconstruct the original token stream (same tf/dl/df AND adjacent part
+    positions) — the oracle is the plain tokenization."""
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import TermQuery
+    from lucene_ray.searcher import IndexSearcher
+    from lucene_ray.state.manifest import Manifest
+
+    d = _cache_dir(sf_dir, "gatewdgf")
+    if not Manifest.exists(d):
+        import pyarrow.compute as pc
+
+        def hyphenate(batch: pa.Table) -> pa.Table:
+            return batch.set_column(
+                batch.schema.get_field_index("text"), "text",
+                pc.replace_substring(batch.column("text"), " ", "-"))
+
+        ds = _docs_ds(sf_dir, columns=("doc_id", "text")).map_batches(
+            hyphenate, batch_format="pyarrow")
+        build_index(ds, d, key_col="doc_id", text_col="text",
+                    num_partitions=2,
+                    analyzer={"kind": "whitespace", "word_delimiter": True})
+    s = IndexSearcher(d, mode="exact")
+    return _ranked_topk(s, [(t, TermQuery(t)) for t in WDGF_QUERIES])
+
+
 def _sorted_gate_index(sf_dir: str) -> str:
     """Gate index with setIndexSort(n_chars desc): docIDs assigned in
     (n_chars desc, doc_id) order so sorted-field top-k early-terminates
@@ -3604,6 +3664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drill_sideways": _q_drill_sideways,
         "taxonomy_facets": _q_taxonomy_facets,
         "facet_multi": _q_facet_multi,  # SortedSet doc values
+        "char_filter_topk": _q_char_filter_topk,  # MappingCharFilter (r4)
+        "wdgf_topk": _q_wdgf_topk,  # WordDelimiterGraphFilter (r4)
     }
 
 
@@ -3668,6 +3730,16 @@ def oracle_sql() -> dict[str, str]:
         "highlight_spans": _sql_highlight_spans(),
         "passage_rank": _sql_passage_rank(),
         "facet_multi": _sql_facet_multi(),
+        # char filter: same scoring, tokens drawn from the REWRITTEN text
+        # (the _TOK expression swaps for one with the mapping rules applied
+        # as SQL replace() — the rules operate at char level like the filter)
+        "char_filter_topk": _sql_single_term_topk(CHAR_FILTER_QUERIES).replace(
+            _TOK,
+            "regexp_extract_all(lower(replace(replace(text, 'merge', 'blend'),"
+            " 'scan', 'sweep')), '[a-z0-9]+')"),
+        # WDGF over hyphenated lines reconstructs the plain token stream —
+        # the oracle IS the plain tokenization
+        "wdgf_topk": _sql_single_term_topk(WDGF_QUERIES),
         "quality_scores": _SQL_QUALITY,
         "fingerprint": _SQL_FINGERPRINT,
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,
