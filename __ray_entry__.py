@@ -1762,6 +1762,45 @@ def _q_wdgf_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, [(t, TermQuery(t)) for t in WDGF_QUERIES])
 
 
+PAYLOAD_QUERIES = (("merge", "sum"), ("data", "sum"), ("query", "avg"))
+
+
+def _q_payload_topk(sf_dir: str) -> pa.Table:
+    """DelimitedPayloadTokenFilter + PayloadScoreQuery end-to-end
+    (payloads/DelimitedPayloadTokenFilter.java, PayloadScoreQuery.java):
+    every token is rewritten to carry its LENGTH as a float payload
+    (``w|len``), indexed with store_payloads, and scored by the payload
+    aggregate — sum = tf·len(term), avg = len(term), both SQL-exact."""
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import PayloadScoreQuery
+    from lucene_ray.searcher import IndexSearcher
+    from lucene_ray.state.manifest import Manifest
+
+    d = _cache_dir(sf_dir, "gatepayload")
+    if not Manifest.exists(d):
+        import re as _re
+
+        tok_re = _re.compile(r"\S+")
+
+        def attach(batch: pa.Table) -> pa.Table:
+            texts = [
+                tok_re.sub(lambda m: f"{m.group()}|{len(m.group())}", t)
+                for t in batch.column("text").to_pylist()
+            ]
+            return batch.set_column(
+                batch.schema.get_field_index("text"), "text",
+                pa.array(texts, type=pa.string()))
+
+        ds = _docs_ds(sf_dir, columns=("doc_id", "text")).map_batches(
+            attach, batch_format="pyarrow")
+        build_index(ds, d, key_col="doc_id", text_col="text",
+                    num_partitions=2, store_payloads=True,
+                    analyzer={"kind": "whitespace", "payload_delimiter": "|"})
+    s = IndexSearcher(d, mode="exact")
+    qs = [(f"{fn}:{t}", PayloadScoreQuery(t, fn)) for t, fn in PAYLOAD_QUERIES]
+    return _ranked_topk(s, qs)
+
+
 def _sorted_gate_index(sf_dir: str) -> str:
     """Gate index with setIndexSort(n_chars desc): docIDs assigned in
     (n_chars desc, doc_id) order so sorted-field top-k early-terminates
@@ -3666,6 +3705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_multi": _q_facet_multi,  # SortedSet doc values
         "char_filter_topk": _q_char_filter_topk,  # MappingCharFilter (r4)
         "wdgf_topk": _q_wdgf_topk,  # WordDelimiterGraphFilter (r4)
+        "payload_topk": _q_payload_topk,  # PayloadScoreQuery (r4)
     }
 
 
@@ -3740,6 +3780,24 @@ def oracle_sql() -> dict[str, str]:
         # WDGF over hyphenated lines reconstructs the plain token stream —
         # the oracle IS the plain tokenization
         "wdgf_topk": _sql_single_term_topk(WDGF_QUERIES),
+        # payloads: every occurrence carries length(term) as its payload, so
+        # sum = tf*len(term) and avg = len(term) — exact in SQL
+        "payload_topk": f"""
+WITH {_BASE},
+q(term, fn) AS (VALUES {", ".join(f"('{t}','{fn}')" for t, fn in PAYLOAD_QUERIES)}),
+scored AS (
+  SELECT q.fn || ':' || q.term AS query, tf.doc_id,
+         CASE q.fn WHEN 'sum' THEN tf.tf * length(q.term)
+                   ELSE length(q.term)::DOUBLE END AS score
+  FROM q JOIN tf ON tf.term = q.term
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
+""",
         "quality_scores": _SQL_QUALITY,
         "fingerprint": _SQL_FINGERPRINT,
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

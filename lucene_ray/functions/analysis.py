@@ -271,6 +271,13 @@ class Analyzer:
     # LowerCase (the canonical Solr fieldType order).
     word_delimiter: int = 0
     protected_words: frozenset = field(default_factory=frozenset)
+    # DelimitedPayloadTokenFilter (analysis/common/.../payloads/
+    # DelimitedPayloadTokenFilter.java:26-60 + FloatEncoder): characters
+    # before the FIRST delimiter are the token, after it the float payload.
+    # Only valid with kind="whitespace" (the reference notes the tokenizer
+    # must not split on the delimiter); the index chain lowercases the term
+    # part after splitting.
+    payload_delimiter: str = ""
 
     def __post_init__(self):
         if self.char_filters and not isinstance(self.char_filters, tuple):
@@ -284,6 +291,14 @@ class Analyzer:
                 raise ValueError(
                     "word_delimiter requires kind='whitespace' (the "
                     "reference chains WDGF after WhitespaceTokenizer)")
+        if self.payload_delimiter:
+            if self.kind != "whitespace":
+                raise ValueError(
+                    "payload_delimiter requires kind='whitespace' (the "
+                    "tokenizer must not split on the delimiter)")
+            if self.word_delimiter:
+                raise ValueError(
+                    "payload_delimiter and word_delimiter cannot combine")
         if self.kind == "english":
             self.stop_words = self.stop_words or ENGLISH_STOP_WORDS
             self.stem = True
@@ -480,6 +495,10 @@ class Analyzer:
 
         if self.word_delimiter:
             return self._tokenize_word_delimiter(texts, n_docs)
+        if self.payload_delimiter:
+            codes, vocab, doc_idx, positions, _pays, dl = (
+                self.tokenize_batch_encoded_payloads(texts))
+            return codes, vocab, doc_idx, positions, dl
 
         # Arrow fast path: input already an Arrow array (or promotable) and
         # either the chain is exactly expressible (simple/whitespace) or the
@@ -632,6 +651,63 @@ class Analyzer:
         out_doc_idx = np.repeat(doc_idx_tok, lens_v)
         return self._apply_term_filters(out_codes, part_vocab, out_doc_idx,
                                         positions, n_docs)
+
+    def tokenize_batch_encoded_payloads(self, texts):
+        """whitespace → DelimitedPayloadTokenFilter(FloatEncoder) →
+        LowerCase chain: ``(codes, vocab, doc_idx, positions, payloads,
+        doc_lengths)`` with one float32 payload per occurrence (0.0 when a
+        token carries no delimiter — the reference leaves the payload
+        attribute unset there).
+
+        The (term, payload) split is a pure function of the token text, so
+        it runs at VOCAB level; per-occurrence payloads are one gather."""
+        import pyarrow as pa
+
+        if not self.payload_delimiter:
+            raise ValueError("analyzer has no payload_delimiter configured")
+        n_docs = len(texts)
+        empty_i = np.empty(0, dtype=np.int32)
+        if hasattr(texts, "to_pylist"):
+            texts = texts.to_pylist()
+        ws = re.compile(r"\S+")
+        per_doc = [ws.findall(t) for t in texts]
+        counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64,
+                             count=n_docs)
+        total = int(counts.sum())
+        if total == 0:
+            return (empty_i, np.empty(0, dtype=object), empty_i, empty_i,
+                    np.empty(0, dtype=np.float32),
+                    np.zeros(n_docs, dtype=np.int32))
+        import itertools
+
+        flat = list(itertools.chain.from_iterable(per_doc))
+        enc = pa.array(flat, type=pa.string()).dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        raw_vocab = enc.dictionary.to_pylist()
+        delim = self.payload_delimiter
+        terms, pays = [], np.zeros(len(raw_vocab), dtype=np.float32)
+        for i, w in enumerate(raw_vocab):
+            j = w.find(delim)
+            if j >= 0:
+                terms.append(w[:j].lower())
+                try:
+                    pays[i] = np.float32(w[j + 1:])
+                except ValueError as exc:
+                    raise ValueError(
+                        f"payload of token {w!r} is not a float") from exc
+            else:
+                terms.append(w.lower())
+        term_enc = pa.array(terms, type=pa.string()).dictionary_encode()
+        new_ids = np.asarray(term_enc.indices, dtype=np.int32)
+        vocab = np.asarray(term_enc.dictionary.to_pylist(), dtype=object)
+        payloads = pays[codes]
+        out_codes = new_ids[codes]
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int32), counts)
+        doc_tok_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        positions = (np.arange(total, dtype=np.int64)
+                     - np.repeat(doc_tok_starts, counts)).astype(np.int32)
+        return (out_codes, vocab, doc_idx, positions, payloads,
+                counts.astype(np.int32))
 
     def tokenize_batch_encoded_offsets(self, texts):
         """Offsets-aware tokenization: like :meth:`tokenize_batch_encoded`

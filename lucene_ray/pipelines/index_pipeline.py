@@ -98,7 +98,8 @@ class _BuildSegment:
                  store_positions: bool, num_partitions: int,
                  docvalue_cols: tuple = (), text_cols: tuple = (),
                  index_sort: tuple | None = None, store_offsets: bool = False,
-                 store_term_vectors: bool = False):
+                 store_term_vectors: bool = False,
+                 store_payloads: bool = False):
         self.index_dir = index_dir
         self.key_col = key_col
         self.text_col = text_col
@@ -107,6 +108,7 @@ class _BuildSegment:
         self.store_positions = store_positions
         self.store_offsets = store_offsets
         self.store_term_vectors = store_term_vectors
+        self.store_payloads = store_payloads
         self.num_partitions = num_partitions
         self.docvalue_cols = tuple(docvalue_cols)
         self.text_cols = tuple(text_cols)  # >1 → multi-field segments
@@ -166,6 +168,7 @@ class _BuildSegment:
                 keys, texts, self.analyzer, store_positions=self.store_positions,
                 store_offsets=self.store_offsets,
                 store_term_vectors=self.store_term_vectors,
+                store_payloads=self.store_payloads,
             )
             if self.store_term_vectors:
                 postings_tbl, docs_tbl, stats, vectors_tbl = out
@@ -219,6 +222,7 @@ def build_index(
     store_positions: bool = True,
     store_offsets: bool = False,
     store_term_vectors: bool = False,
+    store_payloads: bool = False,
     resume: bool = True,
     extract_html: bool = False,
     dedup_exact: bool = False,
@@ -279,7 +283,8 @@ def build_index(
         )
         builder = _BuildSegment(index_dir, key_col, text_col, analyzer, store_positions,
                                 num_partitions, docvalue_cols, text_cols, index_sort,
-                                store_offsets, store_term_vectors)
+                                store_offsets, store_term_vectors,
+                                store_payloads)
 
         def build_one_segment(group: pa.Table) -> pa.Table:
             return builder(group)
@@ -317,6 +322,7 @@ def build_index(
             "store_positions": store_positions,
             "store_offsets": store_offsets,
             "store_term_vectors": store_term_vectors,
+            "store_payloads": store_payloads,
             "docvalue_cols": list(docvalue_cols),
             "text_cols": list(text_cols),
             "index_sort": list(index_sort) if index_sort else None,
@@ -337,6 +343,7 @@ def build_index_by_file(
     store_positions: bool = True,
     store_offsets: bool = False,
     store_term_vectors: bool = False,
+    store_payloads: bool = False,
     resume: bool = True,
     extract_html: bool = False,
     columns: list[str] | None = None,
@@ -398,7 +405,7 @@ def build_index_by_file(
 
     builder = _BuildSegment(index_dir, key_col, text_col, analyzer,
                             store_positions, n, docvalue_cols, text_cols, index_sort,
-                            store_offsets, store_term_vectors)
+                            store_offsets, store_term_vectors, store_payloads)
 
     @ray.remote(num_cpus=1)
     def _file_task(path: str, part_id: int) -> str:
@@ -461,6 +468,7 @@ def build_index_by_file(
             "store_positions": store_positions,
             "store_offsets": store_offsets,
             "store_term_vectors": store_term_vectors,
+            "store_payloads": store_payloads,
             "docvalue_cols": list(docvalue_cols),
             "text_cols": list(text_cols),
             "index_sort": list(index_sort) if index_sort else None,

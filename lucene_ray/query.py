@@ -278,6 +278,25 @@ class GeoPolygonQuery(Query):
 
 
 @dataclass(frozen=True)
+class PayloadScoreQuery(Query):
+    """queries/payloads/PayloadScoreQuery.java: matches the term's docs and
+    scores each by an aggregate of the term's per-occurrence float payloads
+    in that doc — ``func`` ∈ min|max|sum|avg (MinPayloadFunction /
+    MaxPayloadFunction / SumPayloadFunction / AveragePayloadFunction) —
+    multiplied by the wrapped query's score when ``include_span_score``
+    (PayloadScoreQuery.java includeSpanScore). Requires an index built with
+    ``store_payloads=True``."""
+
+    term: str
+    func: str = "sum"
+    include_span_score: bool = False
+    field: str | None = None
+
+    def __str__(self):
+        return f"payload({self.func}, {self.term})"
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     """Multi-term scored as ONE pseudo-term: summed tf per doc, idf from the
     blended (max) docFreq (search/SynonymQuery.java:52-214)."""

@@ -65,6 +65,7 @@ from lucene_ray.query import (
     MatchNoDocsQuery,
     MultiPhraseQuery,
     NumericRangeQuery,
+    PayloadScoreQuery,
     PhraseQuery,
     PointBoxQuery,
     PrefixQuery,
@@ -860,6 +861,39 @@ class IndexSearcher:
             if len(cache) > 128:
                 cache.pop(next(iter(cache)))
             cache[ckey] = (docs, scores)
+            return _SparseScores(docs, scores)
+        if isinstance(q, PayloadScoreQuery):
+            # queries/payloads/PayloadScoreQuery.java: per-doc aggregate of
+            # the term's occurrence payloads (stream is doc-major, so one
+            # ufunc.reduceat per segment), optionally × the term's own score
+            full = self._fp(q.field) + q.term
+            ti = r.term_index(full)
+            if ti < 0:
+                return empty
+            docs, freqs = r.postings(ti)
+            if not len(docs):
+                return empty
+            pays = r.payloads(ti)
+            if len(pays) != int(freqs.sum()):
+                raise ValueError(
+                    "PayloadScoreQuery needs an index built with "
+                    "store_payloads=True")
+            starts = np.concatenate(
+                [[0], np.cumsum(freqs[:-1], dtype=np.int64)])
+            if q.func == "sum":
+                agg = np.add.reduceat(pays.astype(np.float64), starts)
+            elif q.func == "max":
+                agg = np.maximum.reduceat(pays, starts).astype(np.float64)
+            elif q.func == "min":
+                agg = np.minimum.reduceat(pays, starts).astype(np.float64)
+            elif q.func == "avg":
+                agg = np.add.reduceat(pays.astype(np.float64), starts) / freqs
+            else:
+                raise ValueError(f"unknown payload function {q.func!r}")
+            scores = agg * boost
+            if q.include_span_score:
+                sub = self._eval(r, TermQuery(q.term, q.field))
+                scores = scores * sub.scores  # same doc order: one term
             return _SparseScores(docs, scores)
         if isinstance(q, BoostQuery):
             return self._eval(r, q.query, boost * q.boost)

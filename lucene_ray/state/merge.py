@@ -135,10 +135,13 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
     run_lens: list[int] = []
     pos_by_code: dict[int, list[np.ndarray]] = {}
     ofs_by_code: dict[int, list[np.ndarray]] = {}
-    # offsets (.pay stream analogue) survive a merge only when every source
-    # segment carries them
+    pay_by_code: dict[int, list[np.ndarray]] = {}
+    # offsets / payloads (.pay stream analogue) survive a merge only when
+    # every source segment carries them
     store_offsets = store_positions and all(
         getattr(r, "has_offsets", False) for r in readers)
+    store_payloads = store_positions and all(
+        getattr(r, "has_payloads", False) for r in readers)
     for r, base, live, remap in zip(readers, bases, lives, remaps):
         gcodes = np.searchsorted(all_terms, r.terms)  # exact: r.terms ⊆ all_terms
         n_terms = r.n_terms
@@ -150,11 +153,15 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
                 ptr = r.positions(i)
                 if store_offsets:
                     otr = r.offsets(i)
+                if store_payloads:
+                    patr = r.payloads(i)
                 if not all_live:
                     occ = np.repeat(keep, f)
                     ptr = ptr[occ]
                     if store_offsets:
                         otr = otr.reshape(-1, 2)[occ].ravel()
+                    if store_payloads:
+                        patr = patr[occ]
             if not all_live:
                 d, f = d[keep], f[keep]
             if not len(d):
@@ -168,6 +175,8 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
                 pos_by_code.setdefault(code, []).append(ptr)
                 if store_offsets:
                     ofs_by_code.setdefault(code, []).append(otr)
+                if store_payloads:
+                    pay_by_code.setdefault(code, []).append(patr)
 
     if doc_parts:
         # Each (term, reader) run is already doc-ordered, and readers are
@@ -304,6 +313,7 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
     pos_values = np.empty(pos_total, dtype=np.int32)
     pos_off = np.zeros(n_out + 1, dtype=np.int64)
     ofs_values = np.empty(2 * pos_total if store_offsets else 0, dtype=np.int32)
+    pay_values = np.empty(pos_total if store_payloads else 0, dtype=np.float32)
     if store_positions and n_out:
         np.cumsum(total_tf, out=pos_off[1:])
     packed_col = []
@@ -320,6 +330,11 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
                 for part in ofs_by_code.get(int(tc[s]), ()):
                     ofs_values[o2 : o2 + len(part)] = part
                     o2 += len(part)
+            if store_payloads:
+                o3 = int(pos_off[ti])
+                for part in pay_by_code.get(int(tc[s]), ()):
+                    pay_values[o3 : o3 + len(part)] = part
+                    o3 += len(part)
 
     def _bin_col(values: np.ndarray, item_counts_off: np.ndarray) -> pa.Array:
         if int(item_counts_off[-1]) * 4 < 2**31 - 1:
@@ -333,10 +348,11 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
              for t in range(n_out)], type=pa.binary())
 
     empty_bin = None
-    if not store_positions or not store_offsets:
+    if not store_positions or not store_offsets or not store_payloads:
         empty_bin = pa.array([b""] * n_out, type=pa.binary())
     pos_arr = _bin_col(pos_values, pos_off) if store_positions else empty_bin
     ofs_arr = _bin_col(ofs_values, pos_off * 2) if store_offsets else empty_bin
+    pay_arr = _bin_col(pay_values, pos_off) if store_payloads else empty_bin
     _t["encode_sec"] = _time.time() - _t0
 
     _t0 = _time.time()
@@ -367,6 +383,7 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             "imp_lens": pa.ListArray.from_arrays(outer_off_arr, inner_imp_l),
             "positions": pos_arr,
             "offsets": ofs_arr,
+            "payloads": pay_arr,
         }
     )
     _t["assemble_sec"] = _time.time() - _t0

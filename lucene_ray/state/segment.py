@@ -105,6 +105,7 @@ def build_segment_tables(
     store_positions: bool = True,
     store_offsets: bool = False,
     store_term_vectors: bool = False,
+    store_payloads: bool = False,
 ) -> tuple:
     """The invert kernel: one partition's docs → (postings, docs, stats).
 
@@ -119,12 +120,19 @@ def build_segment_tables(
     straight through for the zero-copy tokenizer fast path.
     """
     n_docs = len(texts)
-    tok_starts = tok_ends = None
+    tok_starts = tok_ends = tok_pays = None
+    if store_offsets and store_payloads:
+        raise ValueError("store_offsets and store_payloads cannot combine")
     if store_offsets:
         # offsets ride the postings like the reference's .pay stream
         # (Lucene90PostingsWriter.java:84-117, IndexOptions ..._AND_OFFSETS)
         (codes, vocab, doc_idx, positions, tok_starts, tok_ends,
          doc_lengths) = analyzer.tokenize_batch_encoded_offsets(texts)
+    elif store_payloads:
+        # payloads ride the postings the same way (the .pay stream's payload
+        # half, Lucene90PostingsWriter.java writePayloads)
+        (codes, vocab, doc_idx, positions, tok_pays, doc_lengths) = (
+            analyzer.tokenize_batch_encoded_payloads(texts))
     else:
         codes, vocab, doc_idx, positions, doc_lengths = (
             analyzer.tokenize_batch_encoded(texts))
@@ -165,6 +173,7 @@ def build_segment_tables(
                 "imp_lens": pa.array([], type=pa.list_(pa.list_(pa.int32()))),
                 "positions": pa.array([], type=pa.binary()),
                 "offsets": pa.array([], type=pa.binary()),
+                "payloads": pa.array([], type=pa.binary()),
             }
         )
         stats = dict(max_doc=n_docs, doc_count=0, sum_doc_freq=0, sum_total_term_freq=0)
@@ -259,6 +268,15 @@ def build_segment_tables(
         ]
     else:
         off_col = [b""] * len(term_starts)
+    if store_payloads:
+        # one float32 per occurrence, same order as the position stream
+        pays_sorted = tok_pays[order].astype(np.float32, copy=False)
+        pay_col = [
+            pays_sorted[cs[term_starts[i]] : cs[term_ends[i]]].tobytes()
+            for i in range(len(term_starts))
+        ]
+    else:
+        pay_col = [b""] * len(term_starts)
 
     postings_tbl = pa.table(
         {
@@ -275,6 +293,7 @@ def build_segment_tables(
             "imp_lens": pa.array(impl_col, type=pa.list_(pa.list_(pa.int32()))),
             "positions": pa.array(pos_col, type=pa.binary()),
             "offsets": pa.array(off_col, type=pa.binary()),
+            "payloads": pa.array(pay_col, type=pa.binary()),
         }
     )
 
@@ -514,6 +533,14 @@ class SegmentReader:
         else:
             self._ofs_off = self._ofs_data = None
             self.has_offsets = False
+        if "payloads" in p.column_names:
+            self._pay_off, self._pay_data = _binary_views(p.column("payloads"))
+            self.has_payloads = (
+                self.n_terms == 0 or int(self._pay_off[-1]) > 0
+            )
+        else:
+            self._pay_off = self._pay_data = None
+            self.has_payloads = False
         self.doc_keys = d.column("doc_key").to_numpy(zero_copy_only=False)
         self.norms = d.column("norm").to_numpy()
         self.dls = d.column("dl").to_numpy()
@@ -738,6 +765,17 @@ class SegmentReader:
         stream = self.offsets(i)
         sl = stream[2 * base : 2 * (base + int(f[k]))]
         return sl[0::2], sl[1::2]
+
+    def payloads(self, term: str | int) -> np.ndarray:
+        """float32 payloads, one per occurrence, doc-major, aligned with the
+        position stream; empty when the segment was built without
+        ``store_payloads`` (the .pay payload stream analogue,
+        Lucene90PostingsWriter writePayloads)."""
+        i = self.term_index(term) if isinstance(term, str) else term
+        if i < 0 or self._pay_off is None:
+            return np.empty(0, dtype=np.float32)
+        sl = self._pay_data[self._pay_off[i] : self._pay_off[i + 1]]
+        return np.frombuffer(sl, dtype=np.float32)
 
     def postings_block(self, i: int, j: int) -> tuple[np.ndarray, np.ndarray]:
         """Decode ONLY 128-doc block ``j`` of term ``i`` (absolute docIDs) —
