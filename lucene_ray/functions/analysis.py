@@ -299,6 +299,12 @@ class Analyzer:
             if self.word_delimiter:
                 raise ValueError(
                     "payload_delimiter and word_delimiter cannot combine")
+        if self.kind == "keyword":
+            # KeywordAnalyzer (core/.../analysis/core/KeywordAnalyzer.java):
+            # the whole input is ONE token, any length, no case folding —
+            # lift the 255-char default cap unless the caller set one
+            if self.max_token_length == MAX_TOKEN_LENGTH_DEFAULT:
+                self.max_token_length = 0
         if self.kind == "english":
             self.stop_words = self.stop_words or ENGLISH_STOP_WORDS
             self.stem = True
@@ -389,9 +395,10 @@ class Analyzer:
         """Query-side normalization = LowerCaseFilter only (StandardAnalyzer
         .java:98-101); chains with more normalizing filters (fold/stem) apply
         them so query terms meet index terms."""
-        if self.kind == "whitespace" and not self.word_delimiter:
-            # WhitespaceAnalyzer normalizes to identity (no LowerCaseFilter);
-            # the word_delimiter chain DOES lowercase after WDGF.
+        if (self.kind == "keyword"
+                or (self.kind == "whitespace" and not self.word_delimiter)):
+            # Keyword/WhitespaceAnalyzer normalize to identity (no
+            # LowerCaseFilter); the word_delimiter chain DOES lowercase.
             t = term
         else:
             t = term.lower()
@@ -493,6 +500,8 @@ class Analyzer:
                 filtered.append(t)
             texts = pa.array(filtered, type=pa.string())
 
+        if self.kind == "keyword":
+            return self._tokenize_keyword(texts, n_docs)
         if self.word_delimiter:
             return self._tokenize_word_delimiter(texts, n_docs)
         if self.payload_delimiter:
@@ -581,6 +590,29 @@ class Analyzer:
         )
 
         return self._apply_term_filters(codes, vocab, doc_idx, positions, n_docs)
+
+    def _tokenize_keyword(self, texts, n_docs: int):
+        """KeywordAnalyzer: whole input = one token (empty input = none),
+        fully vectorized through one Arrow dictionary_encode."""
+        import pyarrow as pa
+
+        if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = pa.array(list(texts), type=pa.string())
+        elif isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        import pyarrow.compute as pc
+
+        keep = pc.and_(texts.is_valid(), pc.not_equal(
+            pc.fill_null(texts, ""), ""))
+        keep_np = np.asarray(keep)
+        kept = texts.filter(keep)
+        enc = kept.dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int32, copy=False)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        doc_idx = np.flatnonzero(keep_np).astype(np.int32)
+        positions = np.zeros(len(codes), dtype=np.int32)
+        return self._apply_term_filters(codes, vocab, doc_idx, positions,
+                                        n_docs)
 
     def _tokenize_word_delimiter(self, texts, n_docs: int):
         """whitespace → WordDelimiterGraphFilter → LowerCase index chain.
@@ -759,6 +791,17 @@ class Analyzer:
         if n_docs == 0:
             e = np.empty(0, dtype=object)
             return empty_i, e, empty_i, empty_i, empty_i, empty_i, empty_i
+        if self.kind == "keyword":
+            per_doc = [[(t, 0, len(t))] if t else [] for t in texts]
+            counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64,
+                                 count=n_docs)
+            total = int(counts.sum())
+            if total == 0:
+                z = np.zeros(n_docs, dtype=np.int32)
+                return (empty_i, np.empty(0, dtype=object), empty_i, empty_i,
+                        empty_i, empty_i, z)
+            return self._finish_offsets(per_doc, counts, total, n_docs,
+                                        cf_maps)
         if self.kind == "simple":
             token_re = re.compile(r"[a-z0-9]+", re.IGNORECASE)
         elif self.kind == "whitespace":
@@ -784,6 +827,16 @@ class Analyzer:
             z = np.zeros(n_docs, dtype=np.int32)
             return (empty_i, np.empty(0, dtype=object), empty_i, empty_i,
                     empty_i, empty_i, z)
+        return self._finish_offsets(per_doc, counts, total, n_docs, cf_maps)
+
+    def _finish_offsets(self, per_doc, counts, total, n_docs, cf_maps=None):
+        """Shared tail of the offsets tokenize path: flatten the per-doc
+        (token, start, end) triples, correct spans through any CharFilter
+        maps, intern, and run the vocab-level filters."""
+        import itertools
+
+        import pyarrow as pa
+
         flat = list(itertools.chain.from_iterable(per_doc))
         toks = pa.array([t[0] for t in flat], type=pa.string())
         starts = np.fromiter((t[1] for t in flat), dtype=np.int32, count=total)
