@@ -171,6 +171,79 @@ PORTUGUESE_STOP_WORDS = frozenset(
     tiver tivermos tiverem terei terá teremos terão teria teríamos teriam""".split()
 )
 
+# snowball russian/swedish/finnish/hungarian stop lists, verbatim
+# (multi-word lines split like WordlistLoader.getSnowballWordSet; the
+# *_light analyzer kinds pair them with the Savoy light stemmers).
+RUSSIAN_STOP_WORDS = frozenset(
+    """и в во не что он на я с со как а то все она так его но да ты к у же вы
+    за бы по только ее мне было вот от меня еще нет о из ему теперь когда
+    даже ну вдруг ли если уже или ни быть был него до вас нибудь опять уж
+    вам сказал ведь там потом себя ничего ей может они тут где есть надо
+    ней для мы тебя их чем была сам чтоб без будто человек чего раз тоже
+    себе под жизнь будет ж тогда кто этот говорил того потому этого какой
+    совсем ним здесь этом один почти мой тем чтобы нее кажется сейчас были
+    куда зачем сказать всех никогда сегодня можно при наконец два об
+    другой хоть после над больше тот через эти нас про всего них какая
+    много разве сказала три эту моя впрочем хорошо свою этой перед иногда
+    лучше чуть том нельзя такой им более всегда конечно всю между""".split()
+)
+
+SWEDISH_STOP_WORDS = frozenset(
+    """och det att i en jag hon som han på den med var sig för så till är men
+    ett om hade de av icke mig du henne då sin nu har inte hans honom
+    skulle hennes där min man ej vid kunde något från ut när efter upp vi
+    dem vara vad över än dig kan sina här ha mot alla under någon eller
+    allt mycket sedan ju denna själv detta åt utan varit hur ingen mitt ni
+    bli blev oss din dessa några deras blir mina samma vilken er sådan vår
+    blivit dess inom mellan sådant varför varje vilka ditt vem vilket
+    sitta sådana vart dina vars vårt våra ert era vilkas""".split()
+)
+
+FINNISH_STOP_WORDS = frozenset(
+    """olla olen olet on olemme olette ovat ole oli olisi olisit olisin
+    olisimme olisitte olisivat olit olin olimme olitte olivat ollut olleet
+    en et ei emme ette eivät minä minun minut minua minussa minusta minuun
+    minulla minulta minulle sinä sinun sinut sinua sinussa sinusta sinuun
+    sinulla sinulta sinulle hän hänen hänet häntä hänessä hänestä häneen
+    hänellä häneltä hänelle me meidän meidät meitä meissä meistä meihin
+    meillä meiltä meille te teidän teidät teitä teissä teistä teihin
+    teillä teiltä teille he heidän heidät heitä heissä heistä heihin
+    heillä heiltä heille tämä tämän tätä tässä tästä tähän tällä tältä
+    tälle tänä täksi tuo tuon tuota tuossa tuosta tuohon tuolla tuolta
+    tuolle tuona tuoksi se sen sitä siinä siitä siihen sillä siltä sille
+    siksi nämä näiden näitä näissä näistä näihin näillä näiltä näille
+    näinä näiksi nuo noiden noita noissa noista noihin noilla noilta
+    noille noina noiksi ne niiden niitä niissä niistä niihin niillä niiltä
+    niille niinä niiksi kuka kenen kenet ketä kenessä kenestä keneen
+    kenellä keneltä kenelle kenenä keneksi ketkä keiden keitä keissä
+    keistä keihin keillä keiltä keille keinä keiksi mikä minkä mitä missä
+    mistä mihin millä miltä mille miksi mitkä joka jonka jota jossa josta
+    johon jolla jolta jolle jona joksi jotka joiden joita joissa joista
+    joihin joilla joilta joille joina joiksi että ja jos koska kuin mutta
+    niin sekä tai vaan vai vaikka kanssa mukaan noin poikki yli kun nyt
+    itse""".split()
+)
+
+HUNGARIAN_STOP_WORDS = frozenset(
+    """a ahogy ahol aki akik akkor alatt által általában amely amelyek
+    amelyekben amelyeket amelyet amelynek ami amit amolyan amíg amikor át
+    abban ahhoz annak arra arról az azok azon azt azzal azért aztán azután
+    azonban bár be belül benne cikk cikkek cikkeket csak de e eddig egész
+    egy egyes egyetlen egyéb egyik egyre ekkor el elég ellen elő először
+    előtt első én éppen ebben ehhez emilyen ennek erre ez ezt ezek ezen
+    ezzel ezért és fel felé hanem hiszen hogy hogyan igen így illetve ill.
+    ill ilyen ilyenkor ison ismét itt jó jól jobban kell kellett keresztül
+    keressünk ki kívül között közül legalább lehet lehetett legyen lenne
+    lenni lesz lett maga magát majd már más másik meg még mellett mert
+    mely melyek mi mit míg miért milyen mikor minden mindent mindenki
+    mindig mint mintha mivel most nagy nagyobb nagyon ne néha nekem neki
+    nem néhány nélkül nincs olyan ott össze ő ők őket pedig persze rá s
+    saját sem semmi sok sokat sokkal számára szemben szerint szinte talán
+    tehát teljes tovább továbbá több úgy ugyanis új újabb újra után utána
+    utolsó vagy vagyis valaki valami valamint való vagyok van vannak volt
+    voltam voltak voltunk vissza vele viszont volna""".split()
+)
+
 # UAX#29-approximating word pattern, mirroring the JFlex WORD rule structure
 # (StandardTokenizerImpl.jflex:240-255):
 #   letter-runs joined by MidLetter∪MidNumLet∪SingleQuote ≈ [.:'’·],
@@ -339,6 +412,21 @@ class Analyzer:
             # LowerCase → Stop(portuguese) → PortugueseLightStem
             self.stop_words = self.stop_words or PORTUGUESE_STOP_WORDS
             self.stem = True
+        elif self.kind in ("russian_light", "swedish_light", "finnish_light",
+                           "hungarian_light"):
+            # the *LightStemFilter chains (ru/RussianLightStemFilter.java
+            # etc.): StandardTokenizer → LowerCase → Stop(snowball list) →
+            # light stem. NOTE: the reference's default {Russian,Swedish,
+            # Finnish,Hungarian}Analyzer uses the SNOWBALL stemmer instead;
+            # these kinds are the light variants (Solr text_*_light) —
+            # documented divergence, stemmers verified against the full
+            # published vocabularies.
+            defaults = {"russian_light": RUSSIAN_STOP_WORDS,
+                        "swedish_light": SWEDISH_STOP_WORDS,
+                        "finnish_light": FINNISH_STOP_WORDS,
+                        "hungarian_light": HUNGARIAN_STOP_WORDS}
+            self.stop_words = self.stop_words or defaults[self.kind]
+            self.stem = True
 
     def _char_filter_chain(self):
         """Compiled CharFilter pipeline, built once per analyzer instance
@@ -375,6 +463,14 @@ class Analyzer:
             from lucene_ray.functions.stemming import portuguese_light_stem
 
             return portuguese_light_stem
+        if self.kind in ("russian_light", "swedish_light", "finnish_light",
+                         "hungarian_light"):
+            from lucene_ray.functions import stemming as _st
+
+            return {"russian_light": _st.russian_light_stem,
+                    "swedish_light": _st.swedish_light_stem,
+                    "finnish_light": _st.finnish_light_stem,
+                    "hungarian_light": _st.hungarian_light_stem}[self.kind]
         from lucene_ray.functions.stemming import porter_stem
 
         return porter_stem
@@ -527,7 +623,8 @@ class Analyzer:
                 # fast path is equally exact for them.
                 if not safe and self.kind in (
                         "standard", "german", "french", "spanish", "italian",
-                        "portuguese"):
+                        "portuguese", "russian_light", "swedish_light",
+                        "finnish_light", "hungarian_light"):
                     m = pc.match_substring_regex(arr, self._ARROW_SAFE_RE)
                     safe = bool(pc.all(pc.fill_null(m, False)).as_py()) and arr.null_count == 0
                 if safe:

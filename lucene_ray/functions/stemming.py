@@ -615,3 +615,272 @@ def portuguese_light_stem(w: str) -> str:
     if L > 4 and s[L - 1] in ("e", "a", "o"):
         L -= 1
     return "".join(s[:L]).translate(_PT_ACCENTS)
+
+
+# ------------------------------------------------- Russian (Dolamic-Savoy light)
+
+_RU_SUF4 = ("иями", "оями")
+_RU_SUF3 = ("иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его", "ему",
+            "ери", "ими", "ого", "ому", "ыми", "оев")
+_RU_SUF2 = ("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв",
+            "ою", "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев",
+            "ий", "им", "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми")
+
+
+def russian_light_stem(w: str) -> str:
+    """RussianLightStemmer (ru/RussianLightStemmer.java:61-160): Dolamic &
+    Savoy's light stemmer — case-suffix removal + normalization. This is the
+    RussianLightStemFilter chain; the default RussianAnalyzer uses the
+    snowball stemmer instead (documented divergence)."""
+    s = w
+    L = len(s)
+    # removeCase
+    if L > 6 and s.endswith(_RU_SUF4):
+        L -= 4
+    elif L > 5 and s[:L].endswith(_RU_SUF3):
+        L -= 3
+    elif L > 4 and s[:L].endswith(_RU_SUF2):
+        L -= 2
+    elif L > 3 and s[L - 1] in "аеиоуйыяь":
+        L -= 1
+    # normalize
+    if L > 3:
+        c = s[L - 1]
+        if c in ("ь", "и"):
+            L -= 1
+        elif c == "н" and s[L - 2] == "н":
+            L -= 1
+    return s[:L]
+
+
+# ------------------------------------------------- Swedish (Savoy CLEF-2003)
+
+
+def swedish_light_stem(w: str) -> str:
+    """SwedishLightStemmer (sv/SwedishLightStemmer.java:63-101): Savoy's
+    CLEF-2003 light stemmer (the SwedishLightStemFilter chain; the default
+    SwedishAnalyzer uses snowball — documented divergence)."""
+    s = w
+    L = len(s)
+    if L > 4 and s[L - 1] == "s":
+        L -= 1
+    t = s[:L]
+    if L > 7 and (t.endswith("elser") or t.endswith("heten")):
+        return s[:L - 5]
+    if L > 6 and t.endswith(("arne", "erna", "ande", "else", "aste", "orna",
+                             "aren")):
+        return s[:L - 4]
+    if L > 5 and t.endswith(("are", "ast", "het")):
+        return s[:L - 3]
+    if L > 4 and t.endswith(("ar", "er", "or", "en", "at", "te", "et")):
+        return s[:L - 2]
+    if L > 3 and s[L - 1] in "taen":
+        return s[:L - 1]
+    return s[:L]
+
+
+# ------------------------------------------------- Finnish (Savoy CLEF-2003)
+
+_FI_VOWELS = frozenset("aeiouy")
+
+
+def _fi_step1(s: list, L: int) -> int:
+    if L > 8:
+        if _ew(s, L, "kin"):
+            return _fi_step1(s, L - 3)
+        if _ew(s, L, "ko"):
+            return _fi_step1(s, L - 2)
+    if L > 11:
+        if _ew(s, L, "dellinen"):
+            return L - 8
+        if _ew(s, L, "dellisuus"):
+            return L - 9
+    return L
+
+
+def _fi_step2(s: list, L: int) -> int:
+    if L > 5:
+        if _ew(s, L, "lla") or _ew(s, L, "tse") or _ew(s, L, "sti"):
+            return L - 3
+        if _ew(s, L, "ni"):
+            return L - 2
+        if _ew(s, L, "aa"):
+            return L - 1
+    return L
+
+
+def _fi_step3(s: list, L: int) -> int:
+    if L > 8:
+        if _ew(s, L, "nnen"):
+            s[L - 4] = "s"
+            return L - 3
+        if _ew(s, L, "ntena"):
+            s[L - 5] = "s"
+            return L - 4
+        if _ew(s, L, "tten"):
+            return L - 4
+        if _ew(s, L, "eiden"):
+            return L - 5
+    if L > 6:
+        if (_ew(s, L, "neen") or _ew(s, L, "niin") or _ew(s, L, "seen")
+                or _ew(s, L, "teen") or _ew(s, L, "inen")):
+            return L - 4
+        if s[L - 3] == "h" and s[L - 2] in _FI_VOWELS and s[L - 1] == "n":
+            return L - 3
+        if _ew(s, L, "den"):
+            s[L - 3] = "s"
+            return L - 2
+        if _ew(s, L, "ksen"):
+            s[L - 4] = "s"
+            return L - 3
+        if (_ew(s, L, "ssa") or _ew(s, L, "sta") or _ew(s, L, "lla")
+                or _ew(s, L, "lta") or _ew(s, L, "tta") or _ew(s, L, "ksi")
+                or _ew(s, L, "lle")):
+            return L - 3
+    if L > 5:
+        if _ew(s, L, "na") or _ew(s, L, "ne"):
+            return L - 2
+        if _ew(s, L, "nei"):
+            return L - 3
+    if L > 4:
+        if _ew(s, L, "ja") or _ew(s, L, "ta"):
+            return L - 2
+        if s[L - 1] == "a":
+            return L - 1
+        if s[L - 1] == "n" and s[L - 2] in _FI_VOWELS:
+            return L - 2
+        if s[L - 1] == "n":
+            return L - 1
+    return L
+
+
+def _fi_norm1(s: list, L: int) -> int:
+    if L > 5 and _ew(s, L, "hde"):
+        s[L - 3] = "k"
+        s[L - 2] = "s"
+        s[L - 1] = "i"
+    if L > 4 and (_ew(s, L, "ei") or _ew(s, L, "at")):
+        return L - 2
+    if L > 3 and s[L - 1] in "tsjeai":
+        return L - 1
+    return L
+
+
+def _fi_norm2(s: list, L: int) -> int:
+    if L > 8 and s[L - 1] in "eou":
+        L -= 1
+    if L > 4:
+        if s[L - 1] == "i":
+            L -= 1
+        if L > 4:
+            ch = s[0]
+            i = 1
+            while i < L:
+                if s[i] == ch and ch in ("k", "p", "t"):
+                    del s[i]
+                    L -= 1
+                else:
+                    ch = s[i]
+                    i += 1
+    return L
+
+
+def finnish_light_stem(w: str) -> str:
+    """FinnishLightStemmer (fi/FinnishLightStemmer.java:63-240): Savoy's
+    CLEF-2003 light stemmer (the FinnishLightStemFilter chain; the default
+    FinnishAnalyzer uses snowball — documented divergence)."""
+    if len(w) < 4:
+        return w
+    s = [("a" if c in "äå" else "o" if c == "ö" else c) for c in w]
+    L = len(s)
+    L = _fi_step1(s, L)
+    L = _fi_step2(s, L)
+    L = _fi_step3(s, L)
+    L = _fi_norm1(s, L)
+    L = _fi_norm2(s, L)
+    return "".join(s[:L])
+
+
+# ------------------------------------------------- Hungarian (UniNE light)
+
+_HU_ACCENTS = str.maketrans("áëéíóőõöúűũûü", "aeeioooouuuuu")
+
+
+def _hu_remove_case(s: str, L: int) -> int:
+    t = s[:L]
+    if L > 6 and t.endswith("kent"):
+        return L - 4
+    if L > 5:
+        if t.endswith(("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                       "ben", "bol", "nal", "nel", "hoz", "hez", "tol")):
+            return L - 3
+        if t.endswith(("al", "el")):
+            if s[L - 3] not in _FI_VOWELS and s[L - 3] == s[L - 4]:
+                return L - 3
+    if L > 4:
+        if t.endswith(("at", "et", "ot", "va", "ve", "ra", "re", "ba", "be",
+                       "ul", "ig")):
+            return L - 2
+        if t.endswith(("on", "en")) and s[L - 3] not in _FI_VOWELS:
+            return L - 2
+        c = s[L - 1]
+        if c in ("t", "n"):
+            return L - 1
+        if c in ("a", "e") and s[L - 2] == s[L - 3] and s[L - 2] not in _FI_VOWELS:
+            return L - 2
+    return L
+
+
+def _hu_remove_possessive(s: str, L: int) -> int:
+    t = s[:L]
+    if L > 6:
+        if s[L - 5] not in _FI_VOWELS and t.endswith(("atok", "otok", "etek")):
+            return L - 4
+        if t.endswith(("itek", "itok")):
+            return L - 4
+    if L > 5:
+        if s[L - 4] not in _FI_VOWELS and t.endswith(("unk", "tok", "tek")):
+            return L - 3
+        if s[L - 4] in _FI_VOWELS and t.endswith("juk"):
+            return L - 3
+        if t.endswith("ink"):
+            return L - 3
+    if L > 4:
+        if s[L - 3] not in _FI_VOWELS and t.endswith(
+                ("am", "em", "om", "ad", "ed", "od", "uk")):
+            return L - 2
+        if s[L - 3] in _FI_VOWELS and t.endswith(("nk", "ja", "je")):
+            return L - 2
+        if t.endswith(("im", "id", "ik")):
+            return L - 2
+    if L > 3:
+        c = s[L - 1]
+        if c in ("a", "e"):
+            if s[L - 2] not in _FI_VOWELS:
+                return L - 1
+        elif c in ("m", "d"):
+            if s[L - 2] in _FI_VOWELS:
+                return L - 1
+        elif c == "i":
+            return L - 1
+    return L
+
+
+def hungarian_light_stem(w: str) -> str:
+    """HungarianLightStemmer (hu/HungarianLightStemmer.java:61-228): Savoy's
+    UniNE light stemmer (the HungarianLightStemFilter chain; the default
+    HungarianAnalyzer uses snowball — documented divergence)."""
+    s = w.translate(_HU_ACCENTS)
+    L = len(s)
+    L = _hu_remove_case(s, L)
+    L = _hu_remove_possessive(s, L)
+    # removePlural (intentional fallthrough: -2 only when vowel+k and L>4)
+    if L > 3 and s[L - 1] == "k":
+        if s[L - 2] in "aoe" and L > 4:
+            L -= 2
+        else:
+            L -= 1
+    # normalize
+    if L > 3 and s[L - 1] in "aeio":
+        L -= 1
+    return s[:L]

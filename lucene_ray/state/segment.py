@@ -976,6 +976,11 @@ def check_segment(seg_dir: str) -> list[str]:
                 st = r.offsets(int(i))
                 if len(st) and np.any(st[0::2] > st[1::2]):
                     problems.append(f"term {t[i]}: offset start > end")
+            if r.has_payloads:
+                got_p = int(r._pay_off[i + 1] - r._pay_off[i])
+                if got_p != want:
+                    problems.append(
+                        f"term {t[i]}: payload bytes {got_p} != {want}")
     # term vectors: doc-major transpose must agree with the postings totals
     if r.has_term_vectors:
         tv = pq.read_table(os.path.join(seg_dir, "vectors.parquet"))

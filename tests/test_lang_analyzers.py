@@ -298,3 +298,62 @@ def test_query_side_normalize_matches_index_side_es_it_pt():
                        ("portuguese", "quilométricas")]:
         a = get_analyzer(kind)
         assert a.normalize(word) == _an(a, word)[0]
+
+
+# ======================================================= Russian / Swedish /
+# Finnish / Hungarian light stemmers (the *LightStemFilter chains; the
+# reference's default analyzers for these languages use snowball — the light
+# variants are the documented divergence here). Verified against the FULL
+# published vocabularies (ru/sv/fi/hu *lighttestdata.zip) when present.
+
+from lucene_ray.functions.stemming import (
+    finnish_light_stem,
+    hungarian_light_stem,
+    russian_light_stem,
+    swedish_light_stem,
+)
+
+
+@pytest.mark.parametrize("lang,fn", [
+    ("ru", russian_light_stem),
+    ("sv", swedish_light_stem),
+    ("fi", finnish_light_stem),
+    ("hu", hungarian_light_stem),
+])
+def test_light_stem_full_reference_vocabulary_ru_sv_fi_hu(lang, fn):
+    mismatches = [(w, exp, fn(w)) for w, exp in _vocab_pairs(lang)
+                  if fn(w) != exp]
+    assert mismatches == []
+
+
+@pytest.mark.parametrize("inp,out", [
+    ("книгами", "книг"),     # instrumental plural case suffix
+    ("книги", "книг"),
+    ("большой", "больш"),
+    ("дом", "дом"),
+])
+def test_russian_light_stem(inp, out):
+    assert russian_light_stem(inp) == out
+
+
+@pytest.mark.parametrize("inp,out", [
+    ("jaktkarlarne", "jaktkarl"),
+    ("jaktkarlens", "jaktkarl"),
+    ("klokhet", "klok"),
+    ("klokheten", "klok"),
+])
+def test_swedish_light_stem(inp, out):
+    assert swedish_light_stem(inp) == out
+
+
+def test_ru_sv_fi_hu_analyzer_chains():
+    for kind, word, stopword in [
+        ("russian_light", "книгами", "и"),
+        ("swedish_light", "klokheten", "och"),
+        ("finnish_light", "tärkeimmät", "olla"),
+        ("hungarian_light", "babakocsijáért", "hogy"),
+    ]:
+        a = get_analyzer(kind)
+        toks = _an(a, word)
+        assert len(toks) == 1 and toks[0] != "" and toks[0] == a.normalize(word)
+        assert _an(a, stopword) == []
