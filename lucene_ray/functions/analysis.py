@@ -244,6 +244,20 @@ HUNGARIAN_STOP_WORDS = frozenset(
     voltam voltak voltunk vissza vele viszont volna""".split()
 )
 
+# Savoy Arabic stopword list, verbatim and UN-normalized — the reference
+# applies StopFilter BEFORE ArabicNormalizationFilter for exactly this
+# reason (ar/ArabicAnalyzer.java:127 "the stopword list is not
+# normalized!"); the normalize+stem step here also runs after stop.
+ARABIC_STOP_WORDS = frozenset(
+    """من ومن منها منه في وفي فيها فيه و ف ثم او أو ب بها به ا أ اى اي أي أى
+    لا ولا الا ألا إلا لكن ما وما كما فما عن مع اذا إذا ان أن إن انها أنها
+    إنها انه أنه إنه بان بأن فان فأن وان وأن وإن التى التي الذى الذي الذين
+    الى الي إلى إلي على عليها عليه اما أما إما ايضا أيضا كل وكل لم ولم لن
+    ولن هى هي هو وهى وهي وهو فهى فهي فهو انت أنت لك لها له هذه هذا تلك ذلك
+    هناك كانت كان يكون تكون وكانت وكان غير بعض قد نحو بين بينما منذ ضمن
+    حيث الان الآن خلال بعد قبل حتى عند عندما لدى جميع""".split()
+)
+
 # UAX#29-approximating word pattern, mirroring the JFlex WORD rule structure
 # (StandardTokenizerImpl.jflex:240-255):
 #   letter-runs joined by MidLetter∪MidNumLet∪SingleQuote ≈ [.:'’·],
@@ -305,6 +319,19 @@ def _cjk_expand(tokens: list[str]) -> list[str]:
             out.append(t)
     return out
 
+def _fold_digits(w: str) -> str:
+    """DecimalDigitFilter (core/.../analysis/core/DecimalDigitFilter.java):
+    any Unicode decimal digit folds to its 0-9 equivalent."""
+    if w.isascii():
+        return w
+    import unicodedata
+
+    return "".join(
+        chr(ord("0") + unicodedata.decimal(c))
+        if unicodedata.category(c) == "Nd" and not c.isascii() else c
+        for c in w)
+
+
 _SEP = "\x00"  # never inside a token
 
 
@@ -344,6 +371,10 @@ class Analyzer:
     # LowerCase (the canonical Solr fieldType order).
     word_delimiter: int = 0
     protected_words: frozenset = field(default_factory=frozenset)
+    # DecimalDigitFilter (core/.../analysis/core/DecimalDigitFilter.java):
+    # fold any Unicode decimal digit to its 0-9 equivalent (runs before the
+    # stop filter, like the reference chains that use it)
+    decimal_digit: bool = False
     # DelimitedPayloadTokenFilter (analysis/common/.../payloads/
     # DelimitedPayloadTokenFilter.java:26-60 + FloatEncoder): characters
     # before the FIRST delimiter are the token, after it the float payload.
@@ -412,6 +443,15 @@ class Analyzer:
             # LowerCase → Stop(portuguese) → PortugueseLightStem
             self.stop_words = self.stop_words or PORTUGUESE_STOP_WORDS
             self.stem = True
+        elif self.kind == "arabic":
+            # ar/ArabicAnalyzer.java:123-135: StandardTokenizer → LowerCase →
+            # DecimalDigitFilter → Stop(UN-normalized Savoy list) →
+            # ArabicNormalization → ArabicStem. Normalization runs inside the
+            # stem step here — after stop, like the reference (the one
+            # divergence: stem_exclusions skip normalization too).
+            self.stop_words = self.stop_words or ARABIC_STOP_WORDS
+            self.stem = True
+            self.decimal_digit = True
         elif self.kind in ("russian_light", "swedish_light", "finnish_light",
                            "hungarian_light"):
             # the *LightStemFilter chains (ru/RussianLightStemFilter.java
@@ -471,6 +511,11 @@ class Analyzer:
                     "swedish_light": _st.swedish_light_stem,
                     "finnish_light": _st.finnish_light_stem,
                     "hungarian_light": _st.hungarian_light_stem}[self.kind]
+        if self.kind == "arabic":
+            from lucene_ray.functions.stemming import (arabic_normalize,
+                                                       arabic_stem)
+
+            return lambda t: arabic_stem(arabic_normalize(t))
         from lucene_ray.functions.stemming import porter_stem
 
         return porter_stem
@@ -500,6 +545,8 @@ class Analyzer:
             t = term.lower()
         if self.elision:
             t = self._elide_fn()(t)
+        if self.decimal_digit:
+            t = _fold_digits(t)
         if self.ascii_folding:
             from lucene_ray.functions.stemming import ascii_fold
 
@@ -624,7 +671,7 @@ class Analyzer:
                 if not safe and self.kind in (
                         "standard", "german", "french", "spanish", "italian",
                         "portuguese", "russian_light", "swedish_light",
-                        "finnish_light", "hungarian_light"):
+                        "finnish_light", "hungarian_light", "arabic"):
                     m = pc.match_substring_regex(arr, self._ARROW_SAFE_RE)
                     safe = bool(pc.all(pc.fill_null(m, False)).as_py()) and arr.null_count == 0
                 if safe:
@@ -982,6 +1029,8 @@ class Analyzer:
             from lucene_ray.functions.stemming import ascii_fold
 
             vocab = np.array([ascii_fold(t) for t in vocab], dtype=object)
+        if self.decimal_digit and len(vocab):
+            vocab = np.array([_fold_digits(t) for t in vocab], dtype=object)
         vocab_keep = np.ones(len(vocab), dtype=bool)
         if self.max_token_length:
             vlens = np.fromiter(map(len, vocab), dtype=np.int32, count=len(vocab))

@@ -884,3 +884,42 @@ def hungarian_light_stem(w: str) -> str:
     if L > 3 and s[L - 1] in "aeio":
         L -= 1
     return s[:L]
+
+
+# ------------------------------------------------- Arabic (Larkey-Savoy light)
+
+# ArabicNormalizer (ar/ArabicNormalizer.java:36-99): hamza forms → bare
+# alef, dotless yeh → yeh, teh marbuta → heh; tatweel + harakat deleted.
+_AR_MAP = str.maketrans("آأإىة", "ااايه")
+_AR_DEL = dict.fromkeys(map(ord, "ـًٌٍَُِّْ"))
+
+
+def arabic_normalize(w: str) -> str:
+    """ArabicNormalizer (ar/ArabicNormalizer.java:66-99)."""
+    return w.translate(_AR_MAP).translate(_AR_DEL)
+
+
+_AR_PREFIXES = ("ال", "وال", "بال",
+                "كال", "فال", "لل",
+                "و")
+_AR_SUFFIXES = ("ها", "ان", "ات",
+                "ون", "ين", "يه",
+                "ية", "ه", "ة", "ي")
+
+
+def arabic_stem(w: str) -> str:
+    """ArabicStemmer (ar/ArabicStemmer.java:76-156): light stemming — ONE
+    definite-article/waw prefix (wa- needs ≥3 chars left, others ≥2), then
+    every matching suffix in table order (each needs ≥2 chars left)."""
+    for p in _AR_PREFIXES:
+        if w.startswith(p):
+            if len(p) == 1 and len(w) < 4:
+                continue
+            if len(w) < len(p) + 2:
+                continue
+            w = w[len(p):]
+            break
+    for suf in _AR_SUFFIXES:
+        if w.endswith(suf) and len(w) >= len(suf) + 2:
+            w = w[:-len(suf)]
+    return w

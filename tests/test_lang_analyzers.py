@@ -357,3 +357,66 @@ def test_ru_sv_fi_hu_analyzer_chains():
         toks = _an(a, word)
         assert len(toks) == 1 and toks[0] != "" and toks[0] == a.normalize(word)
         assert _an(a, stopword) == []
+
+
+# ======================================================= Arabic (Larkey-Savoy
+# light stemming; cases from ar/TestArabicAnalyzer.java,
+# TestArabicStemFilter.java, TestArabicNormalizationFilter.java).
+
+from lucene_ray.functions.analysis import ARABIC_STOP_WORDS
+from lucene_ray.functions.stemming import arabic_normalize, arabic_stem
+
+
+@pytest.mark.parametrize("inp,out", [
+    ("الحسن", "حسن"), ("والحسن", "حسن"), ("بالحسن", "حسن"),
+    ("كالحسن", "حسن"), ("فالحسن", "حسن"), ("للاخر", "اخر"),
+    ("وحسن", "حسن"), ("زوجها", "زوج"), ("ساهدان", "ساهد"),
+    ("ساهدات", "ساهد"), ("ساهدون", "ساهد"), ("ساهدين", "ساهد"),
+    ("ساهديه", "ساهد"), ("ساهدية", "ساهد"), ("ساهده", "ساهد"),
+    ("ساهدة", "ساهد"), ("ساهدي", "ساهد"), ("وساهدون", "ساهد"),
+    ("ساهدهات", "ساهد"),
+    ("الو", "الو"),          # shouldn't stem (too short after prefix)
+    ("English", "English"),  # non-arabic untouched
+])
+def test_arabic_stem(inp, out):
+    assert arabic_stem(inp) == out
+
+
+@pytest.mark.parametrize("inp,out", [
+    ("آجن", "اجن"), ("أحمد", "احمد"), ("إعاذ", "اعاذ"), ("بنى", "بني"),
+    ("فاطمة", "فاطمه"), ("روبرـــــت", "روبرت"), ("مَبنا", "مبنا"),
+    ("علِي", "علي"), ("بُوات", "بوات"), ("ولداً", "ولدا"), ("ولدٍ", "ولد"),
+    ("ولدٌ", "ولد"), ("نلْسون", "نلسون"), ("هتميّ", "هتمي"),
+])
+def test_arabic_normalize(inp, out):
+    assert arabic_normalize(inp) == out
+
+
+def test_arabic_analyzer_chain():
+    a = get_analyzer("arabic")
+    # TestArabicAnalyzer.testBasicFeatures
+    assert _an(a, "كبير") == ["كبير"]
+    assert _an(a, "كبيرة") == ["كبير"]           # feminine marker
+    assert _an(a, "مشروب") == ["مشروب"]
+    assert _an(a, "مشروبات") == ["مشروب"]        # plural -at
+    assert _an(a, "أمريكيين") == ["امريك"]       # plural -in
+    assert _an(a, "امريكي") == ["امريك"]         # singular with bare alif
+    assert _an(a, "كتاب") == ["كتاب"]
+    assert _an(a, "الكتاب") == ["كتاب"]          # definite article
+    assert _an(a, "ما ملكت أيمانكم") == ["ملكت", "ايمانكم"]
+    assert _an(a, "الذين ملكت أيمانكم") == ["ملكت", "ايمانكم"]  # stopwords
+    # english mixed in passes through lowercased (no Porter here)
+    assert _an(a, "English text.") == ["english", "text"]
+    assert "من" in ARABIC_STOP_WORDS
+    # DecimalDigitFilter: arabic-indic digits fold
+    assert _an(a, "١٢٣٤") == ["1234"]
+
+
+def test_arabic_stem_exclusion():
+    # TestArabicAnalyzer.testWithStemExclusionSet: ساهدهات protected
+    a = get_analyzer("arabic", stem_exclusions=frozenset(["ساهدهات"]))
+    assert _an(a, "كبيرة the quick ساهدهات") == ["كبير", "the", "quick",
+                                                 "ساهدهات"]
+    b = get_analyzer("arabic")
+    assert _an(b, "كبيرة the quick ساهدهات") == ["كبير", "the", "quick",
+                                                 "ساهد"]
