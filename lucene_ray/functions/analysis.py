@@ -825,8 +825,22 @@ class Analyzer:
         positions = (np.repeat(base, lens_v) + relpos_arr[gather]).astype(
             np.int32)
         out_doc_idx = np.repeat(doc_idx_tok, lens_v)
-        return self._apply_term_filters(out_codes, part_vocab, out_doc_idx,
-                                        positions, n_docs)
+        # field length discounts STACKED tokens (posInc 0: catenations /
+        # preserved originals share a part's position) — BM25Similarity's
+        # discountOverlaps=true default (search/similarity/BM25Similarity
+        # .java setDiscountOverlaps): length = tokens that advance position
+        # = distinct relative positions per original token. (With explicit
+        # stop_words on a WDGF chain the discount is computed pre-filter —
+        # documented divergence; the reference chain has no stop filter.)
+        nd = np.fromiter((len(set(relpos)) for _p, relpos, _a in table),
+                         dtype=np.int64, count=len(table))
+        dl_override = np.bincount(
+            doc_idx_tok, weights=nd[codes].astype(np.float64),
+            minlength=n_docs).astype(np.int32)
+        out = self._apply_term_filters(out_codes, part_vocab, out_doc_idx,
+                                       positions, n_docs)
+        codes_f, vocab_f, doc_idx_f, positions_f, _dl = out
+        return codes_f, vocab_f, doc_idx_f, positions_f, dl_override
 
     def tokenize_batch_encoded_payloads(self, texts):
         """whitespace → DelimitedPayloadTokenFilter(FloatEncoder) →

@@ -190,3 +190,22 @@ def test_word_delimiter_index_roundtrip(tmp_path, ray_session):
     # parts occupy adjacent positions → phrase matches across the split
     assert s.count(PhraseQuery(["power", "shot"])) == 1
     assert s.count(PhraseQuery(["wi", "fi", "router"])) == 1
+
+
+def test_discount_overlaps_field_length():
+    # BM25Similarity discountOverlaps=true default: stacked tokens (the
+    # catenation at the first part's position) do not count toward length
+    from lucene_ray.functions.worddelimiter import (CATENATE_ALL,
+                                                    GENERATE_WORD_PARTS)
+
+    a = get_analyzer({"kind": "whitespace",
+                      "word_delimiter": CATENATE_ALL | GENERATE_WORD_PARTS})
+    codes, vocab, doc_idx, positions, dl = a.tokenize_batch_encoded(
+        ["foo-bar baz"])
+    # four tokens emitted (foobar@0, foo@0, bar@1, baz@2) but length = 3
+    assert len(codes) == 4
+    assert dl.tolist() == [3]
+    # defaults (no catenation): every part advances, length == token count
+    b = get_analyzer({"kind": "whitespace", "word_delimiter": True})
+    codes, _, _, _, dl = b.tokenize_batch_encoded(["foo-bar baz"])
+    assert len(codes) == 3 and dl.tolist() == [3]
