@@ -375,6 +375,13 @@ class Analyzer:
     # fold any Unicode decimal digit to its 0-9 equivalent (runs before the
     # stop filter, like the reference chains that use it)
     decimal_digit: bool = False
+    # LengthFilter (miscellaneous/LengthFilter.java): drop tokens SHORTER
+    # than this (max length is the existing max_token_length); removed
+    # tokens bump the next position like any FilteringTokenFilter
+    min_token_length: int = 0
+    # KeepWordFilter (miscellaneous/KeepWordFilter.java): when non-empty,
+    # drop every token NOT in the set
+    keep_words: frozenset = field(default_factory=frozenset)
     # DelimitedPayloadTokenFilter (analysis/common/.../payloads/
     # DelimitedPayloadTokenFilter.java:26-60 + FloatEncoder): characters
     # before the FIRST delimiter are the token, after it the float payload.
@@ -1046,6 +1053,14 @@ class Analyzer:
         if self.decimal_digit and len(vocab):
             vocab = np.array([_fold_digits(t) for t in vocab], dtype=object)
         vocab_keep = np.ones(len(vocab), dtype=bool)
+        if self.min_token_length and len(vocab):
+            vlens = np.fromiter(map(len, vocab), dtype=np.int32,
+                                count=len(vocab))
+            vocab_keep &= vlens >= self.min_token_length
+        if self.keep_words and len(vocab):
+            kw = self.keep_words
+            vocab_keep &= np.fromiter(
+                (t in kw for t in vocab), dtype=bool, count=len(vocab))
         if self.max_token_length:
             vlens = np.fromiter(map(len, vocab), dtype=np.int32, count=len(vocab))
             vocab_keep &= vlens <= self.max_token_length
@@ -1107,7 +1122,8 @@ def get_analyzer(kind: str = "standard", **kw) -> Analyzer:
         cf = spec.pop("char_filters", None)
         if cf is not None:
             spec["char_filters"] = tuple(cf)
-        for k in ("stop_words", "stem_exclusions", "protected_words"):
+        for k in ("stop_words", "stem_exclusions", "protected_words",
+                  "keep_words"):
             if k in spec:
                 spec[k] = frozenset(spec[k])
         return get_analyzer(base_spec, **{**spec, **kw})

@@ -57,3 +57,40 @@ def test_keyword_index_roundtrip(tmp_path, ray_session):
     assert s.count(TermQuery("SKU-12345 Rev B")) == 1
     assert s.count(TermQuery("sku-12345 rev b")) == 0  # case preserved
     assert s.count(TermQuery("SKU-99")) == 1
+
+
+# ---------------------------------------- misc filters + HighFreqTerms
+
+
+def test_length_filter():
+    # LengthFilter(min=3): short tokens dropped, positions bumped
+    a = get_analyzer("simple", min_token_length=3)
+    toks = a.tokenize_one("go to the market now")
+    assert [(t, int(p)) for t, p in toks] == [
+        ("the", 2), ("market", 3), ("now", 4)]
+
+
+def test_keep_word_filter():
+    a = get_analyzer("simple", keep_words=frozenset(["alpha", "gamma"]))
+    toks = [t for t, _ in a.tokenize_one("alpha beta gamma delta")]
+    assert toks == ["alpha", "gamma"]
+
+
+def test_high_freq_terms(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from scripts.high_freq_terms import high_freq_terms
+
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({
+        "url": ["a", "b", "c"],
+        "text": ["x x x y", "x y z", "y w"]}), src)
+    from lucene_ray.pipelines.index_pipeline import build_index_by_file
+
+    idx = str(tmp_path / "i")
+    build_index_by_file(src, idx, key_col="url", text_col="text",
+                        analyzer="simple")
+    by_df = high_freq_terms(idx, k=2)
+    assert by_df == [("y", 3, 3), ("x", 2, 4)]
+    by_tf = high_freq_terms(idx, k=2, by_total_tf=True)
+    assert by_tf == [("x", 2, 4), ("y", 3, 3)]
