@@ -258,6 +258,41 @@ ARABIC_STOP_WORDS = frozenset(
     حيث الان الآن خلال بعد قبل حتى عند عندما لدى جميع""".split()
 )
 
+# fa/stopwords.txt (NORMALIZED — the reference applies StopFilter after
+# both normalizers, fa/PersianAnalyzer.java:114) and ckb/stopwords.txt.
+PERSIAN_STOP_WORDS = frozenset(
+    """انان نداشته سراسر خياه ايشان وي تاكنون بيشتري دوم پس ناشي وگو يا
+    داشتند سپس هنگام هرگز پنج نشان امسال ديگر گروهي شدند چطور ده و دو
+    نخستين ولي چرا چه وسط ه كدام قابل يك رفت هفت همچنين در هزار بله بلي
+    شايد اما شناسي گرفته دهد داشته دانست داشتن خواهيم ميليارد وقتيكه امد
+    خواهد جز اورده شده بلكه خدمات شدن برخي نبود بسياري جلوگيري حق كردند
+    نوعي بعري نكرده نظير نبايد بوده بودن داد اورد هست جايي شود دنبال داده
+    بايد سابق هيچ همان انجا كمتر كجاست گردد كسي تر مردم تان دادن بودند سري
+    جدا ندارند مگر يكديگر دارد دهند بنابراين هنگامي سمت جا انچه خود دادند
+    زياد دارند اثر بدون بهترين بيشتر البته به براساس بيرون كرد بعضي گرفت
+    توي اي ميليون او جريان تول بر مانند برابر باشيم مدتي گويند اكنون تا
+    تنها جديد چند بي نشده كردن كردم گويد كرده كنيم نمي نزد روي قصد فقط
+    بالاي ديگران اين ديروز توسط سوم ايم دانند سوي استفاده شما كنار داريم
+    ساخته طور امده رفته نخست بيست نزديك طي كنيد از انها تمامي داشت يكي
+    طريق اش چيست روب نمايد گفت چندين چيزي تواند ام ايا با ان ايد ترين
+    اينكه ديگري راه هايي بروز همچنان پاعين كس حدود مختلف مقابل چيز گيرد
+    ندارد ضد همچون سازي شان مورد باره مرسي خويش برخوردار چون خارج شش هنوز
+    تحت ضمن هستيم گفته فكر بسيار پيش براي روزهاي انكه نخواهد بالا كل وقتي
+    كي چنين كه گيري نيست است كجا كند نيز يابد بندي حتي توانند عقب خواست
+    كنند بين تمام همه ما باشند مثل شد اري باشد اره طبق بعد اگر صورت غير
+    جاي بيش ريزي اند زيرا چگونه بار لطفا مي درباره من ديده همين گذاري
+    برداري علت گذاشته هم فوق نه ها شوند اباد همواره هر اول خواهند چهار نام
+    امروز مان هاي قبل كنم سعي تازه را هستند زير جلوي عنوان بود""".split()
+)
+
+SORANI_STOP_WORDS = frozenset(
+    """و کە ی کرد ئەوەی سەر دوو هەروەها لەو دەکات چەند هەر ئەو ئەم من ئێمە تۆ
+    ئێوە ئەوان بە پێ بەبێ بەدەم بەلای بەپێی بەرلە بەرەوی بەرەوە بەردەم بێ
+    بێجگە بۆ دە تێ دەگەڵ دوای جگە لە لێ لەبەر لەبەینی لەبابەت لەبارەی
+    لەباتی لەبن لەبرێتی لەدەم لەگەڵ لەلایەن لەناو لەنێو لەپێناوی لەرەوی
+    لەرێ لەرێگا لەسەر لەژێر ناو نێوان پاش پێش وەک""".split()
+)
+
 # UAX#29-approximating word pattern, mirroring the JFlex WORD rule structure
 # (StandardTokenizerImpl.jflex:240-255):
 #   letter-runs joined by MidLetter∪MidNumLet∪SingleQuote ≈ [.:'’·],
@@ -459,6 +494,26 @@ class Analyzer:
             self.stop_words = self.stop_words or ARABIC_STOP_WORDS
             self.stem = True
             self.decimal_digit = True
+        elif self.kind == "persian":
+            # fa/PersianAnalyzer.java:106-118: PersianCharFilter (ZWNJ →
+            # space) → StandardTokenizer → LowerCase → DecimalDigit →
+            # ArabicNormalization → PersianNormalization → Stop(NORMALIZED
+            # list). No stemmer; both normalizers run BEFORE stop (the
+            # pre-stop hook below).
+            self.stop_words = self.stop_words or PERSIAN_STOP_WORDS
+            self.decimal_digit = True
+            if not self.char_filters:
+                self.char_filters = (
+                    {"type": "mapping", "rules": {"‌": " "}},)
+        elif self.kind == "sorani":
+            # ckb/SoraniAnalyzer.java:112-121: StandardTokenizer →
+            # SoraniNormalization → LowerCase → DecimalDigit → Stop →
+            # SoraniStem. Normalization runs at vocab level before stop
+            # (order vs lowercase is immaterial: it only touches caseless
+            # Arabic-script chars and format controls).
+            self.stop_words = self.stop_words or SORANI_STOP_WORDS
+            self.stem = True
+            self.decimal_digit = True
         elif self.kind in ("russian_light", "swedish_light", "finnish_light",
                            "hungarian_light"):
             # the *LightStemFilter chains (ru/RussianLightStemFilter.java
@@ -523,6 +578,10 @@ class Analyzer:
                                                        arabic_stem)
 
             return lambda t: arabic_stem(arabic_normalize(t))
+        if self.kind == "sorani":
+            from lucene_ray.functions.stemming import sorani_stem
+
+            return sorani_stem
         from lucene_ray.functions.stemming import porter_stem
 
         return porter_stem
@@ -554,6 +613,15 @@ class Analyzer:
             t = self._elide_fn()(t)
         if self.decimal_digit:
             t = _fold_digits(t)
+        if self.kind == "persian":
+            from lucene_ray.functions.stemming import (arabic_normalize,
+                                                       persian_normalize)
+
+            t = persian_normalize(arabic_normalize(t))
+        elif self.kind == "sorani":
+            from lucene_ray.functions.stemming import sorani_normalize
+
+            t = sorani_normalize(t)
         if self.ascii_folding:
             from lucene_ray.functions.stemming import ascii_fold
 
@@ -1052,6 +1120,19 @@ class Analyzer:
             vocab = np.array([ascii_fold(t) for t in vocab], dtype=object)
         if self.decimal_digit and len(vocab):
             vocab = np.array([_fold_digits(t) for t in vocab], dtype=object)
+        if self.kind in ("persian", "sorani") and len(vocab):
+            # pre-stop normalization (the persian/sorani chains filter
+            # stopwords AGAINST the normalized forms)
+            if self.kind == "persian":
+                from lucene_ray.functions.stemming import (arabic_normalize,
+                                                           persian_normalize)
+
+                norm = lambda t: persian_normalize(arabic_normalize(t))  # noqa: E731
+            else:
+                from lucene_ray.functions.stemming import sorani_normalize
+
+                norm = sorani_normalize
+            vocab = np.array([norm(t) for t in vocab], dtype=object)
         vocab_keep = np.ones(len(vocab), dtype=bool)
         if self.min_token_length and len(vocab):
             vlens = np.fromiter(map(len, vocab), dtype=np.int32,

@@ -923,3 +923,113 @@ def arabic_stem(w: str) -> str:
         if w.endswith(suf) and len(w) >= len(suf) + 2:
             w = w[:-len(suf)]
     return w
+
+
+# ------------------------------------------------- Persian (normalization only)
+
+_FA_MAP = str.maketrans({"ی": "ي",   # farsi yeh → yeh
+                         "ے": "ي",   # yeh barree → yeh
+                         "ک": "ك",   # keheh → kaf
+                         "ۀ": "ه",   # heh+yeh → heh
+                         "ہ": "ه",   # heh goal → heh
+                         "ٔ": None})      # hamza above deleted
+
+
+def persian_normalize(w: str) -> str:
+    """PersianNormalizer (fa/PersianNormalizer.java:59-86): farsi yeh / yeh
+    barree → yeh, keheh → kaf, heh-yeh / heh-goal → heh, hamza-above
+    removed. The PersianAnalyzer chain applies ArabicNormalizer first."""
+    return w.translate(_FA_MAP)
+
+
+# ------------------------------------------------- Sorani Kurdish (ckb)
+
+_CKB_MAP = str.maketrans({"ي": "ی", "ى": "ی",  # yeh forms → farsi yeh
+                          "ك": "ک",                       # kaf → keheh
+                          "ة": "ە",                       # teh marbuta → ae
+                          "ھ": "ه",                       # heh doachashmee → heh
+                          "ڒ": "ڕ"})                      # reh above → rreh
+_CKB_DEL = frozenset("ـًٌٍَُِّْ")
+
+
+def sorani_normalize(w: str) -> str:
+    """SoraniNormalizer (ckb/SoraniNormalizer.java:59-118): yeh/kaf/teh-
+    marbuta folding plus the position-dependent rules — ZWNJ deletion turns
+    a preceding heh into ae, final heh becomes ae, initial reh becomes
+    rreh, tatweel/harakat delete."""
+    import unicodedata
+
+    t = w.translate(_CKB_MAP)
+    out: list[str] = []
+    for i, c in enumerate(t):
+        if c == "‌":  # ZWNJ
+            if out and out[-1] == "ه":
+                out[-1] = "ە"
+            continue
+        if c in _CKB_DEL:
+            continue
+        if c == "ر" and not out:  # initial reh → rreh
+            c = "ڕ"
+        elif c == "ه" and i == len(t) - 1:
+            # heh → ae only when LAST of the input at visit time — a heh
+            # exposed as final by a LATER deletion stays heh (the Java loop
+            # checks i == len-1 before later chars are processed)
+            c = "ە"
+        elif not c.isascii() and unicodedata.category(c) == "Cf":
+            continue  # FORMAT chars (bidi controls etc.) delete
+        out.append(c)
+    return "".join(out)
+
+
+def sorani_stem(w: str) -> str:
+    """SoraniStemmer (ckb/SoraniStemmer.java:40-120): possessive-pronoun
+    strip, then ONE suffix from the ordered else-chain (indefinite/definite
+    singular+plural, ezafe, demonstratives)."""
+    s = w
+    L = len(s)
+    # postposition
+    if L > 5 and s[:L].endswith("دا"):
+        L -= 2
+    elif L > 4 and s[:L].endswith("نا"):
+        L -= 1
+    elif L > 6 and s[:L].endswith("ەوە"):
+        L -= 3
+    # possessive pronoun (no else-chain with the rest)
+    if L > 6 and s[:L].endswith(("مان", "یان", "تان")):
+        L -= 3
+    t = s[:L]
+    if L > 6 and t.endswith("ێکی"):
+        return s[:L - 3]
+    if L > 7 and t.endswith("یەکی"):
+        return s[:L - 4]
+    if L > 5 and t.endswith("ێک"):
+        return s[:L - 2]
+    if L > 6 and t.endswith("یەک"):
+        return s[:L - 3]
+    if L > 6 and t.endswith("ەکە"):
+        return s[:L - 3]
+    if L > 5 and t.endswith("کە"):
+        return s[:L - 2]
+    if L > 7 and t.endswith("ەکان"):
+        return s[:L - 4]
+    if L > 6 and t.endswith("کان"):
+        return s[:L - 3]
+    if L > 7 and t.endswith("یانی"):
+        return s[:L - 4]
+    if L > 6 and t.endswith("انی"):
+        return s[:L - 3]
+    if L > 6 and t.endswith("یان"):
+        return s[:L - 3]
+    if L > 5 and t.endswith("ان"):
+        return s[:L - 2]
+    if L > 7 and t.endswith("یانە"):
+        return s[:L - 4]
+    if L > 6 and t.endswith("انە"):
+        return s[:L - 3]
+    if L > 5 and (t.endswith("ایە") or t.endswith("ەیە")):
+        return s[:L - 2]
+    if L > 4 and t.endswith("ە"):
+        return s[:L - 1]
+    if L > 4 and t.endswith("ی"):
+        return s[:L - 1]
+    return s[:L]

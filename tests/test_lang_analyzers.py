@@ -420,3 +420,72 @@ def test_arabic_stem_exclusion():
     b = get_analyzer("arabic")
     assert _an(b, "كبيرة the quick ساهدهات") == ["كبير", "the", "quick",
                                                  "ساهد"]
+
+
+# ======================================================= Persian + Sorani
+# (fa/TestPersianAnalyzer.java, ckb/TestSoraniAnalyzer.java,
+# TestSoraniStemFilter.java; the Sorani normalize+stem pair is verified
+# against the full published ckbtestdata vocabulary).
+
+from lucene_ray.functions.stemming import (
+    persian_normalize,
+    sorani_normalize,
+    sorani_stem,
+)
+
+
+def test_persian_analyzer_chain():
+    a = get_analyzer("persian")
+    # verbs: the ZWNJ char filter splits می‌خورد into two tokens, می is a
+    # stopword (TestPersianAnalyzer.testBehaviorVerbs)
+    assert _an(a, "می‌خورد") == ["خورد"]
+    assert _an(a, "خورد") == ["خورد"]
+    assert _an(a, "خواهد خورد") == ["خورد"]
+    assert _an(a, "دارد می‌خورد") == ["خورد"]
+    assert _an(a, "خورده‌است") == ["خورده"]
+    assert _an(a, "می‌خورده‌است") == ["خورده"]
+    assert _an(a, "خورده بود") == ["خورده"]
+    # farsi yeh normalizes to arabic yeh so query meets index
+    assert a.normalize("می") == a.normalize("مي")
+
+
+def test_sorani_full_vocabulary():
+    mismatches = []
+    import zipfile
+    from pathlib import Path
+
+    z = Path("/root/reference/lucene/analysis/common/src/test/org/apache/"
+             "lucene/analysis/ckb/ckbtestdata.zip")
+    if not z.exists():
+        pytest.skip("reference vocabulary data not available")
+    with zipfile.ZipFile(z) as zf:
+        data = zf.read("testdata.txt").decode("utf-8")
+    for line in data.splitlines():
+        parts = line.split("\t")
+        if len(parts) != 2:
+            continue
+        got = sorani_stem(sorani_normalize(parts[0].lower()))
+        if got != parts[1]:
+            mismatches.append((parts[0], parts[1], got))
+    assert mismatches == []
+
+
+def test_sorani_analyzer_chain():
+    a = get_analyzer("sorani")
+    assert _an(a, "ئەم پیاوە") == ["پیاو"]      # stopword + demonstrative -a
+    assert _an(a, "پیاوە") == ["پیاو"]
+    assert _an(a, "پیاو") == ["پیاو"]
+    assert _an(a, "١٢٣٤") == ["1234"]           # DecimalDigitFilter
+    # stem exclusion protects from stemming
+    b = get_analyzer("sorani", stem_exclusions=frozenset(["پیاوە"]))
+    assert _an(b, "پیاوە") == ["پیاوە"]
+
+
+def test_sorani_normalizer_rules():
+    # TestSoraniNormalizationFilter basics
+    assert sorani_normalize("يي") == "یی"      # yeh forms
+    assert sorani_normalize("ك") == "ک"        # kaf → keheh
+    assert sorani_normalize("ه‌") == "ە"        # heh+ZWNJ → ae
+    assert sorani_normalize("ة") == "ە"        # teh marbuta → ae
+    assert sorani_normalize("ره") == "ڕە"      # initial reh→rreh, final heh→ae
+    assert sorani_normalize("هـ") == "ه"        # tatweel-exposed heh stays heh
