@@ -603,9 +603,11 @@ class Analyzer:
         .java:98-101); chains with more normalizing filters (fold/stem) apply
         them so query terms meet index terms."""
         if (self.kind == "keyword"
-                or (self.kind == "whitespace" and not self.word_delimiter)):
+                or (self.kind == "whitespace" and not self.word_delimiter
+                    and not self.payload_delimiter)):
             # Keyword/WhitespaceAnalyzer normalize to identity (no
-            # LowerCaseFilter); the word_delimiter chain DOES lowercase.
+            # LowerCaseFilter); the word_delimiter and payload chains DO
+            # lowercase after their split step.
             t = term
         else:
             t = term.lower()
@@ -833,6 +835,31 @@ class Analyzer:
         return self._apply_term_filters(codes, vocab, doc_idx, positions,
                                         n_docs)
 
+    def _whitespace_encode(self, texts, n_docs: int):
+        """Shared whitespace-tokenize + dictionary-encode scaffolding for
+        the WDGF / payload chains: ``(codes, vocab_list, counts, total,
+        doc_idx_tok)`` with original-case tokens; ``total == 0`` means the
+        caller short-circuits (codes/vocab/doc_idx are None then)."""
+        import itertools
+
+        import pyarrow as pa
+
+        if hasattr(texts, "to_pylist"):
+            texts = texts.to_pylist()
+        ws = re.compile(r"\S+")
+        per_doc = [ws.findall(t) for t in texts]
+        counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64,
+                             count=n_docs)
+        total = int(counts.sum())
+        if total == 0:
+            return None, None, counts, 0, None
+        flat = list(itertools.chain.from_iterable(per_doc))
+        enc = pa.array(flat, type=pa.string()).dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        vocab = enc.dictionary.to_pylist()
+        doc_idx_tok = np.repeat(np.arange(n_docs, dtype=np.int32), counts)
+        return codes, vocab, counts, total, doc_idx_tok
+
     def _tokenize_word_delimiter(self, texts, n_docs: int):
         """whitespace → WordDelimiterGraphFilter → LowerCase index chain.
 
@@ -848,23 +875,12 @@ class Analyzer:
         from lucene_ray.functions.worddelimiter import expand_vocab
 
         empty_i = np.empty(0, dtype=np.int32)
-        if hasattr(texts, "to_pylist"):
-            texts = texts.to_pylist()
         # WhitespaceTokenizer, ORIGINAL case (case transitions drive splits)
-        ws = re.compile(r"\S+")
-        per_doc = [ws.findall(t) for t in texts]
-        counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64,
-                             count=n_docs)
-        total = int(counts.sum())
+        codes, orig_vocab, counts, total, doc_idx_tok = (
+            self._whitespace_encode(texts, n_docs))
         if total == 0:
             return (empty_i, np.empty(0, dtype=object), empty_i, empty_i,
                     np.zeros(n_docs, dtype=np.int32))
-        import itertools
-
-        flat = list(itertools.chain.from_iterable(per_doc))
-        enc = pa.array(flat, type=pa.string()).dictionary_encode()
-        codes = np.asarray(enc.indices, dtype=np.int64)
-        orig_vocab = enc.dictionary.to_pylist()
         table = expand_vocab(orig_vocab, self.word_delimiter,
                              self.protected_words)
         # flatten the per-vocab-entry part lists into gatherable arrays
@@ -882,12 +898,14 @@ class Analyzer:
         part_vocab = np.asarray(part_enc.dictionary.to_pylist(), dtype=object)
         relpos_arr = np.asarray(part_relpos, dtype=np.int64)
 
-        # per-token base position = per-doc exclusive cumsum of advances
+        # per-token base position = per-doc exclusive cumsum of advances.
+        # np.repeat BEFORE indexing: trailing empty docs have
+        # doc_tok_starts == total which would index past cum, but they
+        # repeat zero times so never materialize.
         adv_tok = adv[codes]
         cum = np.cumsum(adv_tok) - adv_tok
         doc_tok_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        doc_idx_tok = np.repeat(np.arange(n_docs, dtype=np.int32), counts)
-        base = cum - np.repeat(cum[doc_tok_starts], counts)
+        base = cum - cum[np.repeat(doc_tok_starts, counts)]
 
         # splice: each token occurrence expands to lens_v[code] parts
         lens_v = (v_off[1:] - v_off[:-1])[codes]
@@ -932,23 +950,12 @@ class Analyzer:
             raise ValueError("analyzer has no payload_delimiter configured")
         n_docs = len(texts)
         empty_i = np.empty(0, dtype=np.int32)
-        if hasattr(texts, "to_pylist"):
-            texts = texts.to_pylist()
-        ws = re.compile(r"\S+")
-        per_doc = [ws.findall(t) for t in texts]
-        counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64,
-                             count=n_docs)
-        total = int(counts.sum())
+        codes, raw_vocab, counts, total, doc_idx = (
+            self._whitespace_encode(texts, n_docs))
         if total == 0:
             return (empty_i, np.empty(0, dtype=object), empty_i, empty_i,
                     np.empty(0, dtype=np.float32),
                     np.zeros(n_docs, dtype=np.int32))
-        import itertools
-
-        flat = list(itertools.chain.from_iterable(per_doc))
-        enc = pa.array(flat, type=pa.string()).dictionary_encode()
-        codes = np.asarray(enc.indices, dtype=np.int64)
-        raw_vocab = enc.dictionary.to_pylist()
         delim = self.payload_delimiter
         terms, pays = [], np.zeros(len(raw_vocab), dtype=np.float32)
         for i, w in enumerate(raw_vocab):
@@ -967,12 +974,17 @@ class Analyzer:
         vocab = np.asarray(term_enc.dictionary.to_pylist(), dtype=object)
         payloads = pays[codes]
         out_codes = new_ids[codes]
-        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int32), counts)
         doc_tok_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         positions = (np.arange(total, dtype=np.int64)
                      - np.repeat(doc_tok_starts, counts)).astype(np.int32)
-        return (out_codes, vocab, doc_idx, positions, payloads,
-                counts.astype(np.int32))
+        # vocab-level filters (stop/min/max/keep) apply like every other
+        # chain; the per-occurrence payload array rides the keep mask
+        # through the offsets channel (it filters any parallel pair)
+        out_codes, vocab, doc_idx, positions, doc_lengths, (payloads, _) = (
+            self._apply_term_filters(out_codes, vocab, doc_idx, positions,
+                                     n_docs, offsets=(payloads, payloads),
+                                     return_offsets=True))
+        return (out_codes, vocab, doc_idx, positions, payloads, doc_lengths)
 
     def tokenize_batch_encoded_offsets(self, texts):
         """Offsets-aware tokenization: like :meth:`tokenize_batch_encoded`
@@ -1134,17 +1146,17 @@ class Analyzer:
                 norm = sorani_normalize
             vocab = np.array([norm(t) for t in vocab], dtype=object)
         vocab_keep = np.ones(len(vocab), dtype=bool)
-        if self.min_token_length and len(vocab):
+        if (self.min_token_length or self.max_token_length) and len(vocab):
             vlens = np.fromiter(map(len, vocab), dtype=np.int32,
                                 count=len(vocab))
-            vocab_keep &= vlens >= self.min_token_length
+            if self.min_token_length:
+                vocab_keep &= vlens >= self.min_token_length
+            if self.max_token_length:
+                vocab_keep &= vlens <= self.max_token_length
         if self.keep_words and len(vocab):
             kw = self.keep_words
             vocab_keep &= np.fromiter(
                 (t in kw for t in vocab), dtype=bool, count=len(vocab))
-        if self.max_token_length:
-            vlens = np.fromiter(map(len, vocab), dtype=np.int32, count=len(vocab))
-            vocab_keep &= vlens <= self.max_token_length
         if self.stop_words:
             sw = self.stop_words
             vocab_keep &= np.fromiter(
@@ -1163,8 +1175,11 @@ class Analyzer:
             vocab = np.array(
                 [t if t in excl else stem_fn(t) for t in vocab], dtype=object)
         if (self.stem or self.possessive or self.ascii_folding
-                or self.elision) and len(vocab):
-            # transforms can merge vocab entries — re-intern
+                or self.elision or self.decimal_digit
+                or self.kind in ("persian", "sorani")) and len(vocab):
+            # transforms can merge vocab entries — re-intern (decimal-digit
+            # folding and the persian/sorani normalizers merge too: e.g.
+            # arabic kaf and farsi keheh fold to one term)
             vocab, inv = np.unique(vocab, return_inverse=True)
             codes = inv[codes].astype(np.int32) if len(codes) else codes
         doc_lengths = np.bincount(doc_idx, minlength=n_docs).astype(np.int32)

@@ -175,8 +175,7 @@ def _html_repl(m: re.Match) -> str:
     # (htmlentity.py:30) while numeric &#160; stays U+00A0.
     if m.group() == "&nbsp;":
         return " "
-    decoded = html.unescape(m.group())
-    return decoded if decoded != m.group() else m.group()
+    return html.unescape(m.group())
 
 
 class HTMLStripCharFilter:

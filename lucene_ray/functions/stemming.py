@@ -947,7 +947,6 @@ def persian_normalize(w: str) -> str:
 _CKB_MAP = str.maketrans({"ي": "ی", "ى": "ی",  # yeh forms → farsi yeh
                           "ك": "ک",                       # kaf → keheh
                           "ة": "ە",                       # teh marbuta → ae
-                          "ھ": "ه",                       # heh doachashmee → heh
                           "ڒ": "ڕ"})                      # reh above → rreh
 _CKB_DEL = frozenset("ـًٌٍَُِّْ")
 
@@ -975,6 +974,11 @@ def sorani_normalize(w: str) -> str:
             # exposed as final by a LATER deletion stays heh (the Java loop
             # checks i == len-1 before later chars are processed)
             c = "ە"
+        elif c == "ھ":
+            # heh doachashmee → plain heh (its OWN switch branch in the
+            # reference, so the final-heh→ae rule never applies to it; a
+            # following ZWNJ then sees a heh and turns it into ae)
+            c = "ه"
         elif not c.isascii() and unicodedata.category(c) == "Cf":
             continue  # FORMAT chars (bidi controls etc.) delete
         out.append(c)

@@ -137,10 +137,12 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
     ofs_by_code: dict[int, list[np.ndarray]] = {}
     pay_by_code: dict[int, list[np.ndarray]] = {}
     # offsets / payloads (.pay stream analogue) survive a merge only when
-    # every source segment carries them
+    # every source segment carries them; payloads do NOT require positions
+    # (a store_positions=False, store_payloads=True build is legal and
+    # PayloadScoreQuery needs no positions)
     store_offsets = store_positions and all(
         getattr(r, "has_offsets", False) for r in readers)
-    store_payloads = store_positions and all(
+    store_payloads = all(
         getattr(r, "has_payloads", False) for r in readers)
     for r, base, live, remap in zip(readers, bases, lives, remaps):
         gcodes = np.searchsorted(all_terms, r.terms)  # exact: r.terms ⊆ all_terms
@@ -149,19 +151,21 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
             d, f = r.postings(i)
             keep = live[d]
             all_live = keep.all()
+            occ = None
+            if (store_positions or store_payloads) and not all_live:
+                occ = np.repeat(keep, f)
             if store_positions:
                 ptr = r.positions(i)
                 if store_offsets:
                     otr = r.offsets(i)
-                if store_payloads:
-                    patr = r.payloads(i)
-                if not all_live:
-                    occ = np.repeat(keep, f)
+                if occ is not None:
                     ptr = ptr[occ]
                     if store_offsets:
                         otr = otr.reshape(-1, 2)[occ].ravel()
-                    if store_payloads:
-                        patr = patr[occ]
+            if store_payloads:
+                patr = r.payloads(i)
+                if occ is not None:
+                    patr = patr[occ]
             if not all_live:
                 d, f = d[keep], f[keep]
             if not len(d):
@@ -175,8 +179,8 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
                 pos_by_code.setdefault(code, []).append(ptr)
                 if store_offsets:
                     ofs_by_code.setdefault(code, []).append(otr)
-                if store_payloads:
-                    pay_by_code.setdefault(code, []).append(patr)
+            if store_payloads:
+                pay_by_code.setdefault(code, []).append(patr)
 
     if doc_parts:
         # Each (term, reader) run is already doc-ordered, and readers are
@@ -309,12 +313,13 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
     # Arrow binary column built zero-copy from it (the old per-term
     # astype().tobytes() + pa.array chain copied the position stream three
     # times; positions are the largest payload of a merge)
-    pos_total = int(total_tf.sum()) if store_positions else 0
+    occ_total = int(total_tf.sum()) if (store_positions or store_payloads) else 0
+    pos_total = occ_total if store_positions else 0
     pos_values = np.empty(pos_total, dtype=np.int32)
     pos_off = np.zeros(n_out + 1, dtype=np.int64)
     ofs_values = np.empty(2 * pos_total if store_offsets else 0, dtype=np.int32)
-    pay_values = np.empty(pos_total if store_payloads else 0, dtype=np.float32)
-    if store_positions and n_out:
+    pay_values = np.empty(occ_total if store_payloads else 0, dtype=np.float32)
+    if (store_positions or store_payloads) and n_out:
         np.cumsum(total_tf, out=pos_off[1:])
     packed_col = []
     for ti in range(n_out):
@@ -330,11 +335,11 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str,
                 for part in ofs_by_code.get(int(tc[s]), ()):
                     ofs_values[o2 : o2 + len(part)] = part
                     o2 += len(part)
-            if store_payloads:
-                o3 = int(pos_off[ti])
-                for part in pay_by_code.get(int(tc[s]), ()):
-                    pay_values[o3 : o3 + len(part)] = part
-                    o3 += len(part)
+        if store_payloads:
+            o3 = int(pos_off[ti])
+            for part in pay_by_code.get(int(tc[s]), ()):
+                pay_values[o3 : o3 + len(part)] = part
+                o3 += len(part)
 
     def _bin_col(values: np.ndarray, item_counts_off: np.ndarray) -> pa.Array:
         if int(item_counts_off[-1]) * 4 < 2**31 - 1:

@@ -489,3 +489,29 @@ def test_sorani_normalizer_rules():
     assert sorani_normalize("ة") == "ە"        # teh marbuta → ae
     assert sorani_normalize("ره") == "ڕە"      # initial reh→rreh, final heh→ae
     assert sorani_normalize("هـ") == "ه"        # tatweel-exposed heh stays heh
+
+
+def test_persian_folded_vocab_reinterned():
+    # regression: arabic kaf and farsi keheh fold to ONE term — the vocab
+    # must re-intern or the segment term table gets duplicate entries with
+    # split postings
+    a = get_analyzer("persian")
+    codes, vocab, doc_idx, positions, dl = a.tokenize_batch_encoded(
+        ["كتاب", "کتاب"])
+    assert len(vocab) == 1
+    assert sorted(doc_idx.tolist()) == [0, 1]
+
+
+def test_decimal_digit_folded_vocab_reinterned():
+    a = get_analyzer("simple", decimal_digit=True)
+    codes, vocab, doc_idx, positions, dl = a.tokenize_batch_encoded(
+        ["123", "١٢٣"])
+    assert len(vocab) == 1 and vocab[0] == "123"
+
+
+def test_sorani_heh_doachashmee_final():
+    # U+06BE has its OWN normalizer branch (→ plain heh), so the final
+    # heh→ae rule must not apply to it
+    assert sorani_normalize("ئھ") == "ئه"
+    # but heh+ZWNJ where heh came from doachashmee → ae (sequential rule)
+    assert sorani_normalize("ھ‌x") == "ەx"

@@ -117,3 +117,44 @@ def test_payload_query_without_payload_index(tmp_path, ray_session):
     s = IndexSearcher(idx)
     with pytest.raises(ValueError):
         s.search(PayloadScoreQuery("words", "sum"), k=5, algo="exhaustive")
+
+
+# ------------------------------------------- review-fix regression tests
+
+
+def test_payload_chain_respects_vocab_filters():
+    a = get_analyzer({"kind": "whitespace", "payload_delimiter": "|",
+                      "stop_words": ["the"], "min_token_length": 2})
+    codes, vocab, doc_idx, positions, pays, dl = (
+        a.tokenize_batch_encoded_payloads(["The|1 big|2 x|9 fox|3"]))
+    terms = [vocab[c] for c in codes]
+    assert terms == ["big", "fox"]           # stopword + short token dropped
+    assert pays.tolist() == [2.0, 3.0]       # payloads filtered in lockstep
+    assert positions.tolist() == [1, 3]      # posIncr bump preserved
+    assert dl.tolist() == [2]
+
+
+def test_payload_chain_normalize_lowercases():
+    a = get_analyzer({"kind": "whitespace", "payload_delimiter": "|"})
+    assert a.normalize("Fox") == "fox"       # index side lowercases the term
+
+
+def test_payloads_survive_merge_without_positions(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.index_pipeline import build_index_by_file
+    from lucene_ray.searcher import IndexSearcher
+    from lucene_ray.state.merge import force_merge
+
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({
+        "url": ["a", "b"], "text": ["cat|2 cat|4", "cat|10"]}), src)
+    idx = str(tmp_path / "i")
+    build_index_by_file(src, idx, key_col="url", text_col="text",
+                        analyzer={"kind": "whitespace",
+                                  "payload_delimiter": "|"},
+                        store_payloads=True, store_positions=False)
+    force_merge(idx, max_segments=1)
+    s = IndexSearcher(idx)
+    assert _scores(s, PayloadScoreQuery("cat", "sum")) == {"a": 6.0, "b": 10.0}

@@ -209,3 +209,12 @@ def test_discount_overlaps_field_length():
     b = get_analyzer({"kind": "whitespace", "word_delimiter": True})
     codes, _, _, _, dl = b.tokenize_batch_encoded(["foo-bar baz"])
     assert len(codes) == 3 and dl.tolist() == [3]
+
+
+def test_wdgf_trailing_empty_doc():
+    # regression: a trailing zero-token doc used to index past the cumsum
+    a = get_analyzer({"kind": "whitespace", "word_delimiter": True})
+    codes, vocab, doc_idx, positions, dl = a.tokenize_batch_encoded(
+        ["wi-fi device", "", "   "])
+    assert [vocab[c] for c in codes] == ["wi", "fi", "device"]
+    assert dl.tolist() == [3, 0, 0]
