@@ -293,6 +293,27 @@ SORANI_STOP_WORDS = frozenset(
     لەرێ لەرێگا لەسەر لەژێر ناو نێوان پاش پێش وەک""".split()
 )
 
+# hi/stopwords.txt verbatim (applied AFTER normalization,
+# hi/HindiAnalyzer.java:121).
+HINDI_STOP_WORDS = frozenset(
+    """अंदर अत अपना अपनी अपने अभी आदि आप इत्यादि इन इनका इन्हीं इन्हें इन्हों
+    इस इसका इसकी इसके इसमें इसी इसे उन उनका उनकी उनके उनको उन्हीं उन्हें
+    उन्हों उस उसके उसी उसे एक एवं एस ऐसे और कई कर करता करते करना करने करें
+    कहते कहा का काफ़ी कि कितना किन्हें किन्हों किया किर किस किसी किसे की
+    कुछ कुल के को कोई कौन कौनसा गया घर जब जहाँ जा जितना जिन जिन्हें
+    जिन्हों जिस जिसे जीधर जैसा जैसे जो तक तब तरह तिन तिन्हें तिन्हों तिस
+    तिसे तो था थी थे दबारा दिया दुसरा दूसरे दो द्वारा न नहीं ना निहायत
+    नीचे ने पर पहले पूरा पे फिर बनी बही बहुत बाद बाला बिलकुल भी भीतर मगर
+    मानो मे में यदि यह यहाँ यही या यिह ये रखें रहा रहे ऱ्वासा लिए लिये
+    लेकिन व वर्ग वह वहाँ वहीं वाले वुह वे वग़ैरह संग सकता सकते सबसे सभी साथ
+    साबुत साभ सारा से सो ही हुआ हुई हुए है हैं हो होता होती होते होना होने
+    अपनि जेसे होति सभि तिंहों इंहों दवारा इसि किंहें थि उंहों ओर जिंहें
+    वहिं अभि बनि हि उंहिं उंहें हें वगेरह एसे रवासा कोन निचे काफि उसि पुरा
+    भितर हे बहि वहां कोइ यहां जिंहों तिंहें किसि कइ यहि इंहिं जिधर इंहें
+    अदि इतयादि हुइ कोनसा इसकि दुसरे जहां अप किंहों उनकि भि वरग हुअ जेसा
+    नहिं""".split()
+)
+
 # UAX#29-approximating word pattern, mirroring the JFlex WORD rule structure
 # (StandardTokenizerImpl.jflex:240-255):
 #   letter-runs joined by MidLetter∪MidNumLet∪SingleQuote ≈ [.:'’·],
@@ -318,7 +339,32 @@ _L = rf"[^\W\d_{_IDEO_HIRA}{_KATA}]"  # unicode letter, CJK handled separately
 # letter is kept (WB7a).
 _HEB = "\u05D0-\u05EA"
 _LJOIN = rf"(?:[.:\u0027\u2019\u00B7]|(?<=[{_HEB}])[\"\u05F4](?=[{_HEB}]))"
-_LSEG = rf"{_L}+(?:{_LJOIN}{_L}+)*(?:(?<=[{_HEB}])[\u0027\u05F3])?"
+def _mark_class() -> str:
+    """Character class of all BMP combining marks (Mn/Mc/Me) — UAX#29 WB4:
+    Extend characters never break a word (they ride the preceding letter:
+    Devanagari vowel signs and virama, Hebrew niqqud, Thai tone marks,
+    Arabic harakat). Generated once at import from unicodedata."""
+    import unicodedata
+
+    ranges = []
+    start = prev = None
+    for cp in range(0x0300, 0x10000):
+        if unicodedata.category(chr(cp)).startswith("M"):
+            if start is None:
+                start = cp
+            prev = cp
+        elif start is not None:
+            ranges.append((start, prev))
+            start = None
+    if start is not None:
+        ranges.append((start, prev))
+    return "".join(
+        f"{chr(a)}-{chr(b)}" if b > a else chr(a) for a, b in ranges)
+
+
+_MARKS = f"[{_mark_class()}]"
+_LX = rf"(?:{_L}{_MARKS}*)"
+_LSEG = rf"{_LX}+(?:{_LJOIN}{_LX}+)*(?:(?<=[{_HEB}])[\u0027\u05F3])?"
 _DSEG = rf"\d+(?:[.,;'’]\d+)*"
 _TOKEN_RE = re.compile(
     rf"{_EMOJI_SEG}"
@@ -514,6 +560,15 @@ class Analyzer:
             self.stop_words = self.stop_words or SORANI_STOP_WORDS
             self.stem = True
             self.decimal_digit = True
+        elif self.kind == "hindi":
+            # hi/HindiAnalyzer.java:114-124: StandardTokenizer → LowerCase →
+            # DecimalDigit → (keyword marker BEFORE normalization) →
+            # IndicNormalization → HindiNormalization → Stop(normalized
+            # list) → HindiStem. Normalization runs in the pre-stop hook,
+            # skipping stem_exclusions like the reference's marker order.
+            self.stop_words = self.stop_words or HINDI_STOP_WORDS
+            self.stem = True
+            self.decimal_digit = True
         elif self.kind in ("russian_light", "swedish_light", "finnish_light",
                            "hungarian_light"):
             # the *LightStemFilter chains (ru/RussianLightStemFilter.java
@@ -582,6 +637,10 @@ class Analyzer:
             from lucene_ray.functions.stemming import sorani_stem
 
             return sorani_stem
+        if self.kind == "hindi":
+            from lucene_ray.functions.stemming import hindi_stem
+
+            return hindi_stem
         from lucene_ray.functions.stemming import porter_stem
 
         return porter_stem
@@ -624,6 +683,11 @@ class Analyzer:
             from lucene_ray.functions.stemming import sorani_normalize
 
             t = sorani_normalize(t)
+        elif self.kind == "hindi":
+            from lucene_ray.functions.stemming import (hindi_normalize,
+                                                       indic_normalize)
+
+            t = hindi_normalize(indic_normalize(t))
         if self.ascii_folding:
             from lucene_ray.functions.stemming import ascii_fold
 
@@ -748,7 +812,8 @@ class Analyzer:
                 if not safe and self.kind in (
                         "standard", "german", "french", "spanish", "italian",
                         "portuguese", "russian_light", "swedish_light",
-                        "finnish_light", "hungarian_light", "arabic"):
+                        "finnish_light", "hungarian_light", "arabic",
+                        "hindi"):
                     m = pc.match_substring_regex(arr, self._ARROW_SAFE_RE)
                     safe = bool(pc.all(pc.fill_null(m, False)).as_py()) and arr.null_count == 0
                 if safe:
@@ -1132,19 +1197,28 @@ class Analyzer:
             vocab = np.array([ascii_fold(t) for t in vocab], dtype=object)
         if self.decimal_digit and len(vocab):
             vocab = np.array([_fold_digits(t) for t in vocab], dtype=object)
-        if self.kind in ("persian", "sorani") and len(vocab):
-            # pre-stop normalization (the persian/sorani chains filter
-            # stopwords AGAINST the normalized forms)
+        if self.kind in ("persian", "sorani", "hindi") and len(vocab):
+            # pre-stop normalization (these chains filter stopwords AGAINST
+            # the normalized forms). Hindi's keyword marker precedes the
+            # normalizers in the reference, so its stem_exclusions skip
+            # this step too; persian/sorani mark keywords after.
             if self.kind == "persian":
                 from lucene_ray.functions.stemming import (arabic_normalize,
                                                            persian_normalize)
 
                 norm = lambda t: persian_normalize(arabic_normalize(t))  # noqa: E731
-            else:
+            elif self.kind == "sorani":
                 from lucene_ray.functions.stemming import sorani_normalize
 
                 norm = sorani_normalize
-            vocab = np.array([norm(t) for t in vocab], dtype=object)
+            else:
+                from lucene_ray.functions.stemming import (hindi_normalize,
+                                                           indic_normalize)
+
+                norm = lambda t: hindi_normalize(indic_normalize(t))  # noqa: E731
+            excl = self.stem_exclusions if self.kind == "hindi" else frozenset()
+            vocab = np.array(
+                [t if t in excl else norm(t) for t in vocab], dtype=object)
         vocab_keep = np.ones(len(vocab), dtype=bool)
         if (self.min_token_length or self.max_token_length) and len(vocab):
             vlens = np.fromiter(map(len, vocab), dtype=np.int32,
@@ -1176,7 +1250,7 @@ class Analyzer:
                 [t if t in excl else stem_fn(t) for t in vocab], dtype=object)
         if (self.stem or self.possessive or self.ascii_folding
                 or self.elision or self.decimal_digit
-                or self.kind in ("persian", "sorani")) and len(vocab):
+                or self.kind in ("persian", "sorani", "hindi")) and len(vocab):
             # transforms can merge vocab entries — re-intern (decimal-digit
             # folding and the persian/sorani normalizers merge too: e.g.
             # arabic kaf and farsi keheh fold to one term)

@@ -1037,3 +1037,127 @@ def sorani_stem(w: str) -> str:
     if L > 4 and t.endswith("ی"):
         return s[:L - 1]
     return s[:L]
+
+
+# ------------------------------------------------- Hindi (Devanagari)
+
+# IndicNormalizer decomposition rows restricted to the DEVANAGARI flag
+# (in/IndicNormalizer.java:64-229): (ch0, ch1, ch2|-1, composed) relative to
+# base U+0900; ch2 == 0xFF means ZWJ. Exact for the Hindi chain — Hindi
+# text is Devanagari and the reference dispatches rules per script block.
+_HI_DECOMP = (
+    (0x05, 0x3E, 0x45, 0x11), (0x05, 0x3E, 0x46, 0x12),
+    (0x05, 0x3E, 0x47, 0x13), (0x05, 0x3E, 0x48, 0x14),
+    (0x05, 0x3E, -1, 0x06),
+    (0x06, 0x45, -1, 0x11), (0x06, 0x46, -1, 0x12),
+    (0x06, 0x47, -1, 0x13), (0x06, 0x48, -1, 0x14),
+    (0x09, 0x41, -1, 0x0A),
+    (0x0F, 0x45, -1, 0x0D), (0x0F, 0x46, -1, 0x0E), (0x0F, 0x47, -1, 0x10),
+    (0x15, 0x3C, -1, 0x58), (0x16, 0x3C, -1, 0x59), (0x17, 0x3C, -1, 0x5A),
+    (0x1C, 0x3C, -1, 0x5B), (0x21, 0x3C, -1, 0x5C), (0x22, 0x3C, -1, 0x5D),
+    (0x28, 0x3C, -1, 0x29), (0x2B, 0x3C, -1, 0x5E), (0x2F, 0x3C, -1, 0x5F),
+    (0x30, 0x3C, -1, 0x31), (0x33, 0x3C, -1, 0x34),
+    (0x3E, 0x45, -1, 0x49), (0x3E, 0x46, -1, 0x4A),
+    (0x3E, 0x47, -1, 0x4B), (0x3E, 0x48, -1, 0x4C),
+)
+_HI_DECOMP_FIRST = frozenset(r[0] for r in _HI_DECOMP)
+
+
+def indic_normalize(w: str) -> str:
+    """IndicNormalizer (in/IndicNormalizer.java:236-290), Devanagari rules:
+    compose two/three-codepoint sequences into their canonical form."""
+    s = list(w)
+    i = 0
+    while i < len(s):
+        cp = ord(s[i])
+        if 0x0900 <= cp <= 0x097F and (cp - 0x0900) in _HI_DECOMP_FIRST:
+            ch0 = cp - 0x0900
+            if i + 1 < len(s):
+                c1 = ord(s[i + 1])
+                if 0x0900 <= c1 <= 0x097F:
+                    ch1 = c1 - 0x0900
+                    ch2 = -1
+                    if i + 2 < len(s):
+                        c2 = ord(s[i + 2])
+                        if c2 == 0x200D:  # ZWJ
+                            ch2 = 0xFF
+                        elif 0x0900 <= c2 <= 0x097F:
+                            ch2 = c2 - 0x0900
+                    for a, b, c, comp in _HI_DECOMP:
+                        if a == ch0 and b == ch1 and (c < 0 or c == ch2):
+                            s[i] = chr(0x0900 + comp)
+                            del s[i + 1]
+                            if c >= 0:
+                                del s[i + 1]
+                            break
+        i += 1
+    return "".join(s)
+
+
+_HI_MAP = str.maketrans({
+    "ँ": "ं",                       # candrabindu → bindu
+    "ऩ": "न", "ऱ": "र",   # nukta-composed consonants
+    "ऴ": "ळ", "क़": "क", "ख़": "ख",
+    "ग़": "ग", "ज़": "ज", "ड़": "ड",
+    "ढ़": "ढ", "फ़": "फ", "य़": "य",
+    "ॅ": "े", "ॆ": "े",   # chandra/short e forms
+    "ॉ": "ो", "ॊ": "ो",
+    "ऍ": "ए", "ऎ": "ए",
+    "ऑ": "ओ", "ऒ": "ओ", "ॲ": "अ",
+    "आ": "अ", "ई": "इ",   # long → short vowels
+    "ऊ": "उ", "ॠ": "ऋ", "ॡ": "ऌ",
+    "ऐ": "ए", "औ": "ओ",
+    "ी": "ि", "ू": "ु",   # long → short dep. vowels
+    "ॄ": "ृ", "ॣ": "ॢ",
+    "ै": "े", "ौ": "ो",
+})
+_HI_DEL = frozenset("़‍‌्")
+
+
+def hindi_normalize(w: str) -> str:
+    """HindiNormalizer (hi/HindiNormalizer.java:40-177): dead n → bindu,
+    per-char folds, nukta / ZWJ / ZWNJ / virama deletion."""
+    out: list[str] = []
+    n = len(w)
+    i = 0
+    while i < n:
+        c = w[i]
+        if c == "न" and i + 1 < n and w[i + 1] == "्":
+            out.append("ं")  # dead n → bindu, virama consumed
+            i += 2
+            continue
+        if c in _HI_DEL:
+            i += 1
+            continue
+        out.append(c.translate(_HI_MAP))
+        i += 1
+    return "".join(out)
+
+
+_HI_SUF5 = ("ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां")
+_HI_SUF4 = ("ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
+            "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ",
+            "ियों", "ियां")
+_HI_SUF3 = ("ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे", "ाने",
+            "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं",
+            "ुआं")
+_HI_SUF2 = ("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं",
+            "ती", "ता", "ाँ", "ां", "ों", "ें")
+_HI_SUF1 = ("ो", "े", "ू", "ु", "ी", "ि", "ा")
+
+
+def hindi_stem(w: str) -> str:
+    """HindiStemmer (hi/HindiStemmer.java:28-112): lightweight suffix strip
+    (Ramanathan & Rao), longest class first with length guards."""
+    L = len(w)
+    if L > 6 and w.endswith(_HI_SUF5):
+        return w[:-5]
+    if L > 5 and w.endswith(_HI_SUF4):
+        return w[:-4]
+    if L > 4 and w.endswith(_HI_SUF3):
+        return w[:-3]
+    if L > 3 and w.endswith(_HI_SUF2):
+        return w[:-2]
+    if L > 2 and w.endswith(_HI_SUF1):
+        return w[:-1]
+    return w

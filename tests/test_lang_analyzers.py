@@ -515,3 +515,58 @@ def test_sorani_heh_doachashmee_final():
     assert sorani_normalize("ئھ") == "ئه"
     # but heh+ZWNJ where heh came from doachashmee → ae (sequential rule)
     assert sorani_normalize("ھ‌x") == "ەx"
+
+
+# ======================================================= Hindi
+# (hi/TestHindiAnalyzer.java, TestHindiNormalizer.java,
+# TestHindiStemmer.java; IndicNormalizer ported for the Devanagari rules —
+# exact for the Hindi chain).
+
+from lucene_ray.functions.stemming import (
+    hindi_normalize,
+    hindi_stem,
+    indic_normalize,
+)
+
+
+@pytest.mark.parametrize("inp,out", [
+    ("अँगरेज़ी", "अंगरेजि"), ("अँग्रेज़ी", "अंगरेजि"), ("अंग्रेजी", "अंगरेजि"),
+    ("क़िताब", "किताब"), ("फ़र्ज़", "फरज"), ("क़र्ज़", "करज"),
+    ("ऱऴख़ग़ड़ढ़य़", "रळखगडढय"),
+    ("शार्‍मा", "शारमा"), ("शार्‌मा", "शारमा"),     # ZWJ / ZWNJ
+    ("ॅॆॉॊऍऎऑऒॲ", "ेेोोएएओओअ"),
+    ("आईऊॠॡऐऔीूॄॣैौ", "अइउऋऌएओिुृॢेो"),
+])
+def test_hindi_normalize(inp, out):
+    assert hindi_normalize(inp) == out
+
+
+@pytest.mark.parametrize("inp,out", [
+    ("लडका", "लडक"), ("लडके", "लडक"), ("लडकों", "लडक"),         # masc noun
+    ("गुरु", "गुर"), ("गुरुओं", "गुर"),
+    ("दोस्त", "दोस्त"), ("दोस्तों", "दोस्त"),
+    ("लडकी", "लडक"), ("लडकियों", "लडक"),                         # fem noun
+    ("किताब", "किताब"), ("किताबें", "किताब"), ("किताबों", "किताब"),
+    ("खाना", "खा"), ("खाता", "खा"), ("खाती", "खा"), ("खा", "खा"),  # verb
+    ("कठिनाइयां", "कठिन"), ("कठिन", "कठिन"),
+])
+def test_hindi_stem(inp, out):
+    assert hindi_stem(inp) == out
+
+
+def test_hindi_analyzer_chain():
+    a = get_analyzer("hindi")
+    # TestHindiAnalyzer: the dead-n rule folds हिन्दी and हिंदी together
+    assert _an(a, "हिन्दी") == ["हिंद"]
+    assert _an(a, "हिंदी") == ["हिंद"]
+    assert _an(a, "१२३४") == ["1234"]           # DecimalDigitFilter
+    # stem exclusion set protects BEFORE normalization (marker order)
+    b = get_analyzer("hindi", stem_exclusions=frozenset(["हिंदी"]))
+    assert _an(b, "हिंदी") == ["हिंदी"]
+
+
+def test_indic_normalize_devanagari_compose():
+    # vowel sign decompositions: ा + ै-pieces compose (0x3E 0x47 → 0x4B)
+    assert indic_normalize("काे") == "को"
+    # letter A + AA sign → letter AA (0x05 0x3E → 0x06)
+    assert indic_normalize("अा") == "आ"
