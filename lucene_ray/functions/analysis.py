@@ -314,6 +314,67 @@ HINDI_STOP_WORDS = frozenset(
     नहिं""".split()
 )
 
+# bg/stopwords.txt and id/stopwords.txt verbatim.
+BULGARIAN_STOP_WORDS = frozenset(
+    """а аз ако ала бе без беше би бил била били било близо бъдат бъде бяха в
+    вас ваш ваша вероятно вече взема ви вие винаги все всеки всички всичко
+    всяка във въпреки върху г ги главно го д да дали до докато докога дори
+    досега доста е едва един ето за зад заедно заради засега затова защо
+    защото и из или им има имат иска й каза как каква какво както какъв
+    като кога когато което които кой който колко която къде където към ли
+    м ме между мен ми мнозина мога могат може моля момента му н на над
+    назад най направи напред например нас не него нея ни ние никой нито но
+    някои някой няма обаче около освен особено от отгоре отново още пак по
+    повече повечето под поне поради после почти прави пред преди през при
+    пък първо с са само се сега си скоро след сме според сред срещу сте
+    съм със също т тази така такива такъв там твой те тези ти тн то това
+    тогава този той толкова точно трябва тук тъй тя тях у харесва ч че
+    често чрез ще щом я""".split()
+)
+
+INDONESIAN_STOP_WORDS = frozenset(
+    """ada adanya adalah adapun agak agaknya agar akan akankah akhirnya aku
+    akulah amat amatlah anda andalah antar diantaranya antara antaranya
+    diantara apa apaan mengapa apabila apakah apalagi apatah atau ataukah
+    ataupun bagai bagaikan sebagai sebagainya bagaimana bagaimanapun
+    sebagaimana bagaimanakah bagi bahkan bahwa bahwasanya sebaliknya
+    banyak sebanyak beberapa seberapa begini beginian beginikah beginilah
+    sebegini begitu begitukah begitulah begitupun sebegitu belum belumlah
+    sebelum sebelumnya sebenarnya berapa berapakah berapalah berapapun
+    betulkah sebetulnya biasa biasanya bila bilakah bisa bisakah sebisanya
+    boleh bolehkah bolehlah buat bukan bukankah bukanlah bukannya cuma
+    percuma dahulu dalam dan dapat dari daripada dekat demi demikian
+    demikianlah sedemikian dengan depan di dia dialah dini diri dirinya
+    terdiri dong dulu enggak enggaknya entah entahlah terhadap terhadapnya
+    hal hampir hanya hanyalah harus haruslah harusnya seharusnya hendak
+    hendaklah hendaknya hingga sehingga ia ialah ibarat ingin inginkah
+    inginkan ini inikah inilah itu itukah itulah jangan jangankan
+    janganlah jika jikalau juga justru kala kalau kalaulah kalaupun kalian
+    kami kamilah kamu kamulah kan kapan kapankah kapanpun dikarenakan
+    karena karenanya ke kecil kemudian kenapa kepada kepadanya ketika
+    seketika khususnya kini kinilah kiranya sekiranya kita kitalah kok
+    lagi lagian selagi lah lain lainnya melainkan selaku lalu melalui
+    terlalu lama lamanya selama selamanya lebih terlebih bermacam macam
+    semacam maka makanya makin malah malahan mampu mampukah mana manakala
+    manalagi masih masihkah semasih masing mau maupun semaunya memang
+    mereka merekalah meski meskipun semula mungkin mungkinkah nah namun
+    nanti nantinya nyaris oleh olehnya seorang seseorang pada padanya
+    padahal paling sepanjang pantas sepantasnya sepantasnyalah para pasti
+    pastilah per pernah pula pun merupakan rupanya serupa saat saatnya
+    sesaat saja sajalah saling bersama sama sesama sambil sampai sana
+    sangat sangatlah saya sayalah se sebab sebabnya sebuah tersebut
+    tersebutlah sedang sedangkan sedikit sedikitnya segala segalanya
+    segera sesegera sejak sejenak sekali sekalian sekalipun sesekali
+    sekaligus sekarang sekitar sekitarnya sela selain selalu seluruh
+    seluruhnya semakin sementara sempat semua semuanya sendiri sendirinya
+    seolah seperti sepertinya sering seringnya serta siapa siapakah
+    siapapun disini disinilah sini sinilah sesuatu sesuatunya suatu
+    sesudah sesudahnya sudah sudahkah sudahlah supaya tadi tadinya tak
+    tanpa setelah telah tentang tentu tentulah tentunya tertentu
+    seterusnya tapi tetapi setiap tiap setidaknya tidak tidakkah tidaklah
+    toh waduh wah wahai sewaktu walau walaupun wong yaitu yakni yang""".split()
+)
+
 # UAX#29-approximating word pattern, mirroring the JFlex WORD rule structure
 # (StandardTokenizerImpl.jflex:240-255):
 #   letter-runs joined by MidLetter∪MidNumLet∪SingleQuote ≈ [.:'’·],
@@ -569,6 +630,16 @@ class Analyzer:
             self.stop_words = self.stop_words or HINDI_STOP_WORDS
             self.stem = True
             self.decimal_digit = True
+        elif self.kind == "bulgarian":
+            # bg/BulgarianAnalyzer.java: StandardTokenizer → LowerCase →
+            # Stop → BulgarianStem (BulStem light)
+            self.stop_words = self.stop_words or BULGARIAN_STOP_WORDS
+            self.stem = True
+        elif self.kind == "indonesian":
+            # id/IndonesianAnalyzer.java: StandardTokenizer → LowerCase →
+            # Stop → IndonesianStem (derivational stemming on)
+            self.stop_words = self.stop_words or INDONESIAN_STOP_WORDS
+            self.stem = True
         elif self.kind in ("russian_light", "swedish_light", "finnish_light",
                            "hungarian_light"):
             # the *LightStemFilter chains (ru/RussianLightStemFilter.java
@@ -641,6 +712,14 @@ class Analyzer:
             from lucene_ray.functions.stemming import hindi_stem
 
             return hindi_stem
+        if self.kind == "bulgarian":
+            from lucene_ray.functions.stemming import bulgarian_stem
+
+            return bulgarian_stem
+        if self.kind == "indonesian":
+            from lucene_ray.functions.stemming import indonesian_stem
+
+            return indonesian_stem
         from lucene_ray.functions.stemming import porter_stem
 
         return porter_stem
@@ -813,7 +892,7 @@ class Analyzer:
                         "standard", "german", "french", "spanish", "italian",
                         "portuguese", "russian_light", "swedish_light",
                         "finnish_light", "hungarian_light", "arabic",
-                        "hindi"):
+                        "hindi", "bulgarian", "indonesian"):
                     m = pc.match_substring_regex(arr, self._ARROW_SAFE_RE)
                     safe = bool(pc.all(pc.fill_null(m, False)).as_py()) and arr.null_count == 0
                 if safe:

@@ -1161,3 +1161,192 @@ def hindi_stem(w: str) -> str:
     if L > 2 and w.endswith(_HI_SUF1):
         return w[:-1]
     return w
+
+
+# ------------------------------------------------- Bulgarian (light)
+
+
+def _bg_remove_article(s: list, L: int) -> int:
+    if L > 6 and _ew(s, L, "ият"):
+        return L - 3
+    if L > 5 and (_ew(s, L, "ът") or _ew(s, L, "то") or _ew(s, L, "те")
+                  or _ew(s, L, "та") or _ew(s, L, "ия")):
+        return L - 2
+    if L > 4 and _ew(s, L, "ят"):
+        return L - 2
+    return L
+
+
+def _bg_remove_plural(s: list, L: int) -> int:
+    if L > 6:
+        if _ew(s, L, "овци"):
+            return L - 3
+        if _ew(s, L, "ове"):
+            return L - 3
+        if _ew(s, L, "еве"):
+            s[L - 3] = "й"
+            return L - 2
+    if L > 5:
+        if _ew(s, L, "ища"):
+            return L - 3
+        if _ew(s, L, "та"):
+            return L - 2
+        if _ew(s, L, "ци"):
+            s[L - 2] = "к"
+            return L - 1
+        if _ew(s, L, "зи"):
+            s[L - 2] = "г"
+            return L - 1
+        if s[L - 3] == "е" and s[L - 1] == "и":
+            s[L - 3] = "я"
+            return L - 1
+    if L > 4:
+        if _ew(s, L, "си"):
+            s[L - 2] = "х"
+            return L - 1
+        if _ew(s, L, "и"):
+            return L - 1
+    return L
+
+
+def bulgarian_stem(w: str) -> str:
+    """BulgarianStemmer (bg/BulgarianStemmer.java:30-136): the light
+    stemmer from Nakov's BulStem (with the reference's ен→н fix) — article
+    removal, plural normalization, final-vowel strips, ъN→N."""
+    if len(w) < 4:
+        return w
+    s = list(w)
+    L = len(s)
+    if L > 5 and _ew(s, L, "ища"):
+        return "".join(s[:L - 3])
+    L = _bg_remove_article(s, L)
+    L = _bg_remove_plural(s, L)
+    if L > 3:
+        if _ew(s, L, "я"):
+            L -= 1
+        if _ew(s, L, "а") or _ew(s, L, "о") or _ew(s, L, "е"):
+            L -= 1
+    if L > 4 and _ew(s, L, "ен"):
+        s[L - 2] = "н"
+        L -= 1
+    if L > 5 and s[L - 2] == "ъ":
+        s[L - 2] = s[L - 1]
+        L -= 1
+    return "".join(s[:L])
+
+
+# ------------------------------------------------- Indonesian
+
+
+def indonesian_stem(w: str, stem_derivational: bool = True) -> str:
+    """IndonesianStemmer (id/IndonesianStemmer.java:40-268): Asian,
+    Williams & Tahaghoghi's stemmer — inflectional particles/possessives,
+    then first-order prefix / suffix / second-order prefix with rule-firing
+    interplay and the REMOVED_* flag guards, ported branch-for-branch."""
+    KE, PENG, DI, MENG, TER, BER, PE = 1, 2, 4, 8, 16, 32, 64
+    state = {"flags": 0, "syll": sum(c in "aeiou" for c in w)}
+    s = list(w)
+
+    def ends(suffix):
+        return "".join(s).endswith(suffix)
+
+    def starts(prefix):
+        return "".join(s).startswith(prefix)
+
+    def remove_particle():
+        if ends("kah") or ends("lah") or ends("pun"):
+            state["syll"] -= 1
+            del s[-3:]
+
+    def remove_possessive():
+        if ends("ku") or ends("mu"):
+            state["syll"] -= 1
+            del s[-2:]
+        elif ends("nya"):
+            state["syll"] -= 1
+            del s[-3:]
+
+    def first_order_prefix():
+        t = "".join(s)
+        if t.startswith("meng"):
+            state["flags"] |= MENG; state["syll"] -= 1; del s[:4]; return True
+        if t.startswith("meny") and len(t) > 4 and t[4] in "aeiou":
+            state["flags"] |= MENG; state["syll"] -= 1
+            s[3] = "s"; del s[:3]; return True
+        if t.startswith("men"):
+            state["flags"] |= MENG; state["syll"] -= 1; del s[:3]; return True
+        if t.startswith("mem"):
+            state["flags"] |= MENG; state["syll"] -= 1; del s[:3]; return True
+        if t.startswith("me"):
+            state["flags"] |= MENG; state["syll"] -= 1; del s[:2]; return True
+        if t.startswith("peng"):
+            state["flags"] |= PENG; state["syll"] -= 1; del s[:4]; return True
+        if t.startswith("peny") and len(t) > 4 and t[4] in "aeiou":
+            state["flags"] |= PENG; state["syll"] -= 1
+            s[3] = "s"; del s[:3]; return True
+        if t.startswith("peny"):
+            state["flags"] |= PENG; state["syll"] -= 1; del s[:4]; return True
+        if t.startswith("pen") and len(t) > 3 and t[3] in "aeiou":
+            state["flags"] |= PENG; state["syll"] -= 1
+            s[2] = "t"; del s[:2]; return True
+        if t.startswith("pen"):
+            state["flags"] |= PENG; state["syll"] -= 1; del s[:3]; return True
+        if t.startswith("pem"):
+            state["flags"] |= PENG; state["syll"] -= 1; del s[:3]; return True
+        if t.startswith("di"):
+            state["flags"] |= DI; state["syll"] -= 1; del s[:2]; return True
+        if t.startswith("ter"):
+            state["flags"] |= TER; state["syll"] -= 1; del s[:3]; return True
+        if t.startswith("ke"):
+            state["flags"] |= KE; state["syll"] -= 1; del s[:2]; return True
+        return False
+
+    def second_order_prefix():
+        t = "".join(s)
+        if t.startswith("ber"):
+            state["flags"] |= BER; state["syll"] -= 1; del s[:3]; return
+        if len(t) == 7 and t.startswith("belajar"):
+            state["flags"] |= BER; state["syll"] -= 1; del s[:3]; return
+        if (t.startswith("be") and len(t) > 4 and t[2] not in "aeiou"
+                and t[3] == "e" and t[4] == "r"):
+            state["flags"] |= BER; state["syll"] -= 1; del s[:2]; return
+        if t.startswith("per"):
+            state["syll"] -= 1; del s[:3]; return
+        if len(t) == 7 and t.startswith("pelajar"):
+            state["syll"] -= 1; del s[:3]; return
+        if t.startswith("pe"):
+            state["flags"] |= PE; state["syll"] -= 1; del s[:2]; return
+
+    def remove_suffix():
+        f = state["flags"]
+        if ends("kan") and not f & KE and not f & PENG and not f & PE:
+            state["syll"] -= 1
+            del s[-3:]
+        elif ends("an") and not f & DI and not f & MENG and not f & TER:
+            state["syll"] -= 1
+            del s[-2:]
+        elif (ends("i") and not ends("si") and not f & BER and not f & KE
+                and not f & PENG):
+            state["syll"] -= 1
+            del s[-1:]
+
+    if state["syll"] > 2:
+        remove_particle()
+    if state["syll"] > 2:
+        remove_possessive()
+    if stem_derivational:
+        fired = False
+        if state["syll"] > 2:
+            fired = first_order_prefix()
+        if fired:
+            old = len(s)
+            if state["syll"] > 2:
+                remove_suffix()
+            if len(s) != old and state["syll"] > 2:
+                second_order_prefix()
+        else:
+            if state["syll"] > 2:
+                second_order_prefix()
+            if state["syll"] > 2:
+                remove_suffix()
+    return "".join(s)

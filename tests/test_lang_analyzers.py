@@ -570,3 +570,69 @@ def test_indic_normalize_devanagari_compose():
     assert indic_normalize("काे") == "को"
     # letter A + AA sign → letter AA (0x05 0x3E → 0x06)
     assert indic_normalize("अा") == "आ"
+
+
+# ======================================================= Bulgarian +
+# Indonesian (bg/TestBulgarianStemmer.java, id/TestIndonesianStemmer.java).
+
+from lucene_ray.functions.stemming import bulgarian_stem, indonesian_stem
+
+
+@pytest.mark.parametrize("inp,out", [
+    ("град", "град"), ("града", "град"), ("градът", "град"),
+    ("градове", "град"), ("градовете", "град"),
+    ("народ", "народ"), ("народа", "народ"), ("народът", "народ"),
+    ("народи", "народ"), ("народите", "народ"), ("народе", "народ"),
+    ("пътя", "път"), ("пътят", "път"), ("пътища", "път"), ("пътищата", "път"),
+    ("градовце", "градовц"), ("градовцете", "градовц"),
+    ("дядо", "дяд"), ("дядовци", "дяд"), ("дядовците", "дяд"),
+    ("мъжете", "мъж"), ("мъжът", "мъжът"),   # word too short for -ът strip
+    ("краката", "крак"), ("братята", "брат"),
+    ("вестта", "вест"), ("дървета", "дърв"),
+])
+def test_bulgarian_stem(inp, out):
+    assert bulgarian_stem(inp) == out
+
+
+@pytest.mark.parametrize("inp,out", [
+    # inflectional
+    ("bukukah", "buku"), ("adalah", "ada"), ("bukupun", "buku"),
+    ("bukuku", "buku"), ("bukumu", "buku"), ("bukunya", "buku"),
+    # derivational prefixes
+    ("mengukur", "ukur"), ("menyapu", "sapu"), ("menduga", "duga"),
+    ("menuduh", "uduh"), ("membaca", "baca"), ("merusak", "rusak"),
+    ("pengukur", "ukur"), ("penyapu", "sapu"), ("penduga", "duga"),
+    ("pembaca", "baca"), ("diukur", "ukur"), ("tersapu", "sapu"),
+    ("kekasih", "kasih"), ("berlari", "lari"), ("belajar", "ajar"),
+    ("bekerja", "kerja"), ("perjelas", "jelas"), ("pelajar", "ajar"),
+    ("pekerja", "kerja"),
+    # derivational suffixes + both
+    ("tarikkan", "tarik"), ("ambilkan", "ambil"), ("mengambilkan", "ambil"),
+    ("makanan", "makan"), ("janjian", "janji"), ("perjanjian", "janji"),
+    ("tandai", "tanda"), ("dapati", "dapat"), ("mendapati", "dapat"),
+    ("pantai", "panta"),
+    # the reference's IR-collection examples
+    ("penyalahgunaan", "salahguna"), ("menyalahgunakan", "salahguna"),
+    ("disalahgunakan", "salahguna"),
+    ("pertanggungjawaban", "tanggungjawab"),
+    ("mempertanggungjawabkan", "tanggungjawab"),
+    ("dipertanggungjawabkan", "tanggungjawab"),
+    ("pelaksanaan", "laksana"), ("pelaksana", "laksana"),
+    ("melaksanakan", "laksana"), ("dilaksanakan", "laksana"),
+    ("melibatkan", "libat"), ("terlibat", "libat"),
+    ("penculikan", "culik"), ("menculik", "culik"), ("diculik", "culik"),
+])
+def test_indonesian_stem(inp, out):
+    assert indonesian_stem(inp) == out
+
+
+def test_bulgarian_indonesian_analyzer_chains():
+    a = get_analyzer("bulgarian")
+    assert _an(a, "градовете") == ["град"]
+    assert _an(a, "и") == []                  # stopword
+    b = get_analyzer("indonesian")
+    assert _an(b, "mengambilkan buku") == ["ambil", "buku"]
+    assert _an(b, "yang") == []               # stopword
+    for kind, word in [("bulgarian", "градовете"), ("indonesian", "mengukur")]:
+        an = get_analyzer(kind)
+        assert an.normalize(word) == _an(an, word)[0]
