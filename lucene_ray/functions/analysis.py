@@ -375,6 +375,37 @@ INDONESIAN_STOP_WORDS = frozenset(
     toh waduh wah wahai sewaktu walau walaupun wong yaitu yakni yang""".split()
 )
 
+# cz/stopwords.txt and snowball norwegian_stop.txt verbatim.
+CZECH_STOP_WORDS = frozenset(
+    """a s k o i u v z dnes cz tímto budeš budem byli jseš můj svým ta tomto
+    tohle tuto tyto jej zda proč máte tato kam tohoto kdo kteří mi nám tom
+    tomuto mít nic proto kterou byla toho protože asi ho naši napište re
+    což tím takže svých její svými jste aj tu tedy teto bylo kde ke pravé
+    ji nad nejsou či pod téma mezi přes ty pak vám ani když však neg jsem
+    tento článku články aby jsme před pta jejich byl ještě až bez také
+    pouze první vaše která nás nový tipy pokud může strana jeho své jiné
+    zprávy nové není vás jen podle zde už být více bude již než který by
+    které co nebo ten tak má při od po jsou jak další ale si se ve to jako
+    za zpět ze do pro je na atd atp jakmile přičemž já on ona ono oni ony
+    my vy jí mě mne jemu tomu těm těmu němu němuž jehož jíž jelikož jež
+    jakož načež""".split()
+)
+
+NORWEGIAN_STOP_WORDS = frozenset(
+    """og i jeg det at en et den til er som på de med han av ikke ikkje der
+    så var meg seg men ett har om vi min mitt ha hadde hun nå over da ved
+    fra du ut sin dem oss opp man kan hans hvor eller hva skal selv sjøl
+    her alle vil bli ble blei blitt kunne inn når være kom noen noe ville
+    dere deres kun ja etter ned skulle denne for deg si sine sitt mot å
+    meget hvorfor dette disse uten hvordan ingen din ditt blir samme
+    hvilken hvilke sånn inni mellom vår hver hvem vors hvis både bare enn
+    fordi før mange også slik vært båe begge siden dykk dykkar dei deira
+    deires deim di då eg ein eit eitt elles honom hjå ho hoe henne hennar
+    hennes hoss hossen ingi inkje korleis korso kva kvar kvarhelst kven
+    kvi kvifor me medan mi mine mykje no nokon noka nokor noko nokre sia
+    sidan so somt somme um upp vere vore verte vort varte vart""".split()
+)
+
 # UAX#29-approximating word pattern, mirroring the JFlex WORD rule structure
 # (StandardTokenizerImpl.jflex:240-255):
 #   letter-runs joined by MidLetter∪MidNumLet∪SingleQuote ≈ [.:'’·],
@@ -640,6 +671,17 @@ class Analyzer:
             # Stop → IndonesianStem (derivational stemming on)
             self.stop_words = self.stop_words or INDONESIAN_STOP_WORDS
             self.stem = True
+        elif self.kind == "czech":
+            # cz/CzechAnalyzer.java: StandardTokenizer → LowerCase → Stop →
+            # CzechStem (Dolamic-Savoy light)
+            self.stop_words = self.stop_words or CZECH_STOP_WORDS
+            self.stem = True
+        elif self.kind == "norwegian_light":
+            # the NorwegianLightStemFilter chain (Bokmål factory default);
+            # the default NorwegianAnalyzer stems with snowball instead —
+            # documented divergence, same policy as the other *_light kinds
+            self.stop_words = self.stop_words or NORWEGIAN_STOP_WORDS
+            self.stem = True
         elif self.kind in ("russian_light", "swedish_light", "finnish_light",
                            "hungarian_light"):
             # the *LightStemFilter chains (ru/RussianLightStemFilter.java
@@ -720,6 +762,14 @@ class Analyzer:
             from lucene_ray.functions.stemming import indonesian_stem
 
             return indonesian_stem
+        if self.kind == "czech":
+            from lucene_ray.functions.stemming import czech_stem
+
+            return czech_stem
+        if self.kind == "norwegian_light":
+            from lucene_ray.functions.stemming import norwegian_light_stem
+
+            return norwegian_light_stem
         from lucene_ray.functions.stemming import porter_stem
 
         return porter_stem
@@ -892,7 +942,8 @@ class Analyzer:
                         "standard", "german", "french", "spanish", "italian",
                         "portuguese", "russian_light", "swedish_light",
                         "finnish_light", "hungarian_light", "arabic",
-                        "hindi", "bulgarian", "indonesian"):
+                        "hindi", "bulgarian", "indonesian", "czech",
+                        "norwegian_light"):
                     m = pc.match_substring_regex(arr, self._ARROW_SAFE_RE)
                     safe = bool(pc.all(pc.fill_null(m, False)).as_py()) and arr.null_count == 0
                 if safe:

@@ -1350,3 +1350,96 @@ def indonesian_stem(w: str, stem_derivational: bool = True) -> str:
             if state["syll"] > 2:
                 remove_suffix()
     return "".join(s)
+
+
+# ------------------------------------------------- Czech (light)
+
+_CZ_SUF3 = ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete",
+            "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata",
+            "aty", "ých", "ama", "ami", "ové", "ovi", "ými")
+_CZ_SUF2 = ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým",
+            "mi", "ou")
+
+
+def czech_stem(w: str) -> str:
+    """CzechStemmer (cz/CzechStemmer.java:33-157): Dolamic & Savoy's light
+    stemmer — case suffixes, possessives, palatalization normalization."""
+    s = list(w)
+    L = len(s)
+    # removeCase
+    if L > 7 and _ew(s, L, "atech"):
+        L -= 5
+    elif L > 6 and (_ew(s, L, "ětem") or _ew(s, L, "etem")
+                    or _ew(s, L, "atům")):
+        L -= 4
+    elif L > 5 and "".join(s[:L]).endswith(_CZ_SUF3):
+        L -= 3
+    elif L > 4 and "".join(s[:L]).endswith(_CZ_SUF2):
+        L -= 2
+    elif L > 3 and s[L - 1] in "aeiouůyáéíýě":
+        L -= 1
+    # removePossessives
+    if L > 5 and (_ew(s, L, "ov") or _ew(s, L, "in") or _ew(s, L, "ův")):
+        L -= 2
+    # normalize
+    if L > 0:
+        if _ew(s, L, "čt"):
+            s[L - 2] = "c"
+            s[L - 1] = "k"
+        elif _ew(s, L, "št"):
+            s[L - 2] = "s"
+            s[L - 1] = "k"
+        elif s[L - 1] in ("c", "č"):
+            s[L - 1] = "k"
+        elif s[L - 1] in ("z", "ž"):
+            s[L - 1] = "h"
+        elif L > 1 and s[L - 2] == "e":
+            s[L - 2] = s[L - 1]
+            L -= 1
+        elif L > 2 and s[L - 2] == "ů":
+            s[L - 2] = "o"
+    return "".join(s[:L])
+
+
+# ------------------------------------------------- Norwegian (light, Bokmål)
+
+
+def norwegian_light_stem(w: str, *, bokmaal: bool = True,
+                         nynorsk: bool = False) -> str:
+    """NorwegianLightStemmer (no/NorwegianLightStemmer.java:66-183) — the
+    NorwegianLightStemFilter chain with the factory's Bokmål default; pass
+    nynorsk=True (or both) for the other variants. The default
+    NorwegianAnalyzer stems with snowball (documented divergence)."""
+    if not (bokmaal or nynorsk):
+        raise ValueError("at least one of bokmaal/nynorsk required")
+    s = w
+    L = len(s)
+    if L > 4 and s[L - 1] == "s":  # possessive
+        L -= 1
+    t = s[:L]
+    if L > 7 and ((bokmaal and t.endswith(("heter", "heten")))
+                  or (nynorsk and t.endswith("heita"))):
+        return s[:L - 5]
+    if L > 8 and nynorsk and t.endswith(("heiter", "leiken", "leikar")):
+        return s[:L - 6]
+    if L > 5 and (t.endswith("dom") or (bokmaal and t.endswith("het"))):
+        return s[:L - 3]
+    if L > 6 and nynorsk and t.endswith(("heit", "semd", "leik")):
+        return s[:L - 4]
+    if L > 7 and t.endswith(("elser", "elsen")):
+        return s[:L - 5]
+    if L > 6 and ((bokmaal and t.endswith(("ende", "este", "eren")))
+                  or (nynorsk and t.endswith(("ande", "aste", "aren")))
+                  or t.endswith("else")):
+        return s[:L - 4]
+    if L > 5 and ((bokmaal and t.endswith(("ere", "est")))
+                  or (nynorsk and t.endswith(("are", "ast", "ane")))
+                  or t.endswith("ene")):
+        return s[:L - 3]
+    if L > 4 and (t.endswith(("er", "en", "et", "te"))
+                  or (nynorsk and t.endswith("ar"))
+                  or (bokmaal and t.endswith("st"))):
+        return s[:L - 2]
+    if L > 3 and s[L - 1] in "aen":
+        return s[:L - 1]
+    return s[:L]

@@ -636,3 +636,56 @@ def test_bulgarian_indonesian_analyzer_chains():
     for kind, word in [("bulgarian", "градовете"), ("indonesian", "mengukur")]:
         an = get_analyzer(kind)
         assert an.normalize(word) == _an(an, word)[0]
+
+
+# ======================================================= Czech + Norwegian
+# (cz/TestCzechStemmer.java; no/nb_light.txt + nn_light.txt — the FULL
+# published Bokmål/Nynorsk vocabularies).
+
+from lucene_ray.functions.stemming import czech_stem, norwegian_light_stem
+
+
+@pytest.mark.parametrize("inp,out", [
+    ("pán", "pán"), ("páni", "pán"), ("pánové", "pán"), ("pánů", "pán"),
+    ("pánovi", "pán"), ("pánech", "pán"), ("pánem", "pán"),
+    ("hradům", "hrad"), ("hrady", "hrad"),
+    ("muž", "muh"), ("muži", "muh"), ("mužích", "muh"),   # ž → h normalize
+    ("stroj", "stroj"), ("strojích", "stroj"),
+    ("předseda", "předsd"), ("předsedové", "předsd"),     # e* elision
+])
+def test_czech_stem(inp, out):
+    assert czech_stem(inp) == out
+
+
+@pytest.mark.parametrize("lang,kw", [
+    ("nb", dict(bokmaal=True, nynorsk=False)),
+    ("nn", dict(bokmaal=False, nynorsk=True)),
+])
+def test_norwegian_light_full_vocabulary(lang, kw):
+    from pathlib import Path
+
+    p = Path("/root/reference/lucene/analysis/common/src/test/org/apache/"
+             f"lucene/analysis/no/{lang}_light.txt")
+    if not p.exists():
+        pytest.skip("reference vocabulary data not available")
+    mismatches = []
+    for line in p.read_text(encoding="utf-8").splitlines():
+        parts = line.split("\t")
+        if len(parts) != 2:
+            continue
+        got = norwegian_light_stem(parts[0], **kw)
+        if got != parts[1]:
+            mismatches.append((parts[0], parts[1], got))
+    assert mismatches == []
+
+
+def test_czech_norwegian_analyzer_chains():
+    a = get_analyzer("czech")
+    assert _an(a, "pánové hradům") == ["pán", "hrad"]
+    assert _an(a, "je") == []                 # stopword
+    b = get_analyzer("norwegian_light")
+    assert _an(b, "hemmeligheten") == ["hemmelig"]
+    assert _an(b, "og") == []                 # stopword
+    for kind, word in [("czech", "pánové"), ("norwegian_light", "husene")]:
+        an = get_analyzer(kind)
+        assert an.normalize(word) == _an(an, word)[0]
