@@ -406,6 +406,35 @@ NORWEGIAN_STOP_WORDS = frozenset(
     sidan so somt somme um upp vere vore verte vort varte vart""".split()
 )
 
+# lv/stopwords.txt and bn/stopwords.txt verbatim.
+LATVIAN_STOP_WORDS = frozenset(
+    """aiz ap ar apakš ārpus augšpus bez caur dēļ gar iekš iz kopš labad
+    lejpus līdz no otrpus pa par pār pēc pie pirms pret priekš starp
+    šaipus uz viņpus virs virspus zem apakšpus un bet jo ja ka lai tomēr
+    tikko turpretī arī kaut gan tādēļ tā ne tikvien vien kā ir te vai
+    kamēr diezin droši diemžēl nebūt ik it taču nu pat tiklab iekšpus nedz
+    tik nevis turpretim jeb iekam iekām iekāms kolīdz līdzko tiklīdz jebšu
+    tālab tāpēc nekā itin jā jau jel nē nezin tad tikai vis tak iekams būt
+    biju biji bija bijām bijāt esmu esi esam esat būšu būsi būs būsim
+    būsiet tikt tiku tiki tika tikām tikāt tieku tiec tiek tiekam tiekat
+    tikšu tiks tiksim tiksiet tapt tapi tapāt topat tapšu tapsi taps
+    tapsim tapsiet kļūt kļuvu kļuvi kļuva kļuvām kļuvāt kļūstu kļūsti
+    kļūst kļūstam kļūstat kļūšu kļūsi kļūs kļūsim kļūsiet varēt varēju
+    varējām varēšu varēsim var varēji varējāt varēsi varēsiet varat varēja
+    varēs""".split()
+)
+
+BENGALI_STOP_WORDS = frozenset(
+    """এই ও থেকে করে এ না ওই এক্ নিয়ে করা বলেন সঙ্গে যে এব তা আর কোনো বলে সেই
+    দিন হয় কি দু পরে সব দেওয়া মধ্যে এর সি শুরু কাজ কিছু কাছে সে তবে বা বন
+    আগে জ্নজন পি পর তো ছিল এখন আমরা প্রায় দুই আমাদের তাই অন্য গিয়ে প্রযন্ত
+    মনে নতুন মতো কেখা প্রথম আজ টি ধামার অনেক বিভিন্ন র হাজার জানা নয় অবশ্য
+    বেশি এস কে হতে বি কয়েক সহ বেশ এমন এমনি কেন কেউ নেওয়া চেষ্টা লক্ষ বলা
+    কারণ আছে শুধু তখন যা এসে চার যদি আবার কোটি উত্তর সামনে উপর বক্তব্য এত
+    প্রাথমিক উপরে প্রতি কাজে যখন খুব বহু গেল পেয়্র্ চালু ই নাগাদ থাকা পাচ
+    যাওয়া রকম সাধারণ কমনে""".split()
+)
+
 # UAX#29-approximating word pattern, mirroring the JFlex WORD rule structure
 # (StandardTokenizerImpl.jflex:240-255):
 #   letter-runs joined by MidLetter∪MidNumLet∪SingleQuote ≈ [.:'’·],
@@ -671,6 +700,18 @@ class Analyzer:
             # Stop → IndonesianStem (derivational stemming on)
             self.stop_words = self.stop_words or INDONESIAN_STOP_WORDS
             self.stem = True
+        elif self.kind == "latvian":
+            # lv/LatvianAnalyzer.java: StandardTokenizer → LowerCase →
+            # Stop → LatvianStem
+            self.stop_words = self.stop_words or LATVIAN_STOP_WORDS
+            self.stem = True
+        elif self.kind == "bengali":
+            # bn/BengaliAnalyzer.java:112-123: same shape as hindi — keyword
+            # marker BEFORE normalization, IndicNormalization (Bengali
+            # rules) → BengaliNormalization → Stop → BengaliStem
+            self.stop_words = self.stop_words or BENGALI_STOP_WORDS
+            self.stem = True
+            self.decimal_digit = True
         elif self.kind == "czech":
             # cz/CzechAnalyzer.java: StandardTokenizer → LowerCase → Stop →
             # CzechStem (Dolamic-Savoy light)
@@ -770,6 +811,14 @@ class Analyzer:
             from lucene_ray.functions.stemming import norwegian_light_stem
 
             return norwegian_light_stem
+        if self.kind == "latvian":
+            from lucene_ray.functions.stemming import latvian_stem
+
+            return latvian_stem
+        if self.kind == "bengali":
+            from lucene_ray.functions.stemming import bengali_stem
+
+            return bengali_stem
         from lucene_ray.functions.stemming import porter_stem
 
         return porter_stem
@@ -817,6 +866,11 @@ class Analyzer:
                                                        indic_normalize)
 
             t = hindi_normalize(indic_normalize(t))
+        elif self.kind == "bengali":
+            from lucene_ray.functions.stemming import (
+                bengali_normalize, indic_normalize_bengali)
+
+            t = bengali_normalize(indic_normalize_bengali(t))
         if self.ascii_folding:
             from lucene_ray.functions.stemming import ascii_fold
 
@@ -943,7 +997,7 @@ class Analyzer:
                         "portuguese", "russian_light", "swedish_light",
                         "finnish_light", "hungarian_light", "arabic",
                         "hindi", "bulgarian", "indonesian", "czech",
-                        "norwegian_light"):
+                        "norwegian_light", "latvian", "bengali"):
                     m = pc.match_substring_regex(arr, self._ARROW_SAFE_RE)
                     safe = bool(pc.all(pc.fill_null(m, False)).as_py()) and arr.null_count == 0
                 if safe:
@@ -1327,11 +1381,11 @@ class Analyzer:
             vocab = np.array([ascii_fold(t) for t in vocab], dtype=object)
         if self.decimal_digit and len(vocab):
             vocab = np.array([_fold_digits(t) for t in vocab], dtype=object)
-        if self.kind in ("persian", "sorani", "hindi") and len(vocab):
+        if self.kind in ("persian", "sorani", "hindi", "bengali") and len(vocab):
             # pre-stop normalization (these chains filter stopwords AGAINST
-            # the normalized forms). Hindi's keyword marker precedes the
-            # normalizers in the reference, so its stem_exclusions skip
-            # this step too; persian/sorani mark keywords after.
+            # the normalized forms). Hindi's/Bengali's keyword marker
+            # precedes the normalizers in the reference, so their
+            # stem_exclusions skip this step too; persian/sorani mark after.
             if self.kind == "persian":
                 from lucene_ray.functions.stemming import (arabic_normalize,
                                                            persian_normalize)
@@ -1341,12 +1395,18 @@ class Analyzer:
                 from lucene_ray.functions.stemming import sorani_normalize
 
                 norm = sorani_normalize
+            elif self.kind == "bengali":
+                from lucene_ray.functions.stemming import (
+                    bengali_normalize, indic_normalize_bengali)
+
+                norm = lambda t: bengali_normalize(indic_normalize_bengali(t))  # noqa: E731
             else:
                 from lucene_ray.functions.stemming import (hindi_normalize,
                                                            indic_normalize)
 
                 norm = lambda t: hindi_normalize(indic_normalize(t))  # noqa: E731
-            excl = self.stem_exclusions if self.kind == "hindi" else frozenset()
+            excl = (self.stem_exclusions
+                    if self.kind in ("hindi", "bengali") else frozenset())
             vocab = np.array(
                 [t if t in excl else norm(t) for t in vocab], dtype=object)
         vocab_keep = np.ones(len(vocab), dtype=bool)
@@ -1380,7 +1440,8 @@ class Analyzer:
                 [t if t in excl else stem_fn(t) for t in vocab], dtype=object)
         if (self.stem or self.possessive or self.ascii_folding
                 or self.elision or self.decimal_digit
-                or self.kind in ("persian", "sorani", "hindi")) and len(vocab):
+                or self.kind in ("persian", "sorani", "hindi",
+                                 "bengali")) and len(vocab):
             # transforms can merge vocab entries — re-intern (decimal-digit
             # folding and the persian/sorani normalizers merge too: e.g.
             # arabic kaf and farsi keheh fold to one term)

@@ -1443,3 +1443,232 @@ def norwegian_light_stem(w: str, *, bokmaal: bool = True,
     if L > 3 and s[L - 1] in "aen":
         return s[:L - 1]
     return s[:L]
+
+
+# ------------------------------------------------- Latvian (light)
+
+# (affix, vowel-count guard, fires palatalization) — order matters
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("ām", 1, False), ("am", 1, False),
+    ("ēm", 1, False), ("īm", 1, False), ("im", 1, False), ("um", 1, False),
+    ("us", 1, True), ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("īs", 1, False), ("ēs", 1, False),
+    ("is", 1, False), ("ie", 1, False), ("u", 1, True), ("a", 1, True),
+    ("i", 1, True), ("e", 1, False), ("ā", 1, False), ("ē", 1, False),
+    ("ī", 1, False), ("ū", 1, False), ("o", 1, False), ("s", 0, False),
+    ("š", 0, False),
+)
+
+
+def _lv_unpalatalize(s: list, removed: str) -> str:
+    L = len(s)
+    t = "".join(s)
+    if removed == "u":
+        # 2nd/5th/6th declension genitive plural rules
+        if t.endswith("kš"):
+            return t[:-2] + "kst"
+        if t.endswith("ņņ"):
+            return t[:-2] + "nn"
+    if t.endswith(("pj", "bj", "mj", "vj")):  # labial consonant
+        return t[:-1]
+    for suf, rep in (("šņ", "sn"), ("žņ", "zn"), ("šļ", "sl"),
+                     ("žļ", "zl"), ("ļņ", "ln"), ("ļļ", "ll")):
+        if t.endswith(suf):
+            return t[:-2] + rep
+    if L and t[-1] == "č":
+        return t[:-1] + "c"
+    if L and t[-1] == "ļ":
+        return t[:-1] + "l"
+    if L and t[-1] == "ņ":
+        return t[:-1] + "n"
+    return t
+
+
+def latvian_stem(w: str) -> str:
+    """LatvianStemmer (lv/LatvianStemmer.java:30-180, Karlis Kreslins' light
+    approach): strip ONE inflectional affix (vowel-count guarded), then
+    un-palatalize the exposed stem."""
+    nv = sum(c in "aeiouāīēū" for c in w)
+    for affix, vc, pal in _LV_AFFIXES:
+        if nv > vc and len(w) >= len(affix) + 3 and w.endswith(affix):
+            stem = w[:len(w) - len(affix)]
+            if pal:
+                return _lv_unpalatalize(list(stem), affix[0])
+            return stem
+    return w
+
+
+# ------------------------------------------------- Bengali
+# IndicNormalizer rows with the BENGALI flag (base U+0980) — exact for the
+# Bengali chain, same policy as the Devanagari subset for Hindi.
+_BN_DECOMP = (
+    (0x05, 0x3E, -1, 0x06), (0x21, 0x3C, -1, 0x5C), (0x22, 0x3C, -1, 0x5D),
+    (0x24, 0x4D, 0xFF, 0x4E), (0x2F, 0x3C, -1, 0x5F),
+    (0x47, 0x3E, -1, 0x4B), (0x47, 0x57, -1, 0x4C),
+)
+_BN_DECOMP_FIRST = frozenset(r[0] for r in _BN_DECOMP)
+
+
+def indic_normalize_bengali(w: str) -> str:
+    """IndicNormalizer (in/IndicNormalizer.java), Bengali-script rules."""
+    s = list(w)
+    i = 0
+    while i < len(s):
+        cp = ord(s[i])
+        if 0x0980 <= cp <= 0x09FF and (cp - 0x0980) in _BN_DECOMP_FIRST:
+            ch0 = cp - 0x0980
+            if i + 1 < len(s):
+                c1 = ord(s[i + 1])
+                if 0x0980 <= c1 <= 0x09FF:
+                    ch1 = c1 - 0x0980
+                    ch2 = -1
+                    if i + 2 < len(s):
+                        c2 = ord(s[i + 2])
+                        if c2 == 0x200D:
+                            ch2 = 0xFF
+                        elif 0x0980 <= c2 <= 0x09FF:
+                            ch2 = c2 - 0x0980
+                    for a, b, c, comp in _BN_DECOMP:
+                        if a == ch0 and b == ch1 and (c < 0 or c == ch2):
+                            s[i] = chr(0x0980 + comp)
+                            del s[i + 1]
+                            if c >= 0:
+                                del s[i + 1]
+                            break
+        i += 1
+    return "".join(s)
+
+
+def bengali_normalize(w: str) -> str:
+    """BengaliNormalizer (bn/BengaliNormalizer.java:27-150): chandrabindu
+    deletion, long→short kars, khio/ja-phala/ba-phalaa rewrites, visarga
+    handling, sh/na/ra folds — ported with the reference's index arithmetic
+    (several rules are position- and context-dependent)."""
+    s = list(w)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\u0981":
+            del s[i]
+            i -= 1
+        elif c == "\u09C0":
+            s[i] = "\u09BF"
+        elif c == "\u09C2":
+            s[i] = "\u09C1"
+        elif c == "\u0995":
+            if (i + 2 < len(s) and s[i + 1] == "\u09CD"
+                    and s[i + 2] == "\u09BF"):
+                if i == 0:
+                    s[i] = "\u0996"
+                    del s[i + 2]
+                    del s[i + 1]
+                else:
+                    s[i + 1] = "\u0996"
+                    del s[i + 2]
+        elif c == "\u0999":
+            s[i] = "\u0982"
+        elif c == "\u09AF":
+            if i - 2 == 0 and s[i - 1] == "\u09CD":
+                s[i - 1] = "\u09C7"
+                if i + 1 < len(s) and s[i + 1] == "\u09BE":
+                    del s[i + 1]
+                del s[i]
+                i -= 1
+            elif i - 1 >= 0 and s[i - 1] == "\u09CD":
+                del s[i]
+                del s[i - 1]
+                i -= 2
+        elif c == "\u09AC":
+            if i == 0 or s[i - 1] != "\u09CD":
+                pass
+            elif i - 2 == 0:
+                del s[i]
+                del s[i - 1]
+                i -= 2
+            elif i - 5 >= 0 and s[i - 3] == "\u09CD":
+                del s[i]
+                del s[i - 1]
+                i -= 2
+            elif i - 2 >= 0:
+                s[i - 1] = s[i - 2]
+                del s[i]
+                i -= 1
+        elif c == "\u0983":
+            if i == len(s) - 1:
+                if len(s) <= 3:
+                    s[i] = "\u09B9"
+                else:
+                    del s[i]
+                    i -= 1
+            else:
+                s[i] = s[i + 1]
+        elif c in ("\u09B6", "\u09B7"):
+            s[i] = "\u09B8"
+        elif c == "\u09A3":
+            s[i] = "\u09A8"
+        elif c in ("\u09DC", "\u09DD"):
+            s[i] = "\u09B0"
+        elif c == "\u09CE":
+            s[i] = "\u09A4"
+        i += 1
+    return "".join(s)
+_BN_SUF8 = (  # strip 8, guard len > 9
+    "িয়াছিলাম", "িতেছিলাম", "িতেছিলেন", "ইতেছিলেন", "িয়াছিলেন",
+    "ইয়াছিলেন"
+)
+_BN_SUF7 = (  # strip 7, guard len > 8
+    "িতেছিলি", "িতেছিলে", "িয়াছিলা", "িয়াছিলে", "িতেছিলা", "িয়াছিলি",
+    "য়েদেরকে"
+)
+_BN_SUF6 = (  # strip 6, guard len > 7
+    "িতেছিস", "িতেছেন", "িয়াছিস", "িয়াছেন", "েছিলাম", "েছিলেন",
+    "েদেরকে"
+)
+_BN_SUF5 = (  # strip 5, guard len > 6
+    "িতেছি", "িতেছা", "িতেছে", "ছিলাম", "ছিলেন", "িয়াছি", "িয়াছা",
+    "িয়াছে", "েছিলে", "েছিলা", "য়েদের", "দেরকে"
+)
+_BN_SUF4 = (  # strip 4, guard len > 5
+    "িলাম", "িলেন", "িতাম", "িতেন", "িবেন", "ছিলি", "ছিলে", "ছিলা",
+    "তেছে", "িতেছ", "খানা", "খানি", "গুলো", "গুলি", "য়েরা", "েদের"
+)
+_BN_SUF3 = (  # strip 3, guard len > 4
+    "লাম", "িলি", "ইলি", "িলে", "ইলে", "লেন", "িলা", "ইলা", "তাম",
+    "িতি", "ইতি", "িতে", "ইতে", "তেন", "িতা", "িবা", "ইবা", "িবি",
+    "ইবি", "বেন", "িবে", "ইবে", "ছেন", "য়োন", "য়ের", "েরা", "দের"
+)
+_BN_SUF2 = (  # strip 2, guard len > 3
+    "িস", "েন", "লি", "লে", "লা", "তি", "তে", "তা", "বি", "বে", "বা",
+    "ছি", "ছা", "ছে", "ুন", "ুক", "টা", "টি", "নি", "ের", "তে", "রা",
+    "কে"
+)
+_BN_SUF1 = (  # strip 1, guard len > 2
+    "ি", "ী", "া", "ো", "ে", "ব", "ত"
+)
+
+
+def bengali_stem(w: str) -> str:
+    """BengaliStemmer (bn/BengaliStemmer.java:28-163): longest suffix class
+    first with length guards (tables generated from the reference source,
+    exact codepoints)."""
+    L = len(w)
+    if L > 9 and w.endswith(_BN_SUF8):
+        return w[:-8]
+    if L > 8 and w.endswith(_BN_SUF7):
+        return w[:-7]
+    if L > 7 and w.endswith(_BN_SUF6):
+        return w[:-6]
+    if L > 6 and w.endswith(_BN_SUF5):
+        return w[:-5]
+    if L > 5 and w.endswith(_BN_SUF4):
+        return w[:-4]
+    if L > 4 and w.endswith(_BN_SUF3):
+        return w[:-3]
+    if L > 3 and w.endswith(_BN_SUF2):
+        return w[:-2]
+    if L > 2 and w.endswith(_BN_SUF1):
+        return w[:-1]
+    return w

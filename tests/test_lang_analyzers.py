@@ -689,3 +689,64 @@ def test_czech_norwegian_analyzer_chains():
     for kind, word in [("czech", "pánové"), ("norwegian_light", "husene")]:
         an = get_analyzer(kind)
         assert an.normalize(word) == _an(an, word)[0]
+
+
+# ======================================================= Latvian + Bengali
+# (lv/TestLatvianStemmer.java — ALL its checkOneTerm cases are verified
+# programmatically; bn/TestBengaliNormalizer.java, TestBengaliStemmer.java).
+
+from lucene_ray.functions.stemming import (
+    bengali_normalize,
+    bengali_stem,
+    latvian_stem,
+)
+
+
+def _java_cases(path, fn_name="checkOneTerm\\(a, "):
+    import re
+    from pathlib import Path
+
+    p = Path("/root/reference/lucene/analysis/common/src/test/org/apache/"
+             "lucene/analysis") / path
+    if not p.exists():
+        pytest.skip("reference test source not available")
+    src = p.read_text(encoding="utf-8")
+    return [(a.strip(), b) for a, b in
+            re.findall(fn_name + r'"([^"]+)", "([^"]+)"\)', src)]
+
+
+def test_latvian_stem_all_reference_cases():
+    cases = _java_cases("lv/TestLatvianStemmer.java")
+    assert len(cases) > 150
+    mismatches = [(i, e, latvian_stem(i)) for i, e in cases
+                  if latvian_stem(i) != e]
+    assert mismatches == []
+
+
+def test_bengali_normalize_all_reference_cases():
+    cases = _java_cases("bn/TestBengaliNormalizer.java", r"check\(")
+    assert len(cases) >= 15
+    mismatches = [(i, e, bengali_normalize(i)) for i, e in cases
+                  if bengali_normalize(i) != e]
+    assert mismatches == []
+
+
+def test_bengali_stem_all_reference_cases():
+    cases = _java_cases("bn/TestBengaliStemmer.java", r"check\(")
+    assert len(cases) >= 15
+    mismatches = [(i, e, bengali_stem(i)) for i, e in cases
+                  if bengali_stem(i) != e]
+    assert mismatches == []
+
+
+def test_latvian_bengali_analyzer_chains():
+    a = get_analyzer("latvian")
+    assert _an(a, "tirgiem tirgus") == ["tirg", "tirg"]
+    assert _an(a, "un") == []                 # stopword
+    b = get_analyzer("bengali")
+    # TestBengaliAnalyzer basics
+    assert _an(b, "বাড়ী") == ["বার"]
+    assert _an(b, "এই") == []                 # stopword
+    for kind, word in [("latvian", "tirgiem"), ("bengali", "বাড়ী")]:
+        an = get_analyzer(kind)
+        assert an.normalize(word) == _an(an, word)[0]
