@@ -459,34 +459,60 @@ _L = rf"[^\W\d_{_IDEO_HIRA}{_KATA}]"  # unicode letter, CJK handled separately
 # joins (צה״ל stays one token); a single quote/geresh AFTER a Hebrew
 # letter is kept (WB7a).
 _HEB = "\u05D0-\u05EA"
-_LJOIN = rf"(?:[.:\u0027\u2019\u00B7]|(?<=[{_HEB}])[\"\u05F4](?=[{_HEB}]))"
-def _mark_class() -> str:
-    """Character class of all BMP combining marks (Mn/Mc/Me) — UAX#29 WB4:
-    Extend characters never break a word (they ride the preceding letter:
-    Devanagari vowel signs and virama, Hebrew niqqud, Thai tone marks,
-    Arabic harakat). Generated once at import from unicodedata."""
-    import unicodedata
-
-    ranges = []
-    start = prev = None
-    for cp in range(0x0300, 0x10000):
-        if unicodedata.category(chr(cp)).startswith("M"):
-            if start is None:
-                start = cp
-            prev = cp
-        elif start is not None:
-            ranges.append((start, prev))
-            start = None
-    if start is not None:
-        ranges.append((start, prev))
-    return "".join(
-        f"{chr(a)}-{chr(b)}" if b > a else chr(a) for a, b in ranges)
-
-
-_MARKS = f"[{_mark_class()}]"
+# Hebrew marks (niqqud/cantillation, NOT the punctuation scattered in
+# the block): a mark rides its letter, so lookbehinds that anchor on a
+# Hebrew letter must also accept a mark (UAX#29 WB4 transparency)
+_HEBM = rf"{_HEB}\u0591-\u05BD\u05BF\u05C1\u05C2\u05C4\u05C5\u05C7"
+_LJOIN = rf"(?:[.:\u0027\u2019\u00B7]|(?<=[{_HEBM}])[\"\u05F4](?=[{_HEB}]))"
+# All BMP combining marks (Mn/Mc/Me) — UAX#29 WB4: Extend characters
+# never break a word (they ride the preceding letter: Devanagari
+# matras and virama, Hebrew niqqud, Thai tone marks, Arabic harakat).
+# Generated from unicodedata (the bundled Unicode version) with:
+#   [cp for cp in range(0x300,0x10000)
+#    if unicodedata.category(chr(cp)).startswith("M")]
+# collapsed to ranges — a literal so Ray workers skip the 64k
+# category() calls at import.
+_MARKS = (
+    "[\u0300-\u036F\u0483-\u0489\u0591-\u05BD\u05BF\u05C1-\u05C2\u05C4-"
+    "\u05C5\u05C7\u0610-\u061A\u064B-\u065F\u0670\u06D6-\u06DC\u06DF-"
+    "\u06E4\u06E7-\u06E8\u06EA-\u06ED\u0711\u0730-\u074A\u07A6-"
+    "\u07B0\u07EB-\u07F3\u07FD\u0816-\u0819\u081B-\u0823\u0825-"
+    "\u0827\u0829-\u082D\u0859-\u085B\u0898-\u089F\u08CA-\u08E1\u08E3-"
+    "\u0903\u093A-\u093C\u093E-\u094F\u0951-\u0957\u0962-\u0963\u0981-"
+    "\u0983\u09BC\u09BE-\u09C4\u09C7-\u09C8\u09CB-\u09CD\u09D7\u09E2-"
+    "\u09E3\u09FE\u0A01-\u0A03\u0A3C\u0A3E-\u0A42\u0A47-\u0A48\u0A4B-"
+    "\u0A4D\u0A51\u0A70-\u0A71\u0A75\u0A81-\u0A83\u0ABC\u0ABE-\u0AC5\u0AC7-"
+    "\u0AC9\u0ACB-\u0ACD\u0AE2-\u0AE3\u0AFA-\u0AFF\u0B01-"
+    "\u0B03\u0B3C\u0B3E-\u0B44\u0B47-\u0B48\u0B4B-\u0B4D\u0B55-"
+    "\u0B57\u0B62-\u0B63\u0B82\u0BBE-\u0BC2\u0BC6-\u0BC8\u0BCA-"
+    "\u0BCD\u0BD7\u0C00-\u0C04\u0C3C\u0C3E-\u0C44\u0C46-\u0C48\u0C4A-"
+    "\u0C4D\u0C55-\u0C56\u0C62-\u0C63\u0C81-\u0C83\u0CBC\u0CBE-"
+    "\u0CC4\u0CC6-\u0CC8\u0CCA-\u0CCD\u0CD5-\u0CD6\u0CE2-\u0CE3\u0D00-"
+    "\u0D03\u0D3B-\u0D3C\u0D3E-\u0D44\u0D46-\u0D48\u0D4A-"
+    "\u0D4D\u0D57\u0D62-\u0D63\u0D81-\u0D83\u0DCA\u0DCF-\u0DD4\u0DD6\u0DD8-"
+    "\u0DDF\u0DF2-\u0DF3\u0E31\u0E34-\u0E3A\u0E47-\u0E4E\u0EB1\u0EB4-"
+    "\u0EBC\u0EC8-\u0ECD\u0F18-\u0F19\u0F35\u0F37\u0F39\u0F3E-\u0F3F\u0F71-"
+    "\u0F84\u0F86-\u0F87\u0F8D-\u0F97\u0F99-\u0FBC\u0FC6\u102B-"
+    "\u103E\u1056-\u1059\u105E-\u1060\u1062-\u1064\u1067-\u106D\u1071-"
+    "\u1074\u1082-\u108D\u108F\u109A-\u109D\u135D-\u135F\u1712-"
+    "\u1715\u1732-\u1734\u1752-\u1753\u1772-\u1773\u17B4-"
+    "\u17D3\u17DD\u180B-\u180D\u180F\u1885-\u1886\u18A9\u1920-\u192B\u1930-"
+    "\u193B\u1A17-\u1A1B\u1A55-\u1A5E\u1A60-\u1A7C\u1A7F\u1AB0-"
+    "\u1ACE\u1B00-\u1B04\u1B34-\u1B44\u1B6B-\u1B73\u1B80-\u1B82\u1BA1-"
+    "\u1BAD\u1BE6-\u1BF3\u1C24-\u1C37\u1CD0-\u1CD2\u1CD4-"
+    "\u1CE8\u1CED\u1CF4\u1CF7-\u1CF9\u1DC0-\u1DFF\u20D0-\u20F0\u2CEF-"
+    "\u2CF1\u2D7F\u2DE0-\u2DFF\u302A-\u302F\u3099-\u309A\uA66F-"
+    "\uA672\uA674-\uA67D\uA69E-\uA69F\uA6F0-\uA6F1\uA802\uA806\uA80B\uA823-"
+    "\uA827\uA82C\uA880-\uA881\uA8B4-\uA8C5\uA8E0-\uA8F1\uA8FF\uA926-"
+    "\uA92D\uA947-\uA953\uA980-\uA983\uA9B3-\uA9C0\uA9E5\uAA29-"
+    "\uAA36\uAA43\uAA4C-\uAA4D\uAA7B-\uAA7D\uAAB0\uAAB2-\uAAB4\uAAB7-"
+    "\uAAB8\uAABE-\uAABF\uAAC1\uAAEB-\uAAEF\uAAF5-\uAAF6\uABE3-"
+    "\uABEA\uABEC-\uABED\uFB1E\uFE00-\uFE0F\uFE20-\uFE2F]"
+)
 _LX = rf"(?:{_L}{_MARKS}*)"
-_LSEG = rf"{_LX}+(?:{_LJOIN}{_LX}+)*(?:(?<=[{_HEB}])[\u0027\u05F3])?"
-_DSEG = rf"\d+(?:[.,;'’]\d+)*"
+_LSEG = rf"{_LX}+(?:{_LJOIN}{_LX}+)*(?:(?<=[{_HEBM}])[\u0027\u05F3])?"
+_DX = rf"(?:\d{_MARKS}*)"  # digits extend with marks too (WB4)
+_DSEG = rf"{_DX}+(?:[.,;'\u2019]{_DX}+)*"
 _TOKEN_RE = re.compile(
     rf"{_EMOJI_SEG}"
     rf"|[{_KATA}]+"
@@ -1383,32 +1409,39 @@ class Analyzer:
             vocab = np.array([_fold_digits(t) for t in vocab], dtype=object)
         if self.kind in ("persian", "sorani", "hindi", "bengali") and len(vocab):
             # pre-stop normalization (these chains filter stopwords AGAINST
-            # the normalized forms). Hindi's/Bengali's keyword marker
-            # precedes the normalizers in the reference, so their
-            # stem_exclusions skip this step too; persian/sorani mark after.
+            # the normalized forms). Hindi's/Bengali's keyword marker sits
+            # between DecimalDigit and IndicNormalization in the reference
+            # — but IndicNormalizationFilter has NO keyword check, only the
+            # language normalizer and stemmer respect the marker. So
+            # excluded terms still get the Indic composition pass (matched
+            # on the pre-Indic form), and skip only the language step;
+            # persian/sorani mark keywords after normalization entirely.
+            indic = None
             if self.kind == "persian":
                 from lucene_ray.functions.stemming import (arabic_normalize,
                                                            persian_normalize)
 
-                norm = lambda t: persian_normalize(arabic_normalize(t))  # noqa: E731
+                lang = lambda t: persian_normalize(arabic_normalize(t))  # noqa: E731
             elif self.kind == "sorani":
                 from lucene_ray.functions.stemming import sorani_normalize
 
-                norm = sorani_normalize
+                lang = sorani_normalize
             elif self.kind == "bengali":
                 from lucene_ray.functions.stemming import (
                     bengali_normalize, indic_normalize_bengali)
 
-                norm = lambda t: bengali_normalize(indic_normalize_bengali(t))  # noqa: E731
+                indic, lang = indic_normalize_bengali, bengali_normalize
             else:
                 from lucene_ray.functions.stemming import (hindi_normalize,
                                                            indic_normalize)
 
-                norm = lambda t: hindi_normalize(indic_normalize(t))  # noqa: E731
+                indic, lang = indic_normalize, hindi_normalize
             excl = (self.stem_exclusions
                     if self.kind in ("hindi", "bengali") else frozenset())
             vocab = np.array(
-                [t if t in excl else norm(t) for t in vocab], dtype=object)
+                [(indic(t) if indic else t) if t in excl
+                 else lang(indic(t) if indic else t) for t in vocab],
+                dtype=object)
         vocab_keep = np.ones(len(vocab), dtype=bool)
         if (self.min_token_length or self.max_token_length) and len(vocab):
             vlens = np.fromiter(map(len, vocab), dtype=np.int32,

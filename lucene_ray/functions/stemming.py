@@ -1041,14 +1041,18 @@ def sorani_stem(w: str) -> str:
 
 # ------------------------------------------------- Hindi (Devanagari)
 
-# IndicNormalizer decomposition rows restricted to the DEVANAGARI flag
-# (in/IndicNormalizer.java:64-229): (ch0, ch1, ch2|-1, composed) relative to
-# base U+0900; ch2 == 0xFF means ZWJ. Exact for the Hindi chain — Hindi
-# text is Devanagari and the reference dispatches rules per script block.
+# IndicNormalizer decomposition rows (in/IndicNormalizer.java:64-229)
+# restricted per script flag — exact for each chain since the reference
+# dispatches rules by the codepoint's script block. (ch0, ch1, ch2|-1,
+# composed) relative to the script base; ch2 == 0xFF means ZWJ. Tables
+# verified complete against the reference source programmatically.
 _HI_DECOMP = (
     (0x05, 0x3E, 0x45, 0x11), (0x05, 0x3E, 0x46, 0x12),
     (0x05, 0x3E, 0x47, 0x13), (0x05, 0x3E, 0x48, 0x14),
     (0x05, 0x3E, -1, 0x06),
+    (0x05, 0x45, -1, 0x72), (0x05, 0x46, -1, 0x04),
+    (0x05, 0x49, -1, 0x11), (0x05, 0x4A, -1, 0x12),
+    (0x05, 0x4B, -1, 0x13), (0x05, 0x4C, -1, 0x14),
     (0x06, 0x45, -1, 0x11), (0x06, 0x46, -1, 0x12),
     (0x06, 0x47, -1, 0x13), (0x06, 0x48, -1, 0x14),
     (0x09, 0x41, -1, 0x0A),
@@ -1063,35 +1067,41 @@ _HI_DECOMP = (
 _HI_DECOMP_FIRST = frozenset(r[0] for r in _HI_DECOMP)
 
 
-def indic_normalize(w: str) -> str:
-    """IndicNormalizer (in/IndicNormalizer.java:236-290), Devanagari rules:
-    compose two/three-codepoint sequences into their canonical form."""
+def _indic_normalize(w: str, base: int, table, first) -> str:
+    """IndicNormalizer (in/IndicNormalizer.java:236-290) scan/compose loop,
+    parameterized by script base and rule table."""
+    hi = base + 0x7F
     s = list(w)
     i = 0
     while i < len(s):
         cp = ord(s[i])
-        if 0x0900 <= cp <= 0x097F and (cp - 0x0900) in _HI_DECOMP_FIRST:
-            ch0 = cp - 0x0900
+        if base <= cp <= hi and (cp - base) in first:
+            ch0 = cp - base
             if i + 1 < len(s):
                 c1 = ord(s[i + 1])
-                if 0x0900 <= c1 <= 0x097F:
-                    ch1 = c1 - 0x0900
+                if base <= c1 <= hi:
+                    ch1 = c1 - base
                     ch2 = -1
                     if i + 2 < len(s):
                         c2 = ord(s[i + 2])
                         if c2 == 0x200D:  # ZWJ
                             ch2 = 0xFF
-                        elif 0x0900 <= c2 <= 0x097F:
-                            ch2 = c2 - 0x0900
-                    for a, b, c, comp in _HI_DECOMP:
+                        elif base <= c2 <= hi:
+                            ch2 = c2 - base
+                    for a, b, c, comp in table:
                         if a == ch0 and b == ch1 and (c < 0 or c == ch2):
-                            s[i] = chr(0x0900 + comp)
+                            s[i] = chr(base + comp)
                             del s[i + 1]
                             if c >= 0:
                                 del s[i + 1]
                             break
         i += 1
     return "".join(s)
+
+
+def indic_normalize(w: str) -> str:
+    """Devanagari-script IndicNormalizer rules (the Hindi chain)."""
+    return _indic_normalize(w, 0x0900, _HI_DECOMP, _HI_DECOMP_FIRST)
 
 
 _HI_MAP = str.maketrans({
@@ -1502,8 +1512,8 @@ def latvian_stem(w: str) -> str:
 
 
 # ------------------------------------------------- Bengali
-# IndicNormalizer rows with the BENGALI flag (base U+0980) — exact for the
-# Bengali chain, same policy as the Devanagari subset for Hindi.
+# IndicNormalizer rows with the BENGALI flag (base U+0980) — complete vs
+# the reference table (verified programmatically).
 _BN_DECOMP = (
     (0x05, 0x3E, -1, 0x06), (0x21, 0x3C, -1, 0x5C), (0x22, 0x3C, -1, 0x5D),
     (0x24, 0x4D, 0xFF, 0x4E), (0x2F, 0x3C, -1, 0x5F),
@@ -1513,33 +1523,8 @@ _BN_DECOMP_FIRST = frozenset(r[0] for r in _BN_DECOMP)
 
 
 def indic_normalize_bengali(w: str) -> str:
-    """IndicNormalizer (in/IndicNormalizer.java), Bengali-script rules."""
-    s = list(w)
-    i = 0
-    while i < len(s):
-        cp = ord(s[i])
-        if 0x0980 <= cp <= 0x09FF and (cp - 0x0980) in _BN_DECOMP_FIRST:
-            ch0 = cp - 0x0980
-            if i + 1 < len(s):
-                c1 = ord(s[i + 1])
-                if 0x0980 <= c1 <= 0x09FF:
-                    ch1 = c1 - 0x0980
-                    ch2 = -1
-                    if i + 2 < len(s):
-                        c2 = ord(s[i + 2])
-                        if c2 == 0x200D:
-                            ch2 = 0xFF
-                        elif 0x0980 <= c2 <= 0x09FF:
-                            ch2 = c2 - 0x0980
-                    for a, b, c, comp in _BN_DECOMP:
-                        if a == ch0 and b == ch1 and (c < 0 or c == ch2):
-                            s[i] = chr(0x0980 + comp)
-                            del s[i + 1]
-                            if c >= 0:
-                                del s[i + 1]
-                            break
-        i += 1
-    return "".join(s)
+    """Bengali-script IndicNormalizer rules (the Bengali chain)."""
+    return _indic_normalize(w, 0x0980, _BN_DECOMP, _BN_DECOMP_FIRST)
 
 
 def bengali_normalize(w: str) -> str:

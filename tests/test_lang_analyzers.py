@@ -750,3 +750,36 @@ def test_latvian_bengali_analyzer_chains():
     for kind, word in [("latvian", "tirgiem"), ("bengali", "বাড়ী")]:
         an = get_analyzer(kind)
         assert an.normalize(word) == _an(an, word)[0]
+
+
+# ------------------------------------------- round-2 review regressions
+
+
+def test_indic_normalize_letter_a_matra_rows():
+    # the six letter-A + matra rows (0x05+0x45/46/49/4A/4B/4C) compose
+    for inp, exp in [("अॅ", "ॲ"), ("अॆ", "ऄ"), ("अो", "ओ"),
+                     ("अॉ", "ऑ"), ("अौ", "औ"), ("अॊ", "ऒ")]:
+        assert indic_normalize(inp) == exp
+
+
+def test_hindi_exclusion_still_gets_indic_normalization():
+    # IndicNormalizationFilter has no keyword check in the reference — an
+    # excluded term skips only HindiNormalizer + stemmer
+    dec = "क़िताब"        # ka + nukta (decomposed) ...
+    comp = indic_normalize(dec)
+    assert comp != dec     # ... composes to the precomposed qa
+    a = get_analyzer("hindi", stem_exclusions=frozenset([dec]))
+    assert _an(a, dec) == [comp]
+
+
+def test_hebrew_niqqud_with_gershayim_one_token():
+    a = get_analyzer("standard")
+    # acronym with a vowel point before the gershayim stays ONE token (WB4)
+    assert _an(a, "מִ״ם") == ["מִ״ם"]
+    # final geresh after a pointed letter kept
+    assert _an(a, "צִ'") == ["צִ'"]
+
+
+def test_digits_extend_with_marks():
+    a = get_analyzer("standard")
+    assert _an(a, "1́2") == ["1́2"]
