@@ -560,6 +560,24 @@ def _fold_digits(w: str) -> str:
         for c in w)
 
 
+# Language kinds that tokenize with the StandardTokenizer and run all
+# their extra filters (stop/elision/normalize/stem) at VOCAB level — which
+# makes the ASCII-simple Arrow fast path equally exact for them. A new
+# language kind MUST be added here (and to _PRE_STOP_NORM_KINDS if it
+# normalizes before the stop filter); _stem_fn refuses kinds in this set
+# without a registered stemmer, so a missed registration fails loudly
+# instead of silently Porter-stemming.
+_STANDARD_LANG_KINDS = frozenset({
+    "english", "german", "french", "spanish", "italian", "portuguese",
+    "russian_light", "swedish_light", "finnish_light", "hungarian_light",
+    "arabic", "persian", "sorani", "hindi", "bulgarian", "indonesian",
+    "czech", "norwegian_light", "latvian", "bengali",
+})
+# kinds whose normalizers run BEFORE the stop filter (stopwords match the
+# normalized forms) — these merge vocab entries, so they also force the
+# post-transform re-intern
+_PRE_STOP_NORM_KINDS = frozenset({"persian", "sorani", "hindi", "bengali"})
+
 _SEP = "\x00"  # never inside a token
 
 
@@ -845,6 +863,10 @@ class Analyzer:
             from lucene_ray.functions.stemming import bengali_stem
 
             return bengali_stem
+        if self.kind in _STANDARD_LANG_KINDS and self.kind != "english":
+            raise ValueError(
+                f"language kind {self.kind!r} is registered but has no "
+                "stemmer branch in _stem_fn")
         from lucene_ray.functions.stemming import porter_stem
 
         return porter_stem
@@ -1018,12 +1040,8 @@ class Analyzer:
                 # StandardTokenizer; their extra filters (stop/elision/stem)
                 # run at vocab level AFTER tokenization, so the ASCII-simple
                 # fast path is equally exact for them.
-                if not safe and self.kind in (
-                        "standard", "german", "french", "spanish", "italian",
-                        "portuguese", "russian_light", "swedish_light",
-                        "finnish_light", "hungarian_light", "arabic",
-                        "hindi", "bulgarian", "indonesian", "czech",
-                        "norwegian_light", "latvian", "bengali"):
+                if not safe and (self.kind == "standard"
+                                 or self.kind in _STANDARD_LANG_KINDS):
                     m = pc.match_substring_regex(arr, self._ARROW_SAFE_RE)
                     safe = bool(pc.all(pc.fill_null(m, False)).as_py()) and arr.null_count == 0
                 if safe:
@@ -1407,7 +1425,7 @@ class Analyzer:
             vocab = np.array([ascii_fold(t) for t in vocab], dtype=object)
         if self.decimal_digit and len(vocab):
             vocab = np.array([_fold_digits(t) for t in vocab], dtype=object)
-        if self.kind in ("persian", "sorani", "hindi", "bengali") and len(vocab):
+        if self.kind in _PRE_STOP_NORM_KINDS and len(vocab):
             # pre-stop normalization (these chains filter stopwords AGAINST
             # the normalized forms). Hindi's/Bengali's keyword marker sits
             # between DecimalDigit and IndicNormalization in the reference
@@ -1473,8 +1491,7 @@ class Analyzer:
                 [t if t in excl else stem_fn(t) for t in vocab], dtype=object)
         if (self.stem or self.possessive or self.ascii_folding
                 or self.elision or self.decimal_digit
-                or self.kind in ("persian", "sorani", "hindi",
-                                 "bengali")) and len(vocab):
+                or self.kind in _PRE_STOP_NORM_KINDS) and len(vocab):
             # transforms can merge vocab entries — re-intern (decimal-digit
             # folding and the persian/sorani normalizers merge too: e.g.
             # arabic kaf and farsi keheh fold to one term)
