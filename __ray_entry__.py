@@ -1801,6 +1801,40 @@ def _q_payload_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, qs)
 
 
+KEYWORD_QUERIES = ("src3 en", "src7 de", "src11 fr", "src19 zh")
+
+
+def _q_keyword_exact_count(sf_dir: str) -> pa.Table:
+    """KeywordAnalyzer end-to-end (core/.../core/KeywordAnalyzer.java): the
+    WHOLE ``source + ' ' + lang`` string — space included — is one token,
+    so only byte-exact TermQuery matches hit; case preserved, no
+    tokenization."""
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import TermQuery
+    from lucene_ray.searcher import IndexSearcher
+    from lucene_ray.state.manifest import Manifest
+
+    d = _cache_dir(sf_dir, "gatekeyword")
+    if not Manifest.exists(d):
+        import pyarrow.compute as pc
+
+        def combine(batch: pa.Table) -> pa.Table:
+            joined = pc.binary_join_element_wise(
+                batch.column("source"), batch.column("lang"), " ")
+            return batch.append_column("srclang", joined)
+
+        ds = _docs_ds(sf_dir, columns=("doc_id", "source", "lang")).map_batches(
+            combine, batch_format="pyarrow")
+        build_index(ds, d, key_col="doc_id", text_col="srclang",
+                    num_partitions=2, analyzer="keyword")
+    s = IndexSearcher(d, mode="exact")
+    return pa.table({
+        "query": pa.array(list(KEYWORD_QUERIES), type=pa.string()),
+        "n": pa.array([s.count(TermQuery(q)) for q in KEYWORD_QUERIES],
+                      type=pa.int64()),
+    })
+
+
 def _sorted_gate_index(sf_dir: str) -> str:
     """Gate index with setIndexSort(n_chars desc): docIDs assigned in
     (n_chars desc, doc_id) order so sorted-field top-k early-terminates
@@ -3706,6 +3740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_filter_topk": _q_char_filter_topk,  # MappingCharFilter (r4)
         "wdgf_topk": _q_wdgf_topk,  # WordDelimiterGraphFilter (r4)
         "payload_topk": _q_payload_topk,  # PayloadScoreQuery (r4)
+        "keyword_exact_count": _q_keyword_exact_count,  # KeywordAnalyzer (r4)
     }
 
 
@@ -3797,6 +3832,14 @@ ranked AS (
   FROM scored
 )
 SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
+""",
+        # keyword analyzer: one whole-string token, byte-exact match
+        "keyword_exact_count": f"""
+WITH q(query) AS (VALUES {", ".join(f"('{q}')" for q in KEYWORD_QUERIES)})
+SELECT q.query,
+       (SELECT count(*) FROM documents d
+        WHERE d.source || ' ' || d.lang = q.query) AS n
+FROM q
 """,
         "quality_scores": _SQL_QUALITY,
         "fingerprint": _SQL_FINGERPRINT,
