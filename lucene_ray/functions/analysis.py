@@ -435,6 +435,17 @@ BENGALI_STOP_WORDS = frozenset(
     যাওয়া রকম সাধারণ কমনে""".split()
 )
 
+# el/stopwords.txt verbatim (already in GreekLowerCase-folded form —
+# the reference applies StopFilter after GreekLowerCaseFilter).
+GREEK_STOP_WORDS = frozenset(
+    """ο η το οι τα του τησ των τον την και κι κ ειμαι εισαι ειναι ειμαστε
+    ειστε στο στον στη στην μα αλλα απο για προσ με σε ωσ παρα αντι κατα
+    μετα θα να δε δεν μη μην επι ενω εαν αν τοτε που πωσ ποιοσ ποια ποιο
+    ποιοι ποιεσ ποιων ποιουσ αυτοσ αυτη αυτο αυτοι αυτων αυτουσ αυτεσ αυτα
+    εκεινοσ εκεινη εκεινο εκεινοι εκεινεσ εκεινα εκεινων εκεινουσ οπωσ
+    ομωσ ισωσ οσο οτι""".split()
+)
+
 # UAX#29-approximating word pattern, mirroring the JFlex WORD rule structure
 # (StandardTokenizerImpl.jflex:240-255):
 #   letter-runs joined by MidLetter∪MidNumLet∪SingleQuote ≈ [.:'’·],
@@ -571,12 +582,13 @@ _STANDARD_LANG_KINDS = frozenset({
     "english", "german", "french", "spanish", "italian", "portuguese",
     "russian_light", "swedish_light", "finnish_light", "hungarian_light",
     "arabic", "persian", "sorani", "hindi", "bulgarian", "indonesian",
-    "czech", "norwegian_light", "latvian", "bengali",
+    "czech", "norwegian_light", "latvian", "bengali", "greek",
 })
 # kinds whose normalizers run BEFORE the stop filter (stopwords match the
 # normalized forms) — these merge vocab entries, so they also force the
 # post-transform re-intern
-_PRE_STOP_NORM_KINDS = frozenset({"persian", "sorani", "hindi", "bengali"})
+_PRE_STOP_NORM_KINDS = frozenset(
+    {"persian", "sorani", "hindi", "bengali", "greek"})
 
 _SEP = "\x00"  # never inside a token
 
@@ -756,6 +768,12 @@ class Analyzer:
             self.stop_words = self.stop_words or BENGALI_STOP_WORDS
             self.stem = True
             self.decimal_digit = True
+        elif self.kind == "greek":
+            # el/GreekAnalyzer.java:94-100: StandardTokenizer →
+            # GreekLowerCase (final sigma + diacritic fold, runs pre-stop:
+            # the stop list is in folded form) → Stop → GreekStem
+            self.stop_words = self.stop_words or GREEK_STOP_WORDS
+            self.stem = True
         elif self.kind == "czech":
             # cz/CzechAnalyzer.java: StandardTokenizer → LowerCase → Stop →
             # CzechStem (Dolamic-Savoy light)
@@ -863,6 +881,10 @@ class Analyzer:
             from lucene_ray.functions.stemming import bengali_stem
 
             return bengali_stem
+        if self.kind == "greek":
+            from lucene_ray.functions.stemming import greek_stem
+
+            return greek_stem
         if self.kind in _STANDARD_LANG_KINDS and self.kind != "english":
             raise ValueError(
                 f"language kind {self.kind!r} is registered but has no "
@@ -919,6 +941,10 @@ class Analyzer:
                 bengali_normalize, indic_normalize_bengali)
 
             t = bengali_normalize(indic_normalize_bengali(t))
+        elif self.kind == "greek":
+            from lucene_ray.functions.stemming import greek_lowercase
+
+            t = greek_lowercase(t)
         if self.ascii_folding:
             from lucene_ray.functions.stemming import ascii_fold
 
@@ -1449,6 +1475,10 @@ class Analyzer:
                     bengali_normalize, indic_normalize_bengali)
 
                 indic, lang = indic_normalize_bengali, bengali_normalize
+            elif self.kind == "greek":
+                from lucene_ray.functions.stemming import greek_lowercase
+
+                lang = greek_lowercase
             else:
                 from lucene_ray.functions.stemming import (hindi_normalize,
                                                            indic_normalize)

@@ -1657,3 +1657,412 @@ def bengali_stem(w: str) -> str:
     if L > 2 and w.endswith(_BN_SUF1):
         return w[:-1]
     return w
+
+
+# ------------------------------------------------- Greek (Ntais/Saroukos)
+
+_EL_FOLD = str.maketrans({"ς": "σ", "ά": "α", "έ": "ε", "ή": "η",
+                          "ί": "ι", "ϊ": "ι", "ΐ": "ι",
+                          "ύ": "υ", "ϋ": "υ", "ΰ": "υ",
+                          "ό": "ο", "ώ": "ω"})
+
+
+def greek_lowercase(w: str) -> str:
+    """GreekLowerCaseFilter (el/GreekLowerCaseFilter.java:49-113) applied
+    AFTER str.lower(): final sigma → sigma, tonos/dialytika diacritics
+    stripped (capital forms already lowered to the small-with-diacritic
+    forms this table folds)."""
+    return w.lower().translate(_EL_FOLD)
+
+
+_EL_VOWELS = frozenset("αεηιουω")
+_EL_VOWELS_NO_Y = frozenset("αεηιοω")
+
+_EL_EXC4 = frozenset(["θ", "δ", "ελ", "γαλ", "ν", "π", "ιδ", "παρ"])
+_EL_EXC6 = frozenset([
+    "αλ", "αδ", "ενδ", "αμαν", "αμμοχαλ", "ηθ", "ανηθ", "αντιδ", "φυσ",
+    "βρωμ", "γερ", "εξωδ", "καλπ", "καλλιν", "καταδ", "μουλ", "μπαν",
+    "μπαγιατ", "μπολ", "μποσ", "νιτ", "ξικ", "συνομηλ", "πετσ", "πιτσ",
+    "πικαντ", "πλιατσ", "ποστελν", "πρωτοδ", "σερτ", "συναδ", "τσαμ",
+    "υποδ", "φιλον", "φυλοδ", "χασ"])
+_EL_EXC7 = frozenset(["αναπ", "αποθ", "αποκ", "αποστ", "βουβ", "ξεθ", "ουλ",
+                      "πεθ", "πικρ", "ποτ", "σιχ", "χ"])
+_EL_EXC8A = frozenset(["τρ", "τσ"])
+_EL_EXC8B = frozenset([
+    "βετερ", "βουλκ", "βραχμ", "γ", "δραδουμ", "θ", "καλπουζ", "καστελ",
+    "κορμορ", "λαοπλ", "μωαμεθ", "μ", "μουσουλμ", "ν", "ουλ", "π",
+    "πελεκ", "πλ", "πολισ", "πορτολ", "σαρακατσ", "σουλτ", "τσαρλατ",
+    "ορφ", "τσιγγ", "τσοπ", "φωτοστεφ", "χ", "ψυχοπλ", "αγ", "γαλ",
+    "γερ", "δεκ", "διπλ", "αμερικαν", "ουρ", "πιθ", "πουριτ", "σ",
+    "ζωντ", "ικ", "καστ", "κοπ", "λιχ", "λουθηρ", "μαιντ", "μελ", "σιγ",
+    "σπ", "στεγ", "τραγ", "τσαγ", "φ", "ερ", "αδαπ", "αθιγγ", "αμηχ",
+    "ανικ", "ανοργ", "απηγ", "απιθ", "ατσιγγ", "βασ", "βασκ", "βαθυγαλ",
+    "βιομηχ", "βραχυκ", "διατ", "διαφ", "ενοργ", "θυσ", "καπνοβιομηχ",
+    "καταγαλ", "κλιβ", "κοιλαρφ", "λιβ", "μεγλοβιομηχ", "μικροβιομηχ",
+    "νταβ", "ξηροκλιβ", "ολιγοδαμ", "ολογαλ", "πενταρφ", "περηφ",
+    "περιτρ", "πλατ", "πολυδαπ", "πολυμηχ", "στεφ", "ταβ", "τετ",
+    "υπερηφ", "υποκοπ", "χαμηλοδαπ", "ψηλοταβ"])
+_EL_EXC9 = frozenset([
+    "αβαρ", "βεν", "εναρ", "αβρ", "αδ", "αθ", "αν", "απλ", "βαρον",
+    "ντρ", "σκ", "κοπ", "μπορ", "νιφ", "παγ", "παρακαλ", "σερπ", "σκελ",
+    "συρφ", "τοκ", "υ", "δ", "εμ", "θαρρ", "θ"])
+_EL_EXC12A = frozenset(["π", "απ", "συμπ", "ασυμπ", "ακαταπ", "αμεταμφ"])
+_EL_EXC12B = frozenset(["αλ", "αρ", "εκτελ", "ζ", "μ", "ξ", "παρακαλ",
+                        "προ", "νισ"])
+_EL_EXC13 = frozenset(["διαθ", "θ", "παρακαταθ", "προσθ", "συνθ"])
+_EL_EXC14 = frozenset([
+    "φαρμακ", "χαδ", "αγκ", "αναρρ", "βρομ", "εκλιπ", "λαμπιδ", "λεχ",
+    "μ", "πατ", "ρ", "λ", "μεδ", "μεσαζ", "υποτειν", "αμ", "αιθ",
+    "ανηκ", "δεσποζ", "ενδιαφερ", "δε", "δευτερευ", "καθαρευ", "πλε",
+    "τσα"])
+_EL_EXC15A = frozenset([
+    "αβαστ", "πολυφ", "αδηφ", "παμφ", "ρ", "ασπ", "αφ", "αμαλ",
+    "αμαλλι", "ανυστ", "απερ", "ασπαρ", "αχαρ", "δερβεν", "δροσοπ",
+    "ξεφ", "νεοπ", "νομοτ", "ολοπ", "ομοτ", "προστ", "προσωποπ",
+    "συμπ", "συντ", "τ", "υποτ", "χαρ", "αειπ", "αιμοστ", "ανυπ",
+    "αποτ", "αρτιπ", "διατ", "εν", "επιτ", "κροκαλοπ", "σιδηροπ", "λ",
+    "ναυ", "ουλαμ", "ουρ", "π", "τρ", "μ"])
+_EL_EXC15B = frozenset(["ψοφ", "ναυλοχ"])
+_EL_EXC16 = frozenset(["ν", "χερσον", "δωδεκαν", "ερημον", "μεγαλον",
+                       "επταν"])
+_EL_EXC17 = frozenset(["ασβ", "σβ", "αχρ", "χρ", "απλ", "αειμν", "δυσχρ",
+                       "ευχρ", "κοινοχρ", "παλιμψ"])
+_EL_EXC18 = frozenset(["ν", "ρ", "σπι", "στραβομουτσ", "κακομουτσ", "εξων"])
+_EL_EXC19 = frozenset(["παρασουσ", "φ", "χ", "ωριοπλ", "αζ", "αλλοσουσ",
+                       "ασουσ"])
+
+
+def greek_stem(w: str) -> str:  # noqa: C901 — rule-per-rule reference port
+    """GreekStemmer (el/GreekStemmer.java:42-883): Ntais' stemmer with the
+    Saroukos extensions — 22 ordered rules with per-rule exception sets
+    (full-stem matches) and add-back suffixes, ported expression-for-
+    expression (including the reference's own || precedence quirks in
+    rules 0 and 8)."""
+    if len(w) < 4:
+        return w
+    s = list(w)
+    L = len(s)
+    orig = L
+
+    def ew(n, suf):
+        return _ew(s, n, suf)
+
+    def word(n):
+        return "".join(s[:n])
+
+    def vowel(n):
+        return n > 0 and s[n - 1] in _EL_VOWELS
+
+    def vowel_no_y(n):
+        return n > 0 and s[n - 1] in _EL_VOWELS_NO_Y
+
+    # rule 0
+    if L > 9 and (ew(L, "καθεστωτοσ") or ew(L, "καθεστωτων")):
+        L -= 4
+    elif L > 8 and (ew(L, "γεγονοτοσ") or ew(L, "γεγονοτων")):
+        L -= 4
+    elif L > 8 and ew(L, "καθεστωτα"):
+        L -= 3
+    elif L > 7 and (ew(L, "τατογιου") or ew(L, "τατογιων")):
+        L -= 4
+    elif L > 7 and ew(L, "γεγονοτα"):
+        L -= 3
+    elif L > 7 and ew(L, "καθεστωσ"):
+        L -= 2
+    elif ((L > 6 and ew(L, "σκαγιου")) or ew(L, "σκαγιων") or ew(L, "ολογιου")
+          or ew(L, "ολογιων") or ew(L, "κρεατοσ") or ew(L, "κρεατων")
+          or ew(L, "περατοσ") or ew(L, "περατων") or ew(L, "τερατοσ")
+          or ew(L, "τερατων")):
+        L -= 4
+    elif L > 6 and ew(L, "τατογια"):
+        L -= 3
+    elif L > 6 and ew(L, "γεγονοσ"):
+        L -= 2
+    elif L > 5 and (ew(L, "φαγιου") or ew(L, "φαγιων") or ew(L, "σογιου")
+                    or ew(L, "σογιων")):
+        L -= 4
+    elif L > 5 and (ew(L, "σκαγια") or ew(L, "ολογια") or ew(L, "κρεατα")
+                    or ew(L, "περατα") or ew(L, "τερατα")):
+        L -= 3
+    elif L > 4 and (ew(L, "φαγια") or ew(L, "σογια") or ew(L, "φωτοσ")
+                    or ew(L, "φωτων")):
+        L -= 3
+    elif L > 4 and (ew(L, "κρεασ") or ew(L, "περασ") or ew(L, "τερασ")):
+        L -= 2
+    elif L > 3 and ew(L, "φωτα"):
+        L -= 2
+    elif L > 2 and ew(L, "φωσ"):
+        L -= 1
+
+    # rule 1
+    if L > 4 and (ew(L, "αδεσ") or ew(L, "αδων")):
+        L -= 4
+        if not (ew(L, "οκ") or ew(L, "μαμ") or ew(L, "μαν") or ew(L, "μπαμπ")
+                or ew(L, "πατερ") or ew(L, "γιαγι") or ew(L, "νταντ")
+                or ew(L, "κυρ") or ew(L, "θει") or ew(L, "πεθερ")):
+            L += 2  # add back -αδ
+    # rule 2
+    if L > 4 and (ew(L, "εδεσ") or ew(L, "εδων")):
+        L -= 4
+        if (ew(L, "οπ") or ew(L, "ιπ") or ew(L, "εμπ") or ew(L, "υπ")
+                or ew(L, "γηπ") or ew(L, "δαπ") or ew(L, "κρασπ")
+                or ew(L, "μιλ")):
+            L += 2  # add back -εδ
+    # rule 3
+    if L > 5 and (ew(L, "ουδεσ") or ew(L, "ουδων")):
+        L -= 5
+        if (ew(L, "αρκ") or ew(L, "καλιακ") or ew(L, "πεταλ") or ew(L, "λιχ")
+                or ew(L, "πλεξ") or ew(L, "σκ") or ew(L, "σ") or ew(L, "φλ")
+                or ew(L, "φρ") or ew(L, "βελ") or ew(L, "λουλ")
+                or ew(L, "χν") or ew(L, "σπ") or ew(L, "τραγ")
+                or ew(L, "φε")):
+            L += 3  # add back -ουδ
+    # rule 4
+    if L > 3 and (ew(L, "εωσ") or ew(L, "εων")):
+        L -= 3
+        if word(L) in _EL_EXC4:
+            L += 1  # add back -ε
+    # rule 5
+    if L > 2 and ew(L, "ια"):
+        L -= 2
+        if vowel(L):
+            L += 1  # add back -ι
+    elif L > 3 and (ew(L, "ιου") or ew(L, "ιων")):
+        L -= 3
+        if vowel(L):
+            L += 1
+    # rule 6
+    removed = False
+    if L > 3 and (ew(L, "ικα") or ew(L, "ικο")):
+        L -= 3
+        removed = True
+    elif L > 4 and (ew(L, "ικου") or ew(L, "ικων")):
+        L -= 4
+        removed = True
+    if removed and (vowel(L) or word(L) in _EL_EXC6):
+        L += 2  # add back -ικ
+    # rule 7
+    if L == 5 and ew(L, "αγαμε"):
+        L -= 1
+    else:
+        if L > 7 and ew(L, "ηθηκαμε"):
+            L -= 7
+        elif L > 6 and ew(L, "ουσαμε"):
+            L -= 6
+        elif L > 5 and (ew(L, "αγαμε") or ew(L, "ησαμε") or ew(L, "ηκαμε")):
+            L -= 5
+        if L > 3 and ew(L, "αμε"):
+            L -= 3
+            if word(L) in _EL_EXC7:
+                L += 2  # add back -αμ
+    # rule 8 (the ||-precedence quirks kept verbatim)
+    removed = False
+    if L > 8 and ew(L, "ιουντανε"):
+        L -= 8
+        removed = True
+    elif (L > 7 and ew(L, "ιοντανε")) or ew(L, "ουντανε") or ew(L, "ηθηκανε"):
+        L -= 7
+        removed = True
+    elif (L > 6 and ew(L, "ιοτανε")) or ew(L, "οντανε") or ew(L, "ουσανε"):
+        L -= 6
+        removed = True
+    elif (L > 5 and ew(L, "αγανε")) or ew(L, "ησανε") or ew(L, "οτανε") \
+            or ew(L, "ηκανε"):
+        L -= 5
+        removed = True
+    if removed and word(L) in _EL_EXC8A:
+        L += 4
+        s[L - 4:L] = ["α", "γ", "α", "ν"]
+    if L > 3 and ew(L, "ανε"):
+        L -= 3
+        if vowel_no_y(L) or word(L) in _EL_EXC8B:
+            L += 2  # add back -αν
+    # rule 9
+    if L > 5 and ew(L, "ησετε"):
+        L -= 5
+    if L > 3 and ew(L, "ετε"):
+        L -= 3
+        if (word(L) in _EL_EXC9 or vowel_no_y(L) or ew(L, "οδ")
+                or ew(L, "αιρ") or ew(L, "φορ") or ew(L, "ταθ")
+                or ew(L, "διαθ") or ew(L, "σχ") or ew(L, "ενδ")
+                or ew(L, "ευρ") or ew(L, "τιθ") or ew(L, "υπερθ")
+                or ew(L, "ραθ") or ew(L, "ενθ") or ew(L, "ροθ")
+                or ew(L, "σθ") or ew(L, "πυρ") or ew(L, "αιν")
+                or ew(L, "συνδ") or ew(L, "συν") or ew(L, "συνθ")
+                or ew(L, "χωρ") or ew(L, "πον") or ew(L, "βρ")
+                or ew(L, "καθ") or ew(L, "ευθ") or ew(L, "εκθ")
+                or ew(L, "νετ") or ew(L, "ρον") or ew(L, "αρκ")
+                or ew(L, "βαρ") or ew(L, "βολ") or ew(L, "ωφελ")):
+            L += 2  # add back -ετ
+    # rule 10
+    if L > 5 and (ew(L, "οντασ") or ew(L, "ωντασ")):
+        L -= 5
+        if L == 3 and ew(L, "αρχ"):
+            L += 3
+            s[L - 3] = "ο"
+            s[L - 2] = "ν"
+            s[L - 1] = "τ"
+        if ew(L, "κρε"):
+            L += 3
+            s[L - 3] = "ω"
+            s[L - 2] = "ν"
+            s[L - 1] = "τ"
+    # rule 11
+    if L > 6 and ew(L, "ομαστε"):
+        L -= 6
+        if L == 2 and ew(L, "ον"):
+            L += 5  # add back -ομαστ
+            s[L - 5:L] = ["ο", "μ", "α", "σ", "τ"]
+    elif L > 7 and ew(L, "ιομαστε"):
+        L -= 7
+        if L == 2 and ew(L, "ον"):
+            L += 5
+            s[L - 5:L] = ["ο", "μ", "α", "σ", "τ"]
+    # rule 12
+    if L > 5 and ew(L, "ιεστε"):
+        L -= 5
+        if word(L) in _EL_EXC12A:
+            L += 4  # add back -ιεστ
+    if L > 4 and ew(L, "εστε"):
+        L -= 4
+        if word(L) in _EL_EXC12B:
+            L += 3  # add back -εστ
+    # rule 13
+    if L > 6 and ew(L, "ηθηκεσ"):
+        L -= 6
+    elif L > 5 and (ew(L, "ηθηκα") or ew(L, "ηθηκε")):
+        L -= 5
+    removed = False
+    if L > 4 and ew(L, "ηκεσ"):
+        L -= 4
+        removed = True
+    elif L > 3 and (ew(L, "ηκα") or ew(L, "ηκε")):
+        L -= 3
+        removed = True
+    if removed and (word(L) in _EL_EXC13 or ew(L, "σκωλ") or ew(L, "σκουλ")
+                    or ew(L, "ναρθ") or ew(L, "σφ") or ew(L, "οθ")
+                    or ew(L, "πιθ")):
+        L += 2  # add back -ηκ
+    # rule 14
+    removed = False
+    if L > 5 and ew(L, "ουσεσ"):
+        L -= 5
+        removed = True
+    elif L > 4 and (ew(L, "ουσα") or ew(L, "ουσε")):
+        L -= 4
+        removed = True
+    if removed and (word(L) in _EL_EXC14 or vowel(L) or ew(L, "ποδαρ")
+                    or ew(L, "βλεπ") or ew(L, "πανταχ") or ew(L, "φρυδ")
+                    or ew(L, "μαντιλ") or ew(L, "μαλλ") or ew(L, "κυματ")
+                    or ew(L, "λαχ") or ew(L, "ληγ") or ew(L, "φαγ")
+                    or ew(L, "ομ") or ew(L, "πρωτ")):
+        L += 3  # add back -ουσ
+    # rule 15
+    removed = False
+    if L > 4 and ew(L, "αγεσ"):
+        L -= 4
+        removed = True
+    elif L > 3 and (ew(L, "αγα") or ew(L, "αγε")):
+        L -= 3
+        removed = True
+    if removed:
+        cond1 = (word(L) in _EL_EXC15A or ew(L, "οφ") or ew(L, "πελ")
+                 or ew(L, "χορτ") or ew(L, "λλ") or ew(L, "σφ")
+                 or ew(L, "ρπ") or ew(L, "φρ") or ew(L, "πρ")
+                 or ew(L, "λοχ") or ew(L, "σμην"))
+        cond2 = word(L) in _EL_EXC15B or ew(L, "κολλ")
+        if cond1 and not cond2:
+            L += 2  # add back -αγ
+    # rule 16
+    removed = False
+    if L > 4 and ew(L, "ησου"):
+        L -= 4
+        removed = True
+    elif L > 3 and (ew(L, "ησε") or ew(L, "ησα")):
+        L -= 3
+        removed = True
+    if removed and word(L) in _EL_EXC16:
+        L += 2  # add back -ησ
+    # rule 17
+    if L > 4 and ew(L, "ηστε"):
+        L -= 4
+        if word(L) in _EL_EXC17:
+            L += 3  # add back -ηστ
+    # rule 18
+    removed = False
+    if L > 6 and (ew(L, "ησουνε") or ew(L, "ηθουνε")):
+        L -= 6
+        removed = True
+    elif L > 4 and ew(L, "ουνε"):
+        L -= 4
+        removed = True
+    if removed and word(L) in _EL_EXC18:
+        L += 3
+        s[L - 3:L] = ["ο", "υ", "ν"]
+    # rule 19
+    removed = False
+    if L > 6 and (ew(L, "ησουμε") or ew(L, "ηθουμε")):
+        L -= 6
+        removed = True
+    elif L > 4 and ew(L, "ουμε"):
+        L -= 4
+        removed = True
+    if removed and word(L) in _EL_EXC19:
+        L += 3
+        s[L - 3:L] = ["ο", "υ", "μ"]
+    # rule 20
+    if L > 5 and (ew(L, "ματων") or ew(L, "ματοσ")):
+        L -= 3
+    elif L > 4 and ew(L, "ματα"):
+        L -= 2
+    # rule 21 (the long list) only when nothing above fired
+    if L == orig:
+        if L > 9 and ew(L, "ιοντουσαν"):
+            L -= 9
+        elif L > 8 and (ew(L, "ιομασταν") or ew(L, "ιοσασταν")
+                        or ew(L, "ιουμαστε") or ew(L, "οντουσαν")):
+            L -= 8
+        elif L > 7 and (ew(L, "ιεμαστε") or ew(L, "ιεσαστε")
+                        or ew(L, "ιομουνα") or ew(L, "ιοσαστε")
+                        or ew(L, "ιοσουνα") or ew(L, "ιουνται")
+                        or ew(L, "ιουνταν") or ew(L, "ηθηκατε")
+                        or ew(L, "ομασταν") or ew(L, "οσασταν")
+                        or ew(L, "ουμαστε")):
+            L -= 7
+        elif L > 6 and (ew(L, "ιομουν") or ew(L, "ιονταν") or ew(L, "ιοσουν")
+                        or ew(L, "ηθειτε") or ew(L, "ηθηκαν")
+                        or ew(L, "ομουνα") or ew(L, "οσαστε")
+                        or ew(L, "οσουνα") or ew(L, "ουνται")
+                        or ew(L, "ουνταν") or ew(L, "ουσατε")):
+            L -= 6
+        elif L > 5 and (ew(L, "αγατε") or ew(L, "ιεμαι") or ew(L, "ιεται")
+                        or ew(L, "ιεσαι") or ew(L, "ιοταν") or ew(L, "ιουμα")
+                        or ew(L, "ηθεισ") or ew(L, "ηθουν") or ew(L, "ηκατε")
+                        or ew(L, "ησατε") or ew(L, "ησουν") or ew(L, "ομουν")
+                        or ew(L, "ονται") or ew(L, "ονταν") or ew(L, "οσουν")
+                        or ew(L, "ουμαι") or ew(L, "ουσαν")):
+            L -= 5
+        elif L > 4 and (ew(L, "αγαν") or ew(L, "αμαι") or ew(L, "ασαι")
+                        or ew(L, "αται") or ew(L, "ειτε") or ew(L, "εσαι")
+                        or ew(L, "εται") or ew(L, "ηδεσ") or ew(L, "ηδων")
+                        or ew(L, "ηθει") or ew(L, "ηκαν") or ew(L, "ησαν")
+                        or ew(L, "ησει") or ew(L, "ησεσ") or ew(L, "ομαι")
+                        or ew(L, "οταν")):
+            L -= 4
+        elif L > 3 and (ew(L, "αει") or ew(L, "εισ") or ew(L, "ηθω")
+                        or ew(L, "ησω") or ew(L, "ουν") or ew(L, "ουσ")):
+            L -= 3
+        elif L > 2 and (ew(L, "αν") or ew(L, "ασ") or ew(L, "αω")
+                        or ew(L, "ει") or ew(L, "εσ") or ew(L, "ησ")
+                        or ew(L, "οι") or ew(L, "οσ") or ew(L, "ου")
+                        or ew(L, "υσ") or ew(L, "ων")):
+            L -= 2
+        elif L > 1 and vowel(L):
+            L -= 1
+    # rule 22
+    if ew(L, "εστερ") or ew(L, "εστατ"):
+        L -= 5
+    elif (ew(L, "οτερ") or ew(L, "οτατ") or ew(L, "υτερ") or ew(L, "υτατ")
+          or ew(L, "ωτερ") or ew(L, "ωτατ")):
+        L -= 4
+    return "".join(s[:L])

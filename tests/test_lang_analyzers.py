@@ -783,3 +783,32 @@ def test_hebrew_niqqud_with_gershayim_one_token():
 def test_digits_extend_with_marks():
     a = get_analyzer("standard")
     assert _an(a, "1́2") == ["1́2"]
+
+
+# ======================================================= Greek
+# (el/TestGreekStemmer.java — ALL 342 checkOneTerm cases verified
+# programmatically through the GreekLowerCase + stem pair).
+
+from lucene_ray.functions.stemming import greek_lowercase, greek_stem
+
+
+def test_greek_stem_all_reference_cases():
+    cases = _java_cases("el/TestGreekStemmer.java")
+    assert len(cases) > 300
+    fn = lambda w: greek_stem(greek_lowercase(w))  # noqa: E731
+    mismatches = [(i, e, fn(i)) for i, e in cases if fn(i) != e]
+    assert mismatches == []
+
+
+def test_greek_lowercase():
+    # final sigma folds, tonos/dialytika strip (TestGreekAnalyzer cases)
+    assert greek_lowercase("ΜΊΑ") == "μια"
+    assert greek_lowercase("ΠΡΟΫΠΟΘΈΣΕΙΣ") == "προυποθεσεισ"
+    assert greek_lowercase("άνθρωπος") == "ανθρωποσ"
+
+
+def test_greek_analyzer_chain():
+    a = get_analyzer("greek")
+    assert _an(a, "άνθρωπος ανθρώπου") == ["ανθρωπ", "ανθρωπ"]
+    assert _an(a, "και") == []               # stopword (folded list)
+    assert a.normalize("άνθρωπος") == _an(a, "άνθρωπος")[0]
