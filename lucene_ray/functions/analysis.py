@@ -640,6 +640,18 @@ class Analyzer:
     # KeepWordFilter (miscellaneous/KeepWordFilter.java): when non-empty,
     # drop every token NOT in the set
     keep_words: frozenset = field(default_factory=frozenset)
+    # DictionaryCompoundWordTokenFilter (analysis/common/.../compound/
+    # DictionaryCompoundWordTokenFilter.java + CompoundWordTokenFilterBase
+    # .java:100-125): tokens >= compound_min_word chars are scanned for
+    # dictionary subwords (every [i, i+j) window, j in [min_sub, max_sub]),
+    # which are emitted at the SAME position as the kept original (posInc
+    # 0). Runs LAST in the chain at vocab level. Stacked subwords do not
+    # count toward field length (discountOverlaps).
+    compound_dictionary: frozenset = field(default_factory=frozenset)
+    compound_min_word: int = 5
+    compound_min_sub: int = 2
+    compound_max_sub: int = 15
+    compound_only_longest: bool = False
     # DelimitedPayloadTokenFilter (analysis/common/.../payloads/
     # DelimitedPayloadTokenFilter.java:26-60 + FloatEncoder): characters
     # before the FIRST delimiter are the token, after it the float payload.
@@ -651,6 +663,9 @@ class Analyzer:
     def __post_init__(self):
         if self.char_filters and not isinstance(self.char_filters, tuple):
             self.char_filters = tuple(self.char_filters)
+        if self.compound_dictionary:
+            self.compound_dictionary = frozenset(
+                t.lower() for t in self.compound_dictionary)
         if self.word_delimiter:
             if self.word_delimiter is True:
                 from lucene_ray.functions.worddelimiter import DEFAULT_FLAGS
@@ -1528,9 +1543,71 @@ class Analyzer:
             vocab, inv = np.unique(vocab, return_inverse=True)
             codes = inv[codes].astype(np.int32) if len(codes) else codes
         doc_lengths = np.bincount(doc_idx, minlength=n_docs).astype(np.int32)
+        if self.compound_dictionary and len(vocab):
+            if return_offsets:
+                raise ValueError(
+                    "store_offsets is not supported with compound_dictionary")
+            codes, vocab, doc_idx, positions = self._expand_compounds(
+                codes, vocab, doc_idx, positions)
+            # doc_lengths unchanged: stacked subwords are posInc-0 overlaps
+            # (BM25Similarity discountOverlaps=true default)
         if return_offsets:
             return codes, vocab, doc_idx, positions, doc_lengths, offsets
         return codes, vocab, doc_idx, positions, doc_lengths
+
+    def _expand_compounds(self, codes, vocab, doc_idx, positions):
+        """DictionaryCompoundWordTokenFilter.decompose at VOCAB level: for
+        each distinct term, find dictionary subwords once; splice them into
+        the flat arrays at the original's position with numpy gathers."""
+        import pyarrow as pa
+
+        dic = self.compound_dictionary
+        min_w, min_s, max_s = (self.compound_min_word, self.compound_min_sub,
+                               self.compound_max_sub)
+        only_longest = self.compound_only_longest
+        subs_per: list[list[str]] = []
+        any_subs = False
+        for w in vocab:
+            subs: list[str] = []
+            if len(w) >= min_w:
+                for i in range(0, len(w) - min_s + 1):
+                    longest = None
+                    for j in range(min_s, max_s + 1):
+                        if i + j > len(w):
+                            break
+                        cand = w[i:i + j]
+                        # CharArraySet(dictionary, ignoreCase=true) — the
+                        # reference matches case-insensitively and emits the
+                        # original-case slice
+                        if cand.lower() in dic:
+                            if only_longest:
+                                longest = cand
+                            else:
+                                subs.append(cand)
+                    if only_longest and longest is not None:
+                        subs.append(longest)
+            subs_per.append(subs)
+            any_subs = any_subs or bool(subs)
+        if not any_subs:
+            return codes, vocab, doc_idx, positions
+        # part table: original first, then its subwords (emission order)
+        part_terms: list[str] = []
+        v_off = np.zeros(len(vocab) + 1, dtype=np.int64)
+        for i, w in enumerate(vocab):
+            part_terms.append(w)
+            part_terms.extend(subs_per[i])
+            v_off[i + 1] = v_off[i] + 1 + len(subs_per[i])
+        enc = pa.array(part_terms, type=pa.string()).dictionary_encode()
+        part_ids = np.asarray(enc.indices, dtype=np.int32)
+        new_vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        lens_v = (v_off[1:] - v_off[:-1])[codes]
+        n_out = int(lens_v.sum())
+        within = np.arange(n_out, dtype=np.int64) - np.repeat(
+            np.cumsum(lens_v) - lens_v, lens_v)
+        gather = np.repeat(v_off[:-1][codes], lens_v) + within
+        return (part_ids[gather], new_vocab,
+                np.repeat(doc_idx, lens_v),
+                np.repeat(positions, lens_v))
 
     def tokenize_batch(
         self, texts: list[str]
@@ -1564,7 +1641,7 @@ def get_analyzer(kind: str = "standard", **kw) -> Analyzer:
         if cf is not None:
             spec["char_filters"] = tuple(cf)
         for k in ("stop_words", "stem_exclusions", "protected_words",
-                  "keep_words"):
+                  "keep_words", "compound_dictionary"):
             if k in spec:
                 spec[k] = frozenset(spec[k])
         return get_analyzer(base_spec, **{**spec, **kw})

@@ -1,0 +1,100 @@
+"""DictionaryCompoundWordTokenFilter goldens — cases transliterated from
+the reference tests (analysis/common/src/test/.../compound/
+TestCompoundWordTokenFilter.java, testDumbCompoundWordsSE*) — semantics,
+not code."""
+
+import pytest
+
+from lucene_ray.functions.analysis import get_analyzer
+
+SE_DICT = ["Bil", "Dörr", "Motor", "Tak", "Borr", "Slag", "Hammar", "Pelar",
+           "Glas", "Ögon", "Fodral", "Bas", "Fiol", "Makare", "Gesäll",
+           "Sko", "Vind", "Rute", "Torkare", "Blad"]
+
+
+def _toks(analyzer, text):
+    return [(t, int(p)) for t, p in analyzer.tokenize_one(text)]
+
+
+def test_dumb_compound_words_se():
+    # testDumbCompoundWordsSE: original kept, subwords stacked at its
+    # position (posInc 0), emission order i-ascending
+    a = get_analyzer("whitespace", compound_dictionary=frozenset(SE_DICT))
+    text = ("Bildörr Bilmotor Biltak Slagborr Hammarborr Pelarborr "
+            "Glasögonfodral Basfiolsfodral Basfiolsfodralmakaregesäll "
+            "Skomakare Vindrutetorkare Vindrutetorkarblad abba")
+    expected = [
+        ("Bildörr", 0), ("Bil", 0), ("dörr", 0),
+        ("Bilmotor", 1), ("Bil", 1), ("motor", 1),
+        ("Biltak", 2), ("Bil", 2), ("tak", 2),
+        ("Slagborr", 3), ("Slag", 3), ("borr", 3),
+        ("Hammarborr", 4), ("Hammar", 4), ("borr", 4),
+        ("Pelarborr", 5), ("Pelar", 5), ("borr", 5),
+        ("Glasögonfodral", 6), ("Glas", 6), ("ögon", 6), ("fodral", 6),
+        ("Basfiolsfodral", 7), ("Bas", 7), ("fiol", 7), ("fodral", 7),
+        ("Basfiolsfodralmakaregesäll", 8), ("Bas", 8), ("fiol", 8),
+        ("fodral", 8), ("makare", 8), ("gesäll", 8),
+        ("Skomakare", 9), ("Sko", 9), ("makare", 9),
+        ("Vindrutetorkare", 10), ("Vind", 10), ("rute", 10), ("torkare", 10),
+        ("Vindrutetorkarblad", 11), ("Vind", 11), ("rute", 11), ("blad", 11),
+        ("abba", 12),
+    ]
+    assert _toks(a, text) == expected
+
+
+def test_dumb_compound_words_se_longest_match():
+    # testDumbCompoundWordsSELongestMatch: per start offset only the
+    # longest dictionary match is kept
+    dic = frozenset(SE_DICT + ["Fiols", "Fiolsfodral"]) - {"Fiol"}
+    a = get_analyzer("whitespace", compound_dictionary=dic,
+                     compound_only_longest=True)
+    assert _toks(a, "Basfiolsfodralmakaregesäll") == [
+        ("Basfiolsfodralmakaregesäll", 0), ("Bas", 0), ("fiolsfodral", 0),
+        ("fodral", 0), ("makare", 0), ("gesäll", 0)]
+
+
+def test_compound_min_word_size():
+    # tokens shorter than compound_min_word pass through untouched
+    a = get_analyzer("whitespace", compound_dictionary=frozenset(["ab", "cd"]))
+    assert _toks(a, "abcd") == [("abcd", 0)]          # len 4 < min_word 5
+    assert _toks(a, "abcdcd") == [("abcdcd", 0), ("ab", 0), ("cd", 0),
+                                  ("cd", 0)]
+
+
+def test_compound_ending_with_min_length_component():
+    # testTokenEndingWithWordComponentOfMinimumLength
+    a = get_analyzer("whitespace",
+                     compound_dictionary=frozenset(["ab", "cd", "ef"]))
+    assert _toks(a, "abcdef") == [("abcdef", 0), ("ab", 0), ("cd", 0),
+                                  ("ef", 0)]
+
+
+def test_compound_field_length_discounts_overlaps():
+    a = get_analyzer("whitespace", compound_dictionary=frozenset(SE_DICT))
+    codes, vocab, doc_idx, positions, dl = a.tokenize_batch_encoded(
+        ["Bildörr abba"])
+    assert len(codes) == 4          # Bildörr, Bil, dörr, abba
+    assert dl.tolist() == [2]       # stacked subwords don't count
+
+
+def test_compound_index_roundtrip(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.index_pipeline import build_index_by_file
+    from lucene_ray.query import TermQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({
+        "url": ["a", "b"],
+        "text": ["vindrutetorkare i bilen", "ingen traff har"]}), src)
+    idx = str(tmp_path / "i")
+    spec = {"kind": "simple",
+            "compound_dictionary": ["vind", "rute", "torkare"]}
+    build_index_by_file(src, idx, key_col="url", text_col="text",
+                        analyzer=spec)
+    s = IndexSearcher(idx)
+    assert s.count(TermQuery("vindrutetorkare")) == 1   # original kept
+    assert s.count(TermQuery("rute")) == 1              # subword searchable
+    assert s.count(TermQuery("torkare")) == 1
