@@ -583,6 +583,7 @@ _STANDARD_LANG_KINDS = frozenset({
     "russian_light", "swedish_light", "finnish_light", "hungarian_light",
     "arabic", "persian", "sorani", "hindi", "bulgarian", "indonesian",
     "czech", "norwegian_light", "latvian", "bengali", "greek",
+    "german_minimal", "french_minimal", "english_minimal",
 })
 # kinds whose normalizers run BEFORE the stop filter (stopwords match the
 # normalized forms) — these merge vocab entries, so they also force the
@@ -783,6 +784,20 @@ class Analyzer:
             self.stop_words = self.stop_words or BENGALI_STOP_WORDS
             self.stem = True
             self.decimal_digit = True
+        elif self.kind in ("german_minimal", "french_minimal",
+                           "english_minimal"):
+            # the *MinimalStemFilter variants (conservative plural-only
+            # stemming; de/GermanMinimalStemmer.java:57,
+            # fr/FrenchMinimalStemmer.java:56, en/EnglishMinimalStemmer
+            # .java:26 — Harman's S-stemmer); stopset + (for french)
+            # elision match the full chains
+            defaults_min = {"german_minimal": GERMAN_STOP_WORDS,
+                            "french_minimal": FRENCH_STOP_WORDS,
+                            "english_minimal": ENGLISH_STOP_WORDS}
+            self.stop_words = self.stop_words or defaults_min[self.kind]
+            self.stem = True
+            if self.kind == "french_minimal":
+                self.elision = True
         elif self.kind == "greek":
             # el/GreekAnalyzer.java:94-100: StandardTokenizer →
             # GreekLowerCase (final sigma + diacritic fold, runs pre-stop:
@@ -900,6 +915,13 @@ class Analyzer:
             from lucene_ray.functions.stemming import greek_stem
 
             return greek_stem
+        if self.kind in ("german_minimal", "french_minimal",
+                         "english_minimal"):
+            from lucene_ray.functions import stemming as _st
+
+            return {"german_minimal": _st.german_minimal_stem,
+                    "french_minimal": _st.french_minimal_stem,
+                    "english_minimal": _st.english_minimal_stem}[self.kind]
         if self.kind in _STANDARD_LANG_KINDS and self.kind != "english":
             raise ValueError(
                 f"language kind {self.kind!r} is registered but has no "

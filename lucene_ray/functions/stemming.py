@@ -2066,3 +2066,63 @@ def greek_stem(w: str) -> str:  # noqa: C901 — rule-per-rule reference port
           or ew(L, "ωτερ") or ew(L, "ωτατ")):
         L -= 4
     return "".join(s[:L])
+
+
+# ------------------------------------------------- minimal stemmers
+
+_DE_MIN_FOLD = str.maketrans("äöü", "aou")
+
+
+def german_minimal_stem(w: str) -> str:
+    """GermanMinimalStemmer (de/GermanMinimalStemmer.java:57-105): umlaut
+    fold + plural suffix strip only (the conservative variant)."""
+    if len(w) < 5:
+        return w
+    s = w.translate(_DE_MIN_FOLD)
+    L = len(s)
+    if L > 6 and s.endswith("nen"):
+        return s[:L - 3]
+    if L > 5 and s.endswith(("en", "se", "es", "er")):
+        return s[:L - 2]
+    if s[L - 1] in "nesr":
+        return s[:L - 1]
+    return s
+
+
+def french_minimal_stem(w: str) -> str:
+    """FrenchMinimalStemmer (fr/FrenchMinimalStemmer.java:56-71)."""
+    if len(w) < 6:
+        return w
+    s = list(w)
+    L = len(s)
+    if s[L - 1] == "x":
+        if s[L - 3] == "a" and s[L - 2] == "u":
+            s[L - 2] = "l"
+        return "".join(s[:L - 1])
+    if s[L - 1] == "s":
+        L -= 1
+    if s[L - 1] == "r":
+        L -= 1
+    if s[L - 1] == "e":
+        L -= 1
+    if s[L - 1] == "é":
+        L -= 1
+    if s[L - 1] == s[L - 2] and s[L - 1].isalpha():
+        L -= 1
+    return "".join(s[:L])
+
+
+def english_minimal_stem(w: str) -> str:
+    """EnglishMinimalStemmer (en/EnglishMinimalStemmer.java:26-46): the
+    S-stemmer (Donna Harman) — plural-only stripping."""
+    if len(w) < 3 or w[-1] != "s":
+        return w
+    c = w[-2]
+    if c in ("u", "s"):
+        return w
+    if c == "e":
+        if len(w) > 3 and w[-3] == "i" and w[-4] not in ("a", "e"):
+            return w[:-3] + "y"
+        if w[-3] in ("i", "a", "o", "e"):
+            return w
+    return w[:-1]

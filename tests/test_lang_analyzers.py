@@ -812,3 +812,57 @@ def test_greek_analyzer_chain():
     assert _an(a, "άνθρωπος ανθρώπου") == ["ανθρωπ", "ανθρωπ"]
     assert _an(a, "και") == []               # stopword (folded list)
     assert a.normalize("άνθρωπος") == _an(a, "άνθρωπος")[0]
+
+
+# ======================================================= minimal stemmers
+# (de/fr *minimaltestdata.zip — FULL published vocabularies — and
+# en/TestEnglishMinimalStemFilter.java).
+
+from lucene_ray.functions.stemming import (
+    english_minimal_stem,
+    french_minimal_stem,
+    german_minimal_stem,
+)
+
+
+@pytest.mark.parametrize("lang,fn", [
+    ("de", german_minimal_stem), ("fr", french_minimal_stem),
+])
+def test_minimal_stem_full_reference_vocabulary(lang, fn):
+    import zipfile
+    from pathlib import Path
+
+    z = Path("/root/reference/lucene/analysis/common/src/test/org/apache/"
+             f"lucene/analysis/{lang}/{lang}minimaltestdata.zip")
+    if not z.exists():
+        pytest.skip("reference vocabulary data not available")
+    with zipfile.ZipFile(z) as zf:
+        data = zf.read(zf.namelist()[0]).decode("utf-8")
+    mismatches = []
+    for line in data.splitlines():
+        parts = line.split("\t")
+        if len(parts) == 2 and fn(parts[0]) != parts[1]:
+            mismatches.append((parts[0], parts[1], fn(parts[0])))
+    assert mismatches == []
+
+
+@pytest.mark.parametrize("inp,out", [
+    # TestEnglishMinimalStemFilter (Harman S-stemmer)
+    ("queries", "query"), ("phrases", "phrase"), ("corpus", "corpus"),
+    ("stress", "stress"), ("kings", "king"), ("panels", "panel"),
+    ("aerodynamics", "aerodynamic"), ("congress", "congress"),
+    ("serious", "serious"),
+])
+def test_english_minimal_stem(inp, out):
+    assert english_minimal_stem(inp) == out
+
+
+def test_minimal_analyzer_chains():
+    for kind, word, expect in [
+        ("german_minimal", "Planeten", "planet"),
+        ("french_minimal", "chevaux", "cheval"),
+        ("english_minimal", "queries", "query"),
+    ]:
+        a = get_analyzer(kind)
+        assert _an(a, word) == [expect]
+        assert a.normalize(word) == expect
