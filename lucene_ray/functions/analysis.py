@@ -653,6 +653,13 @@ class Analyzer:
     compound_min_sub: int = 2
     compound_max_sub: int = 15
     compound_only_longest: bool = False
+    # PhoneticFilter (analysis/phonetic/PhoneticFilter.java): encode each
+    # token with a phonetic encoder ("soundex" | "refined_soundex");
+    # inject=True emits the encoding at the SAME position as the kept
+    # original (posInc 0, encoded first — the reference's emission order),
+    # inject=False replaces the token. Runs last, at vocab level.
+    phonetic: str = ""
+    phonetic_inject: bool = True
     # DelimitedPayloadTokenFilter (analysis/common/.../payloads/
     # DelimitedPayloadTokenFilter.java:26-60 + FloatEncoder): characters
     # before the FIRST delimiter are the token, after it the float payload.
@@ -1573,6 +1580,29 @@ class Analyzer:
                 codes, vocab, doc_idx, positions)
             # doc_lengths unchanged: stacked subwords are posInc-0 overlaps
             # (BM25Similarity discountOverlaps=true default)
+        if self.phonetic and len(vocab):
+            from lucene_ray.functions.stemming import (refined_soundex,
+                                                       soundex)
+
+            enc = {"soundex": soundex,
+                   "refined_soundex": refined_soundex}.get(self.phonetic)
+            if enc is None:
+                raise ValueError(f"unknown phonetic encoder {self.phonetic!r}")
+            if self.phonetic_inject:
+                if return_offsets:
+                    raise ValueError("store_offsets is not supported with "
+                                     "injected phonetic tokens")
+                # encoded token stacked before the kept original (posInc 0)
+                extras = [[e] if (e := enc(w)) and e != w else []
+                          for w in vocab]
+                codes, vocab, doc_idx, positions = self._splice_stacked(
+                    codes, vocab, doc_idx, positions, extras,
+                    extras_first=True)
+                # doc_lengths unchanged (stacked overlaps discounted)
+            else:
+                vocab = np.array([enc(w) or w for w in vocab], dtype=object)
+                vocab, inv = np.unique(vocab, return_inverse=True)
+                codes = inv[codes].astype(np.int32) if len(codes) else codes
         if return_offsets:
             return codes, vocab, doc_idx, positions, doc_lengths, offsets
         return codes, vocab, doc_idx, positions, doc_lengths
@@ -1581,8 +1611,6 @@ class Analyzer:
         """DictionaryCompoundWordTokenFilter.decompose at VOCAB level: for
         each distinct term, find dictionary subwords once; splice them into
         the flat arrays at the original's position with numpy gathers."""
-        import pyarrow as pa
-
         dic = self.compound_dictionary
         min_w, min_s, max_s = (self.compound_min_word, self.compound_min_sub,
                                self.compound_max_sub)
@@ -1612,13 +1640,26 @@ class Analyzer:
             any_subs = any_subs or bool(subs)
         if not any_subs:
             return codes, vocab, doc_idx, positions
-        # part table: original first, then its subwords (emission order)
+        return self._splice_stacked(codes, vocab, doc_idx, positions,
+                                    subs_per, extras_first=False)
+
+    def _splice_stacked(self, codes, vocab, doc_idx, positions, extras_per,
+                        *, extras_first: bool):
+        """Splice per-vocab-entry EXTRA tokens into the flat arrays at the
+        original's position (posInc-0 stacking) — one numpy gather; shared
+        by the compound decompounder and the phonetic filter."""
+        import pyarrow as pa
+
         part_terms: list[str] = []
         v_off = np.zeros(len(vocab) + 1, dtype=np.int64)
         for i, w in enumerate(vocab):
-            part_terms.append(w)
-            part_terms.extend(subs_per[i])
-            v_off[i + 1] = v_off[i] + 1 + len(subs_per[i])
+            if extras_first:
+                part_terms.extend(extras_per[i])
+                part_terms.append(w)
+            else:
+                part_terms.append(w)
+                part_terms.extend(extras_per[i])
+            v_off[i + 1] = v_off[i] + 1 + len(extras_per[i])
         enc = pa.array(part_terms, type=pa.string()).dictionary_encode()
         part_ids = np.asarray(enc.indices, dtype=np.int32)
         new_vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)

@@ -2126,3 +2126,62 @@ def english_minimal_stem(w: str) -> str:
         if w[-3] in ("i", "a", "o", "e"):
             return w
     return w[:-1]
+
+
+# ------------------------------------------------- phonetic encoders
+
+# commons-codec US-English Soundex mapping for A..Z (the encoders behind
+# the reference's analysis/phonetic module are public-domain algorithms;
+# goldens from phonetic/TestPhoneticFilter.java)
+_SOUNDEX_MAP = "01230120022455012623010202"
+_RSOUNDEX_MAP = "01360240043788015936020505"
+
+
+def soundex(w: str) -> str:
+    """American Soundex, commons-codec semantics: first letter kept, codes
+    appended unless equal to the previous code, vowels reset the duplicate
+    window, a consonant after H/W is silent when the letter before the H/W
+    shares its code; padded/truncated to 4."""
+    s = [c for c in w.upper() if "A" <= c <= "Z"]
+    if not s:
+        return ""
+
+    def code(c):
+        return _SOUNDEX_MAP[ord(c) - 65]
+
+    out = [s[0]]
+    last = code(s[0])
+    for i in range(1, len(s)):
+        if len(out) >= 4:
+            break
+        c = s[i]
+        m = code(c)
+        if m != "0" and i > 1 and s[i - 1] in "HW":
+            p2 = s[i - 2]
+            if p2 in "HW" or code(p2) == m:
+                m = "0"
+            if m == "0":
+                continue  # silenced by the H/W rule: window unchanged
+        if m != "0":
+            if m != last:
+                out.append(m)
+            last = m
+        elif c not in "HW":
+            last = "0"  # vowels reset the duplicate window
+    return "".join(out).ljust(4, "0")
+
+
+def refined_soundex(w: str) -> str:
+    """Refined Soundex (commons-codec): first letter + every code (vowels
+    as 0), adjacent duplicates collapsed, no length cap."""
+    s = [c for c in w.upper() if "A" <= c <= "Z"]
+    if not s:
+        return ""
+    out = [s[0]]
+    last = None
+    for c in s:
+        m = _RSOUNDEX_MAP[ord(c) - 65]
+        if m != last:
+            out.append(m)
+        last = m
+    return "".join(out)

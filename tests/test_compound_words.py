@@ -98,3 +98,70 @@ def test_compound_index_roundtrip(tmp_path, ray_session):
     assert s.count(TermQuery("vindrutetorkare")) == 1   # original kept
     assert s.count(TermQuery("rute")) == 1              # subword searchable
     assert s.count(TermQuery("torkare")) == 1
+
+
+# =================================================== PhoneticFilter
+# (analysis/phonetic/PhoneticFilter.java + TestPhoneticFilter.java —
+# encoded token injected BEFORE the kept original at the same position).
+
+from lucene_ray.functions.stemming import refined_soundex, soundex
+
+
+@pytest.mark.parametrize("inp,out", [
+    ("aaa", "A000"), ("bbb", "B000"), ("ccc", "C000"), ("easgasg", "E220"),
+    ("Robert", "R163"), ("Rupert", "R163"),
+    ("Ashcraft", "A261"), ("Ashcroft", "A261"), ("Tymczak", "T522"),
+])
+def test_soundex(inp, out):
+    assert soundex(inp) == out
+
+
+@pytest.mark.parametrize("inp,out", [
+    ("aaa", "A0"), ("bbb", "B1"), ("ccc", "C3"), ("easgasg", "E034034"),
+])
+def test_refined_soundex(inp, out):
+    assert refined_soundex(inp) == out
+
+
+def test_phonetic_filter_inject():
+    # TestPhoneticFilter Soundex inject=true table (lowercased chain:
+    # encodings come out as emitted, originals keep their case path)
+    a = get_analyzer("whitespace", phonetic="soundex")
+    toks = _toks(a, "aaa bbb ccc easgasg")
+    assert toks == [("A000", 0), ("aaa", 0), ("B000", 1), ("bbb", 1),
+                    ("C000", 2), ("ccc", 2), ("E220", 3), ("easgasg", 3)]
+
+
+def test_phonetic_filter_replace():
+    a = get_analyzer("whitespace", phonetic="soundex",
+                     phonetic_inject=False)
+    assert _toks(a, "aaa bbb ccc easgasg") == [
+        ("A000", 0), ("B000", 1), ("C000", 2), ("E220", 3)]
+
+
+def test_phonetic_refined_inject():
+    a = get_analyzer("whitespace", phonetic="refined_soundex")
+    assert _toks(a, "aaa easgasg") == [
+        ("A0", 0), ("aaa", 0), ("E034034", 1), ("easgasg", 1)]
+
+
+def test_phonetic_index_roundtrip(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.index_pipeline import build_index_by_file
+    from lucene_ray.query import TermQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({
+        "url": ["a", "b"],
+        "text": ["robert called", "rupert answered"]}), src)
+    idx = str(tmp_path / "i")
+    build_index_by_file(src, idx, key_col="url", text_col="text",
+                        analyzer={"kind": "simple", "phonetic": "soundex"})
+    s = IndexSearcher(idx)
+    # both docs match the shared phonetic code; originals still searchable
+    assert s.count(TermQuery("R163")) == 2
+    assert s.count(TermQuery("robert")) == 1
+    assert s.count(TermQuery("rupert")) == 1
