@@ -851,15 +851,21 @@ def _q_knn_topk(sf_dir: str) -> pa.Table:
 
 
 def _q_knn_hnsw(sf_dir: str) -> pa.Table:
-    """HNSW ANN gate with MEASURED recall: per-shard persisted HNSW graphs
-    (pipelines/hnsw.py — HnswGraphBuilder analogue) searched by per-shard
-    top-k + exact merge, scored against the brute-force exact top-k. Output
-    carries recall@10 per query — the conformance number the reference's
-    TestHnswGraph checks — rather than being a vacuous rows-only gate."""
+    """HNSW ANN gate with a FULL SQL oracle: per-shard persisted HNSW graphs
+    (pipelines/hnsw.py — HnswGraphBuilder analogue, 4 shards at gate scale)
+    searched with a wide beam (ef = 256 ≫ corpus/shard), then shard
+    CONSOLIDATION (Lucene90HnswVectorsWriter mergeOneField analogue: the
+    merged graph is rebuilt from the union of source vectors) and the same
+    search over the single merged graph. At gate scale the wide beam makes
+    both searches exact (recall 1, deterministic seeds — verified in
+    selfcheck every run via the oracle, not trusted), so output rows for
+    src ∈ {{sharded, merged}} must BOTH equal the brute-force top-k the SQL
+    computes. Approximate-regime recall (ef ≪ n) stays property-tested in
+    tests/test_hnsw.py."""
     import pyarrow.parquet as pq
 
-    from lucene_ray.pipelines.hnsw import build_hnsw_index, knn_hnsw
-    from lucene_ray.pipelines.knn import knn_brute_force
+    from lucene_ray.pipelines.hnsw import (build_hnsw_index, knn_hnsw,
+                                           merge_hnsw_shards)
     from lucene_ray.sources.io import read_parquet_clean
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -870,47 +876,23 @@ def _q_knn_hnsw(sf_dir: str) -> pa.Table:
     )
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
-    import json as _json
 
-    from lucene_ray.pipelines.hnsw import merge_hnsw_shards
-
-    idx_dir = _cache_dir(sf_dir, "hnsw")
+    idx_dir = _cache_dir(sf_dir, "hnsw5")
     if not os.path.exists(os.path.join(idx_dir, "shards.json")):
-        build_hnsw_index(ds, idx_dir, M=16, ef_construction=80, shard_rows=4096)
-    with open(os.path.join(idx_dir, "shards.json")) as f:
-        shards_before = len(_json.load(f))
-    ann = knn_hnsw(idx_dir, KNN_QUERY_IDS, qvecs, k=K, ef=96).to_pandas()
-    exact = knn_brute_force(ds, KNN_QUERY_IDS, qvecs, k=K).to_pandas()
+        build_hnsw_index(ds, idx_dir, M=16, ef_construction=80, shard_rows=128)
+    ann = knn_hnsw(idx_dir, KNN_QUERY_IDS, qvecs, k=K + 16, ef=256).to_pandas()
 
-    # shard consolidation (Lucene90HnswVectorsWriter mergeOneField: the
-    # merged graph is REBUILT from the union of source vectors) — query
-    # fan-out (shards touched per query) drops, recall holds
-    midx_dir = _cache_dir(sf_dir, "hnswm")
+    midx_dir = _cache_dir(sf_dir, "hnswm5")
     if not os.path.exists(os.path.join(midx_dir, "shards.json")):
         import shutil as _sh
 
         _sh.copytree(idx_dir, midx_dir, dirs_exist_ok=True)
         merge_hnsw_shards(midx_dir, target_shards=1, M=16,
                           ef_construction=80)
-    with open(os.path.join(midx_dir, "shards.json")) as f:
-        shards_after = len(_json.load(f))
-    ann_m = knn_hnsw(midx_dir, KNN_QUERY_IDS, qvecs, k=K, ef=96).to_pandas()
+    ann_m = knn_hnsw(midx_dir, KNN_QUERY_IDS, qvecs, k=K + 16, ef=256).to_pandas()
 
-    rows = []
-    for qid in KNN_QUERY_IDS:
-        true = set(exact[exact.query_id == qid].neighbor_id.tolist())
-        got = set(ann[ann.query_id == qid].neighbor_id.tolist())
-        got_m = set(ann_m[ann_m.query_id == qid].neighbor_id.tolist())
-        rows.append((qid, len(got & true) / max(len(true), 1),
-                     len(got_m & true) / max(len(true), 1)))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
-            "recall_at_10": pa.array([round(r[1], 4) for r in rows], type=pa.float64()),
-            "recall_merged": pa.array([round(r[2], 4) for r in rows], type=pa.float64()),
-            "shards_before": pa.array([shards_before] * len(rows), type=pa.int64()),
-            "shards_after": pa.array([shards_after] * len(rows), type=pa.int64()),
-        }
+    return pa.concat_tables(
+        [_rerank_knn(ann, src="sharded"), _rerank_knn(ann_m, src="merged")]
     )
 
 
@@ -1388,21 +1370,139 @@ FROM g GROUP BY gram HAVING count(*) >= 2
 """
 
 
+MH_PLANT_N = 30
+MH_PLANT_OFFSET = 1_000_000
+
+
 def _q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup pairs with PLANTED near-duplicates and a full
+    exact-Jaccard SQL oracle (the embedding_neardup pattern): every doc_id <
+    MH_PLANT_N gets a copy with its LAST TOKEN dropped at doc_id +
+    MH_PLANT_OFFSET — 3-shingle Jaccard (T-3)/(T-2) ≥ 0.875 for the corpus
+    min length T=10, where a 4-row band collides with p ≈ 1 − 0.41⁴·³² ≈
+    1−5e−13 across 32 bands. The pipeline's reduce-side verify computes the
+    EXACT shingle Jaccard for every candidate, so engine output ≡ all pairs
+    with true Jaccard ≥ threshold (oracle) whenever LSH recall is 1 — which
+    the banding margin guarantees at gate scale and the oracle now checks
+    instead of trusting (TestMinHashFilter-style planted truth)."""
+    import pyarrow.compute as pc
+
     from lucene_ray.pipelines.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.5)
+    ds = _docs_ds(sf_dir, columns=("doc_id", "text"))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        src = batch.filter(pc.less(batch.column("doc_id"), MH_PLANT_N))
+        txt = [" ".join(t.split(" ")[:-1]) for t in src.column("text").to_pylist()]
+        planted = pa.table(
+            {
+                "doc_id": pc.add(src.column("doc_id"), MH_PLANT_OFFSET),
+                "text": pa.array(txt, type=pa.string()),
+            }
+        )
+        return pa.concat_tables([batch.select(["doc_id", "text"]), planted])
+
+    aug = ds.map_batches(plant, batch_format="pyarrow")
+    out = minhash_lsh_pairs(aug, threshold=0.5, num_perm=128, bands=32)
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return batch.set_column(
+            batch.column_names.index("jaccard"), "jaccard",
+            pc_.round(batch.column("jaccard"), ndigits=6),
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+# exact 3-shingle Jaccard over documents + planted drop-last-token copies;
+# every corpus doc has ≥ 3 tokens (min 10), so the short-doc shingle branch
+# never fires and shingles are exactly the toks[i:i+2] windows
+_SQL_MINHASH = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {MH_PLANT_OFFSET} AS doc_id,
+         array_to_string((string_split(text, ' '))[1:len(string_split(text, ' ')) - 1], ' ') AS text
+  FROM documents WHERE doc_id < {MH_PLANT_N}
+),
+base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+  FROM base, unnest(range(1, len(toks) - 1)) AS t(i)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+SIMHASH_PLANT_N = 40
+SIMHASH_SUBSET = 80   # id range with no natural near-dup pair (hamming-0
+#                       collisions between 0.98-Jaccard doc pairs are real
+#                       SimHash behavior but not SQL-expressible)
+SIMHASH_PLANT_OFFSET = 1_000_000
 
 
 def _q_simhash(sf_dir: str):
-    from lucene_ray.pipelines.dedup import simhash_signatures
+    """SimHash near-dup gate with PLANTED word-permuted copies and a full SQL
+    oracle: SimHash is a function of the token MULTISET only (tf-weighted bit
+    votes — order never enters), so a doc and its word-REVERSED copy (planted
+    at doc_id + SIMHASH_PLANT_OFFSET for doc_id < SIMHASH_PLANT_N) have
+    identical 64-bit signatures → hamming 0 → all four 16-bit LSH chunks
+    collide → candidate recall 1 by construction. Restricting output to
+    hamming == 0 makes the expected pair set SQL-expressible EXACTLY: pairs
+    whose sorted token lists are equal (a 64-bit collision between distinct
+    multisets is the only divergence, p ≈ n²/2⁶⁵ — checked absent at gate
+    scale). Near-miss hamming 1..3 behavior stays property-tested in
+    tests/test_dedup.py."""
+    import pyarrow.compute as pc
 
-    def widen(batch: pa.Table) -> pa.Table:
-        h = batch.column("simhash").to_numpy().astype(np.int64, casting="unsafe")
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "simhash": pa.array(h, type=pa.int64())})
+    from lucene_ray.pipelines.dedup import simhash_near_pairs
 
-    return simhash_signatures(_docs_ds(sf_dir)).map_batches(widen, batch_format="pyarrow")
+    ds = _docs_ds(sf_dir, columns=("doc_id", "text"))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch.column("doc_id"), SIMHASH_SUBSET))
+        src = batch.filter(pc.less(batch.column("doc_id"), SIMHASH_PLANT_N))
+        txt = [" ".join(reversed(t.split(" ")))
+               for t in src.column("text").to_pylist()]
+        planted = pa.table(
+            {
+                "doc_id": pc.add(src.column("doc_id"), SIMHASH_PLANT_OFFSET),
+                "text": pa.array(txt, type=pa.string()),
+            }
+        )
+        return pa.concat_tables([batch.select(["doc_id", "text"]), planted])
+
+    aug = ds.map_batches(plant, batch_format="pyarrow")
+    return simhash_near_pairs(aug, max_hamming=0, max_bucket=5000)
+
+
+_SQL_SIMHASH = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {SIMHASH_SUBSET}
+  UNION ALL
+  SELECT doc_id + {SIMHASH_PLANT_OFFSET} AS doc_id,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+  FROM documents WHERE doc_id < {SIMHASH_PLANT_N}
+),
+canon AS (
+  SELECT doc_id,
+         array_to_string(list_sort(string_split(text, ' ')), ' ') AS key
+  FROM aug
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::BIGINT AS hamming
+FROM canon a JOIN canon b ON a.key = b.key AND a.doc_id < b.doc_id
+"""
 
 
 def _q_langid_counts(sf_dir: str):
@@ -1452,7 +1552,14 @@ SELECT pred_lang, count(*) AS n FROM pred GROUP BY pred_lang
 
 def _q_knn_ivf(sf_dir: str):
     """IVF over a MATERIALIZED per-centroid bucket layout (built once,
-    cached): probing prunes read I/O, not just compute — the 100-TB shape."""
+    cached): probing prunes read I/O, not just compute — the 100-TB shape.
+
+    Gate configuration probes EVERY bucket (nprobe == n_centroids), so the
+    result THROUGH the bucketed layout — centroid routing, per-bucket file
+    reads, per-bucket top-k, exact merge — must equal the brute-force top-k,
+    giving this gate a full SQL oracle instead of the former rows-only
+    recall check. Pruned-probe recall (nprobe < nlist) stays property-tested
+    in tests/test_knn.py."""
     import pyarrow.parquet as pq
 
     from lucene_ray.pipelines.knn import build_ivf_index, knn_ivf_indexed
@@ -1468,16 +1575,75 @@ def _q_knn_ivf(sf_dir: str):
         ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
         build_ivf_index(ds, idx, n_centroids=8)
-    return knn_ivf_indexed(idx, KNN_QUERY_IDS, qvecs, k=K, nprobe=4)
+    out = knn_ivf_indexed(idx, KNN_QUERY_IDS, qvecs, k=K + 16, nprobe=8).to_pandas()
+    return _rerank_knn(out)
+
+
+def _rerank_knn(out, src: str | None = None) -> pa.Table:
+    """Re-rank k+slack ANN candidates under the oracle's rounded ordering
+    (round(cos,6) desc, neighbor_id asc) → (query_id, rank, neighbor_id)."""
+    rows = []
+    for qid in KNN_QUERY_IDS:
+        g = out[out.query_id == qid].copy()
+        g["r6"] = np.round(g.cosine.to_numpy(), 6)
+        g = g.sort_values(["r6", "neighbor_id"], ascending=[False, True]).head(K)
+        for rank, nid in enumerate(g.neighbor_id.tolist(), start=1):
+            rows.append((qid, rank, int(nid)))
+    cols = {
+        "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+        "neighbor_id": pa.array([r[2] for r in rows], type=pa.int64()),
+    }
+    if src is not None:
+        cols["src"] = pa.array([src] * len(rows), type=pa.string())
+    return pa.table(cols)
+
+
+# pure disjunctions (the WANDScorer-eligible shape) over corpus vocabulary
+WAND_QUERIES = [
+    ("data", "stream", "batch"),
+    ("merge", "sort", "window"),
+    ("hash", "join", "scan", "filter"),
+    ("customer", "order", "part"),
+    ("fast", "slow", "big"),
+    ("key", "value", "table", "row"),
+    ("vector", "column", "group"),
+    ("query", "line", "dup", "agg"),
+    ("spark", "small", "the"),
+    ("batch", "window", "merge", "sort", "stream"),
+]
 
 
 def _q_lucene_topk(sf_dir: str):
-    """Lucene-parity float32 WAND top-k over the web index (rows-only gate;
-    float32 parity is pytest-verified against the brute-force oracle)."""
-    from lucene_ray.pipelines.web_pipeline import DEFAULT_QUERY_SET, run_query_set
+    """WAND block-max top-k THROUGH the distributed actor-pool search path
+    (pipelines/search_pipeline.py), ``algo="wand"`` forced so every query
+    takes the ImpactsDISI/MaxScoreCache pruning path, exact-mode scorer.
+    The WAND pruning invariant (TestWANDScorer: WAND top-k == exhaustive
+    top-k) makes the result rank-identical to the SQL BM25 oracle — this
+    gate now CHECKS that invariant against DuckDB every run instead of
+    being rows-only. The float32 Lucene-mode WAND run over the full
+    EnwikiQueryMaker-style set stays in bench.py (wand_query_wall +
+    block-skip counters)."""
+    from lucene_ray.pipelines.search_pipeline import search_distributed
 
-    d = _web_index(sf_dir)
-    return run_query_set(d, DEFAULT_QUERY_SET, k=K, concurrency=2)
+    d = _gate_index(sf_dir)
+    qs = [" ".join(ts) for ts in WAND_QUERIES]
+    out = search_distributed(d, qs, k=K + 32, mode="exact", algo="wand",
+                             concurrency=2).to_pandas()
+    rows = []
+    for qtext in qs:
+        g = out[out["query"] == qtext].copy()
+        g["r6"] = np.round(g.score.to_numpy(), 6)
+        g = g.sort_values(["r6", "doc_key"], ascending=[False, True]).head(K)
+        for rank, dk in enumerate(g.doc_key.tolist(), start=1):
+            rows.append((qtext, rank, int(dk)))
+    return pa.table(
+        {
+            "query": pa.array([r[0] for r in rows], type=pa.string()),
+            "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
 
 
 def _web_index(sf_dir: str) -> str:
@@ -2845,6 +3011,28 @@ ranked AS (
 SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {K}
 """
 
+# knn_hnsw oracle: the exact top-k must hold for BOTH the sharded index and
+# the consolidated (merged) index — same rows, labeled per source
+_SQL_KNN_BOTH = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+  FROM sims
+),
+topk AS (SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {K})
+SELECT 'sharded' AS src, * FROM topk
+UNION ALL
+SELECT 'merged' AS src, * FROM topk
+"""
+
 _SQL_EVENTS_WINDOW = """
 SELECT event_type,
        (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
@@ -3688,8 +3876,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_count": _q_fuzzy_count,
         "dedup_exact": _q_dedup_exact,
         "corpus_curation": _q_corpus_curation,
-        "minhash_pairs": _q_minhash_pairs,  # rows-only
-        "simhash": _q_simhash,  # rows-only
+        "minhash_pairs": _q_minhash_pairs,  # planted pairs, full oracle (r5)
+        "simhash": _q_simhash,  # planted permuted copies, full oracle (r5)
         "jaccard_pairs": _q_jaccard_pairs,
         "ngram_spans": _q_ngram_spans,  # duplicated-substring spans
         "embedding_neardup": _q_embedding_neardup,  # planted pairs, full oracle
@@ -3702,8 +3890,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify": _q_nb_classify,
         "knn_classify": _q_knn_classify,
         "knn_topk": _q_knn_topk,
-        "knn_ivf": _q_knn_ivf,  # rows-only (approximate by design)
-        "knn_hnsw": _q_knn_hnsw,  # measured recall@10 vs brute force in output
+        "knn_ivf": _q_knn_ivf,  # all-bucket probe == exact, full oracle (r5)
+        "knn_hnsw": _q_knn_hnsw,  # wide-beam exact at gate scale, full oracle (r5)
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
         "events_sessions": _q_events_sessions,
@@ -3768,6 +3956,11 @@ def oracle_sql() -> dict[str, str]:
         "field_title_topk": _SQL_FIELD_TITLE,
         "combined_field_topk": _SQL_COMBINED_FIELD,
         "search_after": _sql_single_term_topk(["merge"], rank_lo=11, rank_hi=20),
+        "lucene_wand_topk": _sql_multi_term_topk(WAND_QUERIES, "or"),
+        "minhash_pairs": _SQL_MINHASH,
+        "simhash": _SQL_SIMHASH,
+        "knn_ivf": _SQL_KNN,
+        "knn_hnsw": _SQL_KNN_BOTH,
         "prefix_count": _SQL_PREFIX_COUNT,
         "numeric_range_topk": _SQL_NUMERIC_RANGE,
         "point_box_count": _SQL_POINT_BOX,
