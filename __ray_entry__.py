@@ -1836,6 +1836,35 @@ def _q_lang_analyzer_topk(sf_dir: str) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+SNOWBALL_QUERIES = ("key", "tables", "merge")
+
+
+def _q_snowball_topk(sf_dir: str) -> pa.Table:
+    """Snowball (Porter2/tartarus "english") chain end-to-end — the
+    SnowballFilter path (analysis/common/.../snowball/SnowballFilter
+    .java:33) the reference's default ru/sv/fi/hu analyzers share; the
+    stemmers are vocabulary-validated (5×2000 published pairs) in
+    tests/test_snowball.py, and this gate proves the chain through index
+    build + BM25 against a stem-map SQL oracle ('key' keeps its 'y' under
+    Porter2 where classic Porter yields 'kei')."""
+    from lucene_ray.functions.analysis import get_analyzer
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import TermQuery
+    from lucene_ray.searcher import IndexSearcher
+    from lucene_ray.state.manifest import Manifest
+
+    d = _cache_dir(sf_dir, "gatesnowball")
+    if not Manifest.exists(d):
+        ds = _docs_ds(sf_dir, columns=("doc_id", "text", "lang"))
+        ds = ds.filter(expr="lang == 'en'")
+        build_index(ds, d, key_col="doc_id", text_col="text",
+                    num_partitions=2, analyzer="english_snowball")
+    s = IndexSearcher(d, mode="exact")
+    an = get_analyzer("english_snowball")
+    qs = [(f"en:{t}", TermQuery(an.normalize(t))) for t in SNOWBALL_QUERIES]
+    return _ranked_topk(s, qs)
+
+
 def _q_synonym_graph_topk(sf_dir: str) -> pa.Table:
     """Query-time SynonymGraphFilter + analyzeGraphBoolean
     (analysis/common/.../synonym/SynonymGraphFilter.java:47,
@@ -3356,7 +3385,15 @@ _FR_STEM_MAP = [("customer", "custom"), ("filter", "filt"),
 _ES_STEM_MAP = [("merge", "merg"), ("table", "tabl"), ("value", "valu")]
 _LANG_QUERY_STEMS = {("de", "merge"): "merg", ("de", "order"): "ord",
                      ("fr", "tables"): "tabl", ("fr", "value"): "valu",
-                     ("es", "merge"): "merg", ("es", "tables"): "tabl"}
+                     ("es", "merge"): "merg", ("es", "tables"): "tabl",
+                     ("en", "key"): "key", ("en", "tables"): "tabl",
+                     ("en", "merge"): "merg"}
+# Porter2 ("english" snowball) stems of the corpus vocab terms it changes;
+# 'key' is intentionally absent (Porter2 keeps 'key', classic Porter does
+# not) — the snowball_topk gate is vacuous without that distinction.
+_SNOWBALL_STEM_MAP = [("customer", "custom"), ("merge", "merg"),
+                      ("query", "queri"), ("table", "tabl"),
+                      ("value", "valu")]
 
 
 def _sql_lang_section(lang: str, stem_map, queries, stop_terms=()) -> str:
@@ -3404,6 +3441,22 @@ WITH {_DE_SECTION},
 {_FR_SECTION},
 {_ES_SECTION},
 scored AS ({_DE_SEL} UNION ALL {_FR_SEL} UNION ALL {_ES_SEL}),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
+"""
+
+# snowball_topk oracle: en-language collection, tokens mapped through the
+# Porter2 stem map above (stop terms 'a'/'the' dropped pre-stem, matching
+# the StopFilter position in the chain), standard BM25.
+_SB_SECTION, _SB_SEL = _sql_lang_section(
+    "en", _SNOWBALL_STEM_MAP, SNOWBALL_QUERIES, stop_terms=("a", "the"))
+_SQL_SNOWBALL = f"""
+WITH {_SB_SECTION},
+scored AS ({_SB_SEL}),
 ranked AS (
   SELECT query, doc_id,
          row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
@@ -3929,6 +3982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wdgf_topk": _q_wdgf_topk,  # WordDelimiterGraphFilter (r4)
         "payload_topk": _q_payload_topk,  # PayloadScoreQuery (r4)
         "keyword_exact_count": _q_keyword_exact_count,  # KeywordAnalyzer (r4)
+        "snowball_topk": _q_snowball_topk,  # SnowballFilter/Porter2 (r5)
     }
 
 
@@ -4034,6 +4088,7 @@ SELECT q.query,
         WHERE d.source || ' ' || d.lang = q.query) AS n
 FROM q
 """,
+        "snowball_topk": _SQL_SNOWBALL,
         "quality_scores": _SQL_QUALITY,
         "fingerprint": _SQL_FINGERPRINT,
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

@@ -584,6 +584,7 @@ _STANDARD_LANG_KINDS = frozenset({
     "arabic", "persian", "sorani", "hindi", "bulgarian", "indonesian",
     "czech", "norwegian_light", "latvian", "bengali", "greek",
     "german_minimal", "french_minimal", "english_minimal",
+    "russian", "swedish", "finnish", "hungarian", "english_snowball",
 })
 # kinds whose normalizers run BEFORE the stop filter (stopwords match the
 # normalized forms) — these merge vocab entries, so they also force the
@@ -837,6 +838,27 @@ class Analyzer:
                         "hungarian_light": HUNGARIAN_STOP_WORDS}
             self.stop_words = self.stop_words or defaults[self.kind]
             self.stem = True
+        elif self.kind in ("russian", "swedish", "finnish", "hungarian"):
+            # the reference's DEFAULT analyzers for these languages
+            # (ru/RussianAnalyzer.java:141, sv/SwedishAnalyzer.java,
+            # fi/FinnishAnalyzer.java, hu/HungarianAnalyzer.java):
+            # StandardTokenizer → LowerCase → Stop(snowball list) →
+            # SnowballFilter(tartarus {Russian,Swedish,Finnish,Hungarian}
+            # Stemmer); stemmers verified against the full published
+            # snowball vocabulary zips (2000 pairs each).
+            defaults = {"russian": RUSSIAN_STOP_WORDS,
+                        "swedish": SWEDISH_STOP_WORDS,
+                        "finnish": FINNISH_STOP_WORDS,
+                        "hungarian": HUNGARIAN_STOP_WORDS}
+            self.stop_words = self.stop_words or defaults[self.kind]
+            self.stem = True
+        elif self.kind == "english_snowball":
+            # EnglishAnalyzer variant with SnowballFilter(EnglishStemmer)
+            # (Porter2) in place of PorterStemFilter — the snowball
+            # "english"/porter2 option of SnowballPorterFilterFactory
+            self.stop_words = self.stop_words or ENGLISH_STOP_WORDS
+            self.stem = True
+            self.possessive = True
 
     def _char_filter_chain(self):
         """Compiled CharFilter pipeline, built once per analyzer instance
@@ -881,6 +903,15 @@ class Analyzer:
                     "swedish_light": _st.swedish_light_stem,
                     "finnish_light": _st.finnish_light_stem,
                     "hungarian_light": _st.hungarian_light_stem}[self.kind]
+        if self.kind in ("russian", "swedish", "finnish", "hungarian",
+                         "english_snowball"):
+            from lucene_ray.functions import snowball as _sb
+
+            return {"russian": _sb.russian_snowball_stem,
+                    "swedish": _sb.swedish_snowball_stem,
+                    "finnish": _sb.finnish_snowball_stem,
+                    "hungarian": _sb.hungarian_snowball_stem,
+                    "english_snowball": _sb.english_snowball_stem}[self.kind]
         if self.kind == "arabic":
             from lucene_ray.functions.stemming import (arabic_normalize,
                                                        arabic_stem)
