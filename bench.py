@@ -343,7 +343,12 @@ def run_bench() -> dict:
     for rep in range(3):
         for p in prefixes:
             ms.search(WildcardQuery(f"{p}1*"), k=100)
+        # fuzzy: Levenshtein-automaton dictionary intersection — stats
+        # snapshotted separately so its own scan reduction is recorded
+        f0 = dict(ms.mtq_stats)
         ms.search(FuzzyQuery("merge11q00017", max_edits=1), k=100)
+        ms.search(FuzzyQuery("vector5q0001", max_edits=2), k=100)
+        f1 = dict(ms.mtq_stats)
         # leading wildcard: no literal prefix — the required-char counting
         # prefilter (automaton module) must bound the verify set, not a
         # full-dictionary scan
@@ -352,6 +357,9 @@ def run_bench() -> dict:
     mtq_stats = dict(ms.mtq_stats)
     mtq_stats["scan_reduction_x"] = round(
         mtq_stats["terms_total"] / max(1, mtq_stats["terms_scanned"]), 1)
+    mtq_stats["fuzzy_scan_reduction_x"] = round(
+        (f1["terms_total"] - f0["terms_total"])
+        / max(1, f1["terms_scanned"] - f0["terms_scanned"]), 1)
 
     import pyarrow.parquet as pq
 

@@ -30,7 +30,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["WildcardAutomaton", "intersect_dictionary", "required_char_vec"]
+__all__ = ["WildcardAutomaton", "LevenshteinAutomaton",
+           "intersect_dictionary", "required_char_vec"]
 
 _MAX_CP = 0x10FFFF
 
@@ -142,6 +143,105 @@ class WildcardAutomaton:
             if c is not None:
                 return term + c
         # replacement at position i (deepest first): term[:i] + c, c > term[i]
+        for i in range(min(depth, len(term) - 1), -1, -1):
+            c = self._min_viable_char(path[i], term[i])
+            if c is not None:
+                return term[:i] + c
+        return None
+
+
+class LevenshteinAutomaton:
+    """Levenshtein automaton for FuzzyQuery term enumeration — the machine
+    the reference compiles in
+    ``core/.../util/automaton/LevenshteinAutomata.java:31`` and drives
+    through the dictionary via ``FuzzyTermsEnum``. Here the NFA state set
+    after consuming a prefix is represented by its canonical form: the
+    banded-DP row vector ``v`` where ``v[i]`` = min edits aligning
+    ``base[:i]`` against the consumed input, capped at ``k+1`` (the
+    standard subsumption (i,e) ⊑ (i,e') for e' > e collapses the subset
+    construction to exactly this row). ``run`` is therefore EXACT —
+    acceptance ⇔ edit distance ≤ k — and the final row entry is the
+    distance itself (``distance()``). Plain Levenshtein, matching the
+    engine's FuzzyQuery semantics (transpositions=false).
+
+    ``next_candidate`` viability: if any row entry is < k, every next
+    character keeps the row alive (substitution/insertion budget remains),
+    so the smallest char above the floor is viable; when the row minimum
+    equals k only exact matches ``base[i]`` at positions with ``v[i]==k``
+    survive — that asymmetry is what makes the hops long once the budget
+    is spent."""
+
+    def __init__(self, base: str, max_edits: int):
+        self.base = base
+        self.n = len(base)
+        self.k = max_edits
+        self.dead = max_edits + 1
+
+    def start(self) -> tuple:
+        return tuple(min(i, self.dead) for i in range(self.n + 1))
+
+    def step(self, v: tuple, ch: str) -> tuple | None:
+        k, dead, base = self.k, self.dead, self.base
+        nv = [min(v[0] + 1, dead)]
+        alive = nv[0] <= k
+        for i in range(1, self.n + 1):
+            c = min(v[i] + 1, nv[i - 1] + 1,
+                    v[i - 1] + (0 if base[i - 1] == ch else 1), dead)
+            nv.append(c)
+            alive = alive or c <= k
+        return tuple(nv) if alive else None
+
+    def accepts_from(self, v: tuple) -> bool:
+        return v[self.n] <= self.k
+
+    def run(self, term: str) -> bool:
+        v = self.start()
+        for ch in term:
+            v = self.step(v, ch)
+            if v is None:
+                return False
+        return self.accepts_from(v)
+
+    def distance(self, term: str) -> int:
+        """Exact edit distance if ≤ k else -1 (same walk as ``run``)."""
+        v = self.start()
+        for ch in term:
+            v = self.step(v, ch)
+            if v is None:
+                return -1
+        d = v[self.n]
+        return d if d <= self.k else -1
+
+    def _min_viable_char(self, v: tuple, above: str | None):
+        floor_cp = -1 if above is None else ord(above)
+        if min(v) < self.k:  # budget remains: any character is viable
+            return chr(floor_cp + 1) if floor_cp + 1 <= _MAX_CP else None
+        best = None
+        for i in range(self.n):
+            if v[i] == self.k:
+                c = self.base[i]
+                if ord(c) > floor_cp and (best is None or c < best):
+                    best = c
+        return best
+
+    def next_candidate(self, term: str) -> str | None:
+        """Smallest lower bound > term on the next accepted string
+        (AutomatonTermsEnum.nextString, same contract as
+        WildcardAutomaton.next_candidate)."""
+        v = self.start()
+        path = [v]
+        depth = 0
+        for ch in term:
+            nxt = self.step(v, ch)
+            if nxt is None:
+                break
+            v = nxt
+            path.append(nxt)
+            depth += 1
+        if depth == len(term):
+            c = self._min_viable_char(path[depth], None)
+            if c is not None:
+                return term + c
         for i in range(min(depth, len(term) - 1), -1, -1):
             c = self._min_viable_char(path[i], term[i])
             if c is not None:

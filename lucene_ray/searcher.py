@@ -1921,47 +1921,60 @@ class IndexSearcher:
             return [i for i in range(lo, hi)
                     if pat.fullmatch(r.term_at(i)[len(fp):])]
 
-    def _fuzzy_candidate_idxs(self, r: SegmentReader, fp: str, base: str,
-                              max_edits: int, prefix_length: int) -> list[int]:
-        """Dictionary indices that SURVIVE the vectorized counting filter
-        (character-class histograms: max(Σ⁺, Σ⁻) of the histogram diff
-        lower-bounds the edit distance) within the required-prefix range —
-        only these run the banded DP. The cheap stand-in for FuzzyTermsEnum's
-        Levenshtein-automaton dictionary intersection."""
+    def _fuzzy_match_idxs(self, r: SegmentReader, fp: str, base: str,
+                          max_edits: int, prefix_length: int) -> list[int]:
+        """Dictionary indices whose term is within ``max_edits`` of ``base``
+        (EXACT — no downstream verify needed), via Levenshtein-automaton
+        dictionary intersection (util/automaton/LevenshteinAutomata.java:31
+        + FuzzyTermsEnum's intersect-with-terms-dict), sharing the same
+        bisect-hop walk as the wildcard/regexp enumerations. Small ranges
+        keep the vectorized counting filter (character-histogram diff
+        lower-bounds the distance) + banded-DP verify — cheaper than
+        per-term automaton steps when the whole range fits a numpy pass."""
         if prefix_length > 0:
             lo, hi = r.term_range(fp + base[:prefix_length])
         elif fp:
             lo, hi = r.term_range(fp)
         else:
             lo, hi = 0, r.n_terms
+        flo, fhi = (r.term_range(fp) if fp else (0, r.n_terms))
+        self.mtq_stats["terms_total"] += fhi - flo
         if hi <= lo:
             return []
-        from lucene_ray.state.segment import char_count_vec
+        if hi - lo <= 64:
+            from lucene_ray.state.segment import char_count_vec
 
-        qv = char_count_vec(fp + base)
-        diff = r.char_counts[lo:hi] - qv
-        lb = np.maximum(
-            np.clip(diff, 0, None).sum(axis=1),
-            np.clip(-diff, 0, None).sum(axis=1),
-        )
-        idxs = (lo + np.flatnonzero(lb <= max_edits)).tolist()
-        flo, fhi = (r.term_range(fp) if fp else (0, r.n_terms))
-        self.mtq_stats["terms_scanned"] += len(idxs)
-        self.mtq_stats["terms_total"] += fhi - flo
+            qv = char_count_vec(fp + base)
+            diff = r.char_counts[lo:hi] - qv
+            lb = np.maximum(
+                np.clip(diff, 0, None).sum(axis=1),
+                np.clip(-diff, 0, None).sum(axis=1),
+            )
+            cand = (lo + np.flatnonzero(lb <= max_edits)).tolist()
+            self.mtq_stats["terms_scanned"] += len(cand)
+            return [i for i in cand
+                    if _bounded_edit_distance(
+                        base, r.term_at(i)[len(fp):], max_edits) >= 0]
+        from lucene_ray.functions.automaton import (LevenshteinAutomaton,
+                                                    intersect_dictionary)
+
+        auto = LevenshteinAutomaton(base, max_edits)
+        idxs, examined = intersect_dictionary(r, fp, auto, lo, hi)
+        self.mtq_stats["terms_scanned"] += examined
         return idxs
 
     def _eval_fuzzy(self, r: SegmentReader, q: FuzzyQuery, boost: float) -> _SparseScores:
         """Expand to dictionary terms within edit distance ≤ max_edits
         (FuzzyQuery.java; FuzzyTermsEnum boost = 1 − edits/min-length after
         the required exact prefix), then score as a boosted disjunction of
-        TermQueries. Scan scope: required-prefix range ∩ counting-filter
-        survivors (_fuzzy_candidate_idxs) — the DP only ever runs on a small
-        slice of the dictionary."""
+        TermQueries. Enumeration is the Levenshtein-automaton dictionary
+        intersection (_fuzzy_match_idxs) — the DP here only recomputes the
+        exact distance for the boost, on accepted terms."""
         fp = self._fp(q.field)
         subs = []
         base = q.term
-        for i in self._fuzzy_candidate_idxs(r, fp, base, q.max_edits,
-                                            q.prefix_length):
+        for i in self._fuzzy_match_idxs(r, fp, base, q.max_edits,
+                                        q.prefix_length):
             cand = r.term_at(i)[len(fp):]
             ed = _bounded_edit_distance(base, cand, q.max_edits)
             if ed < 0:
@@ -2199,10 +2212,8 @@ class IndexSearcher:
             base, max_edits = spec[1], spec[2]
             out = []
             for r in self.readers:
-                for i in self._fuzzy_candidate_idxs(r, fp, base, max_edits, 0):
-                    c = r.term_at(i)[len(fp):]
-                    if _bounded_edit_distance(base, c, max_edits) >= 0:
-                        out.append(c)
+                out.extend(r.term_at(i)[len(fp):] for i in
+                           self._fuzzy_match_idxs(r, fp, base, max_edits, 0))
             return out
         raise TypeError(f"unknown expansion spec {spec!r}")
 

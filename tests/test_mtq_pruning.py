@@ -214,3 +214,110 @@ def test_leading_wildcard_regexp_prefilter(vocab_index, ray_session):
     assert td.total_hits > 0 and naive
     st = s.mtq_stats
     assert st["terms_scanned"] * 10 <= st["terms_total"], st
+
+
+# ---------------------------------------- Levenshtein automaton (r5)
+
+
+def test_levenshtein_automaton_exact():
+    """Property: run/distance == banded DP over random pairs, all k."""
+    from lucene_ray.functions.automaton import LevenshteinAutomaton
+    from lucene_ray.searcher import _bounded_edit_distance
+
+    rng = np.random.default_rng(23)
+    alpha = list("abcd")
+    words = ["".join(rng.choice(alpha, size=rng.integers(0, 9)))
+             for _ in range(500)]
+    for k in (0, 1, 2):
+        for base in ("", "a", "abc", "abcd", "dacb", "aabba"):
+            la = LevenshteinAutomaton(base, k)
+            for w in words:
+                ed = _bounded_edit_distance(base, w, k)
+                assert la.run(w) == (ed >= 0), (base, k, w)
+                assert la.distance(w) == ed, (base, k, w)
+
+
+def test_levenshtein_next_candidate_sound():
+    """next_candidate never overshoots an accepted string (randomized, the
+    same soundness contract the wildcard automaton test checks)."""
+    from lucene_ray.functions.automaton import LevenshteinAutomaton
+    from lucene_ray.searcher import _bounded_edit_distance
+
+    rng = np.random.default_rng(29)
+    alpha = list("abc")
+    words = sorted({"".join(rng.choice(alpha, size=rng.integers(0, 7)))
+                    for _ in range(300)})
+    for k in (1, 2):
+        for base in ("abc", "bca", "aab"):
+            la = LevenshteinAutomaton(base, k)
+            accepted = [w for w in words
+                        if _bounded_edit_distance(base, w, k) >= 0]
+            for w in words:
+                if _bounded_edit_distance(base, w, k) >= 0:
+                    continue
+                cand = la.next_candidate(w)
+                for a in accepted:
+                    if w < a:
+                        assert cand is not None and cand <= a, (base, k, w,
+                                                                cand, a)
+
+
+def test_fuzzy_intersect_dictionary_equals_linear(vocab_index, ray_session):
+    from lucene_ray.functions.automaton import (LevenshteinAutomaton,
+                                                intersect_dictionary)
+    from lucene_ray.searcher import IndexSearcher, _bounded_edit_distance
+
+    s = IndexSearcher(vocab_index)
+    for base, k in (("omega7x0009", 2), ("beta", 2), ("gamma0x0000", 1)):
+        for r in s.readers:
+            auto = LevenshteinAutomaton(base, k)
+            idxs, examined = intersect_dictionary(r, "", auto, 0, r.n_terms)
+            want = [i for i in range(r.n_terms)
+                    if _bounded_edit_distance(base, r.term_at(i), k) >= 0]
+            assert idxs == want, (base, k)
+            assert examined < r.n_terms  # the hops actually skip
+
+
+def test_fuzzy_automaton_scan_reduction(vocab_index, ray_session):
+    """The verdict's ask: fuzzy on the automaton-intersection path with
+    >10x fewer terms examined than the dictionary, identical results."""
+    from lucene_ray.query import FuzzyQuery
+    from lucene_ray.searcher import IndexSearcher, _bounded_edit_distance
+
+    s = IndexSearcher(vocab_index)
+    base = "omega7x0009"
+    td = s.search(FuzzyQuery(base, max_edits=2), k=10_000)
+    naive = _naive_matches(s, lambda t: _bounded_edit_distance(base, t, 2) >= 0)
+    hit_docs = {sd.doc_key for sd in td.score_docs}
+    want_docs = {dk for r in s.readers for t in naive
+                 for dk in r.doc_keys[r.postings(t)[0]].tolist()}
+    assert hit_docs == want_docs and naive
+    st = s.mtq_stats
+    assert st["terms_scanned"] * 10 <= st["terms_total"], st
+
+
+def test_fuzzy_reference_cases(tmp_path, ray_session):
+    """TestFuzzyQuery.java:74-181 transliterated (defaultMaxEdits=2 corpus
+    aaaaa..bbbbb/ddddd): hit COUNTS per (term, prefix_length)."""
+    import ray as _ray
+
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import FuzzyQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    docs = ["aaaaa", "aaaab", "aaabb", "aabbb", "abbbb", "bbbbb", "ddddd"]
+    idx = str(tmp_path / "fuzzyref")
+    build_index(_ray.data.from_items(
+        [{"url": f"d{i}", "text": t} for i, t in enumerate(docs)]),
+        idx, key_col="url", text_col="text", num_partitions=1)
+    s = IndexSearcher(idx)
+    cases = [
+        ("aaaaa", 0, 3), ("aaaaa", 1, 3), ("aaaaa", 2, 3), ("aaaaa", 3, 3),
+        ("aaaaa", 4, 2), ("aaaaa", 5, 1), ("aaaaa", 6, 1),
+        ("bbbbb", 0, 3), ("xxxxx", 0, 0),
+        ("aaaac", 0, 3), ("aaaac", 1, 3), ("aaaac", 2, 3), ("aaaac", 3, 3),
+    ]
+    for term, plen, want in cases:
+        td = s.search(FuzzyQuery(term, max_edits=2, prefix_length=plen),
+                      k=100)
+        assert td.total_hits == want, (term, plen, td.total_hits)
