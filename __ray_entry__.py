@@ -1865,6 +1865,36 @@ def _q_snowball_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, qs)
 
 
+FREETEXT_KEYS = ("merge s", "data ", "qu")
+
+
+def _q_freetext_suggest(sf_dir: str) -> pa.Table:
+    """FreeTextSuggester (suggest/.../analyzing/FreeTextSuggester.java:35):
+    bigram LM with stupid backoff (ALPHA=0.4), built DISTRIBUTED from the
+    documents table (per-batch shingle counts → partition_reduce). Keys
+    exercise bigram+backoff ('merge s'), trailing-space bigram-only
+    ('data '), and unigram-only ('qu'). num=20 exceeds every candidate
+    set so the per-level cap never bites and the SQL oracle is exact."""
+    from lucene_ray.suggest import FreeTextSuggester
+
+    sug = FreeTextSuggester("simple", grams=2, separator=" ")
+    sug.build_from_dataset(_docs_ds(sf_dir, columns=("text",)),
+                           text_col="text", num_partitions=8)
+    q, rank, key, score = [], [], [], []
+    for k in FREETEXT_KEYS:
+        for i, (text, s) in enumerate(sug.lookup(k, 20), start=1):
+            q.append(k)
+            rank.append(i)
+            key.append(text)
+            score.append(round(s, 6))
+    return pa.table({
+        "query": pa.array(q, type=pa.string()),
+        "rank": pa.array(rank, type=pa.int64()),
+        "key": pa.array(key, type=pa.string()),
+        "score": pa.array(score, type=pa.float64()),
+    })
+
+
 def _q_synonym_graph_topk(sf_dir: str) -> pa.Table:
     """Query-time SynonymGraphFilter + analyzeGraphBoolean
     (analysis/common/.../synonym/SynonymGraphFilter.java:47,
@@ -3449,6 +3479,40 @@ ranked AS (
 SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
 """
 
+# freetext_suggest oracle: bigram stupid-backoff LM in SQL — unigram and
+# bigram count CTEs, one candidate section per key (bigram completions
+# scored n/count(context), unigram backoff 0.4·n/totTokens), cross-level
+# dedup keeps the highest-order model's prediction per last-token.
+_SQL_FREETEXT = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+uni AS (SELECT t.term, count(*)::DOUBLE AS n
+        FROM (SELECT unnest(ts) AS term FROM toks) t GROUP BY 1),
+tot AS (SELECT sum(n) AS tot FROM uni),
+big AS (SELECT ts[i] AS w1, ts[i+1] AS w2, count(*)::DOUBLE AS n
+        FROM toks, UNNEST(range(1, len(ts))) AS r(i) GROUP BY 1, 2),
+allc AS (
+  SELECT 'merge s' AS query, 'merge ' || w2 AS key, w2 AS lastw, 2 AS lvl,
+         n / (SELECT n FROM uni WHERE term = 'merge') AS score
+  FROM big WHERE w1 = 'merge' AND w2 LIKE 's%'
+  UNION ALL
+  SELECT 'merge s', term, term, 1, 0.4 * n / (SELECT tot FROM tot)
+  FROM uni WHERE term LIKE 's%'
+  UNION ALL
+  SELECT 'data ', 'data ' || w2, w2, 2,
+         n / (SELECT n FROM uni WHERE term = 'data')
+  FROM big WHERE w1 = 'data'
+  UNION ALL
+  SELECT 'qu', term, term, 1, n / (SELECT tot FROM tot)
+  FROM uni WHERE term LIKE 'qu%'),
+dedup AS (SELECT *, row_number() OVER (
+            PARTITION BY query, lastw ORDER BY lvl DESC) AS rn FROM allc),
+ranked AS (SELECT query, key, round(score, 6) AS score,
+                  row_number() OVER (PARTITION BY query
+                    ORDER BY round(score, 6) DESC, key) AS rank
+           FROM dedup WHERE rn = 1)
+SELECT query, rank, key, score FROM ranked WHERE rank <= 20
+"""
+
 # snowball_topk oracle: en-language collection, tokens mapped through the
 # Porter2 stem map above (stop terms 'a'/'the' dropped pre-stem, matching
 # the StopFilter position in the chain), standard BM25.
@@ -3983,6 +4047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_topk": _q_payload_topk,  # PayloadScoreQuery (r4)
         "keyword_exact_count": _q_keyword_exact_count,  # KeywordAnalyzer (r4)
         "snowball_topk": _q_snowball_topk,  # SnowballFilter/Porter2 (r5)
+        "freetext_suggest": _q_freetext_suggest,  # n-gram LM backoff (r5)
     }
 
 
@@ -4089,6 +4154,7 @@ SELECT q.query,
 FROM q
 """,
         "snowball_topk": _SQL_SNOWBALL,
+        "freetext_suggest": _SQL_FREETEXT,
         "quality_scores": _SQL_QUALITY,
         "fingerprint": _SQL_FINGERPRINT,
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

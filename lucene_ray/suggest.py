@@ -168,3 +168,258 @@ class InfixSuggester:
             (t, w, p, pat.sub(lambda m: f"<b>{m.group(1)}</b>{m.group(2)}", t))
             for t, w, p in out
         ]
+
+
+class FreeTextSuggester:
+    """n-gram language-model completion with stupid-backoff smoothing —
+    suggest/.../analyzing/FreeTextSuggester.java:35 (model: ShingleFilter
+    1..grams token n-grams with hole fillers '_'; score: backoff^(levels
+    descended) × gramCount / contextCount, ALPHA = 0.4 per Brants et al.
+    2007; results deduped on their LAST token across levels, highest-order
+    model wins; final order value desc then key asc).
+
+    The model is (ngram → count) with grams joined by ``separator`` —
+    the reference holds the same data as one FST; here a sorted array
+    bisected by prefix. ``build_from_dataset`` counts n-grams distributed
+    (vectorized shingles per batch → ``partition_reduce`` sum, pruned by
+    ``min_count`` inside each partition so the driver only ever holds the
+    kept model — the suggester-dictionary-sized structure the reference
+    also keeps in RAM)."""
+
+    ALPHA = 0.4
+    FILLER = "_"
+
+    def __init__(self, analyzer: Analyzer | str = "standard", grams: int = 2,
+                 separator: str = "\x1e"):
+        if grams < 1:
+            raise ValueError("grams must be >= 1")
+        if len(separator) != 1 or ord(separator) > 0x7F:
+            raise ValueError("separator must be one ascii character")
+        self.analyzer = (get_analyzer(analyzer)
+                         if isinstance(analyzer, str) else analyzer)
+        self.grams = grams
+        self.sep = separator
+        self._keys: np.ndarray | None = None    # sorted ngram strings
+        self._counts: np.ndarray | None = None  # aligned int64 counts
+        self.tot_tokens = 0
+        self.count = 0  # build row count
+
+    # ------------------------------------------------------------- build
+
+    def _batch_ngram_counts(self, texts) -> "object":
+        """One batch → partial (gram, n) counts table. Vectorized: the
+        hole-filled token sequence is built with one scatter, shingles are
+        shifted-concat joins, counting is one value_counts per level."""
+        import pandas as pd
+        import pyarrow as pa
+
+        codes, vocab, doc_idx, positions, _l = \
+            self.analyzer.tokenize_batch_encoded(texts)
+        sep = self.sep
+        if len(vocab) and any(sep in t for t in vocab):
+            raise ValueError("tokens must not contain the separator")
+        if not len(codes):
+            return pa.table({"gram": pa.array([""], type=pa.string()),
+                             "n": pa.array([0], type=pa.int64())})
+        terms = np.asarray(vocab, dtype=object)[codes]
+        # per-doc sequence length = last position + 1 (interior holes get
+        # filler tokens; ShingleFilter emits no trailing-hole grams at build)
+        docs, last_idx = np.unique(doc_idx[::-1], return_index=True)
+        last_pos = positions[len(positions) - 1 - last_idx]
+        seq_lens = (last_pos + 1).astype(np.int64)
+        starts = np.zeros(len(docs) + 1, dtype=np.int64)
+        np.cumsum(seq_lens, out=starts[1:])
+        total = int(starts[-1])
+        seq = np.full(total, self.FILLER, dtype=object)
+        doc_rank = np.searchsorted(docs, doc_idx)
+        gpos = positions.astype(np.int64) + starts[doc_rank]
+        seq[gpos] = terms
+        doc_of = np.repeat(np.arange(len(docs)), seq_lens)
+        is_fill = np.ones(total, dtype=bool)
+        is_fill[gpos] = False
+
+        s = pd.Series(seq)
+        parts_keys: list = []
+        parts_n: list = []
+        joined = s
+        all_fill = pd.Series(is_fill)
+        same_doc = pd.Series(np.ones(total, dtype=bool))
+        tot_unigrams = 0
+        for g in range(1, self.grams + 1):
+            if g > 1:
+                sh = s.shift(-(g - 1), fill_value="")
+                joined = joined + sep + sh
+                all_fill = all_fill & pd.Series(is_fill).shift(
+                    -(g - 1), fill_value=True)
+                same_doc = same_doc & (
+                    pd.Series(doc_of) == pd.Series(doc_of).shift(
+                        -(g - 1), fill_value=-1))
+            vc = joined[same_doc & ~all_fill].value_counts()
+            if g == 1:
+                tot_unigrams = int(vc.sum())
+            parts_keys.append(vc.index.to_numpy(dtype=object))
+            parts_n.append(vc.to_numpy())
+        keys = np.concatenate(parts_keys) if parts_keys else []
+        ns = np.concatenate(parts_n) if parts_n else []
+        return pa.table({
+            "gram": pa.array(list(keys) + [""], type=pa.string()),
+            "n": pa.array(list(ns) + [tot_unigrams], type=pa.int64()),
+        })
+
+    def build(self, texts) -> "FreeTextSuggester":
+        """Local build from an iterable of strings (test path)."""
+        import pandas as pd
+
+        texts = list(texts)
+        t = self._batch_ngram_counts(texts).to_pandas()
+        t = t.groupby("gram", as_index=False)["n"].sum()
+        self._finish(t, len(texts))
+        return self
+
+    def build_from_dataset(self, ds, *, text_col: str = "text",
+                           min_count: int = 1,
+                           num_partitions: int = 32) -> "FreeTextSuggester":
+        """Distributed model build: per-batch partial shingle counts →
+        hash-partitioned exact sum (every copy of a gram lands in one
+        partition, so ``min_count`` pruning there is exact and the driver
+        collects only the kept model + one totals row per partition)."""
+        import pyarrow as pa
+
+        from lucene_ray.pipelines.dedup import partition_reduce
+
+        n_rows = ds.count()
+
+        def partial(batch: pa.Table) -> pa.Table:
+            return self._batch_ngram_counts(batch.column(text_col))
+
+        def reduce_fn(t: pa.Table) -> pa.Table:
+            agg = t.group_by("gram").aggregate([("n", "sum")])
+            agg = agg.rename_columns(["gram", "n"])
+            if min_count > 1:
+                import pyarrow.compute as pc
+
+                keep = pc.or_(pc.greater_equal(agg.column("n"), min_count),
+                              pc.equal(agg.column("gram"), ""))
+                agg = agg.filter(keep)
+            return agg
+
+        parts = partition_reduce(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["gram"], reduce_fn, num_partitions=num_partitions)
+        t = parts.to_pandas()
+        t = t.groupby("gram", as_index=False)["n"].sum()  # totals rows merge
+        self._finish(t, n_rows)
+        return self
+
+    def _finish(self, df, n_rows: int) -> None:
+        tot_rows = df[df.gram == ""]
+        self.tot_tokens = int(tot_rows.n.sum()) if len(tot_rows) else 0
+        df = df[df.gram != ""].sort_values("gram")
+        self._keys = df.gram.to_numpy(dtype=object)
+        self._counts = df.n.to_numpy(dtype=np.int64)
+        self.count = int(n_rows)
+
+    # ------------------------------------------------------------ lookup
+
+    def _gram_count(self, gram: str) -> int:
+        i = bisect.bisect_left(self._keys, gram)
+        if i < len(self._keys) and self._keys[i] == gram:
+            return int(self._counts[i])
+        return 0
+
+    def _prefix_range(self, prefix: str) -> tuple[int, int]:
+        lo = bisect.bisect_left(self._keys, prefix)
+        succ = prefix_successor(prefix)
+        hi = (bisect.bisect_left(self._keys, succ)
+              if succ is not None else len(self._keys))
+        return lo, hi
+
+    def _query_shingles(self, key: str) -> tuple[list, int]:
+        """ShingleFilter view of the typed key: hole-filled token sequence
+        plus trailing fillers (the filter emits partially-filled trailing
+        shingles but never only-hole ones), and the ending posIncrement."""
+        import dataclasses
+
+        codes, vocab, _d, positions, _l = \
+            self.analyzer.tokenize_batch_encoded([key])
+        toks = [vocab[c] for c in codes]
+        if any(self.sep in t for t in toks):
+            raise ValueError("key must not contain the separator")
+        if not toks:
+            raise ValueError("no tokens produced by analyzer")
+        seq: list[str] = []
+        for t, p in zip(toks, positions.tolist()):
+            while len(seq) < p:
+                seq.append(self.FILLER)
+            seq.append(t)
+        # trailing holes: positions consumed by a stop-less twin beyond the
+        # last kept position (the '\x00' stopset keeps post_init defaults off)
+        raw = dataclasses.replace(self.analyzer,
+                                  stop_words=frozenset({"\x00"}))
+        _c2, _v2, _d2, pos2, _l2 = raw.tokenize_batch_encoded([key])
+        raw_len = int(pos2[-1]) + 1 if len(pos2) else 0
+        end_pos_inc = max(0, raw_len - len(seq))
+        return seq + [self.FILLER] * end_pos_inc, end_pos_inc
+
+    def lookup(self, key: str, num: int = 10) -> list[tuple[str, float]]:
+        """→ [(ngram text, score)] — score in [0, 1], the reference's
+        value / Long.MAX_VALUE."""
+        if self._keys is None:
+            raise RuntimeError("lookup before build")
+        eff, end_pos_inc = self._query_shingles(key)
+        last_ended = end_pos_inc > 0 or (len(key) > 0 and key[-1].isspace())
+        last_tokens: list[str | None] = [None] * self.grams
+        for g in range(1, self.grams + 1):
+            if len(eff) < g:
+                continue
+            window = eff[-g:]
+            if all(w == self.FILLER for w in window):
+                continue  # ShingleFilter emits no only-hole tokens
+            last_tokens[g - 1] = self.sep.join(window)
+        if last_ended:
+            for i in range(self.grams - 1, 0, -1):
+                if last_tokens[i - 1] is not None:
+                    last_tokens[i] = last_tokens[i - 1] + self.sep
+            last_tokens[0] = ""
+
+        backoff = 1.0
+        seen: set[str] = set()
+        results: list[tuple[str, float]] = []
+        for gram in range(self.grams - 1, -1, -1):
+            token = last_tokens[gram]
+            if token is None or (token == "" and len(key) > 0):
+                continue
+            if end_pos_inc > 0 and gram <= end_pos_inc:
+                break  # only-hole predictions from here down
+            lo, hi = self._prefix_range(token)
+            if hi <= lo:
+                backoff *= self.ALPHA
+                continue
+            # context = the token minus its last fragment
+            cut = token.rfind(self.sep)
+            if cut >= 0:
+                context_count = self._gram_count(token[:cut])
+            else:
+                context_count = self.tot_tokens
+            # completions: same-model grams only (no separator beyond token)
+            cand = []
+            for i in range(lo, hi):
+                full = str(self._keys[i])
+                if self.sep in full[len(token):]:
+                    continue
+                cand.append((-int(self._counts[i]), full))
+            cand.sort()
+            added = 0
+            for negn, full in cand:
+                if added >= num:
+                    break
+                last = full[full.rfind(self.sep) + 1:]
+                if last in seen:
+                    continue
+                seen.add(last)
+                score = backoff * (-negn) / max(context_count, 1)
+                results.append((full, score))
+                added += 1
+            backoff *= self.ALPHA
+        results.sort(key=lambda r: (-r[1], r[0]))
+        return results[:num]
