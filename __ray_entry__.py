@@ -1865,6 +1865,37 @@ def _q_snowball_topk(sf_dir: str) -> pa.Table:
     return _ranked_topk(s, qs)
 
 
+# DoubleMetaphone codes of the corpus terms they select (computed from the
+# in-repo encoder, vocabulary-validated in tests/test_compound_words.py):
+# MRJ = merge (primary), XML = small (ALTERNATE code path), TT = data.
+PHONETIC_QUERIES = (("MRJ", "merge"), ("XML", "small"), ("TT", "data"))
+
+
+def _q_phonetic_count(sf_dir: str) -> pa.Table:
+    """DoubleMetaphoneFilter end-to-end (analysis/phonetic/.../
+    DoubleMetaphoneFilter.java:28): index injects primary+alternate codes
+    at the original's position; counting docs by CODE must equal counting
+    docs by the term that encodes to it."""
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import TermQuery
+    from lucene_ray.searcher import IndexSearcher
+    from lucene_ray.state.manifest import Manifest
+
+    d = _cache_dir(sf_dir, "gatephonetic")
+    if not Manifest.exists(d):
+        build_index(
+            f"{sf_dir}/documents.parquet", d, key_col="doc_id",
+            text_col="text", num_partitions=2,
+            analyzer={"kind": "simple", "phonetic": "double_metaphone"},
+            columns=["doc_id", "text"])
+    s = IndexSearcher(d, mode="exact")
+    return pa.table({
+        "query": pa.array([c for c, _t in PHONETIC_QUERIES]),
+        "n": pa.array([s.count(TermQuery(c)) for c, _t in PHONETIC_QUERIES],
+                      type=pa.int64()),
+    })
+
+
 FREETEXT_KEYS = ("merge s", "data ", "qu")
 
 
@@ -4048,6 +4079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_exact_count": _q_keyword_exact_count,  # KeywordAnalyzer (r4)
         "snowball_topk": _q_snowball_topk,  # SnowballFilter/Porter2 (r5)
         "freetext_suggest": _q_freetext_suggest,  # n-gram LM backoff (r5)
+        "phonetic_count": _q_phonetic_count,  # DoubleMetaphone (r5)
     }
 
 
@@ -4155,6 +4187,14 @@ FROM q
 """,
         "snowball_topk": _SQL_SNOWBALL,
         "freetext_suggest": _SQL_FREETEXT,
+        "phonetic_count": f"""
+WITH q(query, term) AS (VALUES {", ".join(
+            f"('{c}','{t}')" for c, t in PHONETIC_QUERIES)})
+SELECT q.query,
+       (SELECT count(*) FROM documents d
+        WHERE list_contains({_TOK.replace("text", "d.text")}, q.term)) AS n
+FROM q
+""",
         "quality_scores": _SQL_QUALITY,
         "fingerprint": _SQL_FINGERPRINT,
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,

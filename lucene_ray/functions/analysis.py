@@ -659,8 +659,12 @@ class Analyzer:
     # inject=True emits the encoding at the SAME position as the kept
     # original (posInc 0, encoded first — the reference's emission order),
     # inject=False replaces the token. Runs last, at vocab level.
+    # "soundex" | "refined_soundex" | "double_metaphone" (the latter emits
+    # primary + alternate codes, DoubleMetaphoneFilter semantics;
+    # phonetic_max_code_len = the filter's maxCodeLength, default 4)
     phonetic: str = ""
     phonetic_inject: bool = True
+    phonetic_max_code_len: int = 4
     # DelimitedPayloadTokenFilter (analysis/common/.../payloads/
     # DelimitedPayloadTokenFilter.java:26-60 + FloatEncoder): characters
     # before the FIRST delimiter are the token, after it the float payload.
@@ -1611,7 +1615,37 @@ class Analyzer:
                 codes, vocab, doc_idx, positions)
             # doc_lengths unchanged: stacked subwords are posInc-0 overlaps
             # (BM25Similarity discountOverlaps=true default)
-        if self.phonetic and len(vocab):
+        if self.phonetic == "double_metaphone" and len(vocab):
+            # DoubleMetaphoneFilter (analysis/phonetic/.../
+            # DoubleMetaphoneFilter.java:28): emits primary AND alternate
+            # codes. inject=True stacks [original, primary, alternate≠
+            # primary] at one position; inject=False replaces the original
+            # with the primary and stacks the alternate. Unconvertible
+            # tokens (primary empty or == token) pass through unchanged.
+            from lucene_ray.functions.metaphone import double_metaphone_codes
+
+            codes_pa = [double_metaphone_codes(w, self.phonetic_max_code_len)
+                        for w in vocab]
+            if return_offsets:
+                raise ValueError("store_offsets is not supported with "
+                                 "phonetic tokens")
+            if self.phonetic_inject:
+                extras = [([p] if p and p != w else [])
+                          + ([a] if p and p != w and a and a != p else [])
+                          for w, (p, a) in zip(vocab, codes_pa)]
+                codes, vocab, doc_idx, positions = self._splice_stacked(
+                    codes, vocab, doc_idx, positions, extras,
+                    extras_first=False)
+            else:
+                extras = [[a] if p and p != w and a and a != p else []
+                          for w, (p, a) in zip(vocab, codes_pa)]
+                vocab = np.array(
+                    [p if p and p != w else w
+                     for w, (p, _a) in zip(vocab, codes_pa)], dtype=object)
+                codes, vocab, doc_idx, positions = self._splice_stacked(
+                    codes, vocab, doc_idx, positions, extras,
+                    extras_first=False)
+        elif self.phonetic and len(vocab):
             from lucene_ray.functions.stemming import (refined_soundex,
                                                        soundex)
 

@@ -165,3 +165,90 @@ def test_phonetic_index_roundtrip(tmp_path, ray_session):
     assert s.count(TermQuery("R163")) == 2
     assert s.count(TermQuery("robert")) == 1
     assert s.count(TermQuery("rupert")) == 1
+
+
+# --------------------------------------------------- DoubleMetaphone (r5)
+
+
+from lucene_ray.functions.metaphone import double_metaphone_codes
+
+
+@pytest.mark.parametrize("inp,primary,alternate", [
+    # TestDoubleMetaphoneFilter.java goldens
+    ("international", "ANTR", "ANTR"),
+    ("Kuczewski", "KSSK", "KXFS"),
+    ("hello", "HL", "HL"),
+    ("12345", "", ""),
+    ("#$%@#^%&", "", ""),
+    # commons-codec DoubleMetaphone published vectors
+    ("maurice", "MRS", "MRS"),
+    ("aubrey", "APR", "APR"),
+    ("cambrillo", "KMPR", "KMPR"),
+    ("katherine", "K0RN", "KTRN"),
+    ("Thumbail", "0MPL", "TMPL"),
+    ("aumont", "AMNT", "AMNT"),
+    ("schmidt", "XMT", "SMT"),
+    ("smith", "SM0", "XMT"),
+    ("school", "SKL", "SKL"),
+    ("philip", "FLP", "FLP"),
+    ("xavier", "SF", "SFR"),
+    ("wright", "RT", "RT"),
+    ("jose", "HS", "HS"),
+])
+def test_double_metaphone_codes(inp, primary, alternate):
+    assert double_metaphone_codes(inp) == (primary, alternate)
+
+
+def test_double_metaphone_max_len_8():
+    # testSize8FalseInject
+    assert double_metaphone_codes("international", 8)[0] == "ANTRNXNL"
+
+
+def test_double_metaphone_filter_replace():
+    # testSize4FalseInject / testAlternateInjectFalse /
+    # testNonConvertableStringsWithoutInject
+    a = get_analyzer("whitespace", phonetic="double_metaphone",
+                     phonetic_inject=False)
+    assert _toks(a, "international") == [("ANTR", 0)]
+    assert _toks(a, "Kuczewski") == [("KSSK", 0), ("KXFS", 0)]
+    assert _toks(a, "12345 #$%@#^%& hello") == [
+        ("12345", 0), ("#$%@#^%&", 1), ("HL", 2)]
+
+
+def test_double_metaphone_filter_inject():
+    # testSize4TrueInject: original first, then codes at the same position
+    a = get_analyzer("whitespace", phonetic="double_metaphone")
+    assert _toks(a, "international") == [
+        ("international", 0), ("ANTR", 0)]
+    assert _toks(a, "Kuczewski") == [
+        ("Kuczewski", 0), ("KSSK", 0), ("KXFS", 0)]
+    assert _toks(a, "12345") == [("12345", 0)]
+
+
+def test_double_metaphone_size8_replace():
+    a = get_analyzer("whitespace", phonetic="double_metaphone",
+                     phonetic_inject=False, phonetic_max_code_len=8)
+    assert _toks(a, "international") == [("ANTRNXNL", 0)]
+
+
+def test_double_metaphone_index_roundtrip(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.index_pipeline import build_index_by_file
+    from lucene_ray.query import TermQuery
+    from lucene_ray.searcher import IndexSearcher
+
+    src = str(tmp_path / "dm.parquet")
+    pq.write_table(pa.table({
+        "url": ["a", "b"],
+        "text": ["smith arrived", "smyth answered"]}), src)
+    idx = str(tmp_path / "dmi")
+    build_index_by_file(src, idx, key_col="url", text_col="text",
+                        analyzer={"kind": "simple",
+                                  "phonetic": "double_metaphone"})
+    s = IndexSearcher(idx)
+    # smith and smyth share both codes; originals remain searchable
+    assert s.count(TermQuery("SM0")) == 2
+    assert s.count(TermQuery("XMT")) == 2
+    assert s.count(TermQuery("smith")) == 1
