@@ -1798,7 +1798,11 @@ SYNONYM_GRAPH_QUERIES = ["quick scan", "big hash join", "sort key"]
 # 'table'→'tabl' — plural query finds singular docs)
 LANG_ANALYZER_QUERIES = (("de", "german", ("merge", "order")),
                          ("fr", "french", ("tables", "value")),
-                         ("es", "spanish", ("merge", "tables")))
+                         ("es", "spanish", ("merge", "tables")),
+                         # kuromoji-lite chain (r5): latin runs group into
+                         # whole-word tokens, ja stop/stem are no-ops on
+                         # this text — the oracle is the plain tokenization
+                         ("zh", "japanese", ("merge", "data")))
 
 
 def _lang_gate_index(sf_dir: str, lang: str, analyzer: str) -> str:
@@ -3448,7 +3452,8 @@ _LANG_QUERY_STEMS = {("de", "merge"): "merg", ("de", "order"): "ord",
                      ("fr", "tables"): "tabl", ("fr", "value"): "valu",
                      ("es", "merge"): "merg", ("es", "tables"): "tabl",
                      ("en", "key"): "key", ("en", "tables"): "tabl",
-                     ("en", "merge"): "merg"}
+                     ("en", "merge"): "merg",
+                     ("zh", "merge"): "merge", ("zh", "data"): "data"}
 # Porter2 ("english" snowball) stems of the corpus vocab terms it changes;
 # 'key' is intentionally absent (Porter2 keeps 'key', classic Porter does
 # not) — the snowball_topk gate is vacuous without that distinction.
@@ -3497,11 +3502,16 @@ _DE_SECTION, _DE_SEL = _sql_lang_section("de", _DE_STEM_MAP, ("merge", "order"))
 _FR_SECTION, _FR_SEL = _sql_lang_section("fr", _FR_STEM_MAP, ("tables", "value"))
 _ES_SECTION, _ES_SEL = _sql_lang_section("es", _ES_STEM_MAP, ("merge", "tables"),
                                          stop_terms=("a",))
+# ja (kuromoji-lite over latin text): identity token mapping
+_ZH_SECTION, _ZH_SEL = _sql_lang_section("zh", [("merge", "merge")],
+                                         ("merge", "data"))
 _SQL_LANG_ANALYZER = f"""
 WITH {_DE_SECTION},
 {_FR_SECTION},
 {_ES_SECTION},
-scored AS ({_DE_SEL} UNION ALL {_FR_SEL} UNION ALL {_ES_SEL}),
+{_ZH_SECTION},
+scored AS ({_DE_SEL} UNION ALL {_FR_SEL} UNION ALL {_ES_SEL}
+           UNION ALL {_ZH_SEL}),
 ranked AS (
   SELECT query, doc_id,
          row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank

@@ -665,6 +665,9 @@ class Analyzer:
     phonetic: str = ""
     phonetic_inject: bool = True
     phonetic_max_code_len: int = 4
+    # JapaneseTokenizer user dictionary — userdict.txt lines (JSON-able so
+    # the spec rides the index manifest); only used by kind="japanese"
+    japanese_user_dict: tuple = ()
     # DelimitedPayloadTokenFilter (analysis/common/.../payloads/
     # DelimitedPayloadTokenFilter.java:26-60 + FloatEncoder): characters
     # before the FIRST delimiter are the token, after it the float payload.
@@ -842,6 +845,20 @@ class Analyzer:
                         "hungarian_light": HUNGARIAN_STOP_WORDS}
             self.stop_words = self.stop_words or defaults[self.kind]
             self.stem = True
+        elif self.kind == "japanese":
+            # ja/JapaneseAnalyzer.java: JapaneseTokenizer(user dict,
+            # SEARCH) → BaseForm/PartOfSpeechStop (skipped: the reduced
+            # public dictionary carries no POS/base-form data — documented
+            # divergence) → CJKWidthFilter → Stop(ja stopwords) →
+            # JapaneseKatakanaStemFilter → LowerCase. Width fold +
+            # katakana stem run at vocab level via _stem_fn.
+            from lucene_ray.functions.kuromoji import JAPANESE_STOP_WORDS
+
+            self.stop_words = self.stop_words or JAPANESE_STOP_WORDS
+            self.stem = True
+            if self.japanese_user_dict and not isinstance(
+                    self.japanese_user_dict, tuple):
+                self.japanese_user_dict = tuple(self.japanese_user_dict)
         elif self.kind in ("russian", "swedish", "finnish", "hungarian"):
             # the reference's DEFAULT analyzers for these languages
             # (ru/RussianAnalyzer.java:141, sv/SwedishAnalyzer.java,
@@ -875,6 +892,18 @@ class Analyzer:
             object.__setattr__(self, "_cf_chain", chain)
         return chain or ()
 
+    def _japanese_tokenizer(self):
+        """Viterbi segmenter, built once per analyzer instance (the user
+        dictionary parse + lexicon scan live in __init__-equivalent time,
+        the per-batch cost is the lattice walk only)."""
+        jt = getattr(self, "_ja_tok", None)
+        if jt is None:
+            from lucene_ray.functions.kuromoji import JapaneseTokenizer
+
+            jt = JapaneseTokenizer(user_dict=list(self.japanese_user_dict))
+            object.__setattr__(self, "_ja_tok", jt)
+        return jt
+
     def _stem_fn(self):
         """Per-chain stemmer: Porter for english/+stem, the UniNE light
         stemmers (with their language normalization step) for german/french."""
@@ -907,6 +936,11 @@ class Analyzer:
                     "swedish_light": _st.swedish_light_stem,
                     "finnish_light": _st.finnish_light_stem,
                     "hungarian_light": _st.hungarian_light_stem}[self.kind]
+        if self.kind == "japanese":
+            from lucene_ray.functions.kuromoji import (cjk_width_fold,
+                                                       katakana_stem)
+
+            return lambda t: katakana_stem(cjk_width_fold(t))
         if self.kind in ("russian", "swedish", "finnish", "hungarian",
                          "english_snowball"):
             from lucene_ray.functions import snowball as _sb
@@ -1172,7 +1206,10 @@ class Analyzer:
         findall = token_re.findall
         # WhitespaceAnalyzer has NO LowerCaseFilter (core/.../analysis/core/
         # WhitespaceAnalyzer.java) — keep case, matching the Arrow path.
-        if self.kind == "whitespace":
+        if self.kind == "japanese":
+            jt = self._japanese_tokenizer()
+            per_doc = [jt.tokenize_surfaces(t.lower()) for t in texts]
+        elif self.kind == "whitespace":
             per_doc = [findall(t) for t in texts]
         else:
             per_doc = [findall(t.lower()) for t in texts]
@@ -1426,6 +1463,12 @@ class Analyzer:
             # cjk-analyzed query would never match
             raise ValueError(
                 "store_offsets is not supported with the 'cjk' analyzer")
+        if self.kind == "japanese":
+            # user-dictionary segments split one source span — refuse
+            # offsets like cjk rather than emit misaligned spans
+            raise ValueError(
+                "store_offsets is not supported with the 'japanese' "
+                "analyzer")
         if self.word_delimiter:
             # graph expansion is not span-preserving (catenations cover
             # multiple source spans); refuse like cjk
