@@ -377,7 +377,8 @@ def knn_hnsw(index_dir: str, query_ids, query_vecs, *, k: int = 10,
 def merge_hnsw_shards(index_dir: str, *, merge_factor: int = 8,
                       target_shards: int | None = None, M: int = 16,
                       ef_construction: int = 100, seed: int = 42,
-                      use_ray: bool = True) -> list[str]:
+                      use_ray: bool = True,
+                      max_group_vectors: int = 2_000_000) -> list[str]:
     """Consolidate per-shard HNSW graphs — the segment-merge analogue.
 
     The reference rebuilds the merged segment's graph from the union of the
@@ -385,7 +386,9 @@ def merge_hnsw_shards(index_dir: str, *, merge_factor: int = 8,
     Lucene90HnswVectorFormat write path / Lucene90HnswVectorsWriter
     mergeOneField); without it shard count — and with it per-query fan-out —
     only ever grows. Groups shards smallest-first up to ``merge_factor``
-    per group (``target_shards`` overrides: pack toward that many), rebuilds
+    per group (``target_shards`` overrides: pack toward that many), caps
+    each group at ``max_group_vectors`` summed vectors (the force-merge
+    guard: no single rebuild task ever holds more), rebuilds
     ONE graph per group from the concatenated vectors inside a Ray task
     (the rebuild is the reference's merge strategy too — graphs aren't
     stitched), writes each merged shard atomically, swaps ``shards.json``
@@ -403,10 +406,28 @@ def merge_hnsw_shards(index_dir: str, *, merge_factor: int = 8,
     pool = sorted(shards, key=lambda n: (sizes[n], n))
     if target_shards is not None and target_shards >= 1:
         k = max(1, (len(pool) + target_shards - 1) // target_shards)
-        groups = [pool[i : i + k] for i in range(0, len(pool), k)]
+        raw_groups = [pool[i : i + k] for i in range(0, len(pool), k)]
     else:
-        groups = [pool[i : i + merge_factor]
-                  for i in range(0, len(pool), merge_factor)]
+        raw_groups = [pool[i : i + merge_factor]
+                      for i in range(0, len(pool), merge_factor)]
+    # force-merge guard: one group = ONE rebuild task holding the group's
+    # full vector set; cap summed vectors per group so a full-corpus
+    # consolidation (e.g. target_shards=1 at web scale) degrades into
+    # several bounded merges instead of one unbounded task. A lone
+    # over-budget shard stays a singleton (dropped below) rather than
+    # being split.
+    groups: list[list[str]] = []
+    for g in raw_groups:
+        cur: list[str] = []
+        cur_n = 0
+        for name in g:
+            if cur and cur_n + sizes[name] > max_group_vectors:
+                groups.append(cur)
+                cur, cur_n = [], 0
+            cur.append(name)
+            cur_n += sizes[name]
+        if cur:
+            groups.append(cur)
     groups = [g for g in groups if len(g) >= 2]
     if not groups:
         return shards

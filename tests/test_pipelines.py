@@ -474,3 +474,39 @@ def test_hnsw_shard_merge(ray_session, tmp_path):
         hits += len(got & true)
         tot += len(true)
     assert hits / tot >= 0.8
+
+
+def test_hnsw_merge_group_vector_bound(ray_session, tmp_path):
+    """Force-merge guard: max_group_vectors caps the vectors any single
+    rebuild task holds — a target_shards=1 consolidation over the budget
+    degrades into several bounded merges instead of one unbounded task."""
+    import json
+    import os
+
+    import ray as _ray
+
+    from lucene_ray.pipelines.hnsw import build_hnsw_index, merge_hnsw_shards
+
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((600, 8))
+    ds = _ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(600, dtype=np.int64)),
+        "embedding": pa.array(list(X), type=pa.list_(pa.float64()))}))
+    idx = str(tmp_path / "hnswcap")
+    build_hnsw_index(ds, idx, M=8, ef_construction=60, shard_rows=100)
+    with open(os.path.join(idx, "shards.json")) as f:
+        before = json.load(f)
+    assert len(before) == 6  # 6 shards x 100 vectors
+    # cap at 250: groups of at most 2 shards (200 vecs) fit, 3rd would not
+    new = merge_hnsw_shards(idx, target_shards=1, M=8, ef_construction=60,
+                            use_ray=False, max_group_vectors=250)
+    assert len(new) == 3  # 6 -> 3 bounded merges, NOT one giant rebuild
+    for name in new:
+        with open(os.path.join(idx, name, "meta.json")) as f:
+            assert json.load(f)["n"] <= 250
+    # total vectors preserved
+    tot = 0
+    for name in new:
+        with open(os.path.join(idx, name, "meta.json")) as f:
+            tot += json.load(f)["n"]
+    assert tot == 600
