@@ -619,6 +619,11 @@ class Analyzer:
     # SetKeywordMarkerFilter (miscellaneous/SetKeywordMarkerFilter.java):
     # terms in this set are protected from stemming
     stem_exclusions: frozenset = field(default_factory=frozenset)
+    # ICUNormalizer2Filter analogue (analysis/icu/.../ICUNormalizer2Filter
+    # .java:47, default nfkc_cf): NFKC + case fold + default-ignorable
+    # removal, applied at vocab level before the stop filter (ICU chains
+    # normalize first so stopwords match folded forms)
+    icu_normalize: bool = False
     # CharFilters (pre-tokenizer character transforms with offset
     # correction, analysis/common/.../charfilter/): a tuple of JSON-able
     # specs — {"type": "html_strip"|"mapping"|"pattern_replace", ...} —
@@ -1062,6 +1067,10 @@ class Analyzer:
             from lucene_ray.functions.stemming import ascii_fold
 
             t = ascii_fold(t)
+        if self.icu_normalize:
+            from lucene_ray.functions.icu import icu_normalize
+
+            t = icu_normalize(t)
         if self.possessive:
             from lucene_ray.functions.stemming import strip_possessive
 
@@ -1571,6 +1580,10 @@ class Analyzer:
             from lucene_ray.functions.stemming import ascii_fold
 
             vocab = np.array([ascii_fold(t) for t in vocab], dtype=object)
+        if self.icu_normalize and len(vocab):
+            from lucene_ray.functions.icu import icu_normalize
+
+            vocab = np.array([icu_normalize(t) for t in vocab], dtype=object)
         if self.decimal_digit and len(vocab):
             vocab = np.array([_fold_digits(t) for t in vocab], dtype=object)
         if self.kind in _PRE_STOP_NORM_KINDS and len(vocab):
@@ -1642,7 +1655,7 @@ class Analyzer:
             vocab = np.array(
                 [t if t in excl else stem_fn(t) for t in vocab], dtype=object)
         if (self.stem or self.possessive or self.ascii_folding
-                or self.elision or self.decimal_digit
+                or self.elision or self.decimal_digit or self.icu_normalize
                 or self.kind in _PRE_STOP_NORM_KINDS) and len(vocab):
             # transforms can merge vocab entries — re-intern (decimal-digit
             # folding and the persian/sorani normalizers merge too: e.g.
