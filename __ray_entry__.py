@@ -20,6 +20,7 @@ here calls ray.init()/ray.shutdown().
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 from collections.abc import Callable
 from typing import Any
@@ -1900,6 +1901,41 @@ def _q_phonetic_count(sf_dir: str) -> pa.Table:
     })
 
 
+# (label, analyzer spec, query terms) — both sections run over the zh
+# corpus slice; on its Latin text nori-lite tokenizes identically to the
+# standard chain (SL runs, lowercased, POS filter drops nothing) and
+# smartcn-lite adds the Porter stem (SmartChineseAnalyzer.java:129), so
+# both are exactly SQL-expressible. The CJK-script behavior (Viterbi
+# segmentation, decompound, POS stop) is golden-tested in
+# tests/test_korean.py / tests/test_smartcn.py.
+CJK_ANALYZER_QUERIES = (("ko", "korean", ("merge", "data")),
+                        ("zhs", "smart_chinese", ("tables", "key")))
+
+
+def _q_cjk_analyzer_topk(sf_dir: str) -> pa.Table:
+    """nori-lite / smartcn-lite chains end-to-end (r5): language index +
+    query-side normalize, BM25 top-k per query."""
+    from lucene_ray.functions.analysis import get_analyzer
+    from lucene_ray.pipelines.index_pipeline import build_index
+    from lucene_ray.query import TermQuery
+    from lucene_ray.searcher import IndexSearcher
+    from lucene_ray.state.manifest import Manifest
+
+    parts = []
+    for label, analyzer, terms in CJK_ANALYZER_QUERIES:
+        d = _cache_dir(sf_dir, f"gatecjk-{label}")
+        if not Manifest.exists(d):
+            ds = _docs_ds(sf_dir, columns=("doc_id", "text", "lang"))
+            ds = ds.filter(expr="lang == 'zh'")
+            build_index(ds, d, key_col="doc_id", text_col="text",
+                        num_partitions=2, analyzer=analyzer)
+        s = IndexSearcher(d, mode="exact")
+        an = get_analyzer(analyzer)
+        qs = [(f"{label}:{t}", TermQuery(an.normalize(t))) for t in terms]
+        parts.append(_ranked_topk(s, qs))
+    return pa.concat_tables(parts)
+
+
 FREETEXT_KEYS = ("merge s", "data ", "qu")
 
 
@@ -1921,7 +1957,9 @@ def _q_freetext_suggest(sf_dir: str) -> pa.Table:
             q.append(k)
             rank.append(i)
             key.append(text)
-            score.append(round(s, 6))
+            # half-away-from-zero like DuckDB's ROUND (Python's round is
+            # half-even: 0.0390625 must go to .039063, not .039062)
+            score.append(math.floor(s * 1e6 + 0.5) / 1e6)
     return pa.table({
         "query": pa.array(q, type=pa.string()),
         "rank": pa.array(rank, type=pa.int64()),
@@ -3453,7 +3491,11 @@ _LANG_QUERY_STEMS = {("de", "merge"): "merg", ("de", "order"): "ord",
                      ("es", "merge"): "merg", ("es", "tables"): "tabl",
                      ("en", "key"): "key", ("en", "tables"): "tabl",
                      ("en", "merge"): "merg",
-                     ("zh", "merge"): "merge", ("zh", "data"): "data"}
+                     ("zh", "merge"): "merge", ("zh", "data"): "data",
+                     # ko = nori-lite (identity on Latin), zhs =
+                     # smartcn-lite (Porter on Latin) — both over lang='zh'
+                     ("ko", "merge"): "merge", ("ko", "data"): "data",
+                     ("zhs", "tables"): "tabl", ("zhs", "key"): "kei"}
 # Porter2 ("english" snowball) stems of the corpus vocab terms it changes;
 # 'key' is intentionally absent (Porter2 keeps 'key', classic Porter does
 # not) — the snowball_topk gate is vacuous without that distinction.
@@ -3462,9 +3504,12 @@ _SNOWBALL_STEM_MAP = [("customer", "custom"), ("merge", "merg"),
                       ("value", "valu")]
 
 
-def _sql_lang_section(lang: str, stem_map, queries, stop_terms=()) -> str:
+def _sql_lang_section(lang: str, stem_map, queries, stop_terms=(),
+                      data_lang: str | None = None) -> str:
     vals = ", ".join(f"('{a}','{b}')" for a, b in stem_map)
-    p = lang  # CTE prefix
+    p = lang  # CTE prefix + query label; data_lang = the corpus slice when
+    # one language slice backs several analyzer sections
+    data_lang = data_lang or lang
     stop = ""
     if stop_terms:
         inlist = ", ".join(f"'{t}'" for t in stop_terms)
@@ -3482,7 +3527,7 @@ def _sql_lang_section(lang: str, stem_map, queries, stop_terms=()) -> str:
         for q in queries
     )
     return f"""
-{p}base AS (SELECT doc_id, {_TOK} AS toks FROM documents WHERE lang = '{lang}'),
+{p}base AS (SELECT doc_id, {_TOK} AS toks FROM documents WHERE lang = '{data_lang}'),
 {p}map(term, stem) AS (SELECT * FROM (VALUES {vals})),
 {p}toks AS (
   SELECT t.doc_id, COALESCE(m.stem, t.term) AS term
@@ -3505,6 +3550,30 @@ _ES_SECTION, _ES_SEL = _sql_lang_section("es", _ES_STEM_MAP, ("merge", "tables")
 # ja (kuromoji-lite over latin text): identity token mapping
 _ZH_SECTION, _ZH_SEL = _sql_lang_section("zh", [("merge", "merge")],
                                          ("merge", "data"))
+# cjk_analyzer_topk oracle (r5): the zh corpus slice under the two CJK
+# morphological chains — nori-lite (ko/KoreanAnalyzer.java: Latin runs are
+# SL tokens, lowercased, no stem → identity map) and smartcn-lite
+# (cn/smart/SmartChineseAnalyzer.java:129 Porter-stems Latin tokens; map =
+# classic-Porter stems of the 31-term corpus vocab, golden-tested in
+# tests/test_smartcn.py / tests/test_analysis.py).
+_ZHS_STEM_MAP = [("customer", "custom"), ("key", "kei"), ("merge", "merg"),
+                 ("query", "queri"), ("table", "tabl"), ("value", "valu")]
+_KO_SECTION, _KO_SEL = _sql_lang_section(
+    "ko", [("merge", "merge")], ("merge", "data"), data_lang="zh")
+_ZHS_SECTION, _ZHS_SEL = _sql_lang_section(
+    "zhs", _ZHS_STEM_MAP, ("tables", "key"), data_lang="zh")
+_SQL_CJK_ANALYZER = f"""
+WITH {_KO_SECTION},
+{_ZHS_SECTION},
+scored AS ({_KO_SEL} UNION ALL {_ZHS_SEL}),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, rank, doc_id FROM ranked WHERE rank <= {K}
+"""
+
 _SQL_LANG_ANALYZER = f"""
 WITH {_DE_SECTION},
 {_FR_SECTION},
@@ -4090,6 +4159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snowball_topk": _q_snowball_topk,  # SnowballFilter/Porter2 (r5)
         "freetext_suggest": _q_freetext_suggest,  # n-gram LM backoff (r5)
         "phonetic_count": _q_phonetic_count,  # DoubleMetaphone (r5)
+        "cjk_analyzer_topk": _q_cjk_analyzer_topk,  # nori/smartcn-lite (r5)
     }
 
 
@@ -4219,4 +4289,5 @@ FROM q
         "events_window": _SQL_EVENTS_WINDOW,
         "events_hopping": _SQL_EVENTS_HOPPING,
         "events_sessions": _SQL_EVENTS_SESSIONS,
+        "cjk_analyzer_topk": _SQL_CJK_ANALYZER,
     }

@@ -673,6 +673,12 @@ class Analyzer:
     # JapaneseTokenizer user dictionary — userdict.txt lines (JSON-able so
     # the spec rides the index manifest); only used by kind="japanese"
     japanese_user_dict: tuple = ()
+    # KoreanTokenizer (nori) user dictionary — nori userdict lines
+    # ("세종" or "세종시 세종 시"); only used by kind="korean"
+    korean_user_dict: tuple = ()
+    # KoreanTokenizer.DecompoundMode: "discard" (reference default) |
+    # "none" | "mixed"
+    korean_decompound: str = "discard"
     # DelimitedPayloadTokenFilter (analysis/common/.../payloads/
     # DelimitedPayloadTokenFilter.java:26-60 + FloatEncoder): characters
     # before the FIRST delimiter are the token, after it the float payload.
@@ -864,6 +870,21 @@ class Analyzer:
             if self.japanese_user_dict and not isinstance(
                     self.japanese_user_dict, tuple):
                 self.japanese_user_dict = tuple(self.japanese_user_dict)
+        elif self.kind == "korean":
+            # ko/KoreanAnalyzer.java:77-82: KoreanTokenizer(user dict,
+            # DISCARD) → KoreanPartOfSpeechStopFilter(default tags) →
+            # KoreanReadingFormFilter (no-op here: Hanja readings need the
+            # full mecab-ko-dic — documented divergence) → LowerCaseFilter.
+            # POS filtering replaces stopwords (nori has no stopword list).
+            if self.korean_user_dict and not isinstance(
+                    self.korean_user_dict, tuple):
+                self.korean_user_dict = tuple(self.korean_user_dict)
+        elif self.kind == "smart_chinese":
+            # cn/smart/SmartChineseAnalyzer.java:123-134:
+            # HMMChineseTokenizer → PorterStemFilter (Latin tokens) →
+            # StopFilter(punctuation list — the lite tokenizer already
+            # discards punctuation, the equivalent end state)
+            self.stem = True
         elif self.kind in ("russian", "swedish", "finnish", "hungarian"):
             # the reference's DEFAULT analyzers for these languages
             # (ru/RussianAnalyzer.java:141, sv/SwedishAnalyzer.java,
@@ -908,6 +929,28 @@ class Analyzer:
             jt = JapaneseTokenizer(user_dict=list(self.japanese_user_dict))
             object.__setattr__(self, "_ja_tok", jt)
         return jt
+
+    def _korean_tokenizer(self):
+        """nori-lite Viterbi segmenter, built once per analyzer instance."""
+        kt = getattr(self, "_ko_tok", None)
+        if kt is None:
+            from lucene_ray.functions.korean import KoreanTokenizer
+
+            kt = KoreanTokenizer(user_dict=list(self.korean_user_dict),
+                                 decompound_mode=self.korean_decompound)
+            object.__setattr__(self, "_ko_tok", kt)
+        return kt
+
+    def _chinese_tokenizer(self):
+        """smartcn-lite Viterbi segmenter, built once per analyzer
+        instance."""
+        ct = getattr(self, "_zh_tok", None)
+        if ct is None:
+            from lucene_ray.functions.smartcn import ChineseTokenizer
+
+            ct = ChineseTokenizer()
+            object.__setattr__(self, "_zh_tok", ct)
+        return ct
 
     def _stem_fn(self):
         """Per-chain stemmer: Porter for english/+stem, the UniNE light
@@ -1218,6 +1261,14 @@ class Analyzer:
         if self.kind == "japanese":
             jt = self._japanese_tokenizer()
             per_doc = [jt.tokenize_surfaces(t.lower()) for t in texts]
+        elif self.kind == "korean":
+            # POS stop filter fused into tokenize_surfaces; LowerCaseFilter
+            # via .lower() (Latin SL tokens — Hangul has no case)
+            kt = self._korean_tokenizer()
+            per_doc = [kt.tokenize_surfaces(t.lower()) for t in texts]
+        elif self.kind == "smart_chinese":
+            ct = self._chinese_tokenizer()
+            per_doc = [ct.tokenize_surfaces(t) for t in texts]
         elif self.kind == "whitespace":
             per_doc = [findall(t) for t in texts]
         else:
@@ -1472,11 +1523,11 @@ class Analyzer:
             # cjk-analyzed query would never match
             raise ValueError(
                 "store_offsets is not supported with the 'cjk' analyzer")
-        if self.kind == "japanese":
+        if self.kind in ("japanese", "korean", "smart_chinese"):
             # user-dictionary segments split one source span — refuse
             # offsets like cjk rather than emit misaligned spans
             raise ValueError(
-                "store_offsets is not supported with the 'japanese' "
+                f"store_offsets is not supported with the {self.kind!r} "
                 "analyzer")
         if self.word_delimiter:
             # graph expansion is not span-preserving (catenations cover
