@@ -122,13 +122,15 @@ class InfixSuggester:
         # suggesters do the same) — inputs are suggestion dictionaries
         # (queries, titles, product names), not corpora
         rows = ds.map_batches(prep, batch_format="pyarrow").to_pandas()
-        entries = []
         self._entries = []
+        self._tok_lists = []  # ordered token lists (BlendedInfix blending)
+        self._by_text = None
         inv: dict[str, list[int]] = {}
         for i, (text, weight, toks) in enumerate(
                 zip(rows["text"], rows["weight"], rows["toks"])):
             tl = toks.split() if toks else []
             self._entries.append((text, int(weight), None, frozenset(tl)))
+            self._tok_lists.append(tl)
             for t in set(tl):
                 inv.setdefault(t, []).append(i)
         self._tokens = sorted(inv)
@@ -168,6 +170,86 @@ class InfixSuggester:
             (t, w, p, pat.sub(lambda m: f"<b>{m.group(1)}</b>{m.group(2)}", t))
             for t, w, p in out
         ]
+
+
+class BlendedInfixSuggester(InfixSuggester):
+    """Infix completion with position-blended scores
+    (suggest/.../analyzing/BlendedInfixSuggester.java:52): a match whose
+    first matched token sits DEEPER in the suggestion text scores lower.
+
+    score = weight' · coefficient, truncated to long, where
+
+    * weight' = weight, or 1 if weight == 0, then ×10 when |weight'| < 10
+      (the reference's 1/LINEAR_COEF rescale so the coefficient survives
+      the long truncation, BlendedInfixSuggester.java:264-268);
+    * coefficient = 1 when the raw text starts with the raw key, else by
+      ``blender_type`` over the position p of the first matched token:
+      "linear" → 1 − 0.10·p, "reciprocal" → 1/(p+1),
+      "exponential_reciprocal" → 1/(p+1)^exponent
+      (calculateCoefficient, BlendedInfixSuggester.java:355-376).
+
+    The candidate pool is ``num · num_factor`` infix matches by raw
+    weight before blending re-sorts (DEFAULT_NUM_FACTOR = 10)."""
+
+    LINEAR_COEF = 0.10
+    DEFAULT_NUM_FACTOR = 10
+
+    def __init__(self, analyzer: Analyzer | str = "standard",
+                 blender_type: str = "linear", num_factor: int = 10,
+                 exponent: float = 2.0):
+        super().__init__(analyzer)
+        if blender_type not in ("linear", "reciprocal",
+                                "exponential_reciprocal"):
+            raise ValueError(f"blender_type: {blender_type!r}")
+        self.blender_type = blender_type
+        self.num_factor = num_factor
+        self.exponent = exponent
+        self._tok_lists: list[list[str]] = []  # entry id -> analyzed tokens
+
+    def build(self, entries) -> "BlendedInfixSuggester":
+        entries = list(entries)
+        super().build(entries)
+        self._tok_lists = [_analyze(self.analyzer, e[0]) for e in entries]
+        self._by_text = None
+        return self
+
+    def _coefficient(self, position: int) -> float:
+        if self.blender_type == "linear":
+            return 1 - self.LINEAR_COEF * position
+        if self.blender_type == "reciprocal":
+            return 1.0 / (position + 1)
+        return 1.0 / float(position + 1) ** self.exponent
+
+    def lookup(self, key: str, k: int = 5, *, highlight: bool = True) -> list[tuple]:
+        """→ [(text, blended_score, payload, highlighted)] by (score desc,
+        weight desc, text)."""
+        ktoks = _analyze(self.analyzer, key)
+        if not ktoks:
+            return []
+        *whole, last = ktoks
+        pool = super().lookup(key, k * self.num_factor, highlight=highlight)
+        scored = []
+        for text, weight, payload, hl in pool:
+            if text.startswith(key):
+                coef = 1.0
+            else:
+                toks = self._tok_lists[self._text_entry_id(text)]
+                pos = next((p for p, t in enumerate(toks)
+                            if t in whole or t.startswith(last)), 0)
+                coef = self._coefficient(pos)
+            w = weight if weight != 0 else 1
+            if -1 / self.LINEAR_COEF < w < 1 / self.LINEAR_COEF:
+                w *= 1 / self.LINEAR_COEF
+            scored.append((text, int(w * coef), payload, hl, weight))
+        scored.sort(key=lambda r: (-r[1], -r[4], r[0]))
+        return [(t, s, p, h) for t, s, p, h, _w in scored[:k]]
+
+    def _text_entry_id(self, text: str) -> int:
+        eid = getattr(self, "_by_text", None)
+        if eid is None:
+            eid = {e[0]: i for i, e in enumerate(self._entries)}
+            self._by_text = eid
+        return eid[text]
 
 
 class FreeTextSuggester:

@@ -163,3 +163,55 @@ def test_cjk_index_search(tmp_path, ray_session):
     s = IndexSearcher(idx)
     assert {sd.doc_key for sd in s.search(TermQuery("北京"), k=5).score_docs} == {"a"}
     assert {sd.doc_key for sd in s.search(TermQuery("东京"), k=5).score_docs} == {"b"}
+
+
+def test_blended_infix_suggester():
+    """BlendedInfixSuggester (suggest/.../analyzing/BlendedInfixSuggester
+    .java:52) — the reference testBlendedSortRaw shape: one entry, weight
+    8, matched at different depths under the three blender types."""
+    from lucene_ray.suggest import BlendedInfixSuggester
+
+    entries = [("star wars: episode v - the empire strikes back", 8,
+                b"star wars")]
+    lin = BlendedInfixSuggester("standard").build(entries)
+    # text starts with the key -> coefficient 1; weight 8 < 10 -> x10
+    assert lin.lookup("star", 10)[0][1] == 80
+    # 'the' is token position 4 -> linear 1 - 0.1*4 = 0.6 -> 48
+    text, score, payload, hl = lin.lookup("the", 10)[0]
+    assert score == 48 and payload == b"star wars"
+    assert "<b>the</b>" in hl
+    # reciprocal: 80 / (4+1) = 16
+    rec = BlendedInfixSuggester("standard",
+                                blender_type="reciprocal").build(entries)
+    assert rec.lookup("the", 10)[0][1] == 16
+    # exponential reciprocal, exponent 2: 80 / 25 = 3
+    exp = BlendedInfixSuggester(
+        "standard", blender_type="exponential_reciprocal",
+        exponent=2.0).build(entries)
+    assert exp.lookup("the", 10)[0][1] == 3
+
+
+def test_blended_infix_reorders_by_position():
+    """Blending re-ranks: a lower-weight entry whose match sits earlier
+    beats a higher-weight entry whose match sits deep."""
+    from lucene_ray.suggest import BlendedInfixSuggester
+
+    entries = [("top of the lake", 18, None),
+               ("the returned", 10, None)]
+    s = BlendedInfixSuggester("standard").build(entries)
+    got = s.lookup("the", 2)
+    # 'the returned' starts with the key: coef 1 -> 10
+    # 'top of the lake': position 2 -> 18 * 0.8 = 14 (wins)
+    assert [(t, sc) for t, sc, _p, _h in got] == [
+        ("top of the lake", 14), ("the returned", 10)]
+
+
+def test_blended_infix_zero_weight_and_validation():
+    from lucene_ray.suggest import BlendedInfixSuggester
+
+    import pytest
+    s = BlendedInfixSuggester("standard").build([("alpha beta", 0, None)])
+    # weight 0 -> 1 -> x10 = 10; 'beta' at position 1 -> 0.9 -> 9
+    assert s.lookup("beta", 5)[0][1] == 9
+    with pytest.raises(ValueError):
+        BlendedInfixSuggester("standard", blender_type="nope")
