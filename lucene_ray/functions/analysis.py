@@ -664,9 +664,10 @@ class Analyzer:
     # inject=True emits the encoding at the SAME position as the kept
     # original (posInc 0, encoded first — the reference's emission order),
     # inject=False replaces the token. Runs last, at vocab level.
-    # "soundex" | "refined_soundex" | "double_metaphone" (the latter emits
-    # primary + alternate codes, DoubleMetaphoneFilter semantics;
-    # phonetic_max_code_len = the filter's maxCodeLength, default 4)
+    # "soundex" | "refined_soundex" | "metaphone" (classic, commons-codec
+    # language/Metaphone) | "double_metaphone" (emits primary + alternate
+    # codes, DoubleMetaphoneFilter semantics; phonetic_max_code_len = the
+    # filter's maxCodeLength, default 4 — also caps classic metaphone)
     phonetic: str = ""
     phonetic_inject: bool = True
     phonetic_max_code_len: int = 4
@@ -1753,11 +1754,14 @@ class Analyzer:
                     codes, vocab, doc_idx, positions, extras,
                     extras_first=False)
         elif self.phonetic and len(vocab):
+            from lucene_ray.functions.metaphone import metaphone
             from lucene_ray.functions.stemming import (refined_soundex,
                                                        soundex)
 
+            ml = self.phonetic_max_code_len
             enc = {"soundex": soundex,
-                   "refined_soundex": refined_soundex}.get(self.phonetic)
+                   "refined_soundex": refined_soundex,
+                   "metaphone": lambda w: metaphone(w, ml)}.get(self.phonetic)
             if enc is None:
                 raise ValueError(f"unknown phonetic encoder {self.phonetic!r}")
             if self.phonetic_inject:

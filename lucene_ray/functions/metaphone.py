@@ -506,3 +506,138 @@ def double_metaphone(value: str, alternate: bool = False,
                      max_len: int = 4) -> str:
     p, a = double_metaphone_codes(value, max_len)
     return a if alternate else p
+
+
+# ------------------------------------------------------------ classic (1990)
+
+_FRONTV = "EIY"    # letters that soften a preceding C/G/D
+_VARSON = "CSPTG"  # H is silent after these
+
+
+def metaphone(txt: str, max_len: int = 4) -> str:
+    """Classic Metaphone — Lawrence Philips' 1990 algorithm with the
+    commons-codec ``language/Metaphone`` semantics (the other encoder the
+    reference's PhoneticFilter factory accepts,
+    analysis/phonetic/.../PhoneticFilterFactory.java). Letters only are
+    considered; output capped at ``max_len`` (commons-codec default 4)."""
+    txt = "".join(c for c in txt.upper() if "A" <= c <= "Z")
+    if not txt:
+        return ""
+    if len(txt) == 1:
+        return txt
+
+    # initial-pair rules
+    first2 = txt[:2]
+    if first2 in ("AE", "GN", "KN", "PN", "WR"):
+        local = txt[1:]
+    elif txt[0] == "X":
+        local = "S" + txt[1:]
+    elif first2 == "WH":
+        local = "W" + txt[2:]
+    else:
+        local = txt
+
+    wdsz = len(local)
+    code: list[str] = []
+    n = 0
+    while len(code) < max_len and n < wdsz:
+        symb = local[n]
+        # drop duplicate letters except C
+        if symb != "C" and n > 0 and local[n - 1] == symb:
+            n += 1
+            continue
+        if symb in "AEIOU":
+            if n == 0:
+                code.append(symb)
+        elif symb == "B":
+            if not (n == wdsz - 1 and n > 0 and local[n - 1] == "M"):
+                code.append("B")
+        elif symb == "C":
+            if local.startswith("CIA", n):
+                code.append("X")
+            elif n + 1 < wdsz and local[n + 1] in _FRONTV:
+                if not (n > 0 and local[n - 1] == "S"):
+                    code.append("S")        # SCE/SCI/SCY: C silent after S
+            elif n > 0 and local[n - 1] == "S" and n + 1 < wdsz \
+                    and local[n + 1] == "H":
+                code.append("K")            # SCH
+            elif n + 1 < wdsz and local[n + 1] == "H":
+                # commons-codec: word-initial CH with a vowel at index 2
+                # hardens to K (CHARACTER -> K...), otherwise CH -> X
+                if n == 0 and wdsz >= 3 and local[2] in "AEIOU":
+                    code.append("K")
+                else:
+                    code.append("X")
+            else:
+                code.append("K")
+        elif symb == "D":
+            if n + 2 < wdsz and local[n + 1] == "G" \
+                    and local[n + 2] in _FRONTV:
+                code.append("J")            # DGE/DGI/DGY
+                n += 2
+            else:
+                code.append("T")
+        elif symb == "G":
+            silent = False
+            if n + 1 < wdsz and local[n + 1] == "H":
+                # GH silent at end or before a consonant
+                if n + 2 == wdsz or (n + 2 < wdsz
+                                     and local[n + 2] not in "AEIOU"):
+                    silent = True
+            if n > 0 and (local.startswith("GN", n)
+                          and (n + 2 == wdsz
+                               or local.startswith("GNED", n))):
+                silent = True               # -GN / -GNED
+            if not silent:
+                hard = n > 0 and local[n - 1] == "G"
+                if n + 1 < wdsz and local[n + 1] in _FRONTV and not hard:
+                    code.append("J")
+                else:
+                    code.append("K")
+        elif symb == "H":
+            if n + 1 == wdsz:
+                pass                        # terminal H silent
+            elif n > 0 and local[n - 1] in _VARSON:
+                pass                        # silent after C/S/P/T/G
+            elif n > 0 and local[n - 1] in "AEIOU" \
+                    and (n + 1 == wdsz or local[n + 1] not in "AEIOU"):
+                pass                        # vowel-H-consonant: silent
+            else:
+                code.append("H")
+        elif symb in "FJLMNR":
+            code.append(symb)
+        elif symb == "K":
+            if not (n > 0 and local[n - 1] == "C"):
+                code.append("K")
+        elif symb == "P":
+            code.append("F" if n + 1 < wdsz and local[n + 1] == "H" else "P")
+        elif symb == "Q":
+            code.append("K")
+        elif symb == "S":
+            if local.startswith("SH", n) or local.startswith("SIO", n) \
+                    or local.startswith("SIA", n):
+                code.append("X")
+            else:
+                code.append("S")
+        elif symb == "T":
+            if local.startswith("TIA", n) or local.startswith("TIO", n):
+                code.append("X")
+            elif local.startswith("TCH", n):
+                pass                        # silent in -TCH-
+            elif local.startswith("TH", n):
+                code.append("0")            # theta
+            else:
+                code.append("T")
+        elif symb == "V":
+            code.append("F")
+        elif symb in "WY":
+            if n + 1 < wdsz and local[n + 1] in "AEIOU":
+                code.append(symb)
+        elif symb == "X":
+            code.append("K")
+            if len(code) < max_len:
+                code.append("S")
+        elif symb == "Z":
+            code.append("S")
+        n += 1
+    return "".join(code[:max_len])

@@ -252,3 +252,46 @@ def test_double_metaphone_index_roundtrip(tmp_path, ray_session):
     assert s.count(TermQuery("SM0")) == 2
     assert s.count(TermQuery("XMT")) == 2
     assert s.count(TermQuery("smith")) == 1
+
+
+# classic Metaphone (commons-codec language/Metaphone — the other encoder
+# PhoneticFilterFactory accepts); vectors from the commons-codec
+# MetaphoneTest tables
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("inp,out", [
+    ("howl", "HL"), ("testing", "TSTN"), ("The", "0"), ("quick", "KK"),
+    ("brown", "BRN"), ("fox", "FKS"), ("jumped", "JMPT"), ("over", "OFR"),
+    ("lazy", "LS"), ("dogs", "TKS"),
+    # discard of SCE/SCI/SCY; silent GH / GN; PH->F; SH->X
+    ("SCIENCE", "SNS"), ("SCENE", "SN"), ("SCY", "S"),
+    ("GHENT", "KNT"), ("BAUGH", "B"), ("GNU", "N"), ("SIGNED", "SNT"),
+    ("PHISH", "FX"), ("SHOT", "XT"),
+    # initial-pair rules; CH hard/soft; TH; TCH; X->KS
+    ("knife", "NF"), ("write", "RT"), ("what", "WT"), ("xavier", "SFR"),
+    ("CHARACTER", "KRKT"), ("TEACH", "TX"), ("THEORY", "0R"),
+    ("watch", "WX"), ("night", "NT"), ("", ""), ("a", "A"),
+])
+def test_metaphone(inp, out):
+    from lucene_ray.functions.metaphone import metaphone
+
+    assert metaphone(inp) == out
+
+
+def test_metaphone_max_len():
+    from lucene_ray.functions.metaphone import metaphone
+
+    assert metaphone("CHARACTER", max_len=5) == "KRKTR"
+
+
+def test_metaphone_filter_inject():
+    a = get_analyzer("whitespace", phonetic="metaphone")
+    assert _toks(a, "testing dogs") == [
+        ("TSTN", 0), ("testing", 0), ("TKS", 1), ("dogs", 1)]
+
+
+def test_metaphone_filter_replace():
+    a = get_analyzer("whitespace", phonetic="metaphone",
+                     phonetic_inject=False)
+    assert _toks(a, "testing dogs") == [("TSTN", 0), ("TKS", 1)]
