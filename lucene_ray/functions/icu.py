@@ -49,3 +49,59 @@ def icu_normalize(t: str) -> str:
     if any(_is_default_ignorable(c) for c in t):
         t = "".join(c for c in t if not _is_default_ignorable(c))
     return t
+
+
+# ------------------------------------------------------ collation sort keys
+
+_LEVEL_SEP = "\x01"  # sorts before every letter, after the empty string
+
+
+def collation_key(text: str, strength: str = "tertiary") -> str:
+    """ICUCollationKeyAnalyzer analogue (analysis/icu/src/java/.../
+    ICUCollationKeyAnalyzer.java): map a field value to a SORTABLE key so
+    byte order == collation order. The reference emits ICU binary sort
+    keys for a full tailored locale; this is the UCA root-order slice
+    implementable from pure Unicode data — a level-concatenated key:
+
+    * primary — NFKD base letters, casefolded (accents and case ignored);
+    * secondary — the combining marks in occurrence order (accents break
+      primary ties: cote < coté < côte < côté, since U+0301 < U+0302 and
+      a mark-less prefix sorts first);
+    * tertiary — case bits per base char (lowercase before uppercase,
+      the UCA default).
+
+    ``strength`` ∈ {"primary", "secondary", "tertiary"} truncates levels
+    like Collator.setStrength. Locale tailorings (sv å>z, de-phonebook
+    ä=ae, ...) are out of scope — documented divergence; root order only.
+    Keys from different strengths are not mutually comparable."""
+    import unicodedata
+
+    nfd = unicodedata.normalize("NFKD", text)
+    primary: list[str] = []
+    secondary: list[str] = []
+    tertiary: list[str] = []
+    for c in nfd:
+        if unicodedata.category(c) == "Mn":
+            secondary.append(c)
+            continue
+        primary.append(c.casefold())
+        if c.isalpha():
+            tertiary.append("b" if c.isupper() else "a")
+        else:
+            tertiary.append("a")
+    key = "".join(primary)
+    if strength == "primary":
+        return key
+    key += _LEVEL_SEP + "".join(secondary)
+    if strength == "secondary":
+        return key
+    if strength != "tertiary":
+        raise ValueError(f"strength: {strength!r}")
+    return key + _LEVEL_SEP + "".join(tertiary)
+
+
+def collation_keys_batch(texts, strength: str = "tertiary"):
+    """Arrow-friendly helper: list/array of strings → list of keys (use
+    inside ``map_batches`` to add a sortable docvalue column)."""
+    return [collation_key(t, strength) if t is not None else None
+            for t in texts]

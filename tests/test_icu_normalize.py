@@ -61,3 +61,63 @@ def test_folding_merges_vocab(tmp_path, ray_session):
     s = IndexSearcher(idx)
     an = get_analyzer({"kind": "standard", "icu_normalize": True})
     assert s.count(TermQuery(an.normalize("Ruß"))) == 2
+
+
+# --------------------------------------------------- collation sort keys
+
+def test_collation_key_accent_order():
+    """ICUCollationKeyAnalyzer analogue: byte order of keys == UCA root
+    collation order. The classic accent-ordering chain: cote < coté <
+    côte < côté (secondary level; acute U+0301 < circumflex U+0302)."""
+    from lucene_ray.functions.icu import collation_key
+
+    ws = ["côté", "cote", "côte", "coté"]
+    assert sorted(ws, key=lambda w: collation_key(w, "secondary")) == [
+        "cote", "coté", "côte", "côté"]
+    # plain byte order gets case-mixed input wrong ('C' < 'c' puts Côte
+    # first); the keys interleave correctly
+    mixed = ["cote", "Côte", "côte"]
+    assert sorted(mixed) == ["Côte", "cote", "côte"]  # byte order: wrong
+    assert sorted(mixed, key=lambda w: collation_key(w, "tertiary")) == [
+        "cote", "côte", "Côte"]
+
+
+def test_collation_key_strengths():
+    from lucene_ray.functions.icu import collation_key
+
+    # primary: case and accents ignored
+    assert collation_key("Résumé", "primary") == collation_key(
+        "resume", "primary")
+    # secondary: accents differ, case still ignored
+    assert collation_key("Résumé", "secondary") == collation_key(
+        "résumé", "secondary")
+    assert collation_key("résumé", "secondary") != collation_key(
+        "resume", "secondary")
+    # tertiary: lowercase sorts before uppercase (UCA default)
+    assert collation_key("cote") < collation_key("Cote")
+    import pytest
+    with pytest.raises(ValueError):
+        collation_key("x", "quaternary")
+
+
+def test_collation_keys_batch_and_sort_field(tmp_path, ray_session):
+    """The analyzer's intended use: precompute keys via map_batches, sort
+    the index by the key column — locale-ish order with byte comparisons
+    only (ICUCollationKeyAnalyzer.java's design)."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_ray.functions.icu import collation_keys_batch
+
+    rows = [{"doc_id": d, "title": t} for d, t in
+            [("a", "côté"), ("b", "cote"), ("c", "Cote"), ("d", "coté")]]
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = collation_keys_batch(batch.column("title").to_pylist())
+        return batch.append_column("title_key",
+                                   pa.array(keys, type=pa.string()))
+
+    out = (ray.data.from_items(rows)
+           .map_batches(add_key, batch_format="pyarrow")
+           .to_pandas().sort_values("title_key"))
+    assert list(out["title"]) == ["cote", "Cote", "coté", "côté"]
