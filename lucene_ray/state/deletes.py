@@ -329,7 +329,9 @@ def soft_update_documents(index_dir: str, rows: pa.Table, *,
     key_col, text_col = cfg["key_col"], cfg["text_col"]
     analyzer = get_analyzer(analyzer_kind or cfg.get("analyzer", "standard"))
 
-    soft_delete_by_keys(index_dir, rows.column(key_col).to_pylist(), field=field)
+    soft_delete_by_keys(
+        index_dir,
+        rows.column(key_col).to_numpy(zero_copy_only=False), field=field)
     manifest = Manifest.load(index_dir)
 
     order = pa.compute.sort_indices(rows.column(key_col))

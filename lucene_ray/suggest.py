@@ -110,7 +110,12 @@ class InfixSuggester:
 
         def prep(batch: pa.Table) -> pa.Table:
             texts = batch.column(text_col).to_pylist()
-            toks = [" ".join(_analyze(an, t)) for t in texts]
+            # one vectorized analyzer pass per batch (not per row): group
+            # the flat token stream back per doc via doc_idx boundaries
+            terms, doc_idx, _pos, _dl = an.tokenize_batch(texts)
+            bounds = np.searchsorted(doc_idx, np.arange(len(texts) + 1))
+            toks = [" ".join(terms[bounds[i]:bounds[i + 1]])
+                    for i in range(len(texts))]
             w = (batch.column(weight_col).to_numpy(zero_copy_only=False)
                  if weight_col else np.ones(len(texts), dtype=np.int64))
             return pa.table({"text": pa.array(texts, type=pa.string()),
