@@ -82,9 +82,13 @@ def collation_key(text: str, strength: str = "tertiary") -> str:
     tertiary: list[str] = []
     for c in nfd:
         if unicodedata.category(c) == "Mn":
+            # positional: the mark REPLACES this slot's common weight so
+            # the same accent on different letters compares at the right
+            # index (cóte != coté; UCA secondary weights are a sequence)
             secondary.append(c)
             continue
         primary.append(c.casefold())
+        secondary.append("\x02")  # common secondary weight, < any mark
         if c.isalpha():
             tertiary.append("b" if c.isupper() else "a")
         else:

@@ -47,11 +47,15 @@ __all__ = [
     "korean_number_normalize", "DEFAULT_STOP_TAGS", "JOSA", "EOMI",
 ]
 
-_USER_COST = -100_000  # UserDictionary.WORD_COST
-_KNOWN_COST = 100
-_UNK_CHAR_COST = 10_000
-_UNK_GROUP_BASE = 9_000
-_UNK_GROUP_PER_CHAR = 200
+# cost model shared with ja/zh — see functions/lattice.py
+from lucene_ray.functions.lattice import (KNOWN_COST as _KNOWN_COST,
+                                          UNK_CHAR_COST as _UNK_CHAR_COST,
+                                          UNK_GROUP_BASE as _UNK_GROUP_BASE,
+                                          UNK_GROUP_PER_CHAR
+                                          as _UNK_GROUP_PER_CHAR,
+                                          USER_COST as _USER_COST,
+                                          viterbi_segment)
+
 _MAX_UNK_SPAN = 24  # lattice arcs per position bound (runs are whitespace-delimited)
 
 # josa — case/topic/conjunctive particles (POS group J)
@@ -115,8 +119,14 @@ def parse_user_dict(lines) -> dict[str, tuple[str, ...]]:
         parts = line.split()
         surface = parts[0]
         segs = tuple(parts[1:]) if len(parts) > 1 else (surface,)
-        if surface:
-            out[surface] = segs
+        if "".join(segs) != surface:
+            # UserDictionary.java rejects a segmentation that doesn't
+            # concatenate to its surface; accepting it silently would drop
+            # text / emit wrong offsets
+            raise ValueError(
+                f"user dictionary entry {line!r}: segments "
+                f"{' '.join(segs)!r} do not concatenate to {surface!r}")
+        out[surface] = segs
     return out
 
 
@@ -180,10 +190,6 @@ class KoreanTokenizer:
         n = len(text)
         if n == 0:
             return []
-        INF = float("inf")
-        best = [INF] * (n + 1)
-        back: list[tuple | None] = [None] * (n + 1)
-        best[0] = 0.0
         classes = [_char_class(c) for c in text]
         # end of the contiguous same-class run starting at each position
         run_end = [0] * n
@@ -195,27 +201,18 @@ class KoreanTokenizer:
 
         suffix_arcs = self._suffix_arcs(text, classes, run_end)
 
-        for i in range(n):
-            if best[i] == INF:
-                continue
-            base = best[i]
+        def arcs_at(i):
             # user-dictionary arcs
             for ln in range(min(self._max_user, n - i), 0, -1):
                 segs = self.user.get(text[i:i + ln])
                 if segs is not None:
-                    c = base + _USER_COST + ln
-                    if c < best[i + ln]:
-                        best[i + ln] = c
-                        back[i + ln] = (i, "user", segs)
+                    yield ln, _USER_COST + ln, "user", segs
             # josa / eomi arcs (function morphemes): suffix chains only —
             # precomputed per run (see _suffix_arcs); a run-initial or
             # run-internal match would shave the unknown arc by its length
             # at +100, stripping common noun syllables
             for ln, tag in suffix_arcs.get(i, ()):
-                c = base + _KNOWN_COST
-                if c < best[i + ln]:
-                    best[i + ln] = c
-                    back[i + ln] = (i, tag, None)
+                yield ln, _KNOWN_COST, tag, None
             cls = classes[i]
             if cls == "hangul":
                 # variable-length unknown spans within the run: stripping a
@@ -223,31 +220,15 @@ class KoreanTokenizer:
                 stop = min(run_end[i], i + _MAX_UNK_SPAN)
                 for j2 in range(i + 1, stop + 1):
                     ln = j2 - i
-                    c = base + _UNK_GROUP_BASE + _UNK_GROUP_PER_CHAR * ln
-                    if c < best[j2]:
-                        best[j2] = c
-                        back[j2] = (i, "hangul", None)
+                    yield (ln, _UNK_GROUP_BASE + _UNK_GROUP_PER_CHAR * ln,
+                           "hangul", None)
             elif cls in _GROUPING:
-                j2 = run_end[i]
-                ln = j2 - i
-                c = base + _UNK_GROUP_BASE + _UNK_GROUP_PER_CHAR * ln
-                if c < best[j2]:
-                    best[j2] = c
-                    back[j2] = (i, cls, None)
+                ln = run_end[i] - i
+                yield ln, _UNK_GROUP_BASE + _UNK_GROUP_PER_CHAR * ln, cls, None
             # single-char fallback (hanja; keeps the lattice connected)
-            c = base + _UNK_CHAR_COST
-            if c < best[i + 1]:
-                best[i + 1] = c
-                back[i + 1] = (i, "char:" + cls, None)
+            yield 1, _UNK_CHAR_COST, "char:" + cls, None
 
-        spans: list[tuple[int, int, str, tuple | None]] = []
-        j = n
-        while j > 0:
-            i, kind, segs = back[j]
-            spans.append((i, j, kind, segs))
-            j = i
-        spans.reverse()
-
+        spans = viterbi_segment(n, arcs_at)
         out: list[tuple[str, int, int, str]] = []
         for i, j, kind, segs in spans:
             cls = kind[5:] if kind.startswith("char:") else kind

@@ -36,12 +36,15 @@ __all__ = ["JapaneseTokenizer", "parse_user_dict", "cjk_width_fold",
 
 # costs: any user path beats any non-user path; a known word beats unknown
 # single chars covering the same span; unknown groups are preferred over
-# per-char unknown splits (one arc vs many)
-_USER_COST = -100_000
-_KNOWN_COST = 100
-_UNK_CHAR_COST = 10_000
-_UNK_GROUP_BASE = 9_000
-_UNK_GROUP_PER_CHAR = 200
+# per-char unknown splits (one arc vs many). Shared with ko/zh — see
+# functions/lattice.py.
+from lucene_ray.functions.lattice import (KNOWN_COST as _KNOWN_COST,
+                                          UNK_CHAR_COST as _UNK_CHAR_COST,
+                                          UNK_GROUP_BASE as _UNK_GROUP_BASE,
+                                          UNK_GROUP_PER_CHAR
+                                          as _UNK_GROUP_PER_CHAR,
+                                          USER_COST as _USER_COST,
+                                          viterbi_segment)
 
 # common function words — particles, copula/auxiliary inflections,
 # demonstratives, frequent adverbs (textbook Japanese grammar)
@@ -113,6 +116,12 @@ def parse_user_dict(lines) -> dict[str, tuple[str, ...]]:
             continue
         surface, segs = parts[0], tuple(parts[1].split())
         if surface and segs:
+            if "".join(segs) != surface:
+                # dict/UserDictionary.java throws on a segmentation that
+                # doesn't add back up to the surface (offset misalignment)
+                raise ValueError(
+                    f"user dictionary entry {raw!r}: segments "
+                    f"{parts[1]!r} do not concatenate to {surface!r}")
             out[surface] = segs
     return out
 
@@ -137,31 +146,18 @@ class JapaneseTokenizer:
         n = len(text)
         if n == 0:
             return []
-        INF = float("inf")
-        best = [INF] * (n + 1)
-        back: list[tuple | None] = [None] * (n + 1)
-        best[0] = 0.0
         classes = [_char_class(c) for c in text]
-        for i in range(n):
-            if best[i] == INF:
-                continue
-            base = best[i]
+
+        def arcs_at(i):
             # user-dictionary arcs
             for ln in range(min(self._max_user, n - i), 0, -1):
-                cand = text[i:i + ln]
-                segs = self.user.get(cand)
+                segs = self.user.get(text[i:i + ln])
                 if segs is not None:
-                    c = base + _USER_COST + ln
-                    if c < best[i + ln]:
-                        best[i + ln] = c
-                        back[i + ln] = (i, "user", segs)
+                    yield ln, _USER_COST + ln, "user", segs
             # known-lexicon arcs
             for ln in range(min(self._max_known, n - i), 0, -1):
                 if text[i:i + ln] in self.lexicon:
-                    c = base + _KNOWN_COST
-                    if c < best[i + ln]:
-                        best[i + ln] = c
-                        back[i + ln] = (i, "known", None)
+                    yield ln, _KNOWN_COST, "known", None
             # unknown arcs by character class
             cls = classes[i]
             if cls in _GROUPING:
@@ -169,24 +165,12 @@ class JapaneseTokenizer:
                 while j < n and classes[j] == cls:
                     j += 1
                 ln = j - i
-                c = base + _UNK_GROUP_BASE + _UNK_GROUP_PER_CHAR * ln
-                if c < best[j]:
-                    best[j] = c
-                    back[j] = (i, cls, None)
+                yield ln, _UNK_GROUP_BASE + _UNK_GROUP_PER_CHAR * ln, cls, None
             # single-char unknown always available (kanji/hiragana, and the
             # fallback that keeps the lattice connected)
-            c = base + _UNK_CHAR_COST
-            if c < best[i + 1]:
-                best[i + 1] = c
-                back[i + 1] = (i, "char:" + cls, None)
-        # backtrack
-        spans: list[tuple[int, int, str, tuple | None]] = []
-        j = n
-        while j > 0:
-            i, kind, segs = back[j]
-            spans.append((i, j, kind, segs))
-            j = i
-        spans.reverse()
+            yield 1, _UNK_CHAR_COST, "char:" + cls, None
+
+        spans = viterbi_segment(n, arcs_at)
         out: list[tuple[str, int, int]] = []
         for i, j, kind, segs in spans:
             cls = kind[5:] if kind.startswith("char:") else kind

@@ -553,11 +553,15 @@ def metaphone(txt: str, max_len: int = 4) -> str:
             if not (n == wdsz - 1 and n > 0 and local[n - 1] == "M"):
                 code.append("B")
         elif symb == "C":
-            if local.startswith("CIA", n):
+            # SCE/SCI/SCY discard runs FIRST (commons-codec order: FASCIA
+            # hits the discard, not the CIA rule)
+            if n > 0 and local[n - 1] == "S" and n + 1 < wdsz \
+                    and local[n + 1] in _FRONTV:
+                pass
+            elif local.startswith("CIA", n):
                 code.append("X")
             elif n + 1 < wdsz and local[n + 1] in _FRONTV:
-                if not (n > 0 and local[n - 1] == "S"):
-                    code.append("S")        # SCE/SCI/SCY: C silent after S
+                code.append("S")
             elif n > 0 and local[n - 1] == "S" and n + 1 < wdsz \
                     and local[n + 1] == "H":
                 code.append("K")            # SCH
@@ -584,10 +588,8 @@ def metaphone(txt: str, max_len: int = 4) -> str:
                 if n + 2 == wdsz or (n + 2 < wdsz
                                      and local[n + 2] not in "AEIOU"):
                     silent = True
-            if n > 0 and (local.startswith("GN", n)
-                          and (n + 2 == wdsz
-                               or local.startswith("GNED", n))):
-                silent = True               # -GN / -GNED
+            if n > 0 and local.startswith("GN", n):
+                silent = True               # any non-initial GN (+GNED)
             if not silent:
                 hard = n > 0 and local[n - 1] == "G"
                 if n + 1 < wdsz and local[n + 1] in _FRONTV and not hard:
@@ -599,11 +601,9 @@ def metaphone(txt: str, max_len: int = 4) -> str:
                 pass                        # terminal H silent
             elif n > 0 and local[n - 1] in _VARSON:
                 pass                        # silent after C/S/P/T/G
-            elif n > 0 and local[n - 1] in "AEIOU" \
-                    and (n + 1 == wdsz or local[n + 1] not in "AEIOU"):
-                pass                        # vowel-H-consonant: silent
-            else:
-                code.append("H")
+            elif local[n + 1] in "AEIOU":
+                code.append("H")            # H sounds only before a vowel
+            # else silent (consonant follows)
         elif symb in "FJLMNR":
             code.append(symb)
         elif symb == "K":

@@ -34,11 +34,15 @@ from __future__ import annotations
 
 __all__ = ["ChineseTokenizer", "DEFAULT_ZH_LEXICON"]
 
-_KNOWN_COST = 100
+# cost model shared with ja/ko — see functions/lattice.py
+from lucene_ray.functions.lattice import (KNOWN_COST as _KNOWN_COST,
+                                          UNK_CHAR_COST as _UNK_CHAR_COST,
+                                          UNK_GROUP_BASE as _UNK_GROUP_BASE,
+                                          UNK_GROUP_PER_CHAR
+                                          as _UNK_GROUP_PER_CHAR,
+                                          viterbi_segment)
+
 _KNOWN_PER_CHAR = -5   # longer lexicon match beats a chain of shorter ones
-_UNK_CHAR_COST = 10_000
-_UNK_GROUP_BASE = 9_000
-_UNK_GROUP_PER_CHAR = 200
 
 # very common Chinese words — function words, pronouns, numbers/dates,
 # frequent nouns/verbs (core-vocabulary public knowledge); extendable per
@@ -112,44 +116,23 @@ class ChineseTokenizer:
         n = len(text)
         if n == 0:
             return []
-        INF = float("inf")
-        best = [INF] * (n + 1)
-        back: list[tuple | None] = [None] * (n + 1)
-        best[0] = 0.0
         classes = [_char_class(c) for c in text]
-        for i in range(n):
-            if best[i] == INF:
-                continue
-            base = best[i]
+
+        def arcs_at(i):
             for ln in range(min(self._max_known, n - i), 0, -1):
                 if text[i:i + ln] in self.lexicon:
-                    c = base + _KNOWN_COST + _KNOWN_PER_CHAR * ln
-                    if c < best[i + ln]:
-                        best[i + ln] = c
-                        back[i + ln] = (i, "known")
+                    yield ln, _KNOWN_COST + _KNOWN_PER_CHAR * ln, "known", None
             cls = classes[i]
             if cls in _GROUPING:
                 j = i + 1
                 while j < n and classes[j] == cls:
                     j += 1
                 ln = j - i
-                c = base + _UNK_GROUP_BASE + _UNK_GROUP_PER_CHAR * ln
-                if c < best[j]:
-                    best[j] = c
-                    back[j] = (i, cls)
-            c = base + _UNK_CHAR_COST
-            if c < best[i + 1]:
-                best[i + 1] = c
-                back[i + 1] = (i, "char:" + cls)
-        spans: list[tuple[int, int, str]] = []
-        j = n
-        while j > 0:
-            i, kind = back[j]
-            spans.append((i, j, kind))
-            j = i
-        spans.reverse()
+                yield ln, _UNK_GROUP_BASE + _UNK_GROUP_PER_CHAR * ln, cls, None
+            yield 1, _UNK_CHAR_COST, "char:" + cls, None
+
         out: list[tuple[str, int, int]] = []
-        for i, j, kind in spans:
+        for i, j, kind, _payload in viterbi_segment(n, arcs_at):
             cls = kind[5:] if kind.startswith("char:") else kind
             if cls in ("punct", "space") and self.discard_punctuation:
                 continue

@@ -82,7 +82,8 @@ def field_phrase_list(stack: list[TermInfo], phrases,
     so phrases never overlap (addIfNoOverlap)."""
     pmap: dict[tuple, tuple[float, int]] = {}
     for seq, (terms, boost) in enumerate(phrases):
-        pmap[tuple(terms)] = (float(boost), seq)
+        if terms:  # a phrase may analyze to zero tokens (all stopwords)
+            pmap[tuple(terms)] = (float(boost), seq)
     max_len = max((len(t) for t in pmap), default=0)
     first_terms = {t[0] for t in pmap}
     out: list[WeightedPhraseInfo] = []
@@ -223,6 +224,8 @@ class FastVectorHighlighter:
 def _doc_term_stacks(searcher, terms: set[str]) -> tuple[dict, dict]:
     """{doc_key: [TermInfo...]} for every doc containing a query term, from
     the postings offsets+positions streams; plus {term: weight}."""
+    # FieldTermStack.java:90-92: raw docFreq (deletes NOT filtered) over
+    # maxDoc — deletes shift neither side until they are merged away
     num_docs = sum(r.max_doc for r in searcher.readers)
     df: dict[str, int] = {t: 0 for t in terms}
     for r in searcher.readers:
@@ -230,7 +233,7 @@ def _doc_term_stacks(searcher, terms: set[str]) -> tuple[dict, dict]:
             i = r.term_index(t)
             if i >= 0:
                 d, _f = r.postings(i)
-                df[t] += len(d) if r.live is None else int(r.live[d].sum())
+                df[t] += len(d)
     weight = {t: math.log(num_docs / (df[t] + 1)) + 1.0 for t in terms}
     stacks: dict = {}
     for r in searcher.readers:

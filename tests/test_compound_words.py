@@ -272,6 +272,9 @@ import pytest as _pytest
     ("knife", "NF"), ("write", "RT"), ("what", "WT"), ("xavier", "SFR"),
     ("CHARACTER", "KRKT"), ("TEACH", "TX"), ("THEORY", "0R"),
     ("watch", "WX"), ("night", "NT"), ("", ""), ("a", "A"),
+    # internal GN silent, H only before vowels, SCE-discard before CIA
+    ("MAGNET", "MNT"), ("SIGNAL", "SNL"), ("RHYTHM", "R0M"),
+    ("FASCIA", "FS"),
 ])
 def test_metaphone(inp, out):
     from lucene_ray.functions.metaphone import metaphone

@@ -140,3 +140,26 @@ def test_fvh_requires_offsets(tmp_path, ray_session):
     build_index_by_file(src, idx, key_col="doc_id", text_col="text")
     with pytest.raises(ValueError, match="store_offsets"):
         _doc_term_stacks(IndexSearcher(idx), {"merge"})
+
+
+def test_empty_phrase_is_skipped(tmp_path, ray_session):
+    """A phrase that analyzes to zero tokens (all stopwords) must not
+    crash the stage — it simply can't match."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from lucene_ray.functions.analysis import get_analyzer
+    from lucene_ray.pipelines.fvh import field_phrase_list, fvh_hits
+    from lucene_ray.pipelines.index_pipeline import build_index_by_file
+
+    assert field_phrase_list([], [((), 1.0)]) == []
+    src = str(tmp_path / "e.parquet")
+    pq.write_table(pa.table({"doc_id": ["a"], "text": ["merge the sort"]}),
+                   src)
+    idx = str(tmp_path / "eidx")
+    build_index_by_file(src, idx, key_col="doc_id", text_col="text",
+                        store_offsets=True, analyzer="english")
+    out = fvh_hits(ray.data.read_parquet(src), idx, ["the", "merge"],
+                   analyzer=get_analyzer("english")).to_pandas()
+    assert "<b>merg" in out["fragment"][0]

@@ -121,3 +121,13 @@ def test_collation_keys_batch_and_sort_field(tmp_path, ray_session):
            .map_batches(add_key, batch_format="pyarrow")
            .to_pandas().sort_values("title_key"))
     assert list(out["title"]) == ["cote", "Cote", "coté", "côté"]
+
+
+def test_collation_key_positional_secondary():
+    """The same accent on DIFFERENT letters must produce different keys
+    (UCA secondary weights are a positional sequence): coté < cóte."""
+    from lucene_ray.functions.icu import collation_key
+
+    assert collation_key("cóte") != collation_key("coté")
+    assert collation_key("coté", "secondary") < collation_key(
+        "cóte", "secondary")

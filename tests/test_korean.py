@@ -138,3 +138,12 @@ def test_korean_index_roundtrip(tmp_path, ray_session):
     assert s.count(TermQuery("세종")) == 1   # decompounded part indexed
     assert s.count(TermQuery("학교")) == 1   # particle stripped
     assert s.count(TermQuery("는")) == 0     # josa dropped by POS filter
+
+
+def test_user_dict_rejects_bad_segmentation():
+    """UserDictionary.java rejects segments that don't concatenate to the
+    surface (a silent accept would drop text from the token stream)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="concatenate"):
+        parse_user_dict(["세종시 세종"])

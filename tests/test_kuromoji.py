@@ -138,3 +138,12 @@ def test_japanese_index_roundtrip(tmp_path, ray_session):
     assert s.count(TermQuery("空港")) == 1
     assert s.count(TermQuery("コンピュータ")) == 1  # stemmed form indexed
     assert s.count(TermQuery("は")) == 0  # stopword
+
+
+def test_user_dict_rejects_bad_segmentation():
+    import pytest
+
+    from lucene_ray.functions.kuromoji import parse_user_dict
+
+    with pytest.raises(ValueError, match="concatenate"):
+        parse_user_dict(["関西国際空港,関西 国際,カンサイ,名詞"])
