@@ -1260,13 +1260,19 @@ class Analyzer:
         # WhitespaceAnalyzer has NO LowerCaseFilter (core/.../analysis/core/
         # WhitespaceAnalyzer.java) — keep case, matching the Arrow path.
         if self.kind == "japanese":
+            # tokenize the RAW text (user-dict surfaces may be cased —
+            # JapaneseAnalyzer runs LowerCaseFilter LAST), lowercase the
+            # emitted tokens
             jt = self._japanese_tokenizer()
-            per_doc = [jt.tokenize_surfaces(t.lower()) for t in texts]
+            per_doc = [[s.lower() for s in jt.tokenize_surfaces(t)]
+                       for t in texts]
         elif self.kind == "korean":
             # POS stop filter fused into tokenize_surfaces; LowerCaseFilter
-            # via .lower() (Latin SL tokens — Hangul has no case)
+            # runs last like the reference chain (Latin SL tokens —
+            # Hangul has no case)
             kt = self._korean_tokenizer()
-            per_doc = [kt.tokenize_surfaces(t.lower()) for t in texts]
+            per_doc = [[s.lower() for s in kt.tokenize_surfaces(t)]
+                       for t in texts]
         elif self.kind == "smart_chinese":
             ct = self._chinese_tokenizer()
             per_doc = [ct.tokenize_surfaces(t) for t in texts]
@@ -1737,15 +1743,19 @@ class Analyzer:
             if return_offsets:
                 raise ValueError("store_offsets is not supported with "
                                  "phonetic tokens")
+            # DoubleMetaphoneFilter.java emits the alternate whenever it is
+            # nonempty, != primary AND != original — independent of whether
+            # the primary matched the token (e.g. token 'SML': primary ==
+            # token, alternate 'XML' still indexes)
             if self.phonetic_inject:
                 extras = [([p] if p and p != w else [])
-                          + ([a] if p and p != w and a and a != p else [])
+                          + ([a] if a and a != p and a != w else [])
                           for w, (p, a) in zip(vocab, codes_pa)]
                 codes, vocab, doc_idx, positions = self._splice_stacked(
                     codes, vocab, doc_idx, positions, extras,
                     extras_first=False)
             else:
-                extras = [[a] if p and p != w and a and a != p else []
+                extras = [[a] if a and a != p and a != w else []
                           for w, (p, a) in zip(vocab, codes_pa)]
                 vocab = np.array(
                     [p if p and p != w else w

@@ -33,6 +33,11 @@ def _is_default_ignorable(c: str) -> bool:
             or 0x180B <= o <= 0x180F or o == 0xE0001 \
             or 0xE0020 <= o <= 0xE007F:
         return True
+    # Cf code points EXCLUDED from Default_Ignorable_Code_Point besides
+    # the PCM set: interlinear-annotation controls and Egyptian-hieroglyph
+    # format controls (PropList.txt)
+    if 0xFFF9 <= o <= 0xFFFB or 0x13430 <= o <= 0x1345F:
+        return False
     return unicodedata.category(c) == "Cf" and o not in _PCM
 
 

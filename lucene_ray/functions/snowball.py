@@ -374,6 +374,11 @@ def english_snowball_stem(w: str) -> str:
         if any(c in _EN_VOWELS for c in w[:-2]):
             w = w[:-1]
 
+    # exception list 2 (english.sbl exception2): these eight words stop
+    # HERE, after step 1a — inning/proceed etc. stay invariant
+    if w in _EN_EXCEPTION2:
+        return w
+
     # step 1b
     suf, case = _match(w, 0, _EN_STEP1B)
     if case == 1:

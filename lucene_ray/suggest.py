@@ -440,9 +440,12 @@ class FreeTextSuggester:
                 seq.append(self.FILLER)
             seq.append(t)
         # trailing holes: positions consumed by a stop-less twin beyond the
-        # last kept position (the '\x00' stopset keeps post_init defaults off)
-        raw = dataclasses.replace(self.analyzer,
-                                  stop_words=frozenset({"\x00"}))
+        # last kept position (the '\x00' stopset keeps post_init defaults
+        # off). The twin is a pure function of self.analyzer — build once.
+        raw = getattr(self, "_raw_twin", None)
+        if raw is None:
+            raw = self._raw_twin = dataclasses.replace(
+                self.analyzer, stop_words=frozenset({"\x00"}))
         _c2, _v2, _d2, pos2, _l2 = raw.tokenize_batch_encoded([key])
         raw_len = int(pos2[-1]) + 1 if len(pos2) else 0
         end_pos_inc = max(0, raw_len - len(seq))

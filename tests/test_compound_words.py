@@ -298,3 +298,11 @@ def test_metaphone_filter_replace():
     a = get_analyzer("whitespace", phonetic="metaphone",
                      phonetic_inject=False)
     assert _toks(a, "testing dogs") == [("TSTN", 0), ("TKS", 1)]
+
+
+def test_double_metaphone_alternate_independent_of_primary():
+    """DoubleMetaphoneFilter emits the alternate whenever nonempty,
+    != primary and != original — even when the primary equals the token
+    (case-preserving chain, token 'SML' -> alternate 'XML' indexes)."""
+    a = get_analyzer("whitespace", phonetic="double_metaphone")
+    assert [t for t, _ in a.tokenize_one("SML")] == ["SML", "XML"]

@@ -131,3 +131,10 @@ def test_collation_key_positional_secondary():
     assert collation_key("cóte") != collation_key("coté")
     assert collation_key("coté", "secondary") < collation_key(
         "cóte", "secondary")
+
+
+def test_cf_exclusions_kept():
+    """U+FFF9-FFFB interlinear controls and Egyptian-hieroglyph format
+    controls are Cf but NOT Default_Ignorable — nfkc_cf keeps them."""
+    assert icu_normalize("a￹b￻c") == "a￹b￻c"
+    assert icu_normalize("a\U00013430b") == "a\U00013430b"

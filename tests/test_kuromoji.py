@@ -147,3 +147,14 @@ def test_user_dict_rejects_bad_segmentation():
 
     with pytest.raises(ValueError, match="concatenate"):
         parse_user_dict(["関西国際空港,関西 国際,カンサイ,名詞"])
+
+
+def test_cased_user_dict_surface_matches():
+    """LowerCaseFilter runs LAST (ja/JapaneseAnalyzer.java): a cased
+    user-dictionary surface must match the raw text, tokens lowercase
+    afterwards."""
+    a = get_analyzer({"kind": "japanese",
+                      "japanese_user_dict":
+                      ["iPhone7,iPhone 7,アイフォンナナ,名詞"]})
+    assert [t for t, _ in a.tokenize_one("iPhone7を使う")] == [
+        "iphone", "7", "使"]

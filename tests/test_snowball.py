@@ -93,3 +93,13 @@ def test_snowball_vs_light_kinds_coexist():
     light = get_analyzer("russian_light")
     snow = get_analyzer("russian")
     assert _an(light, "вместимость") != [] and _an(snow, "вместимость") != []
+
+
+def test_porter2_exception_list_2():
+    """english.sbl exception2: eight words stop unchanged after step 1a
+    (classic Porter would stem them — the 2000-pair vocab misses these)."""
+    from lucene_ray.functions.snowball import english_snowball_stem
+
+    for w in ("proceed", "exceed", "succeed", "inning", "outing",
+              "canning", "herring", "earring"):
+        assert english_snowball_stem(w) == w
