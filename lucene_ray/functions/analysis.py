@@ -886,6 +886,13 @@ class Analyzer:
             # StopFilter(punctuation list — the lite tokenizer already
             # discards punctuation, the equivalent end state)
             self.stem = True
+        elif self.kind == "thai":
+            # th/ThaiAnalyzer.java:93-100: ThaiTokenizer → LowerCaseFilter
+            # → DecimalDigitFilter → StopFilter(th stopwords)
+            from lucene_ray.functions.thai import THAI_STOP_WORDS
+
+            self.stop_words = self.stop_words or THAI_STOP_WORDS
+            self.decimal_digit = True
         elif self.kind in ("russian", "swedish", "finnish", "hungarian"):
             # the reference's DEFAULT analyzers for these languages
             # (ru/RussianAnalyzer.java:141, sv/SwedishAnalyzer.java,
@@ -952,6 +959,16 @@ class Analyzer:
             ct = ChineseTokenizer()
             object.__setattr__(self, "_zh_tok", ct)
         return ct
+
+    def _thai_tokenizer(self):
+        """thai-lite lattice segmenter, built once per analyzer instance."""
+        tt = getattr(self, "_th_tok", None)
+        if tt is None:
+            from lucene_ray.functions.thai import ThaiTokenizer
+
+            tt = ThaiTokenizer()
+            object.__setattr__(self, "_th_tok", tt)
+        return tt
 
     def _stem_fn(self):
         """Per-chain stemmer: Porter for english/+stem, the UniNE light
@@ -1276,6 +1293,10 @@ class Analyzer:
         elif self.kind == "smart_chinese":
             ct = self._chinese_tokenizer()
             per_doc = [ct.tokenize_surfaces(t) for t in texts]
+        elif self.kind == "thai":
+            tt = self._thai_tokenizer()
+            per_doc = [[s.lower() for s in tt.tokenize_surfaces(t)]
+                       for t in texts]
         elif self.kind == "whitespace":
             per_doc = [findall(t) for t in texts]
         else:
@@ -1530,7 +1551,7 @@ class Analyzer:
             # cjk-analyzed query would never match
             raise ValueError(
                 "store_offsets is not supported with the 'cjk' analyzer")
-        if self.kind in ("japanese", "korean", "smart_chinese"):
+        if self.kind in ("japanese", "korean", "smart_chinese", "thai"):
             # user-dictionary segments split one source span — refuse
             # offsets like cjk rather than emit misaligned spans
             raise ValueError(
