@@ -1953,13 +1953,18 @@ def _q_freetext_suggest(sf_dir: str) -> pa.Table:
                            text_col="text", num_partitions=8)
     q, rank, key, score = [], [], [], []
     for k in FREETEXT_KEYS:
-        for i, (text, s) in enumerate(sug.lookup(k, 20), start=1):
+        # rank on the ROUNDED score (key asc ties) exactly like the SQL
+        # oracle — raw-score order could diverge when two candidates
+        # round equal (half-away-from-zero to match DuckDB's ROUND;
+        # Python's round is half-even: 0.0390625 must go to .039063)
+        cands = [(text, math.floor(s * 1e6 + 0.5) / 1e6)
+                 for text, s in sug.lookup(k, 20)]
+        cands.sort(key=lambda r: (-r[1], r[0]))
+        for i, (text, r6) in enumerate(cands, start=1):
             q.append(k)
             rank.append(i)
             key.append(text)
-            # half-away-from-zero like DuckDB's ROUND (Python's round is
-            # half-even: 0.0390625 must go to .039063, not .039062)
-            score.append(math.floor(s * 1e6 + 0.5) / 1e6)
+            score.append(r6)
     return pa.table({
         "query": pa.array(q, type=pa.string()),
         "rank": pa.array(rank, type=pa.int64()),

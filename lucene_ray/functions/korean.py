@@ -72,9 +72,10 @@ JOSA = frozenset((
 EOMI = frozenset((
     "다", "요", "죠", "네", "며", "고", "면", "니", "지만", "거나",
     "려고", "면서", "도록", "으며", "으면", "다가", "습니다", "습니까",
-    "ᄇ니다", "었다", "았다", "였다", "는다", "네요", "어요", "아요",
+    "니다", "었다", "았다", "였다", "는다", "네요", "어요", "아요",
     "예요", "에요", "했다", "한다", "하다", "해서", "하여", "하고",
     "되다", "된다", "됐다", "였습니다", "았습니다", "었습니다",
+    "합니다", "됩니다", "입니다", "합니까", "했습니다",
 ))
 
 # KoreanPartOfSpeechStopFilter.DEFAULT_STOP_TAGS (ko/KoreanPartOfSpeech

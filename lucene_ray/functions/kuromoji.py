@@ -199,8 +199,11 @@ def cjk_width_fold(t: str) -> str:
     folded = False
     for c in t:
         o = ord(c)
-        if 0xFF01 <= o <= 0xFF5E or 0xFF61 <= o <= 0xFFDC \
-                or 0xFFE0 <= o <= 0xFFEE:
+        # exactly the reference's two ranges (CJKWidthFilter.java:36-44):
+        # fullwidth ASCII and halfwidth katakana (+ the voiced-sound
+        # marks at FF9E/FF9F inside that range) — NOT halfwidth
+        # punctuation/Hangul/signs, which the filter leaves untouched
+        if 0xFF01 <= o <= 0xFF5E or 0xFF65 <= o <= 0xFF9F:
             out.append(unicodedata.normalize("NFKC", c))
             folded = True
         else:

@@ -225,17 +225,12 @@ def _doc_term_stacks(searcher, terms: set[str]) -> tuple[dict, dict]:
     """{doc_key: [TermInfo...]} for every doc containing a query term, from
     the postings offsets+positions streams; plus {term: weight}."""
     # FieldTermStack.java:90-92: raw docFreq (deletes NOT filtered) over
-    # maxDoc — deletes shift neither side until they are merged away
+    # maxDoc — deletes shift neither side until they are merged away.
+    # One postings decode per (reader, term): df and the stacks come from
+    # the same pass.
     num_docs = sum(r.max_doc for r in searcher.readers)
     df: dict[str, int] = {t: 0 for t in terms}
-    for r in searcher.readers:
-        for t in terms:
-            i = r.term_index(t)
-            if i >= 0:
-                d, _f = r.postings(i)
-                df[t] += len(d)
-    weight = {t: math.log(num_docs / (df[t] + 1)) + 1.0 for t in terms}
-    stacks: dict = {}
+    decoded = []  # (reader, term, postings d, freqs f)
     for r in searcher.readers:
         if not getattr(r, "has_offsets", False):
             raise ValueError(
@@ -246,18 +241,23 @@ def _doc_term_stacks(searcher, terms: set[str]) -> tuple[dict, dict]:
             if i < 0:
                 continue
             d, f = r.postings(i)
-            pos = r.positions(i)
-            offs = r.offsets(i).reshape(-1, 2)
-            starts = np.concatenate([[0], np.cumsum(f)[:-1]])
-            keys = r.doc_keys[d]
-            for di, (doc, fr, st) in enumerate(zip(d.tolist(), f.tolist(),
-                                                   starts.tolist())):
-                if r.live is not None and not r.live[doc]:
-                    continue
-                lst = stacks.setdefault(keys[di], [])
-                for k in range(st, st + fr):
-                    lst.append(TermInfo(t, int(offs[k, 0]), int(offs[k, 1]),
-                                        int(pos[k]), weight[t]))
+            df[t] += len(d)
+            decoded.append((r, t, i, d, f))
+    weight = {t: math.log(num_docs / (df[t] + 1)) + 1.0 for t in terms}
+    stacks: dict = {}
+    for r, t, i, d, f in decoded:
+        pos = r.positions(i)
+        offs = r.offsets(i).reshape(-1, 2)
+        starts = np.concatenate([[0], np.cumsum(f)[:-1]])
+        keys = r.doc_keys[d]
+        for di, (doc, fr, st) in enumerate(zip(d.tolist(), f.tolist(),
+                                               starts.tolist())):
+            if r.live is not None and not r.live[doc]:
+                continue
+            lst = stacks.setdefault(keys[di], [])
+            for k in range(st, st + fr):
+                lst.append(TermInfo(t, int(offs[k, 0]), int(offs[k, 1]),
+                                    int(pos[k]), weight[t]))
     for lst in stacks.values():
         lst.sort(key=lambda ti: ti.position)
     return stacks, weight

@@ -84,15 +84,16 @@ class InfixSuggester:
         self._postings: list[np.ndarray] = []  # token -> entry ids
 
     def build(self, entries) -> "InfixSuggester":
-        toks_by_entry = []
         self._entries = []
+        self._tok_lists = []  # ordered token lists (BlendedInfix blending)
+        self._by_text = None
         inv: dict[str, list[int]] = {}
         for i, e in enumerate(entries):
             text, weight = e[0], int(e[1])
             payload = e[2] if len(e) > 2 else None
             toks = _analyze(self.analyzer, text)
             self._entries.append((text, weight, payload, frozenset(toks)))
-            toks_by_entry.append(toks)
+            self._tok_lists.append(toks)
             for t in set(toks):
                 inv.setdefault(t, []).append(i)
         self._tokens = sorted(inv)
@@ -210,13 +211,6 @@ class BlendedInfixSuggester(InfixSuggester):
         self.num_factor = num_factor
         self.exponent = exponent
         self._tok_lists: list[list[str]] = []  # entry id -> analyzed tokens
-
-    def build(self, entries) -> "BlendedInfixSuggester":
-        entries = list(entries)
-        super().build(entries)
-        self._tok_lists = [_analyze(self.analyzer, e[0]) for e in entries]
-        self._by_text = None
-        return self
 
     def _coefficient(self, position: int) -> float:
         if self.blender_type == "linear":
